@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational operator suite (SURVEY.md §2.6): aggregation, broadcast /
+  * range / semi / anti joins, windows, top-k, set ops, rollup, dedup.
+  *
+  * The reference (forever765/clickhouse_sinker_nali) has no SQL frontend —
+  * its nearest analogs are the serviceMap broadcast lookup
+  * (input/kafka_sarama.go:11643-11668), the qqwry IP range binary search
+  * (ipHandle/pkg/qqwry/qqwry.go:117-149) and the first-seen series dedup
+  * bitmap (output/clickhouse.go:110-130). Here each is exposed as a proper
+  * distributed Spark operator so the engine covers the full relational
+  * surface at 100 TB scale.
+  *
+  * Determinism notes (driver hashes values against a DuckDB oracle):
+  *  - double sums go through DECIMAL(18,4) so the result is independent of
+  *    partitioning / accumulation order, then cast back to double;
+  *  - every query has a total ORDER BY;
+  *  - count()s stay BIGINT on both sides (DuckDB sum(BIGINT) would be
+  *    HUGEINT, so sums of ints are cast explicitly).
+  */
+object Relational {
+
+  /** Order-insensitive exact sum of a double column: accumulate as decimal. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** q01: scan → filter (parquet pushdown) → partial/final hash aggregate.
+    * At scale: map-side combine makes the shuffle carry only
+    * (#groups × #partitions) rows; AQE coalesces post-shuffle partitions. */
+  def q01AggPushdown(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q02: star join — fact (orders⋈customer) with broadcast dims.
+    * customer is orders-of-magnitude smaller than orders at any SF, and
+    * nation/region are constant-size: all three are explicitly broadcast so
+    * the only shuffle at 100 TB is none (fact side streams map-side). */
+  def q02StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    val customer = Tables(s, dir, "customer")
+    val nation = Tables(s, dir, "nation")
+    val region = Tables(s, dir, "region")
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("r_name")
+  }
+
+  /** q03: range (interval) join — the Spark form of the reference's qqwry
+    * IP range lookup (broadcast the range table; Catalyst turns the
+    * between-predicate join into BroadcastNestedLoopJoin, which is correct
+    * because the broadcast side is tiny and the probe side streams). */
+  def q03RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables(s, dir, "events")
+    val ranges = Tables(s, dir, "nation")
+      .select(
+        col("n_name").as("bucket_name"),
+        (col("n_nationkey") * 6).cast("long").as("lo"),
+        (col("n_nationkey") * 6 + 5).cast("long").as("hi"))
+    events
+      .join(broadcast(ranges), col("user_id") >= col("lo") && col("user_id") <= col("hi"))
+      .groupBy(col("bucket_name"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("bucket_name")
+  }
+
+  /** q04: left-semi join (EXISTS). */
+  def q04SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    val bigItems = Tables(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 45.0)
+      .select(col("l_orderkey"))
+    orders
+      .join(bigItems, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q05: left-anti join (NOT EXISTS) — customers with no pending order. */
+  def q05AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(s, dir, "customer")
+    val pending = Tables(s, dir, "orders")
+      .filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey"))
+    customer
+      .join(pending, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q06: window function — top-3 orders per customer by totalprice.
+    * Single shuffle on o_custkey; ties broken by orderkey so the result is
+    * total-ordered and stable under any partitioning. */
+  def q06WindowTopN(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** q07: event-time tumbling window aggregation (batch form of the
+    * streaming flush-interval batching, SURVEY §2.4 B2). */
+  def q07TimeBucket(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "events")
+      .groupBy(
+        date_trunc("hour", col("ts")).as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("bucket", "event_type")
+  }
+
+  /** q08: exact deduplication via hash aggregate (reference analog:
+    * first-seen series bitmap, output/clickhouse.go:110-130). At 100 TB the
+    * groupBy shuffles on the dedup key — which is the only correct
+    * distributed strategy; AQE handles skew. */
+  def q08DedupExact(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("text")).as("n_unique"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
+  /** q09: global top-k — Spark's TakeOrderedAndProject: per-partition
+    * top-k then a single-reduce merge; no full sort at scale. */
+  def q09TopK(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** q10: set operation — custkeys having both an open and a filled order. */
+  def q10Intersect(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    val open = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val filled = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    open.intersect(filled).orderBy("o_custkey")
+  }
+
+  /** q11: hierarchical rollup over region → nation of customer balances. */
+  def q11Rollup(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(s, dir, "customer")
+    val nation = Tables(s, dir, "nation")
+    val region = Tables(s, dir, "region")
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(col("c_acctbal")).as("sum_bal"), count(lit(1)).as("n"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** q12: first-seen dedup (argmin) — the reference's series-dedup
+    * semantics (first row wins per key) as a distributed aggregate. */
+  def q12FirstSeen(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event_id"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_pushdown" -> q01AggPushdown _,
+    "q02_star_join" -> q02StarJoin _,
+    "q03_range_join" -> q03RangeJoin _,
+    "q04_semi_join" -> q04SemiJoin _,
+    "q05_anti_join" -> q05AntiJoin _,
+    "q06_window_topn" -> q06WindowTopN _,
+    "q07_time_bucket" -> q07TimeBucket _,
+    "q08_dedup_exact" -> q08DedupExact _,
+    "q09_topk" -> q09TopK _,
+    "q10_intersect" -> q10Intersect _,
+    "q11_rollup" -> q11Rollup _,
+    "q12_first_seen" -> q12FirstSeen _)
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_pushdown" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_star_join" ->
+      """SELECT r_name,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q03_range_join" ->
+      """SELECT bucket_name, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |JOIN (SELECT n_name AS bucket_name,
+        |             CAST(n_nationkey * 6 AS BIGINT) AS lo,
+        |             CAST(n_nationkey * 6 + 5 AS BIGINT) AS hi
+        |      FROM nation) r
+        |  ON user_id >= lo AND user_id <= hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q06_window_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q07_time_bucket" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q08_dedup_exact" ->
+      """SELECT lang, count(DISTINCT text) AS n_unique, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q09_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q10_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "q11_rollup" ->
+      """SELECT r_name, n_name,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+        | count(*) AS n
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q12_first_seen" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event_id
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
