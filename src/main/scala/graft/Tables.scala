@@ -4,6 +4,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
+/** Session factory with the engine's required configuration. All entry
+  * points (Verify, Bench, tests) build through here so conf is set once at
+  * session build time, not per table read.
+  */
+object Sessions {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS), which the vectorized
+      // parquet reader rejects outright; read nanos as long (converted to
+      // micros in Tables).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}
+
 /** Loader for the driver-generated test tables (TESTDATA.md).
   *
   * In production these would be real sources (Kafka topics, parquet lakes);
@@ -17,13 +34,14 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which the vectorized parquet
-    // reader rejects outright; read nanos as long and truncate to micros
-    // (column-pruning still reaches the scan — the conversion is a Project).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Defensive for sessions not built via Sessions.builder (idempotent).
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(col("ts") / 1000 cast LongType))
+      // integral ns→µs division: epoch-nanos (~1.7e18) exceed double's
+      // 2^53 exact range, so `/ 1000` (double div) would drift by ~1µs.
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
     }
   }

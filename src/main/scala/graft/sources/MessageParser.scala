@@ -95,28 +95,27 @@ object MessageParser {
   * Null / empty array / array of nulls → None (Unknown).
   */
 object DetectType {
-  import com.fasterxml.jackson.databind.JsonNode
+  import JValue._
+  import graft.functions.GoTimeLayouts
 
-  def detect(v: JsonNode, tz: java.time.ZoneId): Option[CType] = {
-    import graft.functions.GoTimeLayouts
-    if (v == null || v.isNull) None
-    else if (v.isBoolean) Some(CType.CInt)
-    else if (v.isNumber) {
-      if (v.isIntegralNumber && v.canConvertToLong) Some(CType.CInt)
-      else Some(CType.CFloat)
-    } else if (v.isTextual) {
-      if (GoTimeLayouts.detect(v.textValue, tz).isDefined) Some(CType.CDateTime)
+  def detect(v: JValue, tz: java.time.ZoneId): Option[CType] = v match {
+    case null | JNull => None
+    case JBool(_) => Some(CType.CInt)
+    case n: JNum =>
+      if (n.int64.isDefined) Some(CType.CInt) else Some(CType.CFloat)
+    case JStr(s) =>
+      if (GoTimeLayouts.detect(s, tz).isDefined) Some(CType.CDateTime)
       else Some(CType.CString)
-    } else if (v.isArray) {
-      if (v.size == 0) None
-      else detect(v.get(0), tz).flatMap {
+    case JArr(items) =>
+      if (items.isEmpty) None
+      else detect(items(0), tz).flatMap {
         case CType.CInt => Some(CType.CIntArray)
         case CType.CFloat => Some(CType.CFloatArray)
         case CType.CString => Some(CType.CStringArray)
         case CType.CDateTime => Some(CType.CDateTimeArray)
         case _ => None
       }
-    } else Some(CType.CString) // objects stringify
+    case _ => Some(CType.CString) // objects stringify
   }
 
   /** ClickHouse ADD COLUMN type for a detected type

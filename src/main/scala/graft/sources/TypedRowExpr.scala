@@ -4,10 +4,6 @@ import java.time.ZoneId
 
 import scala.collection.mutable
 
-import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
-import com.fasterxml.jackson.databind.node.JsonNodeType
-
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -59,22 +55,13 @@ abstract class TypedRowParserExpr extends UnaryExpression with CodegenFallback {
   }
 }
 
-object TypedRowParserExpr {
-  /** Jackson with exact-number nodes so raw-token semantics match
-    * fastjson: ints of any width stay integral (overflow detectable),
-    * floats keep their textual scale. */
-  private[sources] def newMapper(): ObjectMapper = {
-    val m = new ObjectMapper()
-    m.enable(DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS)
-    m.enable(DeserializationFeature.USE_BIG_INTEGER_FOR_INTS)
-    m
-  }
-}
-
 /** JSON message → typed row (the `MetricToRow` projection core,
   * model/message.go:171-212 over parser/fastjson.go getters).
+  *
   * Returns null on malformed JSON — the parse-error filter drops it
-  * (task/task.go:280-287).
+  * (task/task.go:280-287). A well-formed non-object root (`123`, `[..]`)
+  * yields an all-defaults row, matching fastjson `Value.Get` on a
+  * non-object returning nil for every key.
   */
 case class JsonTypedRow(
     child: Expression,
@@ -82,127 +69,156 @@ case class JsonTypedRow(
     timeUnit: Double,
     timeZone: String) extends TypedRowParserExpr {
 
-  @transient private lazy val mapper = TypedRowParserExpr.newMapper()
+  import JValue._
+
+  @transient private lazy val parser = new JsonParser
+  @transient private lazy val emptyObj = JObj(mutable.ArrayBuffer.empty)
 
   override def nullSafeEval(input: Any): Any = {
-    val root: JsonNode =
-      try {
-        val node = mapper.readTree(input.asInstanceOf[UTF8String].getBytes)
-        if (node == null || !node.isObject) return null
-        node
-      } catch { case _: Exception => return null }
+    val root: JObj = parser.parse(input.asInstanceOf[UTF8String].toString) match {
+      case None => return null
+      case Some(o: JObj) => o
+      case Some(_) => emptyObj // non-object root: every Get misses
+    }
     val values = new Array[Any](specs.length)
     var i = 0
     while (i < specs.length) {
       val spec = specs(i)
-      values(i) = extract(root.get(spec.sourceName), spec)
+      values(i) = JsonCoerce.extract(root.get(spec.sourceName), spec,
+        timeUnit, parseDateTime)
       i += 1
     }
     InternalRow.fromSeq(values.toIndexedSeq)
-  }
-
-  private def extract(v: JsonNode, spec: ColumnSpec): Any = spec.ctype match {
-    case CType.CInt => getInt(v, spec.nullable)
-    case CType.CFloat => getFloat(v, spec.nullable)
-    case CType.CString => getString(v, spec.nullable)
-    case CType.CDateTime => getDateTime(v, spec)
-    case CType.CElasticDateTime => getDateTime(v, spec) match {
-      case null => null
-      case us: java.lang.Long => java.lang.Long.valueOf(Math.floorDiv(us, 1000000L))
-    }
-    case arr => getArray(v, CType.elementOf(arr), spec)
-  }
-
-  private def isMissing(v: JsonNode): Boolean =
-    v == null || v.getNodeType == JsonNodeType.NULL
-
-  /** fastjson GetInt: bool → 1/0; integral in-int64-range numbers pass;
-    * everything else (strings, floats, overflow) → default. */
-  private def getInt(v: JsonNode, nullable: Boolean): Any = {
-    if (isMissing(v)) return if (nullable) null else java.lang.Long.valueOf(0L)
-    v.getNodeType match {
-      case JsonNodeType.BOOLEAN => java.lang.Long.valueOf(if (v.booleanValue) 1L else 0L)
-      case JsonNodeType.NUMBER if v.isIntegralNumber && v.canConvertToLong =>
-        java.lang.Long.valueOf(v.longValue)
-      case _ => if (nullable) null else java.lang.Long.valueOf(0L)
-    }
-  }
-
-  /** fastjson GetFloat: numbers only (bools are NOT accepted). */
-  private def getFloat(v: JsonNode, nullable: Boolean): Any = {
-    if (isMissing(v)) return if (nullable) null else java.lang.Double.valueOf(0.0)
-    v.getNodeType match {
-      case JsonNodeType.NUMBER => java.lang.Double.valueOf(v.doubleValue)
-      case _ => if (nullable) null else java.lang.Double.valueOf(0.0)
-    }
-  }
-
-  /** fastjson GetString: strings verbatim; any other present value
-    * renders as its compact JSON text (objects/arrays/numbers/bools). */
-  private def getString(v: JsonNode, nullable: Boolean): Any = {
-    if (isMissing(v)) return if (nullable) null else UTF8String.EMPTY_UTF8
-    if (v.isTextual) UTF8String.fromString(v.textValue)
-    else UTF8String.fromString(v.toString)
-  }
-
-  /** fastjson GetDateTime: number → UnixFloat(v*timeUnit); string →
-    * layout chain; else default Epoch / null. Micros. */
-  private def getDateTime(v: JsonNode, spec: ColumnSpec): Any = {
-    def dflt: Any = if (spec.nullable) null
-      else java.lang.Long.valueOf(GoTimeLayouts.EpochMicros)
-    if (isMissing(v)) return dflt
-    v.getNodeType match {
-      case JsonNodeType.NUMBER =>
-        java.lang.Long.valueOf(GoTimeLayouts.unixFloat(v.doubleValue, timeUnit))
-      case JsonNodeType.STRING =>
-        val s = v.textValue
-        parseDateTime(spec.sourceName, s)
-          .map(java.lang.Long.valueOf)
-          .getOrElse(dflt)
-      case _ => dflt
-    }
-  }
-
-  /** fastjson GetArray: missing/non-array → empty; elements coerce
-    * per-type with zero-defaults, never null. */
-  private def getArray(v: JsonNode, el: CType, spec: ColumnSpec): ArrayData = {
-    if (v == null || v.getNodeType != JsonNodeType.ARRAY)
-      return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](v.size)
-    var i = 0
-    while (i < v.size) {
-      val e = v.get(i)
-      out(i) = el match {
-        case CType.CInt =>
-          if (e.isBoolean && e.booleanValue) 1L
-          else if (e.isIntegralNumber && e.canConvertToLong) e.longValue
-          else 0L
-        case CType.CFloat =>
-          if (e.isNumber) e.doubleValue else 0.0
-        case CType.CString =>
-          if (e.isNull) UTF8String.EMPTY_UTF8
-          else if (e.isTextual) UTF8String.fromString(e.textValue)
-          else UTF8String.fromString(e.toString)
-        case CType.CDateTime =>
-          if (e.isNumber) GoTimeLayouts.unixFloat(e.doubleValue, timeUnit)
-          else if (e.isTextual)
-            parseDateTime(spec.sourceName, e.textValue)
-              .getOrElse(GoTimeLayouts.EpochMicros)
-          else GoTimeLayouts.EpochMicros
-        case other => throw new IllegalStateException(s"array of $other")
-      }
-      i += 1
-    }
-    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
+/** The fastjson getter matrix over [[JValue]] trees — shared by the JSON
+  * parser and the CSV parser's embedded-JSON array cells.
+  */
+object JsonCoerce {
+  import JValue._
+
+  def extract(
+      v: JValue,
+      spec: ColumnSpec,
+      timeUnit: Double,
+      parseDT: (String, String) => Option[Long]): Any = spec.ctype match {
+    case CType.CInt => getInt(v, spec.nullable)
+    case CType.CFloat => getFloat(v, spec.nullable)
+    case CType.CString => getString(v, spec.nullable)
+    case CType.CDateTime => getDateTime(v, spec, timeUnit, parseDT)
+    case CType.CElasticDateTime => getDateTime(v, spec, timeUnit, parseDT) match {
+      case null => null
+      case us: java.lang.Long => java.lang.Long.valueOf(Math.floorDiv(us, 1000000L))
+    }
+    case arr => getArray(v, CType.elementOf(arr), spec, timeUnit, parseDT)
+  }
+
+  private def isMissing(v: JValue): Boolean = v == null || v == JNull
+
+  /** fastjson GetInt (fastjson.go:86-106): bool → 1/0; numbers via strict
+    * int64 token re-parse (non-integral / u64-overflow → default). */
+  def getInt(v: JValue, nullable: Boolean): Any = v match {
+    case JBool(b) => java.lang.Long.valueOf(if (b) 1L else 0L)
+    case n: JNum => n.int64 match {
+      case Some(l) => java.lang.Long.valueOf(l)
+      case None => if (nullable) null else java.lang.Long.valueOf(0L)
+    }
+    case _ => if (nullable) null else java.lang.Long.valueOf(0L)
+  }
+
+  /** fastjson GetFloat (fastjson.go:72-84): numbers only (bools are NOT
+    * accepted); `inf`/`nan` tokens yield ±Inf/NaN. */
+  def getFloat(v: JValue, nullable: Boolean): Any = v match {
+    case n: JNum => java.lang.Double.valueOf(n.float64)
+    case _ => if (nullable) null else java.lang.Double.valueOf(0.0)
+  }
+
+  /** fastjson GetString (fastjson.go:54-70): strings verbatim; any other
+    * present value renders as its compact JSON text. */
+  def getString(v: JValue, nullable: Boolean): Any = {
+    if (isMissing(v)) return if (nullable) null else UTF8String.EMPTY_UTF8
+    v match {
+      case JStr(s) => UTF8String.fromString(s)
+      case other => UTF8String.fromString(other.compact)
+    }
+  }
+
+  /** fastjson GetDateTime (fastjson.go:108-136): number →
+    * UnixFloat(v*timeUnit); non-empty string → layout chain; else default
+    * Epoch / null. Epoch micros. */
+  def getDateTime(
+      v: JValue,
+      spec: ColumnSpec,
+      timeUnit: Double,
+      parseDT: (String, String) => Option[Long]): Any = {
+    def dflt: Any = if (spec.nullable) null
+      else java.lang.Long.valueOf(GoTimeLayouts.EpochMicros)
+    v match {
+      case n: JNum =>
+        java.lang.Long.valueOf(GoTimeLayouts.unixFloat(n.float64, timeUnit))
+      case JStr(s) if s.nonEmpty =>
+        parseDT(spec.sourceName, s).map(java.lang.Long.valueOf).getOrElse(dflt)
+      case _ => dflt
+    }
+  }
+
+  /** fastjson GetArray (fastjson.go:146-211): missing/non-array → empty;
+    * elements coerce per-type with zero-defaults, never null. */
+  def getArray(
+      v: JValue,
+      el: CType,
+      spec: ColumnSpec,
+      timeUnit: Double,
+      parseDT: (String, String) => Option[Long]): ArrayData = v match {
+    case JArr(items) =>
+      val out = new Array[Any](items.length)
+      var i = 0
+      while (i < items.length) {
+        out(i) = arrayElem(items(i), el, spec, timeUnit, parseDT)
+        i += 1
+      }
+      new GenericArrayData(out)
+    case _ => new GenericArrayData(Array.empty[Any])
+  }
+
+  private def arrayElem(
+      e: JValue,
+      el: CType,
+      spec: ColumnSpec,
+      timeUnit: Double,
+      parseDT: (String, String) => Option[Long]): Any = el match {
+    case CType.CInt => e match {
+      case JBool(true) => 1L
+      case n: JNum => n.int64.getOrElse(0L)
+      case _ => 0L
+    }
+    case CType.CFloat => e match {
+      case n: JNum => n.float64
+      case _ => 0.0
+    }
+    case CType.CString => e match {
+      case JNull | null => UTF8String.EMPTY_UTF8
+      case JStr(s) => UTF8String.fromString(s)
+      case other => UTF8String.fromString(other.compact)
+    }
+    case CType.CDateTime => e match {
+      case n: JNum => GoTimeLayouts.unixFloat(n.float64, timeUnit)
+      case JStr(s) if s.nonEmpty =>
+        parseDT(spec.sourceName, s).getOrElse(GoTimeLayouts.EpochMicros)
+      case _ => GoTimeLayouts.EpochMicros
+    }
+    case other => throw new IllegalStateException(s"array of $other")
+  }
+}
+
 /** CSV record → typed row (parser/csv.go). Schema is an ordered column
   * list; the literal `"null"` means null; array cells carry embedded JSON
-  * (parser/csv.go:146-226).
+  * (parser/csv.go:146-226). Records whose field count differs from the
+  * schema are parse errors (csv.Reader.FieldsPerRecord, csv.go:43-55).
   */
 case class CsvTypedRow(
     child: Expression,
@@ -212,23 +228,23 @@ case class CsvTypedRow(
     timeUnit: Double,
     timeZone: String) extends TypedRowParserExpr {
 
-  @transient private lazy val mapper = TypedRowParserExpr.newMapper()
+  @transient private lazy val jsonParser = new JsonParser
   @transient private lazy val colIdx: Map[String, Int] = csvFormat.zipWithIndex.toMap
   private def delim: Char = if (delimiter.isEmpty) ',' else delimiter.charAt(0)
 
   override def nullSafeEval(input: Any): Any = {
     val line = input.asInstanceOf[UTF8String].toString
     val fields = Rfc4180.split(line, delim) match {
-      case Some(f) => f
-      case None => return null
+      case Some(f) if f.length == csvFormat.length => f
+      case _ => return null // malformed quoting or wrong field count
     }
     val values = new Array[Any](specs.length)
     var i = 0
     while (i < specs.length) {
       val spec = specs(i)
       val cell: String = colIdx.get(spec.sourceName) match {
-        case Some(idx) if idx < fields.length => fields(idx)
-        case _ => null // unknown column ≡ missing
+        case Some(idx) => fields(idx)
+        case None => null // unknown column ≡ missing
       }
       values(i) = extract(cell, spec)
       i += 1
@@ -260,68 +276,63 @@ case class CsvTypedRow(
     }
   }
 
-  /** csv GetDateTime: float parse first → UnixFloat, else layout chain. */
+  /** csv GetDateTime (csv.go:115-135): strict float parse first →
+    * UnixFloat, else layout chain; failure → Epoch (even when nullable). */
   private def parseCsvDateTime(cell: String, spec: ColumnSpec): Long =
-    strictDouble(cell) match {
+    GoFloat.strict(cell) match {
       case Some(d) => GoTimeLayouts.unixFloat(d, timeUnit)
       case None => parseDateTime(spec.sourceName, cell)
         .getOrElse(GoTimeLayouts.EpochMicros)
     }
-
-  /** strconv.ParseFloat equivalent: full-string float or None. */
-  private def strictDouble(s: String): Option[Double] =
-    try Some(java.lang.Double.parseDouble(s)) catch { case _: Exception => None }
 
   /** fastfloat.ParseInt64BestEffort: 0 unless the whole string is an
     * in-range integer. */
   private def parseInt64BestEffort(s: String): Long =
     try java.lang.Long.parseLong(s) catch { case _: Exception => 0L }
 
-  /** fastfloat.ParseBestEffort: 0 unless the whole string parses. */
+  /** fastfloat.ParseBestEffort: 0 unless the whole string parses (incl.
+    * inf/nan). */
   private def parseFloatBestEffort(s: String): Double =
-    strictDouble(s).getOrElse(0.0)
+    GoFloat.strict(s).getOrElse(0.0)
 
-  /** Array cells hold JSON (parser/csv.go:146-226) with gjson coercions —
-    * same element rules as the JSON parser except non-integral numbers
-    * clamp to 0 for Int (gjson e.Int() check). */
+  /** Array cells hold JSON (parser/csv.go:146-226) — same element
+    * coercions as the JSON parser (gjson ≡ fastjson for these cases:
+    * bool→1/0, non-integral→0 for Int, null→"" for String, raw token
+    * text for non-strings). Malformed / non-array / empty → `[]`. */
   private def getArray(cell: String, el: CType, spec: ColumnSpec): ArrayData = {
     val empty = new GenericArrayData(Array.empty[Any])
     if (cell == null || cell.isEmpty || cell.charAt(0) != '[') return empty
-    val arr: JsonNode =
-      try {
-        val n = mapper.readTree(cell)
-        if (n == null || !n.isArray || n.size == 0) return empty
-        n
-      } catch { case _: Exception => return empty }
-    val out = new Array[Any](arr.size)
-    var i = 0
-    while (i < arr.size) {
-      val e = arr.get(i)
-      out(i) = el match {
-        case CType.CInt =>
-          if (e.isBoolean && e.booleanValue) 1L
-          else if (e.isIntegralNumber && e.canConvertToLong) e.longValue
-          else 0L
-        case CType.CFloat => if (e.isNumber) e.doubleValue else 0.0
-        case CType.CString =>
-          if (e.isNull) UTF8String.EMPTY_UTF8
-          else if (e.isTextual) UTF8String.fromString(e.textValue)
-          else UTF8String.fromString(e.toString)
-        case CType.CDateTime =>
-          if (e.isNumber) GoTimeLayouts.unixFloat(e.doubleValue, timeUnit)
-          else if (e.isTextual)
-            parseDateTime(spec.sourceName, e.textValue)
-              .getOrElse(GoTimeLayouts.EpochMicros)
-          else GoTimeLayouts.EpochMicros
-        case other => throw new IllegalStateException(s"array of $other")
-      }
-      i += 1
+    jsonParser.parse(cell) match {
+      case Some(arr @ JValue.JArr(items)) if items.nonEmpty =>
+        JsonCoerce.getArray(arr, el, spec, timeUnit, parseDateTime)
+      case _ => empty
     }
-    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Go `strconv.ParseFloat` grammar (used by fastfloat.ParseBestEffort and
+  * csv GetDateTime): no surrounding whitespace, no Java 'f'/'d' suffixes,
+  * but `inf`/`infinity`/`nan` (case-insensitive, signed) are accepted.
+  */
+object GoFloat {
+  private val Grammar =
+    "[+-]?((\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?)".r.pattern
+
+  def strict(s: String): Option[Double] = {
+    if (s.isEmpty) return None
+    val low = s.toLowerCase
+    val unsigned = if (low.startsWith("+") || low.startsWith("-")) low.substring(1) else low
+    val neg = low.startsWith("-")
+    if (unsigned == "inf" || unsigned == "infinity")
+      Some(if (neg) Double.NegativeInfinity else Double.PositiveInfinity)
+    else if (unsigned == "nan") Some(Double.NaN)
+    else if (Grammar.matcher(s).matches())
+      try Some(java.lang.Double.parseDouble(s)) catch { case _: Exception => None }
+    else None
+  }
 }
 
 /** RFC-4180 single-record splitter (parser/csv.go:41-66 semantics). */
