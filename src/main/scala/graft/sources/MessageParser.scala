@@ -52,7 +52,7 @@ object MessageParser {
       .withColumn("__parsed", parsed(col("value"), specs, cfg))
       .filter(col("__parsed").isNotNull)
     val cols = specs.map { s =>
-      if (isVirtual(s.name)) virtualColumn(s.name).as(s.name)
+      if (isVirtual(s.name)) virtualColumn(s.name).cast(s.ctype.sparkType).as(s.name)
       else col("__parsed").getField(s.name).as(s.name)
     }
     withParsed.select(cols: _*)
