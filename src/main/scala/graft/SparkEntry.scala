@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Parsing.queries ++
-      graft.queries.Enrichment.queries
+      graft.queries.Enrichment.queries ++
+      graft.queries.Sharded.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Parsing.oracles ++
-      graft.queries.Enrichment.oracles
+      graft.queries.Enrichment.oracles ++
+      graft.queries.Sharded.oracles
 }
