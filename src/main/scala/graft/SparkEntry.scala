@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Parsing.queries ++
       graft.queries.Enrichment.queries ++
-      graft.queries.Sharded.queries
+      graft.queries.Sharded.queries ++
+      graft.queries.LlmPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.Parsing.oracles ++
       graft.queries.Enrichment.oracles ++
-      graft.queries.Sharded.oracles
+      graft.queries.Sharded.oracles ++
+      graft.queries.LlmPipeline.oracles
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.XxHash64
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnBridge
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set, stream the corpus once, per-group top-k. The baseline and the
+  *    verifier for the approximate path.
+  *  - [[lshTopK]]: random-hyperplane LSH — bucket corpus and queries by
+  *    sign-bit signature bands, join only within buckets, exact re-rank
+  *    inside the candidate set. At 100 TB the corpus never self-joins;
+  *    the bucket join's shuffle carries (id, bucket) pairs, not vectors
+  *    (vectors are re-joined only for the candidate subset).
+  */
+object Ann {
+
+  /** Cosine similarity of two double-array columns — one fused native
+    * loop (deterministic sequential accumulation, zero allocation per
+    * row): [[graft.functions.CosineSimilarity]]. */
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.col(graft.functions.CosineSimilarity(
+      ColumnBridge.expr(a), ColumnBridge.expr(b)))
+
+  def toDoubleArray(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Exact top-k neighbors for each query row. `queries` must be small
+    * (it is broadcast); the corpus is streamed once. Ranking uses the
+    * µ-rounded cosine with id tie-breaks so results are stable across
+    * float summation environments. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), toDoubleArray(col(vecCol)).as("__v"))
+    val q = queries.select(col(idCol).as("q_id"), toDoubleArray(col(vecCol)).as("__q"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("__q"), col("__v")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "nn_id", "cos")
+  }
+
+  /** Sign-bit signature of a double-array column under `nPlanes`
+    * deterministic pseudo-random hyperplanes. Plane p's weight for
+    * dimension d is derived from xxhash64(p, d) mapped into [-1, 1). */
+  def hyperplaneSignature(vec: Column, nPlanes: Int): Column = {
+    val planes = (0 until nPlanes).map { p =>
+      val weighted = zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, d) => x * planeWeight(p, d))
+      val dot = aggregate(weighted, lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    planes.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Deterministic weight in [-1, 1): xxhash64 with the plane index as
+    * seed, scaled by 2^63. */
+  private def planeWeight(p: Int, d: Column): Column = {
+    val h = ColumnBridge.col(new XxHash64(
+      Seq(ColumnBridge.expr(d.cast("long"))), p.toLong))
+    h.cast("double") / lit(9.223372036854776e18)
+  }
+
+  /** Approximate top-k: signature bands → bucket join → exact re-rank of
+    * candidates. Bands of `bandBits` bits each; a candidate must share at
+    * least one full band with the query. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 16, bandBits: Int = 2): DataFrame = {
+    require(nPlanes % bandBits == 0)
+    val nBands = nPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+
+    def withBands(df: DataFrame, id: String): DataFrame = {
+      val sig = hyperplaneSignature(col(s"__v_$id"), nPlanes)
+      val bands = (0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(sig, b * bandBits).bitwiseAND(lit(mask)).as("key"))
+      }
+      df.select(col(idCol).as(id), toDoubleArray(col(vecCol)).as(s"__v_$id"))
+        .withColumn("__band", explode(array(bands: _*)))
+        .select(col(id), col(s"__v_$id"), col("__band.band").as("__b"),
+          col("__band.key").as("__k"))
+    }
+
+    val cb = withBands(corpus, "nn_id")
+    val qb = withBands(queries, "q_id")
+    val joined = cb.as("c").join(broadcast(qb.as("q")),
+        expr("c.__b = q.__b AND c.__k = q.__k") && col("c.nn_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("c.nn_id").as("nn_id"),
+        col("q.__v_q_id").as("__q"), col("c.__v_nn_id").as("__v"))
+      .dropDuplicates("q_id", "nn_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    joined
+      .withColumn("cos", round(cosine(col("__q"), col("__v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "nn_id", "cos")
+  }
+}

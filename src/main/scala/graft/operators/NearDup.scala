@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.XxHash64
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnBridge
+
+/** Near-duplicate detection over document text at 100 TB scale: banded
+  * MinHash-LSH. All-pairs comparison is impossible at scale; the only
+  * viable shape is shingle → minhash signature → band buckets →
+  * within-bucket candidate join → exact verification of candidates only.
+  *
+  * Parameters trade recall for candidate volume: catch probability for a
+  * pair with Jaccard J is `1 - (1 - J^rows)^bands`. The defaults
+  * (32 bands × 2 rows) make missing a J ≥ 0.8 pair essentially impossible
+  * (~1e-14) at the cost of more candidates, all of which are removed by
+  * the exact-Jaccard filter — the right trade when correctness of the
+  * dedup output matters more than candidate volume.
+  */
+object MinHashLsh {
+
+  private def xxh(seed: Long, c: Column): Column =
+    ColumnBridge.col(new XxHash64(Seq(ColumnBridge.expr(c)), seed))
+
+  /** Distinct k-word shingles of a single-spaced text column — one native
+    * pass ([[graft.functions.WordShingles]]). */
+  def shingles(text: Column, k: Int): Column =
+    ColumnBridge.col(graft.functions.WordShingles(ColumnBridge.expr(text), k))
+
+  /** (id, band, bucket) — one row per doc per band. The full minhash
+    * signature is one native single-pass expression per document
+    * ([[graft.functions.MinHashSignature]]) — a pure map with NO shuffle;
+    * the signature is then cut into `bands` bucket keys. */
+  def bandBuckets(
+      docs: DataFrame, id: Column, shingleCol: Column,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sig = ColumnBridge.col(
+      graft.functions.MinHashSignature(ColumnBridge.expr(shingleCol), numHashes))
+    val withSig = docs.select(id.as("__id"), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxh(0L, concat_ws("|",
+          (0 until rows).map(r => element_at(col("__sig"), b * rows + r + 1)): _*))
+          .as("bucket"))
+    }
+    withSig.select(col("__id"), explode(array(bandCols: _*)).as("__bb"))
+      .select(col("__id"), col("__bb.band").as("__band"), col("__bb.bucket").as("__bucket"))
+  }
+
+  /** Candidate id pairs (a < b) sharing at least one band bucket. The join
+    * shuffles on (band, bucket) — never on document text. */
+  def candidatePairs(buckets: DataFrame): DataFrame = {
+    val l = buckets.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
+    val r = buckets.select(col("__band").as("__band_r"), col("__bucket").as("__bucket_r"),
+      col("__id").as("id_b"))
+    l.join(r,
+        col("__band") === col("__band_r") &&
+        col("__bucket") === col("__bucket_r") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Full pipeline: docs(id, text) → verified near-dup pairs with exact
+    * shingle Jaccard ≥ minJaccard. Only candidate pairs are verified. */
+  def nearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 32,
+      minJaccard: Double = 0.8): DataFrame = {
+    val withSh = docs
+      .select(col(idCol).as("__id"), shingles(col(textCol), shingleK).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val cands = candidatePairs(
+      bandBuckets(withSh, col("__id"), col("__sh"), numHashes, bands))
+    val shA = withSh.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
+    val shB = withSh.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    cands
+      .join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+}
+
+/** 64-bit SimHash over token/shingle arrays: per-token xxhash64-seed0,
+  * per-bit ±1 vote, sign → bit — one native single-pass expression per
+  * row ([[graft.functions.SimHash64]]). Near-dup blocking buckets
+  * signatures by bit bands and verifies candidates by Hamming distance —
+  * the probabilistic blocking makes this a recall/cost dial rather than
+  * an exact operator, so its parity pin is unit-level (NearDupSpec).
+  */
+object SimHash {
+
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.col(graft.functions.SimHash64(ColumnBridge.expr(tokens)))
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

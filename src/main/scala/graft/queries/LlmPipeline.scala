@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashes
+import graft.operators.{Ann, MinHashLsh, Multimodal, SimHash}
+
+/** Training-data-pipeline operators over `documents` / `embeddings`
+  * (deduplication, similarity search, text analysis, multimodal plumbing),
+  * each oracle-checked where SQL-expressible.
+  *
+  * The synthetic corpus has no true near-duplicates, so the dedup queries
+  * first augment it with deterministic perturbed copies (drop the first
+  * word; id + 1,000,000) — reproducible on the DuckDB side — so the
+  * near-dup output is non-vacuous and every pipeline stage is exercised.
+  */
+object LlmPipeline {
+
+  /** documents ∪ first-word-dropped copies of the longer docs. */
+  private def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val perturbed = docs
+      .filter(col("n_chars") >= 100)
+      .select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    docs.select("doc_id", "text").unionByName(perturbed)
+  }
+
+  private val augmentedSql =
+    """aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1)
+      |  FROM documents WHERE n_chars >= 100)""".stripMargin
+
+  /** q18: banded MinHash-LSH near-dup pairs, exact-Jaccard verified.
+    * 32 bands × 2 rows: P(miss | J ≥ 0.8) ≈ 1e-14, so the output equals
+    * the oracle's exhaustive all-pairs scan, but computed without ever
+    * joining document text against itself. */
+  def q18MinhashNearDup(s: SparkSession, dir: String): DataFrame =
+    MinHashLsh.nearDupPairs(augmentedDocs(s, dir), "doc_id", "text",
+        shingleK = 3, numHashes = 64, bands = 32, minJaccard = 0.8)
+      .orderBy("id_a", "id_b")
+
+  /** q19: exact brute-force cosine top-k for 10 query vectors —
+    * broadcast queries, one corpus pass, per-query top-k. The ANN/LSH
+    * variant is [[graft.operators.Ann.lshTopK]] (AnnSpec pins its recall
+    * against this baseline). */
+  def q19AnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 10)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Occurrences of a space-padded keyword via replace-length arithmetic
+    * (identical non-overlapping left-to-right semantics in Spark and
+    * DuckDB — no regex dialect risk). */
+  private def occ(padded: Column, kw: String): Column =
+    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(kw), ""))) /
+      kw.length).cast("long")
+
+  /** q20: language-ID heuristic — stopword-hit scores per language,
+    * argmax with fixed priority. */
+  def q20LangId(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val sEn = occ(padded, " the ") + occ(padded, " and ")
+    val sDe = occ(padded, " der ") + occ(padded, " und ")
+    val sFr = occ(padded, " le ") + occ(padded, " et ")
+    val sEs = occ(padded, " el ") + occ(padded, " y ")
+    docs.select(
+        col("doc_id"),
+        sEn.as("s_en"), sDe.as("s_de"), sFr.as("s_fr"), sEs.as("s_es"))
+      .withColumn("lang_guess",
+        when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+          .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .orderBy("doc_id")
+  }
+
+  /** q21: quality scoring — token counts, lexical diversity, average
+    * token length, accept flag. */
+  def q21TextQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toks = split(col("text"), " ")
+    docs.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .withColumn("diversity",
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+      .withColumn("avg_token_len",
+        round((col("n_chars_m") - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens"), 6))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 5 && col("n_tokens") <= 1000 && col("diversity") >= 0.05)
+      .orderBy("doc_id")
+  }
+
+  /** q22: token counting per language — whitespace tokens and a BPE-ish
+    * regex tokenizer ([a-z]+ | digits | single punct). */
+  def q22TokenCount(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs.select(
+        col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws_toks"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("re_toks"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_toks")).as("sum_ws_toks"),
+        sum(col("re_toks")).as("sum_re_toks"))
+      .withColumn("avg_ws_toks",
+        round(col("sum_ws_toks").cast("double") / col("n_docs"), 6))
+      .orderBy("lang")
+  }
+
+  /** q23: document fingerprinting — 64-bit hash of the normalized text as
+    * the dedup key, so the distinct-shuffle carries 8 bytes per doc
+    * instead of the document body. */
+  def q23Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs
+      .withColumn("fp", Hashes.xxhash64Seed0(lower(trim(col("text")))))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("fp")).as("n_unique"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+  }
+
+  /** q24: SimHash-blocked near-dup (rows-only check: the 64-bit sign-vote
+    * signature is not SQL-expressible). Signatures are over 3-gram
+    * shingles, not unigrams — the synthetic corpus shares a tiny
+    * vocabulary, so unigram signatures would cluster and the band join
+    * would degenerate toward all-pairs at scale. Banded 16-bit blocking,
+    * Hamming ≤ 12, exact shingle-Jaccard ≥ 0.5 verification. */
+  def q24SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val aug = augmentedDocs(s, dir)
+      .withColumn("sig", SimHash.simhash64(MinHashLsh.shingles(col("text"), 3)))
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
+    }
+    val bucketed = aug.select(col("doc_id"), col("sig"), col("text"),
+      explode(array(bands: _*)).as("bb"))
+    val l = bucketed.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+      col("text").as("text_a"), col("bb"))
+    val r = bucketed.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+      col("text").as("text_b"), col("bb").as("bb_r"))
+    val toks = (c: Column) => MinHashLsh.shingles(c, 3)
+    l.join(r, col("bb") === col("bb_r") && col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", SimHash.hamming(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= 12)
+      .withColumn("tok_jaccard",
+        size(array_intersect(toks(col("text_a")), toks(col("text_b")))).cast("double") /
+          size(array_union(toks(col("text_a")), toks(col("text_b")))).cast("double"))
+      .filter(col("tok_jaccard") >= 0.5)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q25: embedding-cosine near-dup — label-blocked pairs with µ-rounded
+    * cosine ≥ 0.999 (scaled copies keep direction → cosine 1). */
+  def q25EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val scaled = emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * 2).as("embedding"),
+      col("label"))
+    val corpus = emb.select("vec_id", "embedding", "label").unionByName(scaled)
+    val a = corpus.select(col("vec_id").as("id_a"),
+      Ann.toDoubleArray(col("embedding")).as("va"), col("label"))
+    val b = corpus.select(col("vec_id").as("id_b"),
+      Ann.toDoubleArray(col("embedding")).as("vb"), col("label").as("label_b"))
+    a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", round(Ann.cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= 0.999)
+      .select("id_a", "id_b", "label", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q26: multimodal plumbing — text lifted into a binary payload column,
+    * decoded per-partition by the (stubbed) media decoder into typed
+    * metadata. */
+  def q26MediaMeta(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val docs = Tables(s, dir, "documents")
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "image")
+    Multimodal.decodeMeta(media).toDF()
+      .select("media_id", "kind", "size_bytes", "width", "height",
+        "n_frames", "first_frame_offset")
+      .orderBy("media_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_minhash_neardup" -> q18MinhashNearDup _,
+    "q19_ann_topk" -> q19AnnTopK _,
+    "q20_lang_id" -> q20LangId _,
+    "q21_text_quality" -> q21TextQuality _,
+    "q22_token_count" -> q22TokenCount _,
+    "q23_fingerprint" -> q23Fingerprint _,
+    "q24_simhash_neardup" -> q24SimhashNearDup _,
+    "q25_embed_neardup" -> q25EmbedNearDup _,
+    "q26_media_meta" -> q26MediaMeta _)
+
+  val oracles: Map[String, String] = Map(
+    "q18_minhash_neardup" ->
+      s"""WITH $augmentedSql,
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2])) AS s
+        |  FROM aug),
+        |sh2 AS (SELECT * FROM sh WHERE len(s) > 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q19_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nn_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, nn_id, round(list_cosine_similarity(qv, cv), 6) AS cos
+        |  FROM q CROSS JOIN c WHERE nn_id != q_id),
+        |ranked AS (
+        |  SELECT q_id, nn_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, nn_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, nn_id, cos FROM ranked
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q20_lang_id" ->
+      """WITH t AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+        |s AS (SELECT doc_id,
+        |  (length(p) - length(replace(p, ' the ', ''))) // 5 +
+        |  (length(p) - length(replace(p, ' and ', ''))) // 5 AS s_en,
+        |  (length(p) - length(replace(p, ' der ', ''))) // 5 +
+        |  (length(p) - length(replace(p, ' und ', ''))) // 5 AS s_de,
+        |  (length(p) - length(replace(p, ' le ', ''))) // 4 +
+        |  (length(p) - length(replace(p, ' et ', ''))) // 4 AS s_fr,
+        |  (length(p) - length(replace(p, ' el ', ''))) // 4 +
+        |  (length(p) - length(replace(p, ' y ', ''))) // 3 AS s_es
+        |FROM t)
+        |SELECT doc_id, s_en, s_de, s_fr, s_es,
+        |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+        |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr'
+        |       ELSE 'es' END AS lang_guess
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q21_text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |FROM documents)
+        |SELECT doc_id, n_chars_m, n_tokens, n_distinct,
+        |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS diversity,
+        |  round(CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / n_tokens, 6)
+        |    AS avg_token_len,
+        |  (n_tokens >= 5 AND n_tokens <= 1000 AND
+        |   CAST(n_distinct AS DOUBLE) / n_tokens >= 0.05) AS quality_ok
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q22_token_count" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS BIGINT) AS re
+        |FROM documents)
+        |SELECT lang, count(*) AS n_docs, sum(ws) AS sum_ws_toks,
+        |  sum(re) AS sum_re_toks,
+        |  round(CAST(sum(ws) AS DOUBLE) / count(*), 6) AS avg_ws_toks
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "q23_fingerprint" ->
+      """SELECT source, count(DISTINCT lower(trim(text))) AS n_unique,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q24 has no oracle: xxhash64-based SimHash signatures are not
+    // SQL-expressible; driver records a rows-only check.
+    "q25_embed_neardup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 2),
+        |         label
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM corpus a JOIN corpus b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q26_media_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        | CAST(strlen(text) AS BIGINT) AS size_bytes,
+        | CAST(strlen(text) % 640 AS INTEGER) AS width,
+        | CAST(strlen(text) % 480 AS INTEGER) AS height,
+        | CAST(strlen(text) // 100 + 1 AS INTEGER) AS n_frames,
+        | CAST(strlen(text) % 100 AS BIGINT) AS first_frame_offset
+        |FROM documents ORDER BY media_id""".stripMargin)
+}

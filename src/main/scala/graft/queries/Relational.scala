@@ -134,14 +134,16 @@ object Relational {
   }
 
   /** q08: exact deduplication via hash aggregate (reference analog:
-    * first-seen series bitmap, output/clickhouse.go:110-130). At 100 TB the
-    * groupBy shuffles on the dedup key — which is the only correct
-    * distributed strategy; AQE handles skew. */
+    * first-seen series bitmap, output/clickhouse.go:110-130). The distinct
+    * key is an 8-byte xxhash of the text, not the text itself, so at
+    * 100 TB the shuffle carries fingerprints instead of document bodies;
+    * AQE handles skew. (Oracle counts distinct texts — identical result
+    * absent 64-bit collisions.) */
   def q08DedupExact(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "documents")
       .groupBy(col("lang"))
       .agg(
-        countDistinct(col("text")).as("n_unique"),
+        countDistinct(graft.functions.Hashes.xxhash64Seed0(col("text"))).as("n_unique"),
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
   }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ann
+
+/** ANN operator semantics: exact cosine math, brute-force top-k, and the
+  * LSH-bucketed path's recall against the exact baseline on the sf0.001
+  * embeddings table.
+  */
+class AnnSpec extends SparkSuite {
+
+  test("cosine of known vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0), 1.0),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0), 0.0),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0), -1.0),
+      (Seq(1.0, 2.0), Seq(2.0, 4.0), 1.0),
+      (Seq(3.0, 4.0), Seq(4.0, 3.0), 24.0 / 25.0))
+      .toDF("a", "b", "expected")
+    val got = df.select(round(Ann.cosine(col("a"), col("b")), 9).as("c"),
+      col("expected")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 1e-9))
+  }
+
+  test("bruteForceTopK: rank 1 of a planted duplicate is the duplicate") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f, 0.0f)), // same direction as 1
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.7f, 0.7f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 3).orderBy("rank").collect()
+    assert(top.map(_.getLong(2)).toSeq === Seq(2L, 4L, 3L))
+    assert(top.head.getDouble(3) === 1.0)
+  }
+
+  test("lshTopK achieves high recall@10 vs brute force on real embeddings") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("q_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(emb, queries, "vec_id", "embedding", 10,
+        nPlanes = 16, bandBits = 2)
+      .select("q_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"recall@10 = $recall (candidates examined ≪ corpus)")
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MinHashLsh, SimHash}
+
+/** MinHash-LSH and SimHash operator semantics on a controlled corpus. */
+class NearDupSpec extends SparkSuite {
+
+  private def docsDF = {
+    import spark.implicits._
+    Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "b c d e f g h i j"), // doc 1 minus first word: J = 7/8
+      (3L, "z y x w v u t s r q"), // unrelated
+      (4L, "a b c d e f g h i j"), // exact duplicate of 1: J = 1
+      (5L, "short one"), // < 3 words → no shingles
+      (6L, "p q r s t u v w x")).toDF("doc_id", "text")
+  }
+
+  test("shingles: distinct k-word windows") {
+    import spark.implicits._
+    val sh = Seq((1L, "a b a b a")).toDF("id", "text")
+      .select(MinHashLsh.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(sh === Seq("a b a", "b a b")) // 3 windows, 1 dup removed
+    val none = Seq((1L, "a b")).toDF("id", "text")
+      .select(MinHashLsh.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(none === Seq.empty)
+  }
+
+  test("nearDupPairs finds the planted pairs and nothing else") {
+    val pairs = MinHashLsh.nearDupPairs(docsDF, "doc_id", "text",
+        shingleK = 3, numHashes = 64, bands = 32, minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    val j14 = pairs.find(p => p._1 == 1L && p._2 == 4L).get._3
+    assert(j14 === 1.0)
+    val j12 = pairs.find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(j12 === 7.0 / 8.0)
+  }
+
+  test("simhash: identical token sets → identical signature; hamming 0") {
+    import spark.implicits._
+    val sigs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+      .toDF("id", "text")
+      .select(col("id"), SimHash.simhash64(split(col("text"), " ")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+    val d = Seq((sigs(1L), sigs(3L))).toDF("a", "b")
+      .select(SimHash.hamming(col("a"), col("b"))).head().getInt(0)
+    assert(d > 0 && d <= 64)
+  }
+}
