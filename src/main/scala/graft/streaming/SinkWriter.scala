@@ -1,0 +1,169 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Sink machinery (SURVEY §2.5): bulk insert with bad-row quarantine
+  * (output/clickhouse_util.go:45-87) and retry + replica failover
+  * (output/clickhouse.go:161-194, pool/conn.go:75-126).
+  *
+  * The orchestration logic is target-agnostic so it can be pinned by
+  * tests without a database; [[JdbcInsertTarget]] is the real JDBC
+  * implementation of the same trait.
+  */
+trait InsertTarget {
+  /** Insert a whole batch transactionally; throw on failure. */
+  def insertBatch(rows: Seq[Row]): Unit
+  /** Insert one row; throw on failure (quarantine probe). */
+  def insertRow(row: Row): Unit
+}
+
+/** Connection-level failure: the target is unreachable, not the data.
+  * Quarantine must not swallow these — they trigger the retry/failover
+  * path instead (the reference rotates replicas only on connection-class
+  * errors 242/319/1000, output/clickhouse.go:48,161-194). */
+final class SinkUnavailableException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
+/** One write attempt with bad-row quarantine: try the whole batch; on
+  * failure, probe row-by-row, collect the failing rows, and re-insert
+  * everything else. Returns the quarantined rows (counted as parse
+  * errors by the reference, clickhouse_util.go:82-87).
+  */
+object QuarantineWriter {
+  def write(target: InsertTarget, rows: Seq[Row]): Seq[Row] = {
+    try {
+      target.insertBatch(rows)
+      Seq.empty
+    } catch {
+      case e: SinkUnavailableException => throw e // failover, not data
+      case _: Exception =>
+        val bad = Seq.newBuilder[Row]
+        rows.foreach { r =>
+          try target.insertRow(r)
+          catch {
+            case e: SinkUnavailableException => throw e
+            case _: Exception => bad += r
+          }
+        }
+        // rollback semantics: per-row probes above double as the re-insert
+        bad.result()
+    }
+  }
+}
+
+/** Replica failover state (pool/conn.go:75-126): rotate to the next
+  * replica on connection-level failure, with a version guard so concurrent
+  * writers don't thunder through the whole list. */
+final class ReplicaRing(n: Int) {
+  require(n > 0)
+  @volatile private var current = 0
+  @volatile private var version = 0
+
+  def get: (Int, Int) = (current, version)
+
+  /** Advance only if the caller saw the current version (version-guarded
+    * reconnect, pool/conn.go:98-112). Returns the replica to use next. */
+  def nextGoodReplica(seenVersion: Int): Int = synchronized {
+    if (seenVersion == version) {
+      current = (current + 1) % n
+      version += 1
+    }
+    current
+  }
+}
+
+/** Retry loop over replicas: `retryTimes <= 0` means retry forever
+  * (output/clickhouse.go:161-194; the reference sleeps 10s between
+  * attempts — configurable here so tests run instantly). */
+object RetryingWriter {
+  def write(
+      targets: IndexedSeq[InsertTarget],
+      ring: ReplicaRing,
+      rows: Seq[Row],
+      retryTimes: Int = 3,
+      sleepMs: Long = 0L): Seq[Row] = {
+    var attempt = 0
+    while (true) {
+      val (replica, version) = ring.get
+      try {
+        return QuarantineWriter.write(targets(replica), rows)
+      } catch {
+        case e: Exception =>
+          attempt += 1
+          if (retryTimes > 0 && attempt >= retryTimes) throw e
+          ring.nextGoodReplica(version)
+          if (sleepMs > 0) Thread.sleep(sleepMs)
+      }
+    }
+    Nil // unreachable
+  }
+}
+
+/** Real JDBC bulk target: prepared multi-row INSERT per batch. Schema
+  * discovery via JDBC metadata (clickhouse_util.go:95-121's analog) and
+  * `ALTER TABLE` DDL execution for schema evolution live here too.
+  */
+final class JdbcInsertTarget(
+    url: String,
+    table: String,
+    columns: Seq[String],
+    props: java.util.Properties) extends InsertTarget {
+
+  private def withConn[T](f: java.sql.Connection => T): T = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try f(conn) finally conn.close()
+  }
+
+  private val insertSql =
+    s"INSERT INTO $table (${columns.mkString(", ")}) VALUES (${columns.map(_ => "?").mkString(", ")})"
+
+  private def bind(st: java.sql.PreparedStatement, row: Row): Unit = {
+    var i = 0
+    while (i < columns.length) {
+      st.setObject(i + 1, row.get(i))
+      i += 1
+    }
+  }
+
+  override def insertBatch(rows: Seq[Row]): Unit = withConn { conn =>
+    conn.setAutoCommit(false)
+    val st = conn.prepareStatement(insertSql)
+    try {
+      rows.foreach { r => bind(st, r); st.addBatch() }
+      st.executeBatch()
+      conn.commit()
+    } catch {
+      case e: Exception => conn.rollback(); throw e
+    } finally st.close()
+  }
+
+  override def insertRow(row: Row): Unit = withConn { conn =>
+    val st = conn.prepareStatement(insertSql)
+    try { bind(st, row); st.executeUpdate() } finally st.close()
+  }
+
+  /** Discover target columns (name → ClickHouse-ish type string) via JDBC
+    * metadata — the `system.columns` analog. */
+  def discoverSchema(): Seq[(String, String)] = withConn { conn =>
+    val rs = conn.getMetaData.getColumns(null, null, table, null)
+    val out = Seq.newBuilder[(String, String)]
+    while (rs.next()) out += ((rs.getString("COLUMN_NAME"), rs.getString("TYPE_NAME")))
+    out.result()
+  }
+
+  def executeDdl(sql: String): Unit = withConn { conn =>
+    val st = conn.createStatement()
+    try st.execute(sql) finally st.close()
+  }
+}
+
+/** Batch sink abstraction used by the streaming task runner's
+  * `foreachBatch` — parquet for tests/lakes, JDBC for databases. */
+trait BatchSink extends Serializable {
+  def write(batch: DataFrame, batchId: Long): Unit
+}
+
+final class ParquetSink(path: String) extends BatchSink {
+  override def write(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("append").parquet(path)
+}

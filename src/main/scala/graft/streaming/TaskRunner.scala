@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+
+import graft.operators.Sharding
+import graft.sources.MessageParser
+
+/** The streaming assembly (SURVEY §7 step 8 / docs/dev/design.md:15-20):
+  * source → typed projection (+ parse-error metric) → optional enrichment
+  * → optional row sharding → `foreachBatch` sink with checkpointed
+  * offsets.
+  *
+  * Batching semantics map 1:1 onto Structured Streaming: `flushInterval`
+  * → processing-time trigger; `bufferSize` → `maxOffsetsPerTrigger`;
+  * ordered offset commit after sink success → the checkpoint commit log
+  * (at-least-once; effectively-once when the target dedups on the
+  * `__kafka_*` virtual columns, design.md:6-13).
+  */
+object TaskRunner {
+
+  /** The Kafka source for a task config — standard options pass-through
+    * (security options ride `extraOptions`, e.g. kafka.security.protocol,
+    * kafka.sasl.*, kafka.ssl.* — input/kafka_sarama.go:11718-11760). */
+  def kafkaSource(
+      spark: SparkSession,
+      cfg: TaskConfig,
+      brokers: String,
+      earliest: Boolean = true,
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", cfg.topic)
+      .option("startingOffsets", if (earliest) "earliest" else "latest")
+      .option("maxOffsetsPerTrigger", cfg.bufferSize.toLong)
+    extraOptions.foldLeft(base) { case (b, (k, v)) => b.option(k, v) }
+      .load()
+      .select(
+        col("value").cast("string").as("value"),
+        col("topic"), col("partition"), col("offset"))
+  }
+
+  /** Batch/stream-agnostic transform: parse + project with observed
+    * counters (ConsumeMsgsTotal / ParseMsgsErrorTotal — the reference's
+    * statistics.go names), then enrichment, then sharding. */
+  def build(
+      cfg: TaskConfig,
+      enrich: DataFrame => DataFrame = identity,
+      numShards: Int = 1)(df: DataFrame): DataFrame = {
+    val dataSpecs = cfg.columns
+    val withParsed = df
+      .withColumn("__parsed",
+        MessageParser.parsed(col("value"), dataSpecs, cfg.parser))
+      .observe(s"graft_${cfg.name}",
+        count(lit(1)).as("ConsumeMsgsTotal"),
+        count(when(col("__parsed").isNull, 1)).as("ParseMsgsErrorTotal"))
+      .filter(col("__parsed").isNotNull)
+    val projected = withParsed.select(dataSpecs.map { s =>
+      if (MessageParser.isVirtual(s.name))
+        (if (s.name.endsWith("_topic")) col("topic")
+         else if (s.name.endsWith("_partition")) col("partition")
+         else col("offset")).cast(s.ctype.sparkType).as(s.name)
+      else col("__parsed").getField(s.name).as(s.name)
+    }: _*)
+    val enriched = enrich(projected)
+    cfg.shardingKey match {
+      case Some(key) if numShards > 1 =>
+        val shardCol =
+          if (cfg.shardingPolicy == "hash") Sharding.hashShard(col(key), numShards)
+          else {
+            val stripe = cfg.shardingPolicy.stripPrefix("stripe,").toLong
+            Sharding.stripeShard(col(key), stripe, numShards)
+          }
+        Sharding.repartitionByShard(
+          enriched.withColumn("__shard", shardCol), col("__shard"), numShards)
+      case _ => enriched
+    }
+  }
+
+  /** Start the streaming query: micro-batch per flush interval, sink via
+    * foreachBatch, offsets checkpointed. `availableNow = true` drains the
+    * source and stops (test/backfill mode). */
+  def run(
+      cfg: TaskConfig,
+      source: DataFrame,
+      sink: BatchSink,
+      checkpointDir: String,
+      enrich: DataFrame => DataFrame = identity,
+      numShards: Int = 1,
+      availableNow: Boolean = false): StreamingQuery = {
+    val transformed = build(cfg, enrich, numShards)(source)
+    transformed.writeStream
+      .queryName(cfg.name)
+      .trigger(
+        if (availableNow) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(cfg.flushInterval * 1000L))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink.write(batch, batchId)
+      }
+      .start()
+  }
+}
+
+/** Collects the observed per-batch metrics (statistics.go counter names)
+  * from streaming progress events — the `observe()` path of SURVEY §2.8.
+  */
+final class StreamMetrics extends StreamingQueryListener {
+  val totals = new ConcurrentHashMap[String, Long]()
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    e.progress.observedMetrics.forEach { (_, row) =>
+      row.schema.fieldNames.foreach { f =>
+        val v = row.getAs[Long](f)
+        totals.merge(f, v, (a, b) => a + b)
+      }
+    }
+  }
+}

@@ -1,0 +1,257 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.schema.CType
+import graft.streaming._
+
+/** Task-config parsing (config/config.go shape). */
+class TaskConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("fixed-schema config (docker/test_fixed_schema.json shape)") {
+    val cfg = TaskConfig.fromJson(
+      """{"task": {
+        |  "name": "test_fixed_schema", "topic": "topic1",
+        |  "consumerGroup": "g", "earliest": true, "parser": "json",
+        |  "tableName": "test_fixed_schema",
+        |  "dims": [
+        |    {"name": "time", "type": "DateTime"},
+        |    {"name": "name", "type": "String"},
+        |    {"name": "value", "type": "Float32"}],
+        |  "bufferSize": 50000}}""".stripMargin)
+    assert(cfg.name === "test_fixed_schema")
+    assert(cfg.columns.map(c => (c.name, c.ctype, c.nullable)) === Seq(
+      ("time", CType.CDateTime, false),
+      ("name", CType.CString, false),
+      ("value", CType.CFloat, false)))
+    assert(cfg.bufferSize === 50000)
+    assert(cfg.flushInterval === 5)
+    assert(!cfg.dynamicSchema)
+  }
+
+  test("dynamic-schema + sharding + csv knobs") {
+    val cfg = TaskConfig.fromJson(
+      """{"name": "t", "topic": "x", "parser": "csv",
+        |  "csvFormat": ["a", "b"], "delimiter": "|",
+        |  "tableName": "t", "dims": [{"name": "a", "type": "Int64"}],
+        |  "shardingKey": "a", "shardingPolicy": "stripe,16",
+        |  "flushInterval": 9999, "timeUnit": 0.001, "timeZone": "Asia/Shanghai",
+        |  "dynamicSchema": {"enable": true, "maxDims": 8,
+        |    "whiteList": "^new", "blackList": "secret"}}""".stripMargin)
+    assert(cfg.parser.format === "csv")
+    assert(cfg.parser.csvFormat === Seq("a", "b"))
+    assert(cfg.parser.delimiter === "|")
+    assert(cfg.parser.timeUnit === 0.001)
+    assert(cfg.parser.timeZone === "Asia/Shanghai")
+    assert(cfg.shardingKey === Some("a"))
+    assert(cfg.shardingPolicy === "stripe,16")
+    assert(cfg.flushInterval === 600) // clamped (config/config.go:255)
+    assert(cfg.dynamicSchema && cfg.maxDims === 8)
+    assert(cfg.whiteList === Some("^new") && cfg.blackList === Some("secret"))
+  }
+}
+
+/** Dynamic schema evolution — mirrors go.test.sh:27-42 message cohorts and
+  * the exact evolved-schema assertion of go.test.sh:64-66. */
+class SchemaEvolutionSpec extends SparkSuite {
+
+  test("new-key scan infers the reference's evolved schema string") {
+    import spark.implicits._
+    val base = """"time": "2022-01-29 08:20:36", "name": "n", "value": 1.5"""
+    val msgs = Seq(
+      (s"""{$base}""", 1L),
+      (s"""{$base, "newkey01": 123}""", 2L),
+      (s"""{$base, "newkey02": 1.5, "newkey03": "x", "newkey04": "2009-07-13T09:07:13Z", "newkey05": {"a": 1}}""", 3L),
+      (s"""{$base, "newkey06": [1,2], "newkey07": [1.5], "newkey08": ["a"], "newkey09": ["2009-07-13"], "newkey10": [{"b": 2}]}""", 4L),
+      (s"""{$base}""", 5L))
+      .toDF("value", "offset")
+    val known = Set("time", "name", "value")
+    val keys = SchemaEvolution.scanNewKeys(msgs, "value", "offset", known, None, None)
+    assert(SchemaEvolution.schemaString(keys) ===
+      "newkey01 Nullable(Int64), newkey02 Nullable(Float64), " +
+        "newkey03 Nullable(String), newkey04 Nullable(DateTime64(3)), " +
+        "newkey05 Nullable(String), newkey06 Array(Int64), " +
+        "newkey07 Array(Float64), newkey08 Array(String), " +
+        "newkey09 Array(DateTime64(3)), newkey10 Array(String)")
+    val ddl = SchemaEvolution.alterDdl("db.t", existing = 3, maxDims = 100, keys)
+    assert(ddl.head === "ALTER TABLE db.t ADD COLUMN IF NOT EXISTS `newkey01` Nullable(Int64)")
+    assert(ddl.size === 10)
+  }
+
+  test("white/black lists and maxDims guard") {
+    import spark.implicits._
+    val msgs = Seq(
+      ("""{"newkey01": 1, "other": 2, "newsecret": 3}""", 1L)).toDF("value", "offset")
+    val keys = SchemaEvolution.scanNewKeys(msgs, "value", "offset", Set.empty,
+      whiteList = Some("^new"), blackList = Some("secret"))
+    assert(keys.map(_._1) === Seq("newkey01"))
+    assert(SchemaEvolution.alterDdl("t", existing = 7, maxDims = 8, keys) === Seq.empty)
+  }
+
+  test("first-typed-occurrence wins (min offset)") {
+    import spark.implicits._
+    val msgs = Seq(
+      ("""{"k": "2009-07-13"}""", 10L), // DateTime at offset 10
+      ("""{"k": 123}""", 3L)) // Int at offset 3 → wins
+      .toDF("value", "offset")
+    val keys = SchemaEvolution.scanNewKeys(msgs, "value", "offset", Set.empty, None, None)
+    assert(keys === Seq(("k", CType.CInt)))
+  }
+}
+
+/** Sink orchestration: quarantine, retry, replica failover. */
+class SinkWriterSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def row(i: Int): Row = Row(i)
+
+  private class FlakyTarget(badRows: Set[Int]) extends InsertTarget {
+    var batchAttempts = 0
+    var inserted = Seq.newBuilder[Int]
+    override def insertBatch(rows: Seq[Row]): Unit = {
+      batchAttempts += 1
+      if (rows.exists(r => badRows.contains(r.getInt(0))))
+        throw new RuntimeException("bad row in batch")
+      rows.foreach(r => inserted += r.getInt(0))
+    }
+    override def insertRow(r: Row): Unit = {
+      if (badRows.contains(r.getInt(0))) throw new RuntimeException("bad row")
+      inserted += r.getInt(0)
+    }
+  }
+
+  test("quarantine: batch failure falls back to per-row, bad rows returned") {
+    val t = new FlakyTarget(Set(3, 7))
+    val bad = QuarantineWriter.write(t, (1 to 10).map(row))
+    assert(bad.map(_.getInt(0)) === Seq(3, 7))
+    assert(t.inserted.result() === Seq(1, 2, 4, 5, 6, 8, 9, 10))
+  }
+
+  test("quarantine: clean batch inserts once") {
+    val t = new FlakyTarget(Set.empty)
+    assert(QuarantineWriter.write(t, (1 to 5).map(row)) === Seq.empty)
+    assert(t.batchAttempts === 1)
+  }
+
+  private class DeadTarget extends InsertTarget {
+    var calls = 0
+    override def insertBatch(rows: Seq[Row]): Unit = { calls += 1; throw new SinkUnavailableException("down") }
+    override def insertRow(r: Row): Unit = throw new SinkUnavailableException("down")
+  }
+
+  test("retry rotates replicas and succeeds on a good one") {
+    val dead = new DeadTarget
+    val good = new FlakyTarget(Set.empty)
+    val ring = new ReplicaRing(2)
+    val bad = RetryingWriter.write(IndexedSeq(dead, good), ring, (1 to 3).map(row))
+    assert(bad.isEmpty)
+    assert(good.inserted.result() === Seq(1, 2, 3))
+    assert(dead.calls === 1)
+  }
+
+  test("retry gives up after retryTimes") {
+    val ring = new ReplicaRing(2)
+    intercept[SinkUnavailableException] {
+      RetryingWriter.write(IndexedSeq(new DeadTarget, new DeadTarget), ring,
+        Seq(row(1)), retryTimes = 3)
+    }
+  }
+
+  test("version-guarded replica rotation") {
+    val ring = new ReplicaRing(3)
+    val (r0, v0) = ring.get
+    assert(r0 === 0)
+    assert(ring.nextGoodReplica(v0) === 1)
+    // a second caller holding the stale version must NOT advance again
+    assert(ring.nextGoodReplica(v0) === 1)
+  }
+}
+
+/** End-to-end streaming smoke mirroring go.test.sh:51-58: N JSON messages
+  * through source → typed projection → checkpointed foreachBatch sink;
+  * count == N; restart from checkpoint does not re-deliver. */
+class StreamingSmokeSpec extends SparkSuite {
+
+  test("file stream → parse → parquet sink, count == N, no redelivery on restart") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val srcDir = s"$dir/in"
+    val outDir = s"$dir/out"
+    val ckDir = s"$dir/ck"
+    Files.createDirectories(Paths.get(srcDir))
+
+    val cfg = TaskConfig.fromJson(
+      """{"name": "smoke", "topic": "t", "parser": "json", "tableName": "t",
+        |"dims": [
+        |  {"name": "time", "type": "DateTime"},
+        |  {"name": "name", "type": "String"},
+        |  {"name": "value", "type": "Float64"}]}""".stripMargin)
+
+    def writeBatch(from: Int, n: Int, file: String): Unit = {
+      val lines = (from until (from + n)).map(i =>
+        s"""{"time": "2022-01-29 08:20:${i % 60}", "name": "name$i", "value": $i}""")
+      Files.write(Paths.get(srcDir, file),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+
+    writeBatch(0, 100, "batch1.jsonl")
+    val metrics = new StreamMetrics
+    spark.streams.addListener(metrics)
+    try {
+      val source = spark.readStream.format("text").load(srcDir)
+        .select(col("value"),
+          lit("t").as("topic"), lit(0).as("partition"),
+          lit(0L).as("offset"))
+      val q1 = TaskRunner.run(cfg, source, new ParquetSink(outDir), ckDir,
+        availableNow = true)
+      q1.awaitTermination(60000)
+      val got1 = spark.read.parquet(outDir)
+      assert(got1.count() === 100)
+      assert(got1.schema.fieldNames.toSeq === Seq("time", "name", "value"))
+      assert(got1.filter(col("name") === "name7").select("value").head().getDouble(0) === 7.0)
+
+      // restart with more input: only the new rows land
+      writeBatch(100, 50, "batch2.jsonl")
+      val source2 = spark.readStream.format("text").load(srcDir)
+        .select(col("value"),
+          lit("t").as("topic"), lit(0).as("partition"),
+          lit(0L).as("offset"))
+      val q2 = TaskRunner.run(cfg, source2, new ParquetSink(outDir), ckDir,
+        availableNow = true)
+      q2.awaitTermination(60000)
+      assert(spark.read.parquet(outDir).count() === 150)
+      // observed metrics flowed (ConsumeMsgsTotal counted, no parse errors)
+      spark.streams.active.foreach(_.stop())
+      assert(metrics.totals.getOrDefault("ParseMsgsErrorTotal", 0L) === 0L)
+    } finally spark.streams.removeListener(metrics)
+  }
+
+  test("malformed rows are dropped and counted") {
+    import spark.implicits._
+    val cfg = TaskConfig.fromJson(
+      """{"name": "drop", "topic": "t", "parser": "json", "tableName": "t",
+        |"dims": [{"name": "value", "type": "Int64"}]}""".stripMargin)
+    val df = Seq(
+      ("""{"value": 1}""", "t", 0, 0L),
+      ("""not json at all""", "t", 0, 1L),
+      ("""{"value": 3}""", "t", 0, 2L))
+      .toDF("value", "topic", "partition", "offset")
+    val out = TaskRunner.build(cfg)(df)
+    assert(out.select("value").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+  }
+
+  test("sharded task routes into numShards partitions") {
+    import spark.implicits._
+    val cfg = TaskConfig.fromJson(
+      """{"name": "sh", "topic": "t", "parser": "json", "tableName": "t",
+        |"dims": [{"name": "k", "type": "Int64"}],
+        |"shardingKey": "k", "shardingPolicy": "stripe,4"}""".stripMargin)
+    val df = (0 until 64).map(i => (s"""{"k": $i}""", "t", 0, i.toLong))
+      .toDF("value", "topic", "partition", "offset")
+    val out = TaskRunner.build(cfg, numShards = 4)(df)
+    assert(out.rdd.getNumPartitions === 4)
+    assert(out.select("__shard").distinct().count() === 4)
+  }
+}
