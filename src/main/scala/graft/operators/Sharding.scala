@@ -38,6 +38,14 @@ object Sharding {
     * and routes each group to its endpoint. */
   def repartitionByShard(df: DataFrame, shard: Column, n: Int): DataFrame =
     df.repartition(n, shard)
+
+  /** Smallest shift with `1 << shift >= s` — the buffer-size roundup used
+    * for batch alignment (`GetShift`, util/common.go:104-108). */
+  def roundupShift(s: Int): Int = {
+    var shift = 0
+    while ((1 << shift) < s) shift += 1
+    shift
+  }
 }
 
 /** `Long.divideUnsigned(v, stripe)` then unsigned mod n; timestamps (µs)

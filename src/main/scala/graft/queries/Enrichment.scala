@@ -72,9 +72,34 @@ object Enrichment {
       .orderBy("event_id")
   }
 
+  /** q27: entity extraction (E3) — IPv4/domain entities pulled from a
+    * rendered log line with the reference's exact regexes; the IPv4 match
+    * wins its overlap with the domain pattern. Pure map + presentation
+    * sort. */
+  def q27EntityExtract(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables(s, dir, "events")
+    val o1 = pmod(col("user_id"), lit(80))
+    val o2 = pmod(col("user_id") * 7, lit(256))
+    val o3 = pmod(col("user_id") * 13, lit(256))
+    val o4 = pmod(col("user_id"), lit(256))
+    val line = concat(
+      lit("conn from "), o1, lit("."), o2, lit("."), o3, lit("."), o4,
+      lit(" to "), col("event_type"), lit(".example.com port 443"))
+    val ents = graft.enrich.EntityExtract.entities(line)
+    val ofType = (t: String) =>
+      filter(ents, e => e.getField("etype") === t)
+    events.select(
+        col("event_id"),
+        element_at(ofType("ipv4"), 1).getField("text").as("ipv4"),
+        element_at(ofType("domain"), 1).getField("text").as("domain"),
+        size(ents).as("n_entities"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_ip_enrich" -> q15IpEnrich _,
-    "q16_class_normalize" -> q16ClassNormalize _)
+    "q16_class_normalize" -> q16ClassNormalize _,
+    "q27_entity_extract" -> q27EntityExtract _)
 
   val oracles: Map[String, String] = Map(
     "q15_ip_enrich" ->
@@ -125,5 +150,14 @@ object Enrichment {
         |FROM f
         |LEFT JOIN svc s ON s.key = f.proto || ':' || CAST(f.psrc AS VARCHAR)
         |LEFT JOIN svc d ON d.key = f.proto || ':' || CAST(f.pdst AS VARCHAR)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q27_entity_extract" ->
+      """SELECT event_id,
+        |  CAST(user_id % 80 AS VARCHAR) || '.' ||
+        |  CAST((user_id * 7) % 256 AS VARCHAR) || '.' ||
+        |  CAST((user_id * 13) % 256 AS VARCHAR) || '.' ||
+        |  CAST(user_id % 256 AS VARCHAR) AS ipv4,
+        |  event_type || '.example.com' AS domain,
+        |  2 AS n_entities
+        |FROM events ORDER BY event_id""".stripMargin)
 }
