@@ -140,6 +140,15 @@ object IpRangeLookup {
 /** DataFrame-level enrichment stages (the E1 `HandleMsg` composition as
   * structured column ops instead of JSON string rewriting).
   */
+/** The E1 `HandleMsg` composition (input/kafka_sarama.go:11670-11674):
+  * `SearchIP` then `ReplaceUnknown`, as one structured pipeline stage for
+  * TaskRunner's `enrich` hook (gated by the task's `geoipHandle`). */
+object Enrich {
+  def handleMsg(spark: org.apache.spark.sql.SparkSession, ranges: Seq[IpRange])
+      (df: DataFrame): DataFrame =
+    ClassNormalize.replaceUnknown(spark)(IpEnrich.searchIp(df, ranges))
+}
+
 object IpEnrich {
   import org.apache.spark.sql.functions.{col => fcol}
 

@@ -85,14 +85,19 @@ object Enrichment {
     val line = concat(
       lit("conn from "), o1, lit("."), o2, lit("."), o3, lit("."), o4,
       lit(" to "), col("event_type"), lit(".example.com port 443"))
-    val ents = graft.enrich.EntityExtract.entities(line)
     val ofType = (t: String) =>
-      filter(ents, e => e.getField("etype") === t)
-    events.select(
+      filter(col("__ents"), e => e.getField("etype") === t)
+    events
+      // materialize the extraction once; the downstream projection refers
+      // to it three times and CollapseProject keeps non-cheap multi-
+      // referenced aliases in their own project
+      .select(col("event_id"),
+        graft.enrich.EntityExtract.entities(line).as("__ents"))
+      .select(
         col("event_id"),
         element_at(ofType("ipv4"), 1).getField("text").as("ipv4"),
         element_at(ofType("domain"), 1).getField("text").as("domain"),
-        size(ents).as("n_entities"))
+        size(col("__ents")).as("n_entities"))
       .orderBy("event_id")
   }
 
