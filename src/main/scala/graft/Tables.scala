@@ -18,6 +18,11 @@ object Sessions {
       // parquet reader rejects outright; read nanos as long (converted to
       // micros in Tables).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // explicit AQE posture for the 100 TB plan shape: runtime partition
+      // coalescing and skew-join splitting on every shuffle
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
 }
 

@@ -167,3 +167,12 @@ final class ParquetSink(path: String) extends BatchSink {
   override def write(batch: DataFrame, batchId: Long): Unit =
     batch.write.mode("append").parquet(path)
 }
+
+/** Default batch→shard routing (SURVEY §2.4 B3, output/clickhouse.go:167):
+  * `shard = batchId % numShards` — deterministic batch identity keeps
+  * replays landing on the same endpoint. */
+final class BatchRoutedSink(delegates: IndexedSeq[BatchSink]) extends BatchSink {
+  require(delegates.nonEmpty)
+  override def write(batch: DataFrame, batchId: Long): Unit =
+    delegates((batchId % delegates.size).toInt).write(batch, batchId)
+}

@@ -167,6 +167,19 @@ class SinkWriterSpec extends org.scalatest.funsuite.AnyFunSuite {
     // a second caller holding the stale version must NOT advance again
     assert(ring.nextGoodReplica(v0) === 1)
   }
+
+  test("batch→shard routing: batchId % numShards (output/clickhouse.go:167)") {
+    val hits = Array.fill(3)(0)
+    val sinks = (0 until 3).map { i =>
+      new BatchSink {
+        override def write(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+          hits(i) += 1
+      }
+    }.toIndexedSeq
+    val routed = new BatchRoutedSink(sinks)
+    (0L until 7L).foreach(id => routed.write(null, id))
+    assert(hits.toSeq === Seq(3, 2, 2))
+  }
 }
 
 /** End-to-end streaming smoke mirroring go.test.sh:51-58: N JSON messages
