@@ -42,6 +42,14 @@ abstract class TypedRowParserExpr extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StructType(specs.map(_.field))
   override def nullable: Boolean = true
 
+  /** Optimizer fence, not a semantic statement: evaluation IS
+    * deterministic, but declaring it prevents CollapseProject /
+    * PushDownPredicates from inlining the (expensive) parse — and its
+    * child, e.g. a rendered message — into both the null-drop Filter and
+    * the field Projection, which would evaluate the whole chain twice
+    * per row. */
+  override lazy val deterministic: Boolean = false
+
   /** Cache identity: two expression copies with equal params parse
     * identically, so a repeated input can reuse the last result. */
   protected def paramsTag: Any
