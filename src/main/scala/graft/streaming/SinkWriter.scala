@@ -168,6 +168,16 @@ final class ParquetSink(path: String) extends BatchSink {
     batch.write.mode("append").parquet(path)
 }
 
+/** Replay-idempotent parquet sink: each micro-batch lands in its own
+  * `batch_id=<id>` partition directory with overwrite, so a batch
+  * re-delivered after a crash replaces itself instead of duplicating —
+  * the parquet-side analog of the reference's effectively-once
+  * ReplacingMergeTree keying (docs/dev/design.md:6-13). */
+final class IdempotentParquetSink(path: String) extends BatchSink {
+  override def write(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+}
+
 /** Default batch→shard routing (SURVEY §2.4 B3, output/clickhouse.go:167):
   * `shard = batchId % numShards` — deterministic batch identity keeps
   * replays landing on the same endpoint. */
