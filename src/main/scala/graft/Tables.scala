@@ -38,6 +38,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Like [[apply]], but fans the scan out to the session's parallelism.
+    * The driver testdata ships single-row-group parquet files, which are
+    * unsplittable — a per-row-expensive stage (typed parse, shingling,
+    * regex extraction) would otherwise run on ONE core. The repartition
+    * shuffle moves a few MB to unlock full-width map stages; production
+    * sources (Kafka partitions, multi-file lakes) are already split, so
+    * operators themselves never force this. */
+  def parallel(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Defensive for sessions not built via Sessions.builder (idempotent).
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)

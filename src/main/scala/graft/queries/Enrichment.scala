@@ -39,7 +39,7 @@ object Enrichment {
     * binsearch → SearchIP loc/isp semantics. No shuffle except the
     * presentation sort. */
   def q15IpEnrich(s: SparkSession, dir: String): DataFrame = {
-    val events = Tables(s, dir, "events")
+    val events = Tables.parallel(s, dir, "events")
     val o1 = pmod(col("user_id"), lit(80))
     val o2 = pmod(col("user_id") * 7, lit(256))
     val o3 = pmod(col("user_id") * 13, lit(256))
@@ -55,7 +55,7 @@ object Enrichment {
   /** q16: service-class normalization — two broadcast hash joins against
     * the bundled ~11.5k-entry proto:port dim + the `/`-split rules. */
   def q16ClassNormalize(s: SparkSession, dir: String): DataFrame = {
-    val events = Tables(s, dir, "events")
+    val events = Tables.parallel(s, dir, "events")
     val flows = events.select(
       col("event_id"),
       when(col("event_type") === "view", lit("HTTP/HTTP"))
@@ -77,7 +77,7 @@ object Enrichment {
     * wins its overlap with the domain pattern. Pure map + presentation
     * sort. */
   def q27EntityExtract(s: SparkSession, dir: String): DataFrame = {
-    val events = Tables(s, dir, "events")
+    val events = Tables.parallel(s, dir, "events")
     val o1 = pmod(col("user_id"), lit(80))
     val o2 = pmod(col("user_id") * 7, lit(256))
     val o3 = pmod(col("user_id") * 13, lit(256))

@@ -21,7 +21,7 @@ object LlmPipeline {
 
   /** documents ∪ first-word-dropped copies of the longer docs. */
   private def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+    val docs = Tables.parallel(s, dir, "documents")
     val perturbed = docs
       .filter(col("n_chars") >= 100)
       .select(
@@ -51,7 +51,7 @@ object LlmPipeline {
     * variant is [[graft.operators.Ann.lshTopK]] (AnnSpec pins its recall
     * against this baseline). */
   def q19AnnTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(s, dir, "embeddings")
+    val emb = Tables.parallel(s, dir, "embeddings")
     Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 10)
       .orderBy("q_id", "rank")
@@ -67,7 +67,7 @@ object LlmPipeline {
   /** q20: language-ID heuristic — stopword-hit scores per language,
     * argmax with fixed priority. */
   def q20LangId(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+    val docs = Tables.parallel(s, dir, "documents")
     val padded = concat(lit(" "), col("text"), lit(" "))
     val sEn = occ(padded, " the ") + occ(padded, " and ")
     val sDe = occ(padded, " der ") + occ(padded, " und ")
@@ -87,7 +87,7 @@ object LlmPipeline {
   /** q21: quality scoring — token counts, lexical diversity, average
     * token length, accept flag. */
   def q21TextQuality(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+    val docs = Tables.parallel(s, dir, "documents")
     val toks = split(col("text"), " ")
     docs.select(
         col("doc_id"),
@@ -107,7 +107,7 @@ object LlmPipeline {
   /** q22: token counting per language — whitespace tokens and a BPE-ish
     * regex tokenizer ([a-z]+ | digits | single punct). */
   def q22TokenCount(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+    val docs = Tables.parallel(s, dir, "documents")
     docs.select(
         col("lang"),
         size(split(col("text"), " ")).cast("long").as("ws_toks"),
@@ -127,7 +127,7 @@ object LlmPipeline {
     * the dedup key, so the distinct-shuffle carries 8 bytes per doc
     * instead of the document body. */
   def q23Fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+    val docs = Tables.parallel(s, dir, "documents")
     docs
       .withColumn("fp", Hashes.xxhash64Seed0(lower(trim(col("text")))))
       .groupBy("source")
@@ -172,7 +172,7 @@ object LlmPipeline {
   /** q25: embedding-cosine near-dup — label-blocked pairs with µ-rounded
     * cosine ≥ 0.999 (scaled copies keep direction → cosine 1). */
   def q25EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(s, dir, "embeddings")
+    val emb = Tables.parallel(s, dir, "embeddings")
     val scaled = emb.select(
       (col("vec_id") + 1000000L).as("vec_id"),
       transform(col("embedding"), x => x * 2).as("embedding"),
@@ -194,7 +194,7 @@ object LlmPipeline {
     * metadata. */
   def q26MediaMeta(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
-    val docs = Tables(s, dir, "documents")
+    val docs = Tables.parallel(s, dir, "documents")
     val media = Multimodal.asMedia(docs, "doc_id", "text", "image")
     Multimodal.decodeMeta(media).toDF()
       .select("media_id", "kind", "size_bytes", "width", "height",

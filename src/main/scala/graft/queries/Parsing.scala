@@ -28,7 +28,7 @@ object Parsing {
     * literals (non-integral float in an Int column, u64 overflow, a missing
     * key) so the defaults/overflow semantics are oracle-visible. */
   def q13JsonParse(s: SparkSession, dir: String): DataFrame = {
-    val events = Tables(s, dir, "events")
+    val events = Tables.parallel(s, dir, "events")
     val msg = concat(
       lit("""{"event_id":"""), col("event_id"),
       lit(""","etype":""""), col("event_type"), lit("\""),
@@ -71,7 +71,7 @@ object Parsing {
     * and an embedded-JSON int-array cell (presented via array_join since
     * the oracle harness compares scalars). */
   def q14CsvParse(s: SparkSession, dir: String): DataFrame = {
-    val events = Tables(s, dir, "events")
+    val events = Tables.parallel(s, dir, "events")
     val line = concat(
       col("event_id"), lit(","),
       col("event_type"), lit(","),
