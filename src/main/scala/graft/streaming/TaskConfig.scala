@@ -21,7 +21,8 @@ final case class TaskConfig(
     maxDims: Int = Short.MaxValue,
     whiteList: Option[String] = None,
     blackList: Option[String] = None,
-    geoipHandle: Boolean = false)
+    geoipHandle: Boolean = false,
+    prometheusSchema: Boolean = false)
 
 object TaskConfig {
 
@@ -97,6 +98,7 @@ object TaskConfig {
       maxDims = { val m = int(dyn, "maxDims", 0); if (m <= 0) Short.MaxValue else m },
       whiteList = optStr(dyn, "whiteList"),
       blackList = optStr(dyn, "blackList"),
-      geoipHandle = bool(task, "geoipHandle"))
+      geoipHandle = bool(task, "geoipHandle"),
+      prometheusSchema = bool(task, "prometheusSchema"))
   }
 }

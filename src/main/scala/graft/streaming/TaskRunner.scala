@@ -66,7 +66,18 @@ object TaskRunner {
          else col("offset")).cast(s.ctype.sparkType).as(s.name)
       else col("__parsed").getField(s.name).as(s.name)
     }: _*)
-    val enriched = enrich(projected)
+    val withSeries =
+      if (cfg.prometheusSchema) {
+        // Prometheus-schema mode (config/config.go:141-142): series id +
+        // labels derive from the string dims; the metric-name key is the
+        // conventional __name__ label.
+        val stringDims = dataSpecs
+          .filter(s => s.ctype == graft.schema.CType.CString &&
+            !MessageParser.isVirtual(s.name))
+          .map(_.name)
+        MessageParser.withSeriesColumns(projected, stringDims, "__name__")
+      } else projected
+    val enriched = enrich(withSeries)
     cfg.shardingKey match {
       case Some(key) if numShards > 1 =>
         val shardCol =

@@ -41,6 +41,21 @@ class GeneratorsSpec extends SparkSuite {
     assert(distinctSeries === distinctCombos)
   }
 
+  test("prometheusSchema config wires series columns into the task") {
+    val cfg = TaskConfig.fromJson(
+      """{"name": "prom", "topic": "m", "parser": "json", "tableName": "t",
+        |"prometheusSchema": true,
+        |"dims": [
+        |  {"name": "__name__", "type": "String"},
+        |  {"name": "value", "type": "Float64"},
+        |  {"name": "instance", "type": "String"}]}""".stripMargin)
+    assert(cfg.prometheusSchema)
+    val out = TaskRunner.build(cfg)(Generators.metricJson(spark, 100))
+    assert(out.columns.contains("__series_id"))
+    assert(out.columns.contains("labels"))
+    assert(out.select("__series_id").distinct().count() > 1)
+  }
+
   test("roundupShift matches GetShift (util/common.go:104-108)") {
     import graft.operators.Sharding.roundupShift
     assert(roundupShift(1) === 0)
