@@ -133,5 +133,8 @@ final class StreamMetrics extends StreamingQueryListener {
         totals.merge(f, v, (a, b) => a + b)
       }
     }
+    // rows delivered to the sink (statistics.go FlushMsgsTotal)
+    val out = e.progress.sink.numOutputRows
+    if (out > 0) totals.merge("FlushMsgsTotal", out, (a, b) => a + b)
   }
 }
