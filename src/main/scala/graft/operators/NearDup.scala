@@ -65,7 +65,10 @@ object MinHashLsh {
   }
 
   /** Full pipeline: docs(id, text) → verified near-dup pairs with exact
-    * shingle Jaccard ≥ minJaccard. Only candidate pairs are verified. */
+    * shingle Jaccard ≥ minJaccard. Shingles are re-derived ONLY for
+    * candidate rows after the id joins — the full corpus is shingled
+    * exactly once (for signatures); the verify joins move candidate raw
+    * text, never corpus-wide shingle arrays. */
   def nearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 32,
@@ -75,10 +78,15 @@ object MinHashLsh {
       .filter(size(col("__sh")) > 0)
     val cands = candidatePairs(
       bandBuckets(withSh, col("__id"), col("__sh"), numHashes, bands))
-    val shA = withSh.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
-    val shB = withSh.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    val rawA = docs.select(col(idCol).as("id_a"), col(textCol).as("__t_a"))
+    val rawB = docs.select(col(idCol).as("id_b"), col(textCol).as("__t_b"))
     cands
-      .join(shA, "id_a").join(shB, "id_b")
+      .join(rawA, "id_a").join(rawB, "id_b")
+      // materialize candidate shingles once (multi-referenced non-cheap
+      // aliases are not collapsed into the next projection)
+      .select(col("id_a"), col("id_b"),
+        shingles(col("__t_a"), shingleK).as("__sh_a"),
+        shingles(col("__t_b"), shingleK).as("__sh_b"))
       .withColumn("jaccard",
         size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
           size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"))

@@ -1,0 +1,135 @@
+package graft
+
+import org.scalacheck.{Arbitrary, Gen}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GoInts, GoTimeLayouts}
+import graft.sources.{GoFloat, JsonParser, JValue, Rfc4180}
+
+/** Property-based hardening of the coercion primitives (SURVEY §5: "add
+  * ScalaCheck property tests for coercion/clamping").
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Deterministic sampler (scalatestplus isn't in the offline cache):
+    * 200 samples from a fixed seed per property. */
+  private def forAll[A](gen: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  // ---- GoInts vs a BigInt model ----
+
+  test("parseInt clamps like the BigInt model for any decimal token") {
+    forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue), Gen.oneOf(8, 16, 32, 64)) {
+      (v: Long, bits: Int) =>
+        val s = v.toString
+        val max = (BigInt(1) << (bits - 1)) - 1
+        val min = -(BigInt(1) << (bits - 1))
+        val expected = BigInt(v).max(min).min(max).toLong
+        assert(GoInts.parseInt(s, bits) === expected)
+    }
+  }
+
+  test("parseInt/parseUint reject junk to 0") {
+    val junk = Gen.oneOf("", "-", "+", "1.5", "0x10", " 1", "1 ", "abc", "1e3", "٣")
+    forAll(junk, Gen.oneOf(8, 16, 32, 64)) { (s: String, bits: Int) =>
+      assert(GoInts.parseInt(s, bits) === 0L)
+      assert(GoInts.parseUint(s, bits) === 0L)
+    }
+  }
+
+  test("parseUint of non-negative longs is identity below the clamp") {
+    forAll(Gen.chooseNum(0L, Long.MaxValue)) { v: Long =>
+      assert(GoInts.parseUint(v.toString, 64) === v)
+    }
+  }
+
+  // ---- GoFloat strict grammar ----
+
+  test("GoFloat accepts exactly what Double round-trips produce") {
+    forAll(Arbitrary.arbitrary[Double]) { d: Double =>
+      whenever(!d.isNaN && !d.isInfinite) {
+        // Java's repr uses 'E' exponents and optional '-' — all within the
+        // strconv grammar
+        assert(GoFloat.strict(d.toString) === Some(d))
+      }
+    }
+  }
+
+  test("GoFloat rejects surrounding whitespace and suffixes") {
+    forAll(Gen.chooseNum(-1e6, 1e6)) { d: Double =>
+      val s = d.toString
+      assert(GoFloat.strict(" " + s) === None)
+      assert(GoFloat.strict(s + " ") === None)
+      assert(GoFloat.strict(s + "f") === None)
+    }
+  }
+
+  // ---- UnixFloat clamp invariants ----
+
+  test("unixFloat output is always within [0, 2^32 seconds) in micros") {
+    forAll(Arbitrary.arbitrary[Double], Gen.oneOf(1.0, 0.001, 0.000001, 1000.0)) {
+      (sec: Double, unit: Double) =>
+        val us = GoTimeLayouts.unixFloat(sec, unit)
+        assert(us >= 0L && us < 4294967296L * 1000000L)
+    }
+  }
+
+  // ---- RFC-4180 render/split round-trip ----
+
+  private val cell: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(',', '"', ' ', '.')))
+      .map(_.mkString)
+
+  private def render(fields: Seq[String], delim: Char): String =
+    fields.map { f =>
+      if (f.exists(c => c == delim || c == '"')) "\"" + f.replace("\"", "\"\"") + "\""
+      else f
+    }.mkString(delim.toString)
+
+  test("split inverts quoting for any field content") {
+    forAll(Gen.nonEmptyListOf(cell)) { fields: List[String] =>
+      // a lone unquoted field equal to "" is fine; render+split must
+      // return exactly the input fields
+      val line = render(fields, ',')
+      assert(Rfc4180.split(line, ',').map(_.toSeq) === Some(fields))
+    }
+  }
+
+  // ---- JsonParser round-trip on generated trees ----
+
+  private val jScalar: Gen[JValue] = Gen.oneOf(
+    Gen.const(JValue.JNull),
+    Arbitrary.arbitrary[Boolean].map(JValue.JBool),
+    Gen.chooseNum(Long.MinValue, Long.MaxValue).map(l => JValue.JNum(l.toString)),
+    Gen.chooseNum(-1e9, 1e9).map(d => JValue.JNum(d.toString)),
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('"', '\\', '\n', ' ', '中')))
+      .map(cs => JValue.JStr(cs.mkString)))
+
+  private def jValue(depth: Int): Gen[JValue] =
+    if (depth <= 0) jScalar
+    else Gen.frequency(
+      3 -> jScalar,
+      1 -> Gen.listOfN(3, jValue(depth - 1)).map(l => JValue.JArr(l.toArray)),
+      1 -> Gen.listOfN(3, Gen.zip(Gen.alphaNumStr, jValue(depth - 1)))
+        .map(kvs => JValue.JObj(scala.collection.mutable.ArrayBuffer(kvs: _*))))
+
+  test("compact render re-parses to an equivalent tree") {
+    forAll(jValue(3)) { v: JValue =>
+      val text = v.compact
+      val reparsed = new JsonParser().parse(text)
+      assert(reparsed.isDefined, text)
+      assert(reparsed.get.compact === text)
+    }
+  }
+}
