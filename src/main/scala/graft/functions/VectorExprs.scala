@@ -82,6 +82,50 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** All unordered pairs (a, b) with a < b from a long-array column, as an
+  * array of structs — the single-pass form of an LSH bucket's candidate
+  * expansion (replaces a bucket self-join, which would execute the whole
+  * signature pipeline twice). Duplicate ids contribute one pair. */
+case class SortedPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    var i = 0
+    while (i < n) { ids(i) = arr.getLong(i); i += 1 }
+    java.util.Arrays.sort(ids)
+    // drop duplicates in place (sorted)
+    var m = 0
+    i = 0
+    while (i < n) {
+      if (m == 0 || ids(m - 1) != ids(i)) { ids(m) = ids(i); m += 1 }
+      i += 1
+    }
+    val out = new Array[Any](m * (m - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit sign-vote SimHash of a string-array column (xxhash64-seed0 per
   * token, ±1 vote per bit, sign → bit). Empty arrays hash to 0 with every
   * vote negative — deterministic. */

