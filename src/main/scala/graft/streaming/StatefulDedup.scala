@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Cross-batch first-seen deduplication as a genuinely *stateful* streaming
+  * operator (SURVEY §2.6 "stateful streaming op"): the streaming twin of the
+  * reference's in-memory seriesQuota/bmSeries first-seen bitmap
+  * (output/clickhouse.go:110-159), holding one state entry per key in the
+  * Structured Streaming state store instead of a process-local roaring
+  * bitmap — so it shards with the stream (state is hash-partitioned by key
+  * across executors), survives restarts via the checkpoint, and is exactly
+  * recomputed on failure.
+  *
+  * Contrast with [[SeriesParquetSink]], which keeps the same first-seen
+  * semantics in the *target table* via anti-join: state-in-table is the
+  * right shape when the sink itself is the source of truth; state-in-store
+  * (this operator) is right when the dedup must happen before the sink
+  * (e.g. suppressing duplicate series rows from the metric stream itself).
+  */
+object StatefulDedup {
+
+  /** Emit only the first row ever seen per value of `keyCol` (across all
+    * micro-batches). State: one boolean per key, partitioned by key.
+    *
+    * `stateTtlMs > 0` bounds state growth for unbounded key domains: a key
+    * idle longer than the TTL is forgotten (and would be re-emitted if it
+    * reappears) — the same memory/exactness dial as the reference's
+    * seriesQuota eviction. 0 = keep forever (exact; state grows with the
+    * distinct-key count, which is what the reference's bitmap does too).
+    */
+  def firstSeen(df: DataFrame, keyCol: String, stateTtlMs: Long = 0L): DataFrame = {
+    implicit val rowEnc: Encoder[Row] = Encoders.row(df.schema)
+    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    df.groupByKey(r => String.valueOf(r.get(keyIdx)))(Encoders.STRING)
+      .flatMapGroupsWithState[Boolean, Row](
+        OutputMode.Append(), timeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            Iterator.empty
+          } else {
+            state.update(true)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            rows.take(1)
+          }
+      }
+  }
+}
