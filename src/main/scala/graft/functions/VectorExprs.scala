@@ -126,6 +126,69 @@ case class SortedPairs(child: Expression)
     copy(child = newChild)
 }
 
+/** In-bucket SimHash candidate expansion: input array<struct<id,sig>>,
+  * output all pairs (id_a < id_b) whose 64-bit signatures are within
+  * `maxHamming` — candidate generation and Hamming verification fused in
+  * one pass, so the quadratic in-bucket scan emits only verified pairs
+  * (replaces a bucket self-join, which would execute the simhash pipeline
+  * twice and shuffle it twice). Duplicate ids keep their first signature. */
+case class HammingPairs(child: Expression, maxHamming: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("hamming", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val sigs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      sigs(i) = row.getLong(1)
+      i += 1
+    }
+    // sort by id (insertion into parallel arrays; buckets are small)
+    i = 1
+    while (i < n) {
+      val id = ids(i); val sg = sigs(i)
+      var j = i - 1
+      while (j >= 0 && ids(j) > id) { ids(j + 1) = ids(j); sigs(j + 1) = sigs(j); j -= 1 }
+      ids(j + 1) = id; sigs(j + 1) = sg
+      i += 1
+    }
+    // compact duplicate ids in place (sorted), keeping the first signature
+    var m = 0
+    i = 0
+    while (i < n) {
+      if (m == 0 || ids(m - 1) != ids(i)) { ids(m) = ids(i); sigs(m) = sigs(i); m += 1 }
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        val h = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+        if (h <= maxHamming)
+          out += org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), h)
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit sign-vote SimHash of a string-array column (xxhash64-seed0 per
   * token, ±1 vote per bit, sign → bit). Empty arrays hash to 0 with every
   * vote negative — deterministic. */

@@ -31,7 +31,16 @@ object MinHashLsh {
   /** (id, band, bucket) — one row per doc per band. The full minhash
     * signature is one native single-pass expression per document
     * ([[graft.functions.MinHashSignature]]) — a pure map with NO shuffle;
-    * the signature is then cut into `bands` bucket keys. */
+    * the signature is then cut into `bands` bucket keys.
+    *
+    * Deliberately NO pre-filter on empty shingle sets: a `filter` over the
+    * signature expression gets predicate-pushed below both the signature
+    * projection and any fan-out repartition, so the most expensive per-row
+    * work would (a) run twice and (b) run inside the (possibly
+    * single-partition) scan stage. Instead the explode input is
+    * null-guarded — `explode(when(sig.isNotNull, …))` emits zero rows for
+    * empty docs — which keeps the signature evaluated exactly once, in one
+    * projection, above the exchange. */
   def bandBuckets(
       docs: DataFrame, id: Column, shingleCol: Column,
       numHashes: Int, bands: Int): DataFrame = {
@@ -39,15 +48,18 @@ object MinHashLsh {
     val rows = numHashes / bands
     val sig = ColumnBridge.col(
       graft.functions.MinHashSignature(ColumnBridge.expr(shingleCol), numHashes))
+    // __sig is multi-referenced and non-cheap, so CollapseProject keeps it
+    // materialized in its own projection rather than inlining 32 copies.
     val withSig = docs.select(id.as("__id"), sig.as("__sig"))
-      .filter(col("__sig").isNotNull)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxh(0L, concat_ws("|",
           (0 until rows).map(r => element_at(col("__sig"), b * rows + r + 1)): _*))
           .as("bucket"))
     }
-    withSig.select(col("__id"), explode(array(bandCols: _*)).as("__bb"))
+    withSig
+      .select(col("__id"),
+        explode(when(col("__sig").isNotNull, array(bandCols: _*))).as("__bb"))
       .select(col("__id"), col("__bb.band").as("__band"), col("__bb.bucket").as("__bucket"))
   }
 
@@ -81,11 +93,12 @@ object MinHashLsh {
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 32,
       minJaccard: Double = 0.8): DataFrame = {
-    val withSh = docs
-      .select(col(idCol).as("__id"), shingles(col(textCol), shingleK).as("__sh"))
-      .filter(size(col("__sh")) > 0)
+    // shingles feed the signature as one fused per-row expression — no
+    // intermediate filter (see bandBuckets scaladoc: a pre-filter would be
+    // pushed below the signature projection and double the hot loop)
     val cands = candidatePairs(
-      bandBuckets(withSh, col("__id"), col("__sh"), numHashes, bands))
+      bandBuckets(docs, col(idCol), shingles(col(textCol), shingleK),
+        numHashes, bands))
     val rawA = docs.select(col(idCol).as("id_a"), col(textCol).as("__t_a"))
     val rawB = docs.select(col(idCol).as("id_b"), col(textCol).as("__t_b"))
     cands

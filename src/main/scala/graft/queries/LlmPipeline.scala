@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Hashes
+import graft.functions.{ColumnBridge, Hashes}
 import graft.operators.{Ann, MinHashLsh, Multimodal, SimHash}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
@@ -146,29 +146,43 @@ object LlmPipeline {
     * would degenerate toward all-pairs at scale. Banded 16-bit blocking,
     * Hamming ≤ 12, exact shingle-Jaccard ≥ 0.5 verification. */
   def q24SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val aug = augmentedDocs(s, dir)
-      .withColumn("sig", SimHash.simhash64(MinHashLsh.shingles(col("text"), 3)))
+    val docs = augmentedDocs(s, dir)
+    // signature once per doc, in its own projection (multi-referenced
+    // non-cheap alias → not collapsed); only (id, sig) ever shuffles —
+    // 16 bytes/row/band, never document text
+    val sigs = docs.select(col("doc_id"),
+      SimHash.simhash64(MinHashLsh.shingles(col("text"), 3)).as("sig"))
     val bands = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
     }
-    val bucketed = aug.select(col("doc_id"), col("sig"), col("text"),
-      explode(array(bands: _*)).as("bb"))
-    val l = bucketed.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
-      col("text").as("text_a"), col("bb"))
-    val r = bucketed.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
-      col("text").as("text_b"), col("bb").as("bb_r"))
-    val toks = (c: Column) => MinHashLsh.shingles(c, 3)
-    l.join(r, col("bb") === col("bb_r") && col("id_a") < col("id_b"))
+    val bucketed = sigs
+      .select(col("doc_id"), col("sig"), explode(array(bands: _*)).as("bb"))
+    // ONE shuffle on the band key; candidate generation + Hamming verify
+    // fused in-bucket (HammingPairs), so only surviving pairs materialize
+    val pairs = ColumnBridge.col(graft.functions.HammingPairs(
+      ColumnBridge.expr(col("__members")), maxHamming = 12))
+    val cands = bucketed
+      .groupBy(col("bb"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("__members"))
+      .filter(size(col("__members")) > 1)
+      .select(explode(pairs).as("__p"))
+      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"),
+        col("__p.hamming").as("hamming"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", SimHash.hamming(col("sig_a"), col("sig_b")))
-      .filter(col("hamming") <= 12)
+    // exact shingle-Jaccard verification joins text for CANDIDATES only
+    val rawA = docs.select(col("doc_id").as("id_a"), col("text").as("__t_a"))
+    val rawB = docs.select(col("doc_id").as("id_b"), col("text").as("__t_b"))
+    cands
+      .join(rawA, "id_a").join(rawB, "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        MinHashLsh.shingles(col("__t_a"), 3).as("__sh_a"),
+        MinHashLsh.shingles(col("__t_b"), 3).as("__sh_b"))
       .withColumn("tok_jaccard",
-        size(array_intersect(toks(col("text_a")), toks(col("text_b")))).cast("double") /
-          size(array_union(toks(col("text_a")), toks(col("text_b")))).cast("double"))
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"))
       .filter(col("tok_jaccard") >= 0.5)
       .select("id_a", "id_b", "hamming")
-      .orderBy("id_a", "id_b")
   }
 
   /** q25: embedding-cosine near-dup — label-blocked pairs with µ-rounded
