@@ -36,8 +36,8 @@ object Enrichment {
   }
 
   /** q15: geoip enrich — ip string render → aton → O(log n) broadcast
-    * binsearch → SearchIP loc/isp semantics. No shuffle except the
-    * presentation sort. */
+    * binsearch → SearchIP loc/isp semantics. Shuffle-free map
+    * (no final sort: its sampling pass would re-run the enrichment). */
   def q15IpEnrich(s: SparkSession, dir: String): DataFrame = {
     val events = Tables.parallel(s, dir, "events")
     val o1 = pmod(col("user_id"), lit(80))
@@ -49,7 +49,6 @@ object Enrichment {
       concat(o1, lit("."), o2, lit("."), o3, lit("."), o4).as("ip_src"))
     IpEnrich.searchIp(withIp, rangesOf(s, dir), objs = Seq("src"))
       .select("event_id", "ip_src", "loc_src", "isp_src")
-      .orderBy("event_id")
   }
 
   /** q16: service-class normalization — two broadcast hash joins against
@@ -74,8 +73,8 @@ object Enrichment {
 
   /** q27: entity extraction (E3) — IPv4/domain entities pulled from a
     * rendered log line with the reference's exact regexes; the IPv4 match
-    * wins its overlap with the domain pattern. Pure map + presentation
-    * sort. */
+    * wins its overlap with the domain pattern. Pure map (no final
+    * sort: its sampling pass would re-run the regex extraction). */
   def q27EntityExtract(s: SparkSession, dir: String): DataFrame = {
     val events = Tables.parallel(s, dir, "events")
     val o1 = pmod(col("user_id"), lit(80))
@@ -98,7 +97,6 @@ object Enrichment {
         element_at(ofType("ipv4"), 1).getField("text").as("ipv4"),
         element_at(ofType("domain"), 1).getField("text").as("domain"),
         size(col("__ents")).as("n_entities"))
-      .orderBy("event_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

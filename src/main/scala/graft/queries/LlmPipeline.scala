@@ -56,7 +56,6 @@ object LlmPipeline {
     val emb = Tables.parallel(s, dir, "embeddings")
     Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 10)
-      .orderBy("q_id", "rank")
   }
 
   /** Occurrences of a space-padded keyword via replace-length arithmetic
@@ -83,7 +82,6 @@ object LlmPipeline {
           .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
           .when(col("s_fr") >= col("s_es"), "fr")
           .otherwise("es"))
-      .orderBy("doc_id")
   }
 
   /** q21: quality scoring — token counts, lexical diversity, average
@@ -103,7 +101,6 @@ object LlmPipeline {
           col("n_tokens"), 6))
       .withColumn("quality_ok",
         col("n_tokens") >= 5 && col("n_tokens") <= 1000 && col("diversity") >= 0.05)
-      .orderBy("doc_id")
   }
 
   /** q22: token counting per language — whitespace tokens and a BPE-ish
@@ -202,7 +199,6 @@ object LlmPipeline {
       .withColumn("cos", round(Ann.cosine(col("va"), col("vb")), 6))
       .filter(col("cos") >= 0.999)
       .select("id_a", "id_b", "label", "cos")
-      .orderBy("id_a", "id_b")
   }
 
   /** q26: multimodal plumbing — text lifted into a binary payload column,
@@ -215,7 +211,6 @@ object LlmPipeline {
     Multimodal.decodeMeta(media).toDF()
       .select("media_id", "kind", "size_bytes", "width", "height",
         "n_frames", "first_frame_offset")
-      .orderBy("media_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -64,7 +64,6 @@ object Parsing {
       ColumnSpec("__kafka_offset", CType.CInt, nullable = false, "__kafka_offset"))
     messages
       .transform(MessageParser.project(specs, cfg))
-      .orderBy("event_id")
   }
 
   /** q14: CSV typed parse with quoted cells, the `"null"` missing literal,
@@ -98,7 +97,6 @@ object Parsing {
       .transform(MessageParser.project(specs, csvCfg))
       .withColumn("arr_joined", array_join(col("arr"), "|"))
       .drop("arr")
-      .orderBy("id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
