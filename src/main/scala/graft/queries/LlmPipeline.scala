@@ -294,8 +294,9 @@ object LlmPipeline {
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
         |    AS BIGINT) AS re
         |FROM documents)
-        |SELECT lang, count(*) AS n_docs, sum(ws) AS sum_ws_toks,
-        |  sum(re) AS sum_re_toks,
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS sum_ws_toks,
+        |  CAST(sum(re) AS BIGINT) AS sum_re_toks,
         |  round(CAST(sum(ws) AS DOUBLE) / count(*), 6) AS avg_ws_toks
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q23_fingerprint" ->

@@ -110,7 +110,8 @@ object Parsing {
         | value AS val,
         | date_trunc('milliseconds', ts) AS ts_parsed,
         | CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ets,
-        | CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        | CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+        |   AS BIGINT) AS is_click,
         | CAST(0 AS BIGINT) AS frac_int,
         | CAST(0 AS BIGINT) AS big,
         | replace(props, '": ', '":') AS props_str,
