@@ -258,3 +258,72 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Indices of the `nProbe` nearest centroids (cosine, ties → lower
+  * index) for a double-array vector — the IVF coarse quantizer. The
+  * centroid table is a plan-time constant carried in the expression
+  * (small by construction: nCells × dim), so assignment is a pure map
+  * over the corpus with no join or shuffle. Centroid norms are
+  * precomputed once per executor. A centroid whose dimensionality
+  * doesn't match the row's vector scores -∞ (never probed). */
+case class NearestCells(
+    child: Expression, centroids: Seq[Seq[Double]], nProbe: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Double] =
+    cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n == 0) return null
+    var vn = 0.0
+    var i = 0
+    while (i < n) { val xi = x.getDouble(i); vn += xi * xi; i += 1 }
+    val vNorm = math.sqrt(vn)
+    if (vNorm == 0.0) return null
+    val k = cents.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      scores(c) =
+        if (cent.length != n || norms(c) == 0.0) Double.NegativeInfinity
+        else {
+          var dot = 0.0; var j = 0
+          while (j < n) { dot += x.getDouble(j) * cent(j); j += 1 }
+          dot / (vNorm * norms(c))
+        }
+      c += 1
+    }
+    val m = math.min(nProbe, k)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < k) {
+        if (!taken(j) && scores(j) > bestScore) { best = j; bestScore = scores(j) }
+        j += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

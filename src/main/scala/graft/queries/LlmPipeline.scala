@@ -213,8 +213,19 @@ object LlmPipeline {
         "n_frames", "first_frame_offset")
   }
 
+  /** q28: IVF approximate cosine top-k — coarse-quantizer training on a
+    * deterministic sample, map-only cell assignment, probe-join search.
+    * No oracle: IVF is approximate by construction (AnnSpec pins its
+    * recall against the exact q19 baseline — rows-only check here). */
+  def q28IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.parallel(s, dir, "embeddings")
+    Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 10, nCells = 16, nProbe = 8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_minhash_neardup" -> q18MinhashNearDup _,
+    "q28_ivf_ann" -> q28IvfAnn _,
     "q19_ann_topk" -> q19AnnTopK _,
     "q20_lang_id" -> q20LangId _,
     "q21_text_quality" -> q21TextQuality _,

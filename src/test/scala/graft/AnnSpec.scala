@@ -49,4 +49,43 @@ class AnnSpec extends SparkSuite {
     info(s"recall@10 = $recall (candidates examined ≪ corpus)")
     assert(recall >= 0.8, s"recall $recall too low")
   }
+
+  test("nearestCells: picks the right centroids, ties to lower index") {
+    import spark.implicits._
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0))
+    val df = Seq(
+      (1L, Seq(2.0, 0.1)),  // nearest: cell 0 (tie with 2 → lower index)
+      (2L, Seq(0.1, 3.0))). // nearest: cell 1
+      toDF("id", "v")
+    val got = df.select(col("id"), Ann.nearestCells(col("v"), cents, 2).as("p"))
+      .orderBy("id").collect().map(_.getSeq[Int](1).toSeq)
+    assert(got(0) === Seq(0, 2))
+    assert(got(1) === Seq(1, 0))
+  }
+
+  test("trainCentroids is deterministic and returns nCells vectors") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = Ann.trainCentroids(emb, "vec_id", "embedding", nCells = 8,
+      iters = 2, sampleN = 256)
+    val b = Ann.trainCentroids(emb, "vec_id", "embedding", nCells = 8,
+      iters = 2, sampleN = 256)
+    assert(a.size === 8)
+    assert(a === b)
+  }
+
+  test("ivfTopK achieves high recall@10 vs brute force on real embeddings") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("q_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // The synthetic embeddings are near-uniform (no cluster structure),
+    // the worst case for a coarse quantizer — real-world embedding
+    // corpora cluster and probe far fewer cells for the same recall.
+    val approx = Ann.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+        nCells = 16, nProbe = 8)
+      .select("q_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"IVF recall@10 = $recall (probed 8/16 cells)")
+    assert(recall >= 0.7, s"recall $recall too low")
+  }
 }
