@@ -309,7 +309,8 @@ case class NearestCells(
     val out = new Array[Int](m)
     val taken = new Array[Boolean](k)
     var r = 0
-    while (r < m) {
+    var done = false
+    while (r < m && !done) {
       var best = -1
       var bestScore = Double.NegativeInfinity
       var j = 0
@@ -317,11 +318,12 @@ case class NearestCells(
         if (!taken(j) && scores(j) > bestScore) { best = j; bestScore = scores(j) }
         j += 1
       }
-      taken(best) = true
-      out(r) = best
-      r += 1
+      // best stays -1 when every remaining centroid scored -∞ (e.g. all
+      // centroids mismatch this vector's dimensionality) — stop probing
+      if (best < 0) done = true
+      else { taken(best) = true; out(r) = best; r += 1 }
     }
-    new GenericArrayData(out)
+    if (r == 0) null else new GenericArrayData(java.util.Arrays.copyOf(out, r))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

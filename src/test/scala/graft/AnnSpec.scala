@@ -63,6 +63,19 @@ class AnnSpec extends SparkSuite {
     assert(got(1) === Seq(1, 0))
   }
 
+  test("nearestCells: dimension-mismatched centroids are never probed") {
+    import spark.implicits._
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0)) // first is 3-dim
+    val df = Seq((1L, Seq(3.0, 4.0))).toDF("id", "v")
+    val got = df.select(Ann.nearestCells(col("v"), cents, 2).as("p"))
+      .head().getSeq[Int](0).toSeq
+    assert(got === Seq(1)) // only the 2-dim centroid is probe-able
+    val none = df.select(
+      Ann.nearestCells(col("v"), Seq(Seq(1.0, 0.0, 0.0)), 1).as("p"))
+      .head()
+    assert(none.isNullAt(0)) // no compatible centroid → null, not a crash
+  }
+
   test("trainCentroids is deterministic and returns nCells vectors") {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val a = Ann.trainCentroids(emb, "vec_id", "embedding", nCells = 8,
