@@ -187,8 +187,25 @@ object Relational {
       .orderBy("user_id", "event_type")
   }
 
+  /** q29: exact grouped quantiles (median/p90/p99 of extended price per
+    * return flag). Exact `percentile` sorts each group's values — the
+    * right call when the group count is small and results must be exact;
+    * the 100 TB path for high-cardinality groups is `percentile_approx`
+    * (t-digest sketch, map-side mergeable, no per-group sort), same call
+    * shape. Rounded to 4 decimals on both sides: Spark and DuckDB share
+    * the (n-1)p linear-interpolation definition but not summation order. */
+  def q29Quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pushdown" -> q01AggPushdown _,
+    "q29_quantiles" -> q29Quantiles _,
     "q02_star_join" -> q02StarJoin _,
     "q03_range_join" -> q03RangeJoin _,
     "q04_semi_join" -> q04SemiJoin _,
@@ -202,6 +219,12 @@ object Relational {
     "q12_first_seen" -> q12FirstSeen _)
 
   val oracles: Map[String, String] = Map(
+    "q29_quantiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q01_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -44,4 +44,18 @@ object WindowedAgg {
       .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("total"))
       .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
         col(keyCol), col("n_rows"), col("total"))
+
+  /** Session windows: a key's window extends while events keep arriving
+    * within `gap` of each other and closes after `gap` of silence —
+    * activity sessions rather than wall-clock buckets. A session's state
+    * lives until the watermark passes its (dynamic) end, so state stays
+    * bounded by active sessions. */
+  def session(
+      df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      gap: String, lateness: String): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap).as("win"), col(keyCol))
+      .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("total"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col(keyCol), col("n_rows"), col("total"))
 }

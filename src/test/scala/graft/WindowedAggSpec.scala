@@ -31,6 +31,27 @@ class WindowedAggSpec extends SparkSuite {
       ("2022-01-29 08:05:00.0", "a", 1L, 4.0)))
   }
 
+  test("batch mode: session windows split on gap, merge within gap") {
+    import spark.implicits._
+    val df = Seq(
+      ("2022-01-29 08:00:00", "a", 1.0),
+      ("2022-01-29 08:03:00", "a", 2.0),  // within 5-min gap → same session
+      ("2022-01-29 08:20:00", "a", 4.0),  // 17 min silence → new session
+      ("2022-01-29 08:01:00", "b", 8.0))
+      .toDF("ts_s", "k", "v")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("k"), col("v"))
+    val got = WindowedAgg.session(df, "ts", "k", "v", "5 minutes", "10 minutes")
+      .orderBy("k", "win_start")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(got === Array(
+      // session end = last event + gap
+      ("2022-01-29 08:00:00.0", "2022-01-29 08:08:00.0", "a", 2L, 3.0),
+      ("2022-01-29 08:20:00.0", "2022-01-29 08:25:00.0", "a", 1L, 4.0),
+      ("2022-01-29 08:01:00.0", "2022-01-29 08:06:00.0", "b", 1L, 8.0)))
+  }
+
   test("streaming append mode: emit-after-watermark, late rows dropped") {
     val base = Files.createTempDirectory("winagg").toString
     val srcDir = s"$base/src"; val ckDir = s"$base/ck"
