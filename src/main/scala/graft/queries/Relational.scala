@@ -203,9 +203,30 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
       .orderBy("l_returnflag")
 
+  /** q30: as-of join — each click event picks up the same user's most
+    * recent prior (or simultaneous) purchase, point-in-time correct.
+    * Executed as [[graft.operators.AsOfJoin]]'s union + single key
+    * shuffle + running-window carry-forward, NOT a range join (which
+    * would row-amplify per key before filtering). */
+  def q30AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables(s, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts"), col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("prev_purchase_id"),
+        col("value").as("prev_value"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.asOf(clicks, purchases,
+        keyCol = "user_id", timeCol = "ts",
+        leftCols = Seq("click_id", "user_id", "click_ts"),
+        rightCols = Seq("prev_purchase_id", "prev_value"))
+      .orderBy("click_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pushdown" -> q01AggPushdown _,
     "q29_quantiles" -> q29Quantiles _,
+    "q30_asof_join" -> q30AsofJoin _,
     "q02_star_join" -> q02StarJoin _,
     "q03_range_join" -> q03RangeJoin _,
     "q04_semi_join" -> q04SemiJoin _,
@@ -219,6 +240,13 @@ object Relational {
     "q12_first_seen" -> q12FirstSeen _)
 
   val oracles: Map[String, String] = Map(
+    "q30_asof_join" ->
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        | p.event_id AS prev_purchase_id, p.value AS prev_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY click_id""".stripMargin,
     "q29_quantiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
