@@ -57,8 +57,13 @@ object Bench {
     names.foreach(runOnce) // warm-up: session start, codegen, parquet footers
     // min of two timed passes: a single GC/compilation stall in a 60-job
     // JVM session otherwise lands on one arbitrary query and dominates
-    // its number (observed: 1.4 s query charged 14 s).
+    // its number (observed: 1.4 s query charged 14 s). The System.gc()
+    // between queries keeps one query's allocation debt (and the context
+    // cleaner's unfreed broadcast/shuffle blocks, which are only
+    // reclaimed after a GC) from being billed to the next — without it,
+    // whole runs degrade 3× once ~60 jobs of garbage pile up.
     val queryResults = names.map { n =>
+      System.gc()
       val a = runOnce(n); val b = runOnce(n)
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }

@@ -188,19 +188,16 @@ object Relational {
   }
 
   /** q29: exact grouped quantiles (median/p90/p99 of extended price per
-    * return flag). Exact `percentile` sorts each group's values — the
-    * right call when the group count is small and results must be exact;
-    * the 100 TB path for high-cardinality groups is `percentile_approx`
-    * (t-digest sketch, map-side mergeable, no per-group sort), same call
-    * shape. Rounded to 4 decimals on both sides: Spark and DuckDB share
-    * the (n-1)p linear-interpolation definition but not summation order. */
+    * return flag) via [[graft.operators.Quantiles]] — sort-based ranks,
+    * NOT the built-in `percentile` aggregate (whose partial buffers hold
+    * every value, so nothing reduces map-side; 3× slower at sf0.1 and
+    * unbounded memory at scale). Rounded to 4 decimals on both sides:
+    * Spark and DuckDB share the (n-1)p interpolation definition but not
+    * float summation order. */
   def q29Quantiles(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+    graft.operators.Quantiles.exact(
+        Tables(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
       .orderBy("l_returnflag")
 
   /** q30: as-of join — each click event picks up the same user's most
