@@ -71,6 +71,48 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_bytes")
   }
 
+  /** Resize: payload byte-decimation stands in for pixel resampling — a
+    * real impl decodes, scales with the codec, re-encodes. Output keeps
+    * the media schema so resize stages compose with decode/sample. */
+  def resize(
+      media: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { r =>
+        val ratio = math.max(1,
+          r.payload.length / math.max(1, targetW * targetH))
+        val out = new Array[Byte]((r.payload.length + ratio - 1) / ratio)
+        var i = 0
+        while (i < out.length) { out(i) = r.payload(i * ratio); i += 1 }
+        MediaRecord(r.media_id, r.kind, out)
+      }
+    }
+  }
+
+  /** Feature-extract: a fixed-width embedding per media object — here a
+    * deterministic normalized byte histogram (a real impl runs a vision/
+    * audio model per partition-loaded batch). Output shape matches the
+    * `embeddings` table (`array<float>`), so extracted features flow
+    * straight into [[Ann]] similarity search / q25 near-dup. */
+  def extractFeatures(media: Dataset[MediaRecord], dims: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      // model/codec context would be constructed once per partition here
+      batch.map { r =>
+        val hist = new Array[Float](dims)
+        var i = 0
+        while (i < r.payload.length) {
+          hist((r.payload(i) & 0xff) % dims) += 1f
+          i += 1
+        }
+        val n = math.max(1, r.payload.length).toFloat
+        var d = 0
+        while (d < dims) { hist(d) /= n; d += 1 }
+        (r.media_id, hist.toSeq)
+      }
+    }.toDF("media_id", "embedding")
+  }
+
   /** Lift a text column into a binary media frame for testing: the
     * payload is the UTF-8 encoding of the text. */
   def asMedia(df: DataFrame, idCol: String, textCol: String, kind: String)

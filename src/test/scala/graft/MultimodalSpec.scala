@@ -35,4 +35,32 @@ class MultimodalSpec extends SparkSuite {
     assert(new String(frames(0).getAs[Array[Byte]](2), "UTF-8") === "abc")
     assert(new String(frames(1).getAs[Array[Byte]](2), "UTF-8") === "ghi")
   }
+
+  test("resize decimates payload toward the target area") {
+    import spark.implicits._
+    implicit val s = spark
+    val df = Seq((1L, "x" * 100)).toDF("id", "txt")
+    val out = Multimodal.resize(
+        Multimodal.asMedia(df, "id", "txt", "image"), targetW = 5, targetH = 5)
+      .collect().head
+    assert(out.payload.length === 25) // 100 bytes / ratio 4
+    assert(out.media_id === 1L && out.kind === "image")
+  }
+
+  test("extractFeatures: normalized fixed-width embedding, ANN-compatible") {
+    import spark.implicits._
+    implicit val s = spark
+    val df = Seq((1L, "aabb"), (2L, "aabb"), (3L, "zzzz")).toDF("id", "txt")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.asMedia(df, "id", "txt", "image"), dims = 8)
+    assert(feats.schema("embedding").dataType.simpleString === "array<float>")
+    val rows = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(math.abs(rows(1L).sum - 1f) < 1e-6) // histogram normalized
+    assert(rows(1L) === rows(2L))              // deterministic
+    assert(rows(1L) !== rows(3L))
+    // flows into the ANN operator unchanged
+    val top = graft.operators.Ann.bruteForceTopK(
+      feats, feats.filter(col("media_id") === 1L), "media_id", "embedding", 1)
+    assert(top.head().getLong(2) === 2L) // duplicate payload is rank 1
+  }
 }
