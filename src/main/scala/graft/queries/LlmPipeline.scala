@@ -223,9 +223,36 @@ object LlmPipeline {
       "vec_id", "embedding", k = 10, nCells = 16, nProbe = 8)
   }
 
+  /** q31: winnowing (rolling-hash) near-dup candidates — the MOSS-style
+    * third blocking scheme next to MinHash (q18) and SimHash (q24): any
+    * pair sharing a substring of ≥ window+k-1 chars shares a
+    * fingerprint, so candidates = pairs with ≥ `minShared` common
+    * fingerprints. Same one-shuffle shape as the LSH bucket pass: the
+    * wire carries (fingerprint, doc_id), never text. Fingerprints shared
+    * by > 32 docs are stop-gram buckets (common boilerplate) and are
+    * dropped, the standard winnowing-at-scale guard against quadratic
+    * pair blowup. Rows-only check: the rolling hash is not
+    * SQL-expressible. */
+  def q31WinnowNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = augmentedDocs(s, dir)
+    val fp = ColumnBridge.col(graft.functions.WinnowFingerprints(
+      ColumnBridge.expr(col("text")), k = 12, window = 8))
+    val pairs = ColumnBridge.col(graft.functions.SortedPairs(
+      ColumnBridge.expr(col("__ids"))))
+    docs
+      .select(col("doc_id").as("__id"), explode(fp).as("__fp"))
+      .groupBy("__fp").agg(collect_list(col("__id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, 32))
+      .select(explode(pairs).as("__p"))
+      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_minhash_neardup" -> q18MinhashNearDup _,
     "q28_ivf_ann" -> q28IvfAnn _,
+    "q31_winnow_neardup" -> q31WinnowNearDup _,
     "q19_ann_topk" -> q19AnnTopK _,
     "q20_lang_id" -> q20LangId _,
     "q21_text_quality" -> q21TextQuality _,
