@@ -48,6 +48,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- Winnowing fingerprint guarantee (SIGMOD'03 correctness property) ----
+
+  test("winnowing: any shared substring ≥ window+k-1 yields a shared fingerprint") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def fps(s: String): Set[Long] = {
+      val arr = graft.functions.WinnowFingerprints(Literal(s), 8, 4)
+        .eval(null).asInstanceOf[ArrayData]
+      arr.toLongArray().toSet
+    }
+    val alpha = Gen.alphaLowerChar
+    val piece = Gen.chooseNum(0, 30).flatMap(n => Gen.stringOfN(n, alpha))
+    val common = Gen.chooseNum(11, 40).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+    forAll(Gen.zip(piece, piece, piece, piece, common)) {
+      case (a1, a2, b1, b2, c) =>
+        val da = s"$a1$c$a2"
+        val db = s"$b1$c$b2"
+        assert((fps(da) & fps(db)).nonEmpty,
+          s"no shared fingerprint for docs sharing ${c.length}-char run")
+        // output is duplicate-free and deterministic
+        val again = fps(da)
+        assert(again === fps(da))
+    }
+  }
+
   test("parseUint of non-negative longs is identity below the clamp") {
     forAll(Gen.chooseNum(0L, Long.MaxValue)) { v: Long =>
       assert(GoInts.parseUint(v.toString, 64) === v)
