@@ -48,7 +48,10 @@ object Tables {
   def parallel(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = apply(spark, dir, name)
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // inputFiles is pure metadata (no RDD conversion / physical planning);
+    // each testdata file is one unsplittable row-group, so file count ==
+    // scan partition count here.
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {

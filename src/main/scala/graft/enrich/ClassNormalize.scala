@@ -26,18 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object ClassNormalize {
 
-  /** (proto:port, service) rows from the bundled resource. */
-  def serviceMap(spark: SparkSession): DataFrame = {
+  /** Parsed once per JVM — the resource is immutable and every caller
+    * (batch query, per-micro-batch enrichment) wants the same rows. */
+  private lazy val serviceRows: Seq[(String, String)] = {
     val in = getClass.getResourceAsStream("/graft/service_map.tsv")
     require(in != null, "graft/service_map.tsv missing from resources")
-    val rows =
-      try Source.fromInputStream(in, "UTF-8").getLines().drop(1).map { l =>
-        val t = l.split('\t')
-        (t(0), t(1))
-      }.toSeq
-      finally in.close()
+    try Source.fromInputStream(in, "UTF-8").getLines().drop(1).map { l =>
+      val t = l.split('\t')
+      (t(0), t(1))
+    }.toSeq
+    finally in.close()
+  }
+
+  /** (proto:port, service) rows from the bundled resource. */
+  def serviceMap(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    rows.toDF("key", "service")
+    serviceRows.toDF("key", "service")
   }
 
   /** Adds/replaces `class` on a frame having (class, ip_proto, port_src,

@@ -16,8 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * does not shift every later fingerprint.
   *
   * One native pass per row, O(len) time, O(window) extra space; output
-  * is the distinct selected hashes (first-occurrence order). Null/short
-  * (< k chars) input → empty array.
+  * is the distinct selected hashes (first-occurrence order). Null input
+  * → null (standard null propagation); shorter than `k` chars → empty
+  * array.
   */
 case class WinnowFingerprints(child: Expression, k: Int, window: Int)
     extends UnaryExpression with CodegenFallback {

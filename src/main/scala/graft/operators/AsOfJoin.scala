@@ -33,26 +33,30 @@ object AsOfJoin {
       tieCols: Seq[String] = Nil): DataFrame = {
     val lStructT = left.select(struct(leftCols.map(col): _*)).schema.head.dataType
     val rStructT = right.select(struct(rightCols.map(col): _*)).schema.head.dataType
-    val tieOf = (df: DataFrame, cs: Seq[String]) =>
-      if (cs.isEmpty) lit(0L) else coalesce(cs.map(c => col(c).cast("long")): _*)
+    // Tie columns keep their own types and order lexicographically; left
+    // rows carry typed nulls (their tie value never matters — __tag
+    // already orders them after every right row at equal time).
+    val tieTypes = tieCols.map(c => right.select(col(c)).schema.head.dataType)
+    val tieNames = tieCols.indices.map(i => s"__tie$i")
+    val rTies = tieCols.zip(tieNames).map { case (c, n) => col(c).as(n) }
+    val lTies = tieTypes.zip(tieNames).map { case (t, n) => lit(null).cast(t).as(n) }
 
-    val r = right.select(
+    val r = right.select(Seq(
       col(keyCol).as("__k"), col(timeCol).as("__t"),
-      tieOf(right, tieCols).as("__tie"),
       lit(null).cast(lStructT).as("__l"),
       struct(rightCols.map(col): _*).as("__r"),
-      lit(0).as("__tag"))
-    val l = left.select(
+      lit(0).as("__tag")) ++ rTies: _*)
+    val l = left.select(Seq(
       col(keyCol).as("__k"), col(timeCol).as("__t"),
-      lit(0L).as("__tie"),
       struct(leftCols.map(col): _*).as("__l"),
       lit(null).cast(rStructT).as("__r"),
-      lit(1).as("__tag"))
+      lit(1).as("__tag")) ++ lTies: _*)
 
-    // (time, tag, tie): right rows sort before left at equal time, so an
-    // exactly-simultaneous right row is visible to the left row.
+    // (time, tag, ties...): right rows sort before left at equal time, so
+    // an exactly-simultaneous right row is visible to the left row; equal
+    // -time right rows resolve by the tie columns, last one wins.
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__tag"), col("__tie"))
+      .orderBy(Seq(col("__t"), col("__tag")) ++ tieNames.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val out: Seq[Column] =

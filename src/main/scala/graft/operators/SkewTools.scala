@@ -18,14 +18,30 @@ import org.apache.spark.sql.functions._
   */
 object SkewTools {
 
+  /** Join types whose result is unchanged by replicating the build
+    * (right) side: every right row's contribution is gated by a matching
+    * left row, so duplicates of an unmatched right row never surface. */
+  private val SafeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross")
+
   /** Equi-join `left ⋈ right` on `keyCol`, skew-spread: left rows salt
     * by a deterministic hash of `saltBy` (any row-distinguishing left
     * column, e.g. its primary key) mod `nSalts`; right rows replicate
-    * once per salt via a tiny explode. Result equals the plain join. */
+    * once per salt via a tiny explode. Result equals the plain join.
+    *
+    * `joinType` is restricted to inner/left variants: right/full outer
+    * would emit each UNMATCHED right row `nSalts` times (the replicas
+    * land under distinct salts and none finds a left partner), silently
+    * multiplying the outer side. Spread a right-outer join by calling
+    * with the sides swapped and `"left"`. */
   def saltedJoin(
       left: DataFrame, right: DataFrame, keyCol: String,
       saltBy: Column, nSalts: Int, joinType: String = "inner"): DataFrame = {
     require(nSalts > 0)
+    require(SafeJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got '$joinType': the " +
+        "replicated build side would emit unmatched right rows nSalts times")
     val l = left.withColumn("__salt", pmod(xxhash64(saltBy), lit(nSalts)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(nSalts - 1L))))

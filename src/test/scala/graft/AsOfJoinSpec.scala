@@ -31,6 +31,25 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got === Array((1L, 20L), (2L, 20L), (3L, -1L), (4L, 30L)))
   }
 
+  test("equal-time right rows resolve lexicographically by tieCols, last wins") {
+    import spark.implicits._
+    val left = Seq((1L, "u1", 10L)).toDF("lid", "k", "t")
+    // three right rows at the same time; tie columns (pri, name) order
+    // them (1,"a") < (2,"a") < (2,"z") — the LAST one must win. `name`
+    // is a string: the old coalesce(cast long) collapse would have
+    // nulled it; lexicographic ordering must keep it significant.
+    val right = Seq(
+      (100L, "u1", 10L, 2, "a"),
+      (101L, "u1", 10L, 2, "z"),
+      (102L, "u1", 10L, 1, "a"))
+      .toDF("rid", "k", "t", "pri", "name")
+    val got = AsOfJoin.asOf(left, right, "k", "t",
+        leftCols = Seq("lid"), rightCols = Seq("rid"),
+        tieCols = Seq("pri", "name"))
+      .collect().map(_.getLong(1))
+    assert(got === Array(101L))
+  }
+
   test("plan: one shuffle by key, no row-amplifying join") {
     import spark.implicits._
     val left = Seq((1L, "a", 10L)).toDF("lid", "k", "t")
