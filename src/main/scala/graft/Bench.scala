@@ -26,31 +26,47 @@ object Bench {
     }
 
     // Ingest throughput in the shape of the reference's own benchmark
-    // (BASELINE.md: kafka_gen_log JSON → sinker → ClickHouse, 142-301 K
-    // rows/s): generated access-log JSON → typed parse (JsonTypedRow) →
-    // __kafka_* virtuals → shard routing → sink. Reported as a pseudo-
-    // query in seconds; rows/s = INGEST_ROWS / seconds goes to stderr.
+    // (BASELINE.md: kafka_gen JSON → sinker(parse → geoip enrich → class
+    // normalize → shard) → ClickHouse, 142-301 K rows/s). The timed
+    // region matches the reference's consume→write measurement: the
+    // generated flow JSON is materialized (persist + count) UNTIMED —
+    // synthesis is the broker's job, not the sinker's — and the clock
+    // covers scan → typed parse (JsonTypedRow) → __kafka_* virtuals →
+    // SearchIP(src,dst) over a 131k-range broadcast geo table →
+    // ReplaceUnknown serviceMap joins → shard routing → sink.
     val INGEST_ROWS = 2000000L
-    def ingestOnce(n: Long): Double = {
+    def ingestPipeline(input: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       import graft.schema.ColumnSpec
-      import graft.sources.{Generators, MessageParser, ParserConfig}
+      import graft.sources.{MessageParser, ParserConfig}
+      import graft.enrich.{ClassNormalize, IpEnrich, IpRange}
       import org.apache.spark.sql.functions.col
       val specs = Seq(
         ColumnSpec("@timestamp", "DateTime"),
-        ColumnSpec("clientip", "String"),
-        ColumnSpec("request", "String"),
-        ColumnSpec("status", "Int32"),
-        ColumnSpec("size", "Int64"),
+        ColumnSpec("ip_src", "String"),
+        ColumnSpec("ip_dst", "String"),
+        ColumnSpec("ip_proto", "String"),
+        ColumnSpec("port_src", "Int32"),
+        ColumnSpec("port_dst", "Int32"),
+        ColumnSpec("bytes", "Int64"),
+        ColumnSpec("class", "String"),
         ColumnSpec("__kafka_topic", "String"),
         ColumnSpec("__kafka_partition", "Int32"),
         ColumnSpec("__kafka_offset", "Int64"))
-      val t0 = System.nanoTime()
-      Generators.accessLogJson(spark, n)
+      // qqwry-scale synthetic geo DB: 2^17 ranges tiling the IPv4 space
+      // (real qqwry.dat has ~500k), LAN/empty-area cases included
+      val ranges = (0 until (1 << 17)).map { k =>
+        val area =
+          if (k % 1024 == 0) "对方和您在同一内部网"
+          else if (k % 3 == 0) ""
+          else s"ISP-${k % 97}"
+        IpRange(k.toLong << 15, ((k.toLong + 1) << 15) - 1, s"国家${k % 4096}", area)
+      }
+      val parsed = input
         .transform(MessageParser.project(specs, ParserConfig(format = "json")))
+      ClassNormalize.replaceUnknown(spark)(
+          IpEnrich.searchIp(parsed, ranges, objs = Seq("src", "dst")))
         .withColumn("__shard",
-          graft.operators.Sharding.hashShard(col("clientip"), 3))
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+          graft.operators.Sharding.hashShard(col("ip_src"), 3))
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -68,17 +84,36 @@ object Bench {
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
     // Ingest runs LAST: its 2M-row working set churns the heap, and GC
-    // debt from it must not be charged to the per-query timings.
-    ingestOnce(100000L) // codegen warm-up
-    val ingestSec = ingestOnce(INGEST_ROWS)
+    // debt from it must not be charged to the per-query timings. Same
+    // protocol as the queries (untimed warm-up, System.gc(), min of two
+    // timed passes) — round 2 timed it in a single unprotected pass and a
+    // one-off JVM stall turned a ~2 s pipeline into 29 s.
+    val ingestInput = graft.sources.Generators.flowJson(spark, INGEST_ROWS).persist()
+    ingestInput.count() // materialize outside the timed region
+    def ingestOnce(): Double = {
+      val t0 = System.nanoTime()
+      ingestPipeline(ingestInput).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    ingestOnce() // warm-up
+    val ingestSec = (1 to 2).map { _ => System.gc(); ingestOnce() }.min
+    ingestInput.unpersist()
     System.err.println(
       f"[bench] ingest: $INGEST_ROWS rows in $ingestSec%.2f s = ${INGEST_ROWS / ingestSec}%.0f rows/s")
+    // ingest is reported per-query AND as rows/s, but kept OUT of `total`
+    // so cross-round query totals stay apples-to-apples.
     val results = queryResults :+ ("ingest_2m_jsonlog" -> ingestSec)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = queryResults.map(_._2).filter(_ >= 0).sum
+    val protocol = "per query: untimed warm-up, then min of 2 timed passes, " +
+      "System.gc() between; noop sink; ingest timed consume->sink over " +
+      "pre-materialized input (generation untimed), parse+geoip(131k ranges," +
+      "src+dst)+serviceMap+shard stages, min of 2, excluded from total"
     System.out.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""ingest_rows_per_sec":${(INGEST_ROWS / ingestSec).toLong},""" +
+        s""""protocol":"$protocol","sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

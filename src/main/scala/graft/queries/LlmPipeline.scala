@@ -136,12 +136,25 @@ object LlmPipeline {
       .orderBy("source")
   }
 
-  /** q24: SimHash-blocked near-dup (rows-only check: the 64-bit sign-vote
-    * signature is not SQL-expressible). Signatures are over 3-gram
-    * shingles, not unigrams — the synthetic corpus shares a tiny
-    * vocabulary, so unigram signatures would cluster and the band join
-    * would degenerate toward all-pairs at scale. Banded 16-bit blocking,
-    * Hamming ≤ 12, exact shingle-Jaccard ≥ 0.5 verification. */
+  /** q24: SimHash-blocked near-dup. Signatures are over 3-gram shingles,
+    * not unigrams — the synthetic corpus shares a tiny vocabulary, so
+    * unigram signatures would cluster and the band join would degenerate
+    * toward all-pairs at scale. Banded 16-bit blocking, Hamming ≤ 12,
+    * exact shingle-Jaccard ≥ 0.5 verification.
+    *
+    * Oracle: read-back. The signature/blocking path is not
+    * SQL-expressible, and making it so would require ≤4-bit bands (the
+    * pigeonhole guarantee needs bands > maxHamming), whose ≤16-value
+    * keys degenerate to near-all-pairs buckets at scale — so instead
+    * Verify copies this result to a fixed path and DuckDB re-derives the
+    * verifiable part from raw `documents`: each returned pair's ids must
+    * exist in the corpus (the join drops fabricated ids → row-count
+    * mismatch) and its exact shingle-Jaccard is recomputed and
+    * re-thresholded (dishonest similarity or a sub-0.5 pair → hash/row
+    * mismatch). `hamming` is echoed, not recomputed — its semantics are
+    * pinned by NearDupSpec; blocking recall (469/560 truth pairs at
+    * sf0.01, the Hamming≤12 cut on an approximate blocker) is pinned by
+    * the same spec rather than the oracle. */
   def q24SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = augmentedDocs(s, dir)
     // signature once per doc, in its own projection (multi-referenced
@@ -175,11 +188,11 @@ object LlmPipeline {
       .select(col("id_a"), col("id_b"), col("hamming"),
         MinHashLsh.shingles(col("__t_a"), 3).as("__sh_a"),
         MinHashLsh.shingles(col("__t_b"), 3).as("__sh_b"))
-      .withColumn("tok_jaccard",
+      .withColumn("jaccard",
         size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
           size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"))
-      .filter(col("tok_jaccard") >= 0.5)
-      .select("id_a", "id_b", "hamming")
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "hamming", "jaccard")
   }
 
   /** q25: embedding-cosine near-dup — label-blocked pairs with µ-rounded
@@ -215,8 +228,15 @@ object LlmPipeline {
 
   /** q28: IVF approximate cosine top-k — coarse-quantizer training on a
     * deterministic sample, map-only cell assignment, probe-join search.
-    * No oracle: IVF is approximate by construction (AnnSpec pins its
-    * recall against the exact q19 baseline — rows-only check here). */
+    *
+    * Oracle: read-back. Which neighbors IVF returns depends on the
+    * trained centroids (not SQL-expressible; recall vs the exact q19
+    * baseline is pinned by AnnSpec), but the returned rows themselves
+    * are fully checkable: DuckDB reads the result back from a fixed
+    * path, recomputes every pair's cosine from the raw `embeddings`
+    * table, and re-derives `rank` from the recomputed scores — a wrong
+    * score, a fabricated id (join drops it), or a non-monotonic ranking
+    * all break the hash compare. */
   def q28IvfAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.parallel(s, dir, "embeddings")
     Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10),
@@ -231,15 +251,22 @@ object LlmPipeline {
     * wire carries (fingerprint, doc_id), never text. Fingerprints shared
     * by > 32 docs are stop-gram buckets (common boilerplate) and are
     * dropped, the standard winnowing-at-scale guard against quadratic
-    * pair blowup. Rows-only check: the rolling hash is not
-    * SQL-expressible. */
+    * pair blowup.
+    *
+    * Oracle: read-back. The rolling-hash fingerprints are not
+    * SQL-expressible (the shared-substring guarantee is pinned by
+    * WinnowingSpec), so DuckDB reads the candidate pairs back from a
+    * fixed path, verifies both ids exist in the corpus, and recomputes
+    * each pair's shingle-Jaccard — `shared_fps` is echoed, `jaccard`
+    * (emitted here for exactly this purpose) must match an honest
+    * recomputation from raw text. */
   def q31WinnowNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = augmentedDocs(s, dir)
     val fp = ColumnBridge.col(graft.functions.WinnowFingerprints(
       ColumnBridge.expr(col("text")), k = 12, window = 8))
     val pairs = ColumnBridge.col(graft.functions.SortedPairs(
       ColumnBridge.expr(col("__ids"))))
-    docs
+    val cands = docs
       .select(col("doc_id").as("__id"), explode(fp).as("__fp"))
       .groupBy("__fp").agg(collect_list(col("__id")).as("__ids"))
       .filter(size(col("__ids")).between(2, 32))
@@ -247,7 +274,35 @@ object LlmPipeline {
       .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= 3)
+    // text joined for candidates only — the oracle recomputes this
+    // jaccard per returned pair, making the pair list driver-checkable
+    val rawA = docs.select(col("doc_id").as("id_a"), col("text").as("__t_a"))
+    val rawB = docs.select(col("doc_id").as("id_b"), col("text").as("__t_b"))
+    cands
+      .join(rawA, "id_a").join(rawB, "id_b")
+      .select(col("id_a"), col("id_b"), col("shared_fps"),
+        MinHashLsh.shingles(col("__t_a"), 3).as("__sh_a"),
+        MinHashLsh.shingles(col("__t_b"), 3).as("__sh_b"))
+      .withColumn("jaccard",
+        when(size(array_union(col("__sh_a"), col("__sh_b"))) === 0, lit(0.0))
+          .otherwise(
+            size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+              size(array_union(col("__sh_a"), col("__sh_b"))).cast("double")))
+      .select("id_a", "id_b", "shared_fps", "jaccard")
   }
+
+  /** Fixed location Verify copies selected results to, so read-back
+    * oracles (q24/q28/q31) can reference a stable absolute path — the
+    * driver chooses its own outDir, which the oracle SQL can't see. */
+  val oracleInputDir = "/root/repo/target/oracle_inputs"
+
+  /** Queries whose oracle reads the query's own output back and
+    * re-derives the SQL-expressible part from the raw tables. */
+  val oracleInputCopies: Seq[String] =
+    Seq("q24_simhash_neardup", "q28_ivf_ann", "q31_winnow_neardup")
+
+  private def readBack(name: String): String =
+    s"read_parquet('$oracleInputDir/$name.parquet/*.parquet')"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_minhash_neardup" -> q18MinhashNearDup _,
@@ -341,8 +396,63 @@ object LlmPipeline {
       """SELECT source, count(DISTINCT lower(trim(text))) AS n_unique,
         | count(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-    // q24 has no oracle: xxhash64-based SimHash signatures are not
-    // SQL-expressible; driver records a rows-only check.
+    // Read-back oracles (q24/q28/q31): re-derive every SQL-expressible
+    // column of the returned rows from the raw tables; see each query's
+    // scaladoc for the verified-vs-echoed split.
+    "q24_simhash_neardup" ->
+      s"""WITH $augmentedSql,
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2])) AS s
+        |  FROM aug),
+        |pairs AS (SELECT id_a, id_b, hamming FROM ${readBack("q24_simhash_neardup")})
+        |SELECT p.id_a, p.id_b, p.hamming,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM pairs p
+        |JOIN sh a ON a.doc_id = p.id_a
+        |JOIN sh b ON b.doc_id = p.id_b
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q28_ivf_ann" ->
+      s"""WITH pairs AS (
+        |  SELECT q_id, nn_id FROM ${readBack("q28_ivf_ann")}),
+        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |rescored AS (
+        |  SELECT p.q_id, p.nn_id,
+        |    round(list_cosine_similarity(q.v, c.v), 6) AS cos
+        |  FROM pairs p
+        |  JOIN emb q ON q.vec_id = p.q_id
+        |  JOIN emb c ON c.vec_id = p.nn_id)
+        |SELECT q_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, nn_id ASC) AS INTEGER) AS rank,
+        |  nn_id, cos
+        |FROM rescored ORDER BY q_id, rank""".stripMargin,
+    "q31_winnow_neardup" ->
+      s"""WITH $augmentedSql,
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2])) AS s
+        |  FROM aug),
+        |pairs AS (SELECT id_a, id_b, shared_fps FROM ${readBack("q31_winnow_neardup")})
+        |SELECT p.id_a, p.id_b, p.shared_fps,
+        |  CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+        |       ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |            len(list_distinct(list_concat(a.s, b.s))) END AS jaccard
+        |FROM pairs p
+        |JOIN sh a ON a.doc_id = p.id_a
+        |JOIN sh b ON b.doc_id = p.id_b
+        |ORDER BY id_a, id_b""".stripMargin,
     "q25_embed_neardup" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings

@@ -41,6 +41,40 @@ object Generators {
       (i % 4).cast("int").as("partition"), i.as("offset"))
   }
 
+  /** Pmacct-flow-shaped JSON — the reference's production record shape
+    * (README.md:14-20: pmacctd → Kafka → sinker): timestamp, src/dst IP,
+    * proto, ports, byte count, and a `class` that is mostly
+    * `Unknown/Unknown` so the serviceMap lookup path is exercised. Drives
+    * the full enrich pipeline (SearchIP src+dst, ReplaceUnknown). */
+  def flowJson(spark: SparkSession, n: Long, topic: String = "flows"): DataFrame = {
+    val df = spark.range(n)
+    val i = col("id")
+    val ts = date_format(
+      timestamp_seconds(lit(1643414400L) + i % 86400), "yyyy-MM-dd HH:mm:ss")
+    val ipSrc = concat(
+      (i % 223) + 1, lit("."), (i * 7) % 256, lit("."), (i * 13) % 256,
+      lit("."), i % 256)
+    val ipDst = concat(
+      (i * 3) % 223 + 1, lit("."), (i * 11) % 256, lit("."), (i * 17) % 256,
+      lit("."), (i * 5) % 256)
+    val proto = when(i % 2 === 0, "tcp").otherwise("udp")
+    val cls = when(i % 10 === 0, "HTTP/HTTP")
+      .when(i % 10 === 1, "Unknown/TLS")
+      .otherwise("Unknown/Unknown")
+    val value = concat(
+      lit("""{"@timestamp": """"), ts, lit("\""),
+      lit(""", "ip_src": """"), ipSrc, lit("\""),
+      lit(""", "ip_dst": """"), ipDst, lit("\""),
+      lit(""", "ip_proto": """"), proto, lit("\""),
+      lit(""", "port_src": """), lit(20000L) + i % 40000,
+      lit(""", "port_dst": """), i % 1024,
+      lit(""", "bytes": """), (i * 37) % 100000,
+      lit(""", "class": """"), cls, lit("\""),
+      lit("}"))
+    df.select(value.as("value"), lit(topic).as("topic"),
+      (i % 4).cast("int").as("partition"), i.as("offset"))
+  }
+
   /** Prometheus-style metric JSON: name, timestamp, value, labels. */
   def metricJson(spark: SparkSession, n: Long, topic: String = "metrics"): DataFrame = {
     val df = spark.range(n)

@@ -226,15 +226,26 @@ final class JsonParser {
     "" // unreachable
   }
 
+  /** True iff `lit` (lowercase) matches s at `pos` case-insensitively —
+    * allocation-free (this runs per numeric token on the hot path). */
+  private def matchesIgnoreCase(lit: String): Boolean = {
+    if (pos + lit.length > s.length) return false
+    var i = 0
+    while (i < lit.length) {
+      if (Character.toLowerCase(s.charAt(pos + i)) != lit.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
   /** JSON number grammar plus fastjson's inf/nan extension. */
   private def parseNumber(): JNum = {
     val start = pos
     if (pos < s.length && (s.charAt(pos) == '-' || s.charAt(pos) == '+')) pos += 1
     // inf / infinity / nan (case-insensitive)
-    val restLower = s.substring(pos, Math.min(s.length, pos + 8)).toLowerCase
-    if (restLower.startsWith("infinity")) pos += 8
-    else if (restLower.startsWith("inf")) pos += 3
-    else if (restLower.startsWith("nan")) pos += 3
+    if (matchesIgnoreCase("infinity")) pos += 8
+    else if (matchesIgnoreCase("inf")) pos += 3
+    else if (matchesIgnoreCase("nan")) pos += 3
     else {
       var digits = 0
       while (pos < s.length && Character.isDigit(s.charAt(pos))) { pos += 1; digits += 1 }

@@ -5,7 +5,7 @@ import java.time.ZoneId
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -132,7 +132,7 @@ case class JsonTypedRow(
         timeUnit, parseDateTime)
       i += 1
     }
-    InternalRow.fromSeq(values.toIndexedSeq)
+    new GenericInternalRow(values)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -296,7 +296,7 @@ case class CsvTypedRow(
       values(i) = extract(cell, spec)
       i += 1
     }
-    InternalRow.fromSeq(values.toIndexedSeq)
+    new GenericInternalRow(values)
   }
 
   private def extract(cell: String, spec: ColumnSpec): Any = {
