@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.LlmPipeline
+
+/** Non-vacuity / completeness pins for the read-back-oracle queries
+  * (q24/q28/q31). The read-back oracle proves every RETURNED row honest
+  * (ids exist, similarity recomputed, thresholds re-applied) but cannot
+  * catch under-generation — a query returning zero rows would pass
+  * trivially. These pins close that hole: the corpus construction plants
+  * known near-dup pairs (doc_id ↔ doc_id + 1,000,000, first word
+  * dropped), and each blocking scheme must recover (most of) them.
+  */
+class LlmPipelineSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Constructed perturbed-copy pairs: the known-true near-dups. */
+  private def plantedPairs = {
+    Tables(spark, dir, "documents")
+      .filter(col("n_chars") >= 100)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("q24 simhash recovers the planted near-dup pairs within its hamming cut") {
+    val planted = plantedPairs
+    assert(planted.nonEmpty)
+    val got = LlmPipeline.q24SimhashNearDup(spark, dir)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got.nonEmpty, "q24 returned zero pairs — vacuous oracle")
+    // every returned pair respects the hamming contract
+    assert(got.values.forall(_ <= 12))
+    // blocking is approximate, but must recover the large majority of
+    // planted pairs at this scale (misses = hamming above the cut)
+    val recovered = planted.count(got.contains)
+    assert(recovered.toDouble / planted.size >= 0.8,
+      s"q24 recovered $recovered/${planted.size} planted pairs")
+  }
+
+  test("q31 winnowing recovers planted pairs (long shared substrings guarantee fps)") {
+    val planted = plantedPairs
+    val got = LlmPipeline.q31WinnowNearDup(spark, dir)
+      .select("id_a", "id_b", "shared_fps", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty, "q31 returned zero pairs — vacuous oracle")
+    // a first-word-dropped copy shares its entire >=99-char tail: far
+    // beyond the window+k-1 guarantee, so every planted pair must appear
+    val missing = planted.filterNot(got.contains)
+    assert(missing.isEmpty, s"q31 missed planted pairs: $missing")
+    // and with high recomputed similarity
+    planted.foreach { p =>
+      assert(got(p)._2 >= 0.8, s"planted pair $p jaccard ${got(p)._2}")
+    }
+  }
+
+  test("q28 IVF returns exactly k ranked neighbors per query") {
+    val rows = LlmPipeline.q28IvfAnn(spark, dir)
+      .select("q_id", "rank", "nn_id", "cos").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty, "q28 returned zero rows — vacuous oracle")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to 10), s"q=$q ranks")
+      // ranks strictly follow descending cosine (ties by nn_id)
+      val sorted = rs.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach { case Array(hi, lo) =>
+        assert(hi.getDouble(3) > lo.getDouble(3) ||
+          (hi.getDouble(3) == lo.getDouble(3) && hi.getLong(2) < lo.getLong(2)),
+          s"q=$q rank order broken")
+      }
+    }
+  }
+}
