@@ -27,8 +27,20 @@ final case class TaskConfig(
 object TaskConfig {
 
   /** Parse the reference's task-config JSON shape (the `task` object of
-    * docker/test_*.json). Unknown fields are ignored; defaults follow
-    * config/config.go:252-263 normalization. */
+    * docker/test_*.json). Unknown fields are ignored; defaults and
+    * validation follow the `normallizeTask` rules
+    * (config/config.go:236-301):
+    *  - bufferSize ≤ 0 → 2^18; > 2^20 → 2^20; else rounded UP to the
+    *    next power of two (`1 << GetShift(…)`, util/common.go:104-108);
+    *  - flushInterval ≤ 0 → 5 s, capped at 600 s;
+    *  - timeUnit 0 → 1.0;
+    *  - prometheusSchema implies dynamicSchema (config.go:274-277);
+    *  - dynamicSchema requires the JSON parser (config.go:278-283);
+    *  - white/black lists must compile as regexes (config.go:285-296).
+    * Deliberate deviation: default timeZone is UTC, not the reference's
+    * process-local zone — a cluster of executors has no single "Local",
+    * and reproducibility across machines matters more (tests pin both
+    * behaviors via explicit zones). */
   def fromJson(json: String): TaskConfig = {
     import JValue._
     val root = new JsonParser().parse(json) match {
@@ -76,14 +88,35 @@ object TaskConfig {
       case _ => None
     }
     val timeUnit = task.get("timeUnit") match {
-      case n: JNum => n.float64
-      case _ => 1.0
+      case n: JNum if n.float64 != 0.0 => n.float64
+      case _ => 1.0 // absent or 0 → 1.0 (config.go:271-273)
     }
+    val format = if (str(task, "parser") == "csv") "csv" else "json"
+    val prometheus = bool(task, "prometheusSchema")
+    // prometheusSchema implies dynamic schema (config.go:274-277)
+    val dynamic = prometheus || dyn.get("enable") == JBool(true)
+    if (dynamic && format != "json")
+      throw new IllegalArgumentException(
+        s"Parser $format doesn't support DynamicSchema") // config.go:278-283
+    val whiteList = optStr(dyn, "whiteList")
+    val blackList = optStr(dyn, "blackList")
+    for (re <- whiteList ++ blackList) // config.go:285-296
+      try re.r catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"white/black list '$re' is invalid regexp: ${e.getMessage}")
+      }
+    // ≤0 → default; >max → max; else round UP to a power of two
+    val rawBuf = int(task, "bufferSize", 1 << 18)
+    val bufferSize =
+      if (rawBuf <= 0) 1 << 18
+      else if (rawBuf > (1 << 20)) 1 << 20
+      else 1 << graft.operators.Sharding.roundupShift(rawBuf)
+    val rawFlush = int(task, "flushInterval", 5)
     TaskConfig(
       name = str(task, "name"),
       topic = str(task, "topic"),
       parser = ParserConfig(
-        format = if (str(task, "parser") == "csv") "csv" else "json",
+        format = format,
         csvFormat = csvFormat,
         delimiter = { val d = str(task, "delimiter"); if (d.isEmpty) "," else d },
         timeUnit = timeUnit,
@@ -92,13 +125,13 @@ object TaskConfig {
       columns = dims,
       shardingKey = optStr(task, "shardingKey"),
       shardingPolicy = str(task, "shardingPolicy"),
-      bufferSize = math.min(int(task, "bufferSize", 262144), 1 << 20),
-      flushInterval = math.min(int(task, "flushInterval", 5), 600),
-      dynamicSchema = dyn.get("enable") == JBool(true),
+      bufferSize = bufferSize,
+      flushInterval = if (rawFlush <= 0) 5 else math.min(rawFlush, 600),
+      dynamicSchema = dynamic,
       maxDims = { val m = int(dyn, "maxDims", 0); if (m <= 0) Short.MaxValue else m },
-      whiteList = optStr(dyn, "whiteList"),
-      blackList = optStr(dyn, "blackList"),
+      whiteList = whiteList,
+      blackList = blackList,
       geoipHandle = bool(task, "geoipHandle"),
-      prometheusSchema = bool(task, "prometheusSchema"))
+      prometheusSchema = prometheus)
   }
 }

@@ -38,6 +38,58 @@ class ControlPlaneSpec extends AnyFunSuite {
   }
 }
 
+/** Task-config normalization parity (config.go:236-301 normallizeTask). */
+class TaskConfigNormalizeSpec extends AnyFunSuite {
+
+  private def parse(extra: String): TaskConfig =
+    TaskConfig.fromJson(
+      s"""{"name": "n", "topic": "t", "tableName": "tb",
+         |"dims": [{"name": "v", "type": "Int64"}]$extra}""".stripMargin)
+
+  test("bufferSize rounds UP to a power of two, capped at 2^20 (config.go:256-263)") {
+    assert(parse(""", "bufferSize": 100000""").bufferSize === (1 << 17))
+    assert(parse(""", "bufferSize": 262144""").bufferSize === (1 << 18))
+    assert(parse(""", "bufferSize": 0""").bufferSize === (1 << 18))
+    assert(parse(""", "bufferSize": -5""").bufferSize === (1 << 18))
+    assert(parse(""", "bufferSize": 9999999""").bufferSize === (1 << 20))
+  }
+
+  test("flushInterval: ≤0 → 5, capped at 600 (config.go:253-256)") {
+    assert(parse("").flushInterval === 5)
+    assert(parse(""", "flushInterval": 0""").flushInterval === 5)
+    assert(parse(""", "flushInterval": 9000""").flushInterval === 600)
+    assert(parse(""", "flushInterval": 30""").flushInterval === 30)
+  }
+
+  test("timeUnit 0 → 1.0 (config.go:271-273)") {
+    assert(parse(""", "timeUnit": 0""").parser.timeUnit === 1.0)
+    assert(parse(""", "timeUnit": 0.001""").parser.timeUnit === 0.001)
+  }
+
+  test("prometheusSchema implies dynamicSchema (config.go:274-277)") {
+    val c = parse(""", "prometheusSchema": true""")
+    assert(c.dynamicSchema && c.prometheusSchema)
+  }
+
+  test("dynamicSchema rejects the CSV parser (config.go:278-283)") {
+    val e = intercept[IllegalArgumentException] {
+      parse(""", "parser": "csv", "csvFormat": ["v"],
+            | "dynamicSchema": {"enable": true}""".stripMargin)
+    }
+    assert(e.getMessage.contains("DynamicSchema"))
+  }
+
+  test("white/black lists must compile as regexes (config.go:285-296)") {
+    val e = intercept[IllegalArgumentException] {
+      parse(""", "dynamicSchema": {"enable": true, "whiteList": "[unclosed"}""")
+    }
+    assert(e.getMessage.contains("invalid regexp"))
+    val ok = parse(
+      """, "dynamicSchema": {"enable": true, "whiteList": "^new", "blackList": "secret$"}""")
+    assert(ok.whiteList === Some("^new") && ok.blackList === Some("secret$"))
+  }
+}
+
 /** E1 HandleMsg = SearchIP ∘ ReplaceUnknown as one stage
   * (kafka_sarama.go:11670-11674), over the FIXTURES.md §3 flow record. */
 class HandleMsgSpec extends SparkSuite {

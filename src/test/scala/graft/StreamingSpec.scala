@@ -27,20 +27,20 @@ class TaskConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
       ("time", CType.CDateTime, false),
       ("name", CType.CString, false),
       ("value", CType.CFloat, false)))
-    assert(cfg.bufferSize === 50000)
+    // rounded UP to 2^16 (1 << GetShift(50000), config/config.go:260-262)
+    assert(cfg.bufferSize === 65536)
     assert(cfg.flushInterval === 5)
     assert(!cfg.dynamicSchema)
   }
 
-  test("dynamic-schema + sharding + csv knobs") {
+  test("csv + sharding knobs") {
     val cfg = TaskConfig.fromJson(
       """{"name": "t", "topic": "x", "parser": "csv",
         |  "csvFormat": ["a", "b"], "delimiter": "|",
         |  "tableName": "t", "dims": [{"name": "a", "type": "Int64"}],
         |  "shardingKey": "a", "shardingPolicy": "stripe,16",
-        |  "flushInterval": 9999, "timeUnit": 0.001, "timeZone": "Asia/Shanghai",
-        |  "dynamicSchema": {"enable": true, "maxDims": 8,
-        |    "whiteList": "^new", "blackList": "secret"}}""".stripMargin)
+        |  "flushInterval": 9999, "timeUnit": 0.001,
+        |  "timeZone": "Asia/Shanghai"}""".stripMargin)
     assert(cfg.parser.format === "csv")
     assert(cfg.parser.csvFormat === Seq("a", "b"))
     assert(cfg.parser.delimiter === "|")
@@ -49,6 +49,14 @@ class TaskConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(cfg.shardingKey === Some("a"))
     assert(cfg.shardingPolicy === "stripe,16")
     assert(cfg.flushInterval === 600) // clamped (config/config.go:255)
+  }
+
+  test("dynamic-schema knobs (JSON parser — csv is rejected, config.go:278-283)") {
+    val cfg = TaskConfig.fromJson(
+      """{"name": "t", "topic": "x", "parser": "json",
+        |  "tableName": "t", "dims": [{"name": "a", "type": "Int64"}],
+        |  "dynamicSchema": {"enable": true, "maxDims": 8,
+        |    "whiteList": "^new", "blackList": "secret"}}""".stripMargin)
     assert(cfg.dynamicSchema && cfg.maxDims === 8)
     assert(cfg.whiteList === Some("^new") && cfg.blackList === Some("secret"))
   }
