@@ -24,6 +24,30 @@ trait InsertTarget {
 final class SinkUnavailableException(msg: String, cause: Throwable = null)
     extends RuntimeException(msg, cause)
 
+/** Process-wide sink counters named after the reference's Prometheus
+  * metrics (statistics/statistics.go:93-120): `FlushMsgsErrorTotal`
+  * (quarantined rows) and `ClickHouseReconnectTotal` (replica
+  * rotations). Per-JVM scope — in local mode that is the whole engine;
+  * on a cluster each executor's counters feed its metrics sink the way
+  * each sinker process feeds its own pushgateway. */
+object SinkStats {
+  private val counters =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+
+  def add(name: String, n: Long): Unit =
+    counters.computeIfAbsent(name, _ => new java.util.concurrent.atomic.LongAdder).add(n)
+
+  def get(name: String): Long =
+    Option(counters.get(name)).map(_.sum()).getOrElse(0L)
+
+  def snapshot: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    counters.asScala.map { case (k, v) => k -> v.sum() }.toMap
+  }
+
+  def reset(): Unit = counters.clear()
+}
+
 /** One write attempt with bad-row quarantine: try the whole batch; on
   * failure, probe row-by-row, collect the failing rows, and re-insert
   * everything else. Returns the quarantined rows (counted as parse
@@ -46,7 +70,9 @@ object QuarantineWriter {
           }
         }
         // rollback semantics: per-row probes above double as the re-insert
-        bad.result()
+        val quarantined = bad.result()
+        SinkStats.add("FlushMsgsErrorTotal", quarantined.size.toLong)
+        quarantined
     }
   }
 }
@@ -92,6 +118,7 @@ object RetryingWriter {
           attempt += 1
           if (retryTimes > 0 && attempt >= retryTimes) throw e
           ring.nextGoodReplica(version)
+          SinkStats.add("ClickHouseReconnectTotal", 1L)
           if (sleepMs > 0) Thread.sleep(sleepMs)
       }
     }

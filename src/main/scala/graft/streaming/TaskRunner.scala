@@ -57,7 +57,10 @@ object TaskRunner {
         MessageParser.parsed(col("value"), dataSpecs, cfg.parser))
       .observe(s"graft_${cfg.name}",
         count(lit(1)).as("ConsumeMsgsTotal"),
-        count(when(col("__parsed").isNull, 1)).as("ParseMsgsErrorTotal"))
+        count(when(col("__parsed").isNull, 1)).as("ParseMsgsErrorTotal"),
+        // high-water offset (statistics.go ConsumeOffsets gauge) — merged
+        // with max, not sum, in StreamMetrics
+        coalesce(max(col("offset")), lit(-1L)).as("ConsumeOffsets"))
       .filter(col("__parsed").isNotNull)
     val projected = withParsed.select(dataSpecs.map { s =>
       if (MessageParser.isVirtual(s.name))
@@ -130,7 +133,9 @@ final class StreamMetrics extends StreamingQueryListener {
     e.progress.observedMetrics.forEach { (_, row) =>
       row.schema.fieldNames.foreach { f =>
         val v = row.getAs[Long](f)
-        totals.merge(f, v, (a, b) => a + b)
+        // gauges (high-water offsets) keep their max; counters sum
+        if (f == "ConsumeOffsets") totals.merge(f, v, (a, b) => math.max(a, b))
+        else totals.merge(f, v, (a, b) => a + b)
       }
     }
     // rows delivered to the sink (statistics.go FlushMsgsTotal)

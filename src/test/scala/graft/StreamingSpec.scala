@@ -131,10 +131,13 @@ class SinkWriterSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("quarantine: batch failure falls back to per-row, bad rows returned") {
+    SinkStats.reset()
     val t = new FlakyTarget(Set(3, 7))
     val bad = QuarantineWriter.write(t, (1 to 10).map(row))
     assert(bad.map(_.getInt(0)) === Seq(3, 7))
     assert(t.inserted.result() === Seq(1, 2, 4, 5, 6, 8, 9, 10))
+    // statistics.go flush_msgs_error_total analog
+    assert(SinkStats.get("FlushMsgsErrorTotal") === 2L)
   }
 
   test("quarantine: clean batch inserts once") {
@@ -150,6 +153,7 @@ class SinkWriterSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("retry rotates replicas and succeeds on a good one") {
+    SinkStats.reset()
     val dead = new DeadTarget
     val good = new FlakyTarget(Set.empty)
     val ring = new ReplicaRing(2)
@@ -157,6 +161,8 @@ class SinkWriterSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(bad.isEmpty)
     assert(good.inserted.result() === Seq(1, 2, 3))
     assert(dead.calls === 1)
+    // statistics.go clickhouse_reconnect_total analog
+    assert(SinkStats.get("ClickHouseReconnectTotal") === 1L)
   }
 
   test("retry gives up after retryTimes") {
