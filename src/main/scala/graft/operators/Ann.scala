@@ -162,12 +162,13 @@ object Ann {
 
   /** IVF approximate top-k: train a coarse quantizer on a sample, assign
     * every corpus vector to its nearest cell (pure map — the 100 TB
-    * analog is writing the corpus bucketed by `__cell` once and reusing
-    * it across queries), probe each query's `nProbe` nearest cells, and
-    * exact-re-rank only the probed cells' vectors. The probe join
-    * broadcasts (query × nProbe) rows — the corpus is never shuffled;
-    * the only corpus-wide work is one scan. Recall is tuned by
-    * nCells/nProbe (AnnSpec pins recall@10 vs [[bruteForceTopK]]). */
+    * analog is [[writeIvfIndex]]: the corpus written bucketed by
+    * `__cell` once and reused across queries), probe each query's
+    * `nProbe` nearest cells, and exact-re-rank only the probed cells'
+    * vectors. The probe join broadcasts (query × nProbe) rows — the
+    * corpus is never shuffled; the only corpus-wide work is one scan.
+    * Recall is tuned by nCells/nProbe (AnnSpec pins recall@10 vs
+    * [[bruteForceTopK]]). */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -185,6 +186,59 @@ object Ann {
     c.join(broadcast(q),
         col("__cell") === col("__probe") && col("nn_id") =!= col("q_id"))
       .withColumn("cos", round(cosine(col("__q"), col("__v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "nn_id", "cos")
+  }
+
+  /** Persist the corpus as an IVF index: one pass assigns cells, the
+    * data lands parquet-partitioned by `__cell` (a directory per cell),
+    * and the trained centroids are stored alongside. This is the 100 TB
+    * deployment shape the one-shot [[ivfTopK]] scaladoc promises: index
+    * once, then every search reads ONLY the probed cells' directories —
+    * the scan cost per query batch is `nProbe / nCells` of the corpus,
+    * enforced by partition pruning rather than trust. */
+  def writeIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nCells: Int = 16, iters: Int = 2, sampleN: Int = 2048): Unit = {
+    val spark = corpus.sparkSession
+    val cents = trainCentroids(corpus, idCol, vecCol, nCells, iters, sampleN)
+    corpus
+      .select(col(idCol).as("nn_id"), toDoubleArray(col(vecCol)).as("vec"))
+      .withColumn("__cell", element_at(nearestCells(col("vec"), cents, 1), 1))
+      .write.partitionBy("__cell").mode("overwrite").parquet(s"$path/data")
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Search a persisted IVF index. The probed cells are resolved
+    * driver-side from the (tiny) stored centroid table, so the corpus
+    * scan carries a LITERAL `__cell IN (…)` predicate — Catalyst prunes
+    * the non-probed partition directories before any I/O (visible as
+    * `PartitionFilters` on the scan; AnnSpec asserts it). Queries then
+    * broadcast exactly as in [[ivfTopK]]. */
+  def searchIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val q = queries
+      .select(col(idCol).as("q_id"), toDoubleArray(col(vecCol)).as("__q"))
+      .withColumn("__probe", explode(nearestCells(col("__q"), cents, nProbe)))
+    // literal probe set: union of all queries' probed cells (queries are
+    // a small set by contract — they broadcast)
+    val probed = q.select("__probe").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(s"$path/data")
+      .filter(col("__cell").isin(probed.map(Integer.valueOf): _*))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    c.join(broadcast(q),
+        col("__cell") === col("__probe") && col("nn_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("__q"), col("vec")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "nn_id", "cos")

@@ -101,4 +101,31 @@ class AnnSpec extends SparkSuite {
     info(s"IVF recall@10 = $recall (probed 8/16 cells)")
     assert(recall >= 0.7, s"recall $recall too low")
   }
+
+  test("persisted IVF index: search equals one-shot ivfTopK and prunes partitions") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString
+
+    Ann.writeIvfIndex(emb, "vec_id", "embedding", path, nCells = 16)
+    // 16 cell directories on disk
+    val cellDirs = new java.io.File(s"$path/data").listFiles()
+      .filter(_.getName.startsWith("__cell=")).map(_.getName).toSet
+    assert(cellDirs.size === 16)
+
+    val viaIndex = Ann.searchIvfIndex(spark, path, queries,
+      "vec_id", "embedding", k = 10, nProbe = 8)
+    // training is deterministic (seeded hash-ordered sample, decimal
+    // means) → the stored index must reproduce the one-shot results
+    val oneShot = Ann.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+      nCells = 16, nProbe = 8)
+    assert(viaIndex.collect().map(_.toSeq).toSet ===
+      oneShot.collect().map(_.toSeq).toSet)
+
+    // the scan must carry the literal probe-set partition filter: only
+    // the probed cells' directories are read, nProbe/nCells of the data
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__cell"),
+      s"no partition pruning in:\n$plan")
+  }
 }
