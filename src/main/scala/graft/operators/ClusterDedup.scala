@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cluster-level dedup over verified near-dup pairs: assign every
+  * document in the pair graph its connected component's minimum id as
+  * the representative, so a dedup pipeline keeps one doc per near-dup
+  * cluster (the first-seen/smallest id) instead of enumerating the
+  * cluster's quadratic pair set — the scale escape hatch
+  * [[MinHashLsh.candidatePairs]]'s scaladoc promises for mega-clusters.
+  *
+  * Implementation is iterative min-label propagation: each round every
+  * node takes the min of its own label and its neighbors' labels — one
+  * shuffle join + one aggregation per round, label table is (id, id)
+  * longs (never text). Rounds needed = graph diameter, and near-dup
+  * clusters are quasi-cliques (diameter 1-2; a pathological chain of
+  * length d needs ~log2(d) doubling… this simple propagation needs d —
+  * acceptable because LSH blocking produces dense clusters, and
+  * `maxIter` bounds the worst case). The driver-side loop runs a count
+  * action per round on the (tiny) changed-label set; the corpus itself
+  * is never involved — only pair ids.
+  */
+object ClusterDedup {
+
+  /** (doc_id, rep_id) for every doc appearing in `pairs` (id_a, id_b).
+    * rep_id = min doc_id of the connected component. */
+  def clusterReps(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+      .localCheckpoint() // cut lineage: edges re-read every round
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("lab")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
+          (col("nmin") < col("lab")).as("__changed"))
+        .localCheckpoint()
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.drop("__changed")
+      it += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lab").as("rep_id"))
+  }
+
+  /** Keep one representative per cluster: `docs` minus every doc whose
+    * cluster rep is a different (smaller) id. Docs in no pair survive. */
+  def dedupKeepReps(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val losers = clusterReps(pairs)
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id").as(s"__loser"))
+    docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
+  }
+}

@@ -291,6 +291,17 @@ object LlmPipeline {
       .select("id_a", "id_b", "shared_fps", "jaccard")
   }
 
+  /** q32: cluster-level dedup — connected-component representative
+    * (min id) for every doc in the verified q18 near-dup pair graph,
+    * via iterative min-label propagation over (id, id) longs. The
+    * oracle recomputes the exhaustive pair graph AND the exact
+    * transitive closure with a recursive CTE — a genuinely full
+    * correctness check of the component assignment. */
+  def q32ClusterDedup(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q18MinhashNearDup(s, dir).select("id_a", "id_b")
+    graft.operators.ClusterDedup.clusterReps(pairs)
+  }
+
   /** Fixed location Verify copies selected results to, so read-back
     * oracles (q24/q28/q31) can reference a stable absolute path — the
     * driver chooses its own outDir, which the oracle SQL can't see. */
@@ -315,7 +326,8 @@ object LlmPipeline {
     "q23_fingerprint" -> q23Fingerprint _,
     "q24_simhash_neardup" -> q24SimhashNearDup _,
     "q25_embed_neardup" -> q25EmbedNearDup _,
-    "q26_media_meta" -> q26MediaMeta _)
+    "q26_media_meta" -> q26MediaMeta _,
+    "q32_cluster_dedup" -> q32ClusterDedup _)
 
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" ->
@@ -466,6 +478,30 @@ object LlmPipeline {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+    "q32_cluster_dedup" ->
+      s"""WITH RECURSIVE $augmentedSql,
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2])) AS s
+        |  FROM aug),
+        |sh2 AS (SELECT * FROM sh WHERE len(s) > 0),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s)
+        |SELECT s AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS rep_id
+        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
     "q26_media_meta" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
         | CAST(strlen(text) AS BIGINT) AS size_bytes,

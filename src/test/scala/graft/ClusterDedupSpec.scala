@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ClusterDedup
+
+/** Connected-component representative assignment over near-dup pairs. */
+class ClusterDedupSpec extends SparkSuite {
+
+  test("clusters resolve to their min id; disjoint clusters stay separate") {
+    import spark.implicits._
+    // {1,2,3} via chain, {5,6} via one pair, 9-10-11 triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 10L), (10L, 11L), (9L, 11L))
+      .toDF("id_a", "id_b")
+    val reps = ClusterDedup.clusterReps(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(reps === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L,
+      9L -> 9L, 10L -> 9L, 11L -> 9L))
+  }
+
+  test("long chain converges within maxIter (diameter bound)") {
+    import spark.implicits._
+    // path graph 100-101-...-107: diameter 7
+    val pairs = (100L until 107L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val reps = ClusterDedup.clusterReps(pairs, maxIter = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(reps.forall(_._2 == 100L), s"chain did not converge: ${reps.toSeq}")
+  }
+
+  test("dedupKeepReps keeps one doc per cluster plus all unpaired docs") {
+    import spark.implicits._
+    val docs = (1L to 7L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = ClusterDedup.dedupKeepReps(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 2,3 fold into 1; 6 folds into 5; 4 and 7 were never paired
+    assert(kept === Seq(1L, 4L, 5L, 7L))
+  }
+}
