@@ -26,11 +26,16 @@ object ClusterDedup {
   /** (doc_id, rep_id) for every doc appearing in `pairs` (id_a, id_b).
     * rep_id = min doc_id of the connected component. */
   def clusterReps(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs
+    // checkpoint the pair list FIRST: the union reads it twice and each
+    // propagation round reads the edges again — without the cut, an
+    // expensive upstream pipeline (e.g. the whole LSH blocking) would
+    // re-execute 2 + 2·rounds times
+    val p = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .unionByName(pairs.select(col("id_b").cast("long").as("src"),
-        col("id_a").cast("long").as("dst")))
-      .localCheckpoint() // cut lineage: edges re-read every round
+      .localCheckpoint()
+    val edges = p
+      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
       .localCheckpoint()
