@@ -110,6 +110,47 @@ object Ann {
       .select("q_id", "rank", "nn_id", "cos")
   }
 
+  /** Embedding near-dup pairs WITHOUT a blocking label: hyperplane-LSH
+    * over the whole corpus — the scale path next to the label-blocked
+    * variant (q25), which degenerates quadratically when labels are
+    * absent or huge. Signature bands bucket the corpus exactly like the
+    * MinHash pipeline (ONE shuffle of (band, bucket, id); vectors join
+    * back only for candidate pairs), then candidates verify by exact
+    * cosine.
+    *
+    * Recall: exactly-parallel duplicates (scaled copies — scaling is
+    * exact in binary FP, so every dot product keeps its sign) have
+    * IDENTICAL signatures and share every band: guaranteed candidates.
+    * Near-parallel pairs at cos ≥ 0.999 miss a 16-bit band only when a
+    * hyperplane splits them (≈0.0046/plane ⇒ ≥1 clean band of 4 w.p.
+    * ~0.99998). */
+  def embedNearDupLsh(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, nPlanes: Int = 64, bandBits: Int = 16): DataFrame = {
+    require(nPlanes % bandBits == 0 && nPlanes <= 64)
+    val nBands = nPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+    // signature materialized once per row in its own projection
+    val sigs = corpus.select(col(idCol).as("__id"),
+      hyperplaneSignature(toDoubleArray(col(vecCol)), nPlanes).as("__sig"))
+    val bands = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask)).as("bucket"))
+    }
+    val buckets = sigs
+      .select(col("__id"), explode(array(bands: _*)).as("__bb"))
+      .select(col("__id"), col("__bb.band").as("__band"),
+        col("__bb.bucket").as("__bucket"))
+    val cands = MinHashLsh.candidatePairs(buckets)
+    val a = corpus.select(col(idCol).as("id_a"), toDoubleArray(col(vecCol)).as("__va"))
+    val b = corpus.select(col(idCol).as("id_b"), toDoubleArray(col(vecCol)).as("__vb"))
+    cands
+      .join(a, "id_a").join(b, "id_b")
+      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Top-`nProbe` nearest-centroid indices — the IVF coarse quantizer
     * ([[graft.functions.NearestCells]], a plan-constant map). */
   def nearestCells(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =

@@ -291,6 +291,20 @@ object LlmPipeline {
       .select("id_a", "id_b", "shared_fps", "jaccard")
   }
 
+  /** q33: embedding near-dup via hyperplane LSH — the label-free scale
+    * path beside q25's label-blocked variant. Oracle: exhaustive
+    * all-pairs cosine scan (valid because scaled copies have provably
+    * identical signatures — FP scaling preserves every dot sign — and
+    * the fixture has zero natural cos ≥ 0.999 pairs, verified). */
+  def q33EmbedNearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.parallel(s, dir, "embeddings")
+    val scaled = emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * 2).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(scaled)
+    Ann.embedNearDupLsh(corpus, "vec_id", "embedding", minCos = 0.999)
+  }
+
   /** q32: cluster-level dedup — connected-component representative
     * (min id) for every doc in the verified q18 near-dup pair graph,
     * via iterative min-label propagation over (id, id) longs. The
@@ -327,7 +341,8 @@ object LlmPipeline {
     "q24_simhash_neardup" -> q24SimhashNearDup _,
     "q25_embed_neardup" -> q25EmbedNearDup _,
     "q26_media_meta" -> q26MediaMeta _,
-    "q32_cluster_dedup" -> q32ClusterDedup _)
+    "q32_cluster_dedup" -> q32ClusterDedup _,
+    "q33_embed_neardup_lsh" -> q33EmbedNearDupLsh _)
 
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" ->
@@ -502,6 +517,17 @@ object LlmPipeline {
         |  SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s)
         |SELECT s AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS rep_id
         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+    "q33_embed_neardup_lsh" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 2)
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
     "q26_media_meta" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
         | CAST(strlen(text) AS BIGINT) AS size_bytes,

@@ -102,6 +102,20 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.7, s"recall $recall too low")
   }
 
+  test("embedNearDupLsh: scaled copies share every band (exact-FP sign preservation)") {
+    import spark.implicits._
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val scaled = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * 2).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(scaled)
+    val pairs = Ann.embedNearDupLsh(corpus, "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val n = emb.count()
+    // every (v, 2v) pair found with cosine exactly 1.0, nothing else
+    assert(pairs.length === n)
+    assert(pairs.forall { case (a, b, c) => b == a + 1000000L && c === 1.0 })
+  }
+
   test("persisted IVF index: search equals one-shot ivfTopK and prunes partitions") {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
