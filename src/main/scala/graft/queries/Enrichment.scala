@@ -99,10 +99,30 @@ object Enrichment {
         size(col("__ents")).as("n_entities"))
   }
 
+  /** q34: CDN domain lookup (E7) — base-domain reduction (`a.b.c → b.c`),
+    * exact match against a broadcast map, the `kunlun` substring
+    * fallback, and miss → null, all on one deterministic domain mix. */
+  def q34CdnLookup(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.parallel(s, dir, "events")
+    val bases = Seq(
+      "cdn.cloudfront.net", "img.akamai.com",
+      "edge.mykunlun.net", "static.example.com")
+    val cdnMap = Map(
+      "cloudfront.net" -> "Amazon CloudFront",
+      "akamai.com" -> "Akamai")
+    val domain = element_at(
+      array(bases.map(lit): _*), pmod(col("user_id"), lit(4)).cast("int") + 1)
+    events.select(
+      col("event_id"),
+      domain.as("domain"),
+      graft.enrich.Cdn.lookup(cdnMap)(domain).as("cdn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_ip_enrich" -> q15IpEnrich _,
     "q16_class_normalize" -> q16ClassNormalize _,
-    "q27_entity_extract" -> q27EntityExtract _)
+    "q27_entity_extract" -> q27EntityExtract _,
+    "q34_cdn_lookup" -> q34CdnLookup _)
 
   val oracles: Map[String, String] = Map(
     "q15_ip_enrich" ->
@@ -154,6 +174,19 @@ object Enrichment {
         |LEFT JOIN svc s ON s.key = f.proto || ':' || CAST(f.psrc AS VARCHAR)
         |LEFT JOIN svc d ON d.key = f.proto || ':' || CAST(f.pdst AS VARCHAR)
         |ORDER BY event_id""".stripMargin,
+    "q34_cdn_lookup" ->
+      """SELECT event_id,
+        |  CASE user_id % 4
+        |    WHEN 0 THEN 'cdn.cloudfront.net'
+        |    WHEN 1 THEN 'img.akamai.com'
+        |    WHEN 2 THEN 'edge.mykunlun.net'
+        |    ELSE 'static.example.com' END AS domain,
+        |  CASE user_id % 4
+        |    WHEN 0 THEN 'Amazon CloudFront'
+        |    WHEN 1 THEN 'Akamai'
+        |    WHEN 2 THEN '阿里云 CDN'
+        |    ELSE NULL END AS cdn
+        |FROM events ORDER BY event_id""".stripMargin,
     "q27_entity_extract" ->
       """SELECT event_id,
         |  CAST(user_id % 80 AS VARCHAR) || '.' ||
