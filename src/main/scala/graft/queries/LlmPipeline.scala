@@ -196,7 +196,8 @@ object LlmPipeline {
   }
 
   /** q25: embedding-cosine near-dup — label-blocked pairs with µ-rounded
-    * cosine ≥ 0.999 (scaled copies keep direction → cosine 1). */
+    * cosine ≥ 0.999 (scaled copies keep direction → cosine 1). The
+    * label-free scale path is q33 ([[Ann.embedNearDupLsh]]). */
   def q25EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.parallel(s, dir, "embeddings")
     val scaled = emb.select(

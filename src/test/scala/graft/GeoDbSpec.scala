@@ -196,6 +196,15 @@ class GeoDbSpec extends SparkSuite {
     assert(MmdbConverter.readAll(db).map(_.country) === Seq("中国", "美国"))
   }
 
+  test("mmdb: readAllV6 enumerates top-64-bit ranges (zx key scheme)") {
+    // 2001:db8::/32 — the documentation prefix
+    val prefix32 = bits(0x20010db8L, 32)
+    val db = MmdbTestDb.build(Seq(prefix32 -> 0), Seq(recCn), ipVersion = 6)
+    val ranges = MmdbConverter.readAllV6(db)
+    assert(ranges === Seq(graft.enrich.IpRange(
+      0x20010db8L << 32, (0x20010db8L << 32) | 0xffffffffL, "中国", "北京")))
+  }
+
   test("mmdb: pointer values resolve into the data section") {
     // record 1 sits at data offset 0; record for 3.0.0.0/8 points at it
     val ptrRec = MmdbTestDb.encPtr(0)
