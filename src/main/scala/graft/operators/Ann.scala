@@ -51,25 +51,12 @@ object Ann {
   }
 
   /** Sign-bit signature of a double-array column under `nPlanes`
-    * deterministic pseudo-random hyperplanes. Plane p's weight for
-    * dimension d is derived from xxhash64(p, d) mapped into [-1, 1). */
-  def hyperplaneSignature(vec: Column, nPlanes: Int): Column = {
-    val planes = (0 until nPlanes).map { p =>
-      val weighted = zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, d) => x * planeWeight(p, d))
-      val dot = aggregate(weighted, lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    planes.reduce((a, b) => a.bitwiseOR(b))
-  }
-
-  /** Deterministic weight in [-1, 1): xxhash64 with the plane index as
-    * seed, scaled by 2^63. */
-  private def planeWeight(p: Int, d: Column): Column = {
-    val h = ColumnBridge.col(new XxHash64(
-      Seq(ColumnBridge.expr(d.cast("long"))), p.toLong))
-    h.cast("double") / lit(9.223372036854776e18)
-  }
+    * deterministic pseudo-random hyperplanes — one native fused pass
+    * ([[graft.functions.HyperplaneSignature]]; plane p's weight for
+    * dimension d is xxhash64(d, seed=p) mapped into [-1, 1)). */
+  def hyperplaneSignature(vec: Column, nPlanes: Int): Column =
+    ColumnBridge.col(graft.functions.HyperplaneSignature(
+      ColumnBridge.expr(vec), nPlanes))
 
   /** Approximate top-k: signature bands → bucket join → exact re-rank of
     * candidates. Bands of `bandBits` bits each; a candidate must share at
@@ -83,12 +70,16 @@ object Ann {
     val mask = (1L << bandBits) - 1
 
     def withBands(df: DataFrame, id: String): DataFrame = {
-      val sig = hyperplaneSignature(col(s"__v_$id"), nPlanes)
+      // signature materialized ONCE per row in its own projection — the
+      // multi-referenced non-cheap alias is not collapsed into the band
+      // structs (inlining it would recompute the signature per band)
       val bands = (0 until nBands).map { b =>
         struct(lit(b).as("band"),
-          shiftright(sig, b * bandBits).bitwiseAND(lit(mask)).as("key"))
+          shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
       }
       df.select(col(idCol).as(id), toDoubleArray(col(vecCol)).as(s"__v_$id"))
+        .withColumn("__sig", hyperplaneSignature(col(s"__v_$id"), nPlanes))
+        .filter(col("__sig").isNotNull) // empty vectors have no signature
         .withColumn("__band", explode(array(bands: _*)))
         .select(col(id), col(s"__v_$id"), col("__band.band").as("__b"),
           col("__band.key").as("__k"))
@@ -132,7 +123,8 @@ object Ann {
     val mask = (1L << bandBits) - 1
     // signature materialized once per row in its own projection
     val sigs = corpus.select(col(idCol).as("__id"),
-      hyperplaneSignature(toDoubleArray(col(vecCol)), nPlanes).as("__sig"))
+        hyperplaneSignature(toDoubleArray(col(vecCol)), nPlanes).as("__sig"))
+      .filter(col("__sig").isNotNull) // empty vectors have no signature
     val bands = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask)).as("bucket"))
