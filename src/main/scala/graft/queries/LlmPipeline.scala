@@ -122,6 +122,53 @@ object LlmPipeline {
       .orderBy("lang")
   }
 
+  /** q35: repetition scoring (Gopher-style quality signal): the fraction
+    * of all word bigrams taken by the single most frequent bigram — high
+    * values flag boilerplate/looping text. Non-distinct bigrams via
+    * transform over index sequences (WordShingles dedups, so it can't be
+    * used here); two partial-agg shuffles of (doc, gram-hash) — the gram
+    * itself is hashed to 8 bytes before the wire. */
+  def q35Repetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(s, dir, "documents")
+    val w = split(col("text"), " ")
+    val grams = transform(sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+    docs
+      .select(col("doc_id"), explode(grams).as("__gram"))
+      // 8-byte fingerprint crosses the shuffle, never the gram text
+      .select(col("doc_id"), Hashes.xxhash64Seed0(col("__gram")).as("__g"))
+      .groupBy("doc_id", "__g").agg(count(lit(1)).as("__n"))
+      .groupBy("doc_id").agg(
+        sum(col("__n")).as("n_bigrams"),
+        max(col("__n")).as("top_bigram_n"))
+      .withColumn("top_frac",
+        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6))
+      .withColumn("repetitive", col("top_frac") >= 0.18)
+  }
+
+  /** q36: PII extraction — emails and phone-shaped tokens pulled with
+    * fixed regexes from a deterministic rendered line (the corpus is
+    * synthetic, so PII is planted the same way q27 plants entities);
+    * pure map, regex dialect shared by Spark and the DuckDB oracle. */
+  def q36PiiExtract(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.parallel(s, dir, "events")
+    val line = concat(
+      lit("user "), col("user_id"), lit(" contact "),
+      col("event_type"), col("user_id"), lit("@example.com"),
+      lit(" or "), col("event_type"), lit("_admin@corp.io tel "),
+      pmod(col("user_id"), lit(900)) + 100, lit("-"),
+      pmod(col("user_id") * 7, lit(9000)) + 1000)
+    val emails = regexp_extract_all(line,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))
+    val phones = regexp_extract_all(line, lit("[0-9]{3}-[0-9]{4}"), lit(0))
+    events.select(
+      col("event_id"),
+      element_at(emails, 1).as("email_1"),
+      element_at(emails, 2).as("email_2"),
+      element_at(phones, 1).as("phone"),
+      (size(emails) + size(phones)).cast("long").as("n_pii"))
+  }
+
   /** q23: document fingerprinting — 64-bit hash of the normalized text as
     * the dedup key, so the distinct-shuffle carries 8 bytes per doc
     * instead of the document body. */
@@ -343,7 +390,9 @@ object LlmPipeline {
     "q25_embed_neardup" -> q25EmbedNearDup _,
     "q26_media_meta" -> q26MediaMeta _,
     "q32_cluster_dedup" -> q32ClusterDedup _,
-    "q33_embed_neardup_lsh" -> q33EmbedNearDupLsh _)
+    "q33_embed_neardup_lsh" -> q33EmbedNearDupLsh _,
+    "q35_repetition" -> q35Repetition _,
+    "q36_pii_extract" -> q36PiiExtract _)
 
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" ->
@@ -529,6 +578,28 @@ object LlmPipeline {
         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+    "q35_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS gram
+        |  FROM w),
+        |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram)
+        |SELECT doc_id,
+        |  CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |  CAST(max(n) AS BIGINT) AS top_bigram_n,
+        |  round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_frac,
+        |  round(CAST(max(n) AS DOUBLE) / sum(n), 6) >= 0.18 AS repetitive
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q36_pii_extract" ->
+      """SELECT event_id,
+        |  event_type || CAST(user_id AS VARCHAR) || '@example.com' AS email_1,
+        |  event_type || '_admin@corp.io' AS email_2,
+        |  CAST(user_id % 900 + 100 AS VARCHAR) || '-' ||
+        |    CAST((user_id * 7) % 9000 + 1000 AS VARCHAR) AS phone,
+        |  CAST(3 AS BIGINT) AS n_pii
+        |FROM events ORDER BY event_id""".stripMargin,
     "q26_media_meta" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
         | CAST(strlen(text) AS BIGINT) AS size_bytes,
