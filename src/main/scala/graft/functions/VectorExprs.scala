@@ -369,3 +369,51 @@ case class HyperplaneSignature(child: Expression, nPlanes: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Exact shingle-Jaccard of two texts, fused into one pass: distinct
+  * k-word-gram sets of both sides and |A∩B| / |A∪B| computed directly
+  * from two hash sets — no shingle arrays materialized, no
+  * `array_intersect`/`array_union` re-hashing passes. Gram semantics are
+  * identical to [[WordShingles]] (split on single space, empty tokens
+  * kept, distinct), so swapping this in for the compose-then-divide
+  * formulation changes no output value. Empty union (both sides shorter
+  * than k words) → 0.0; the candidate-verify call sites all threshold or
+  * echo the value, and the compose form's NULL (0/0 division) is
+  * likewise dropped by every threshold filter. */
+case class ShingleJaccard(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(k >= 1)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def gramSet(text: String): java.util.HashSet[String] = {
+    val words = text.split(" ", -1)
+    val set = new java.util.HashSet[String]()
+    var i = 0
+    val last = words.length - k
+    while (i <= last) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+      set.add(sb.toString)
+      i += 1
+    }
+    set
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val setA = gramSet(a.asInstanceOf[UTF8String].toString)
+    val setB = gramSet(b.asInstanceOf[UTF8String].toString)
+    val union = setA.size + setB.size
+    if (union == 0) return java.lang.Double.valueOf(0.0)
+    var inter = 0
+    val it = setB.iterator()
+    while (it.hasNext) if (setA.contains(it.next())) inter += 1
+    java.lang.Double.valueOf(inter.toDouble / (union - inter).toDouble)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -84,11 +84,19 @@ object MinHashLsh {
       .distinct()
   }
 
+  /** Exact k-shingle Jaccard of two text columns in one fused native
+    * pass ([[graft.functions.ShingleJaccard]]) — the candidate-verify
+    * primitive shared by every blocking scheme. */
+  def shingleJaccard(a: Column, b: Column, k: Int): Column =
+    ColumnBridge.col(graft.functions.ShingleJaccard(
+      ColumnBridge.expr(a), ColumnBridge.expr(b), k))
+
   /** Full pipeline: docs(id, text) → verified near-dup pairs with exact
-    * shingle Jaccard ≥ minJaccard. Shingles are re-derived ONLY for
-    * candidate rows after the id joins — the full corpus is shingled
+    * shingle Jaccard ≥ minJaccard. The exact Jaccard is re-derived ONLY
+    * for candidate rows after the id joins — the full corpus is shingled
     * exactly once (for signatures); the verify joins move candidate raw
-    * text, never corpus-wide shingle arrays. */
+    * text, never corpus-wide shingle arrays, and the per-pair check is
+    * one fused expression rather than shingle-array compose-and-divide. */
   def nearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 32,
@@ -103,16 +111,9 @@ object MinHashLsh {
     val rawB = docs.select(col(idCol).as("id_b"), col(textCol).as("__t_b"))
     cands
       .join(rawA, "id_a").join(rawB, "id_b")
-      // materialize candidate shingles once (multi-referenced non-cheap
-      // aliases are not collapsed into the next projection)
       .select(col("id_a"), col("id_b"),
-        shingles(col("__t_a"), shingleK).as("__sh_a"),
-        shingles(col("__t_b"), shingleK).as("__sh_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-          size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"))
+        shingleJaccard(col("__t_a"), col("__t_b"), shingleK).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
   }
 }
 

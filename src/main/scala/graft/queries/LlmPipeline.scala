@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{ColumnBridge, Hashes}
-import graft.operators.{Ann, MinHashLsh, Multimodal, SimHash}
+import graft.operators.{Ann, Contamination, MinHashLsh, Multimodal, SimHash}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
   * (deduplication, similarity search, text analysis, multimodal plumbing),
@@ -233,13 +233,8 @@ object LlmPipeline {
     cands
       .join(rawA, "id_a").join(rawB, "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"),
-        MinHashLsh.shingles(col("__t_a"), 3).as("__sh_a"),
-        MinHashLsh.shingles(col("__t_b"), 3).as("__sh_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-          size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"))
+        MinHashLsh.shingleJaccard(col("__t_a"), col("__t_b"), 3).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .select("id_a", "id_b", "hamming", "jaccard")
   }
 
   /** q25: embedding-cosine near-dup — label-blocked pairs with µ-rounded
@@ -329,14 +324,7 @@ object LlmPipeline {
     cands
       .join(rawA, "id_a").join(rawB, "id_b")
       .select(col("id_a"), col("id_b"), col("shared_fps"),
-        MinHashLsh.shingles(col("__t_a"), 3).as("__sh_a"),
-        MinHashLsh.shingles(col("__t_b"), 3).as("__sh_b"))
-      .withColumn("jaccard",
-        when(size(array_union(col("__sh_a"), col("__sh_b"))) === 0, lit(0.0))
-          .otherwise(
-            size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-              size(array_union(col("__sh_a"), col("__sh_b"))).cast("double")))
-      .select("id_a", "id_b", "shared_fps", "jaccard")
+        MinHashLsh.shingleJaccard(col("__t_a"), col("__t_b"), 3).as("jaccard"))
   }
 
   /** q33: embedding near-dup via hyperplane LSH — the label-free scale
@@ -369,6 +357,23 @@ object LlmPipeline {
     * driver chooses its own outDir, which the oracle SQL can't see. */
   val oracleInputDir = "/root/repo/target/oracle_inputs"
 
+  /** q37: benchmark decontamination — distinct 4-word-gram overlap of
+    * every training-split doc (doc_id % 20 != 0) against the held-out
+    * benchmark split (doc_id % 20 == 0). The operator
+    * ([[graft.operators.Contamination.ngramOverlap]]) broadcasts the
+    * distinct benchmark gram set and probes the corpus in one pass, so
+    * its only shuffle is the per-doc hit count — the shape that holds
+    * when the training side is 100 TB and the eval set is thousands of
+    * docs. Oracle: fully SQL-expressible (DuckDB re-derives both splits'
+    * gram sets and the per-doc overlap counts from raw text). */
+  def q37Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(s, dir, "documents")
+    Contamination.ngramOverlap(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", k = 4)
+  }
+
   /** Queries whose oracle reads the query's own output back and
     * re-derives the SQL-expressible part from the raw tables. */
   val oracleInputCopies: Seq[String] =
@@ -392,7 +397,8 @@ object LlmPipeline {
     "q32_cluster_dedup" -> q32ClusterDedup _,
     "q33_embed_neardup_lsh" -> q33EmbedNearDupLsh _,
     "q35_repetition" -> q35Repetition _,
-    "q36_pii_extract" -> q36PiiExtract _)
+    "q36_pii_extract" -> q36PiiExtract _,
+    "q37_contamination" -> q37Contamination _)
 
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" ->
@@ -607,5 +613,28 @@ object LlmPipeline {
         | CAST(strlen(text) % 480 AS INTEGER) AS height,
         | CAST(strlen(text) // 100 + 1 AS INTEGER) AS n_frames,
         | CAST(strlen(text) % 100 AS BIGINT) AS first_frame_offset
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q37_contamination" ->
+      """WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents WHERE doc_id % 20 <> 0),
+        |bw AS (SELECT string_split(text, ' ') AS w
+        |       FROM documents WHERE doc_id % 20 = 0),
+        |bg AS (SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS gram
+        |       FROM bw, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(i)),
+        |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+        |       FROM tw, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n_hit
+        |        FROM tg JOIN bg USING(gram) GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id,
+        |  CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(cnt.n_hit, 0) AS BIGINT) AS n_contaminated,
+        |  CASE WHEN coalesce(tot.n_grams, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE round(CAST(coalesce(cnt.n_hit, 0) AS DOUBLE)
+        |                  / tot.n_grams, 6) END AS contam_frac,
+        |  coalesce(cnt.n_hit, 0) >= 1 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN tot ON tot.doc_id = d.doc_id
+        |LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+        |ORDER BY 1""".stripMargin)
 }

@@ -72,4 +72,23 @@ class LlmPipelineSpec extends SparkSuite {
       }
     }
   }
+
+  test("contamination: planted gram overlap flagged, disjoint doc clean") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "x y the quick brown fox jumps z"), // contains bench 4-grams
+      (2L, "totally unrelated words here now"), // clean
+      (3L, "a b")                               // < k words → 0 grams
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over it")).toDF("doc_id", "text")
+    val out = graft.operators.Contamination
+      .ngramOverlap(train, bench, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    // doc 1: grams "the quick brown fox" + "quick brown fox jumps" hit
+    assert(out(1L) === ((5L, 2L, true)))
+    assert(out(2L) === ((2L, 0L, false)))
+    assert(out(3L) === ((0L, 0L, false)))
+  }
 }

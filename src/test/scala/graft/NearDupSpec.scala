@@ -41,6 +41,32 @@ class NearDupSpec extends SparkSuite {
     assert(j12 === 7.0 / 8.0)
   }
 
+  test("ShingleJaccard: fused pass equals compose-then-divide on every case") {
+    import spark.implicits._
+    val cases = Seq(
+      ("a b c d e f g h i j", "b c d e f g h i j"),  // J = 7/8
+      ("a b c d e f g h i j", "a b c d e f g h i j"), // J = 1
+      ("a b c d e f g h i j", "z y x w v u t s r q"), // J = 0
+      ("a b a b a", "b a b a b"),                     // repeated grams dedup
+      ("a  b  c d", "a  b  c d"),                     // empty tokens kept
+      ("a b", "c d"),                                 // both < k words
+      ("", ""),                                       // empty strings
+      ("a b c d", "x y"))                             // one side < k words
+    val df = cases.toDF("ta", "tb")
+    val fused = df.select(
+      MinHashLsh.shingleJaccard(col("ta"), col("tb"), 3).as("j"))
+      .as[Double].collect().toSeq
+    val composed = df.select(
+      try_divide(
+        size(array_intersect(MinHashLsh.shingles(col("ta"), 3),
+          MinHashLsh.shingles(col("tb"), 3))).cast("double"),
+        size(array_union(MinHashLsh.shingles(col("ta"), 3),
+          MinHashLsh.shingles(col("tb"), 3))).cast("double")).as("j"))
+      .collect().map(r => if (r.isNullAt(0)) 0.0 else r.getDouble(0)).toSeq
+    assert(fused === composed) // fused's empty-union → 0.0 ≡ compose's NULL
+    assert(fused.take(3) === Seq(7.0 / 8.0, 1.0, 0.0))
+  }
+
   test("simhash: identical token sets → identical signature; hamming 0") {
     import spark.implicits._
     val sigs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
