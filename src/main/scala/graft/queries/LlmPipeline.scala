@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{ColumnBridge, Hashes}
-import graft.operators.{Ann, Contamination, MinHashLsh, Multimodal, SimHash}
+import graft.operators.{Ann, Contamination, DedupPipeline, MinHashLsh, Multimodal, SimHash}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
   * (deduplication, similarity search, text analysis, multimodal plumbing),
@@ -374,6 +374,23 @@ object LlmPipeline {
       "doc_id", "text", k = 4)
   }
 
+  /** q38: the full dedup stage as a user runs it — exact dedup, then
+    * near-dup cluster dedup over the exact survivors, one verdict row
+    * per doc ([[graft.operators.DedupPipeline.corpusVerdict]]). The
+    * corpus plants both duplicate kinds: perturbed copies (+1M, first
+    * word dropped → near_dup) and verbatim copies (+2M → exact_dup).
+    * Oracle: fully SQL-expressible — DuckDB re-derives the exact groups
+    * by raw text, the exhaustive jaccard pair graph over survivors, and
+    * the exact transitive closure (recursive CTE, as in q32). */
+  def q38DedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(s, dir, "documents")
+    val verbatim = docs.filter(col("n_chars") >= 100)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val corpus = augmentedDocs(s, dir).unionByName(verbatim)
+    DedupPipeline.corpusVerdict(corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 64, bands = 32, minJaccard = 0.8)
+  }
+
   /** Queries whose oracle reads the query's own output back and
     * re-derives the SQL-expressible part from the raw tables. */
   val oracleInputCopies: Seq[String] =
@@ -398,7 +415,8 @@ object LlmPipeline {
     "q33_embed_neardup_lsh" -> q33EmbedNearDupLsh _,
     "q35_repetition" -> q35Repetition _,
     "q36_pii_extract" -> q36PiiExtract _,
-    "q37_contamination" -> q37Contamination _)
+    "q37_contamination" -> q37Contamination _,
+    "q38_dedup_corpus" -> q38DedupCorpus _)
 
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" ->
@@ -636,5 +654,45 @@ object LlmPipeline {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
         |LEFT JOIN tot ON tot.doc_id = d.doc_id
         |LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+        |ORDER BY 1""".stripMargin,
+    "q38_dedup_corpus" ->
+      s"""WITH RECURSIVE $augmentedSql,
+        |aug2 AS (SELECT doc_id, text FROM aug
+        |         UNION ALL
+        |         SELECT doc_id + 2000000, text FROM documents
+        |         WHERE n_chars >= 100),
+        |g AS (SELECT doc_id, text,
+        |        min(doc_id) OVER (PARTITION BY lower(trim(text))) AS erep
+        |      FROM aug2),
+        |reps AS (SELECT doc_id, text FROM g WHERE doc_id = erep),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2])) AS s
+        |  FROM reps),
+        |sh2 AS (SELECT * FROM sh WHERE len(s) > 0),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s),
+        |comp AS (SELECT s AS doc_id, least(s, min(d)) AS rep
+        |         FROM reach GROUP BY s),
+        |near_drop AS (SELECT doc_id FROM comp WHERE doc_id <> rep)
+        |SELECT g.doc_id AS doc_id,
+        |  CASE WHEN g.doc_id <> g.erep THEN 'exact_dup'
+        |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+        |       ELSE 'kept' END AS stage,
+        |  (g.doc_id = g.erep AND nd.doc_id IS NULL) AS kept
+        |FROM g LEFT JOIN near_drop nd ON nd.doc_id = g.doc_id
         |ORDER BY 1""".stripMargin)
 }

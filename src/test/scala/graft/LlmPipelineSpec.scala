@@ -91,4 +91,21 @@ class LlmPipelineSpec extends SparkSuite {
     assert(out(2L) === ((2L, 0L, false)))
     assert(out(3L) === ((0L, 0L, false)))
   }
+
+  test("dedup pipeline: exact dups drop first, near-dups collapse to min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),  // verbatim copy → exact_dup
+      (3L, "b c d e f g h i j"),    // J = 7/8 vs doc 1 → near_dup
+      (4L, "z y x w v u t s r q")   // unrelated → kept
+    ).toDF("doc_id", "text")
+    val out = graft.operators.DedupPipeline
+      .corpusVerdict(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2))))
+      .toMap
+    assert(out === Map(
+      1L -> (("kept", true)), 2L -> (("exact_dup", false)),
+      3L -> (("near_dup", false)), 4L -> (("kept", true))))
+  }
 }
