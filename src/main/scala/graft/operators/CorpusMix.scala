@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus mixing: the stratified over/undersampling stage that turns raw
+  * corpora into a training mix ("web ×0.5, wiki ×2.5"). Each stratum has
+  * a sampling weight w: every doc emits floor(w) full copies, plus one
+  * more when its hash bucket falls below the fractional part — so the
+  * realized rate is exactly w in expectation, the choice is
+  * deterministic per doc (reproducible mixes, no RNG), and subsampling
+  * (w < 1), pass-through (w = 1) and epoch-style oversampling (w > 1)
+  * are all the same rule.
+  *
+  * Scale shape: the weight table is a broadcast dim (strata are few by
+  * definition); copy fan-out is a map-side explode — no shuffle at all,
+  * the mix is a pure one-pass projection of the corpus scan. The bucket
+  * is any integer expression in [0, buckets); production mixes hash the
+  * document id/fingerprint, fixture oracles can pass a plain modulus so
+  * the rule stays SQL-expressible.
+  */
+object CorpusMix {
+
+  /** `docs` joined to `weights` (stratumCol, weight) and fanned out to
+    * one row per (doc, copy), copy = 1..n_copies. Docs in strata with
+    * weight 0 (or absent from `weights`) emit nothing. */
+  def mix(docs: DataFrame, weights: DataFrame, stratumCol: String,
+          bucket: Column, buckets: Int = 1000): DataFrame = {
+    val w = col("__w")
+    val nCopies = (floor(w).cast("long") +
+      when(bucket < (w - floor(w)) * buckets, 1L).otherwise(0L)).as("__n")
+    val outCols = docs.columns.map(col).toSeq
+    docs
+      .join(broadcast(weights.withColumnRenamed("weight", "__w")), stratumCol)
+      .withColumn("__n", nCopies)
+      // null when n=0 → explode emits zero rows (house null-guard idiom)
+      .select(outCols :+
+        explode(when(col("__n") >= 1, sequence(lit(1L), col("__n"))))
+          .as("copy"): _*)
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{ColumnBridge, Hashes}
-import graft.operators.{Ann, Contamination, DedupPipeline, MinHashLsh, Multimodal, SimHash}
+import graft.operators.{Ann, Contamination, CorpusMix, DedupPipeline, MinHashLsh, Multimodal, SimHash}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
   * (deduplication, similarity search, text analysis, multimodal plumbing),
@@ -391,6 +391,21 @@ object LlmPipeline {
       shingleK = 3, numHashes = 64, bands = 32, minJaccard = 0.8)
   }
 
+  /** q39: corpus mixing — deterministic stratified over/undersampling
+    * by source ([[graft.operators.CorpusMix.mix]]): weights cycle
+    * {0.0, 0.5, 1.0, 2.5} over the source index, bucket = doc_id % 1000
+    * (a plain modulus keeps the oracle exact; production mixes hash).
+    * Map-side broadcast join + explode, zero shuffles. */
+  def q39CorpusMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.parallel(s, dir, "documents")
+    val weights = Seq.tabulate(20) { i =>
+      ("src" + i, Seq(0.0, 0.5, 1.0, 2.5)(i % 4))
+    }.toDF("source", "weight")
+    CorpusMix.mix(docs, weights, "source", pmod(col("doc_id"), lit(1000)))
+      .select("doc_id", "source", "copy")
+  }
+
   /** Queries whose oracle reads the query's own output back and
     * re-derives the SQL-expressible part from the raw tables. */
   val oracleInputCopies: Seq[String] =
@@ -416,7 +431,8 @@ object LlmPipeline {
     "q35_repetition" -> q35Repetition _,
     "q36_pii_extract" -> q36PiiExtract _,
     "q37_contamination" -> q37Contamination _,
-    "q38_dedup_corpus" -> q38DedupCorpus _)
+    "q38_dedup_corpus" -> q38DedupCorpus _,
+    "q39_corpus_mix" -> q39CorpusMix _)
 
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" ->
@@ -694,5 +710,20 @@ object LlmPipeline {
         |       ELSE 'kept' END AS stage,
         |  (g.doc_id = g.erep AND nd.doc_id IS NULL) AS kept
         |FROM g LEFT JOIN near_drop nd ON nd.doc_id = g.doc_id
-        |ORDER BY 1""".stripMargin)
+        |ORDER BY 1""".stripMargin,
+    "q39_corpus_mix" ->
+      """WITH wt AS (
+        |  SELECT 'src' || CAST(i AS VARCHAR) AS source,
+        |    CAST(CASE i % 4 WHEN 0 THEN 0.0 WHEN 1 THEN 0.5
+        |         WHEN 2 THEN 1.0 ELSE 2.5 END AS DOUBLE) AS w
+        |  FROM range(20) t(i)),
+        |n AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(floor(w) AS BIGINT) +
+        |      CASE WHEN d.doc_id % 1000 < (w - floor(w)) * 1000
+        |           THEN 1 ELSE 0 END AS nc
+        |  FROM documents d JOIN wt USING(source))
+        |SELECT doc_id, source, CAST(c AS BIGINT) AS copy
+        |FROM n, UNNEST(range(1, nc + 1)) t(c)
+        |ORDER BY doc_id, copy""".stripMargin)
 }

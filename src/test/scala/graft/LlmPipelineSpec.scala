@@ -108,4 +108,19 @@ class LlmPipelineSpec extends SparkSuite {
       1L -> (("kept", true)), 2L -> (("exact_dup", false)),
       3L -> (("near_dup", false)), 4L -> (("kept", true))))
   }
+
+  test("corpus mix: floor(w) copies + fractional bucket cut, w=0 drops") {
+    import spark.implicits._
+    val docs = Seq.tabulate(8)(i => (i.toLong, if (i < 4) "a" else "b"))
+      .toDF("doc_id", "src")
+    val weights = Seq(("a", 2.5), ("b", 0.0)).toDF("src", "weight")
+    val out = graft.operators.CorpusMix
+      .mix(docs, weights, "src", pmod(col("doc_id"), lit(4)), buckets = 4)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("copy").as("mx"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // w=2.5, buckets=4: frac cut = 2 → buckets 0,1 get 3 copies; 2,3 get 2
+    assert(out === Map(
+      0L -> ((3L, 3L)), 1L -> ((3L, 3L)), 2L -> ((2L, 2L)), 3L -> ((2L, 2L))))
+    // stratum b (w=0) emits nothing — not even copy 0
+  }
 }
