@@ -417,3 +417,65 @@ case class ShingleJaccard(left: Expression, right: Expression, k: Int)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** MinHash signature computed directly from the text bytes — the fused
+  * form of `MinHashSignature(WordShingles(text, k))`. Each k-word gram
+  * of a single-spaced text is a contiguous byte slice of the original
+  * UTF8String (space is never a UTF-8 continuation byte), so the
+  * signature hashes gram slices in place: zero gram strings, zero
+  * array materialization, one int-offsets pass. Produces BIT-IDENTICAL
+  * signatures to the compose form: gram bytes are the same slices
+  * WordShingles would emit, and MinHash's running min is idempotent so
+  * skipping WordShingles' dedup changes nothing. Fewer than k words →
+  * null (same null-guard contract as the compose form). */
+case class MinHashTextSignature(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && numHashes >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var nWords = 1
+    var i = 0
+    while (i < len) {
+      if (s.getByte(i) == 0x20) nWords += 1
+      i += 1
+    }
+    if (nWords < k) return null
+    val starts = new Array[Int](nWords)
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (s.getByte(i) == 0x20) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val m = nWords - k + 1
+    var g = 0
+    while (g < m) {
+      val gStart = starts(g)
+      // gram ends where word g+k-1 ends: one byte before the next word's
+      // start, or at the end of the buffer for the final word
+      val gEnd = if (g + k < nWords) starts(g + k) - 1 else len
+      val nb = gEnd - gStart
+      val h1 = XXH64.hashUnsafeBytes(base, off + gStart, nb, 0L)
+      val h2 = XXH64.hashUnsafeBytes(base, off + gStart, nb, 1L)
+      var j = 0
+      while (j < numHashes) {
+        val h = h1 + j * h2
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

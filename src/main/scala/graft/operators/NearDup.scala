@@ -28,10 +28,9 @@ object MinHashLsh {
   def shingles(text: Column, k: Int): Column =
     ColumnBridge.col(graft.functions.WordShingles(ColumnBridge.expr(text), k))
 
-  /** (id, band, bucket) — one row per doc per band. The full minhash
-    * signature is one native single-pass expression per document
-    * ([[graft.functions.MinHashSignature]]) — a pure map with NO shuffle;
-    * the signature is then cut into `bands` bucket keys.
+  /** (id, band, bucket) — one row per doc per band. `sig` is the minhash
+    * signature column (one native single-pass expression per document —
+    * a pure map with NO shuffle) cut into `bands` bucket keys.
     *
     * Deliberately NO pre-filter on empty shingle sets: a `filter` over the
     * signature expression gets predicate-pushed below both the signature
@@ -42,12 +41,10 @@ object MinHashLsh {
     * empty docs — which keeps the signature evaluated exactly once, in one
     * projection, above the exchange. */
   def bandBuckets(
-      docs: DataFrame, id: Column, shingleCol: Column,
+      docs: DataFrame, id: Column, sig: Column,
       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sig = ColumnBridge.col(
-      graft.functions.MinHashSignature(ColumnBridge.expr(shingleCol), numHashes))
     // __sig is multi-referenced and non-cheap, so CollapseProject keeps it
     // materialized in its own projection rather than inlining 32 copies.
     val withSig = docs.select(id.as("__id"), sig.as("__sig"))
@@ -101,12 +98,16 @@ object MinHashLsh {
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 32,
       minJaccard: Double = 0.8): DataFrame = {
-    // shingles feed the signature as one fused per-row expression — no
-    // intermediate filter (see bandBuckets scaladoc: a pre-filter would be
-    // pushed below the signature projection and double the hot loop)
+    // shingle+signature is ONE fused per-row expression hashing gram
+    // byte-slices in place ([[graft.functions.MinHashTextSignature]] —
+    // bit-identical to MinHashSignature∘WordShingles, no gram strings or
+    // array materialized); no intermediate filter (see bandBuckets
+    // scaladoc: a pre-filter would be pushed below the signature
+    // projection and double the hot loop)
+    val sig = ColumnBridge.col(graft.functions.MinHashTextSignature(
+      ColumnBridge.expr(col(textCol)), shingleK, numHashes))
     val cands = candidatePairs(
-      bandBuckets(docs, col(idCol), shingles(col(textCol), shingleK),
-        numHashes, bands))
+      bandBuckets(docs, col(idCol), sig, numHashes, bands))
     val rawA = docs.select(col(idCol).as("id_a"), col(textCol).as("__t_a"))
     val rawB = docs.select(col(idCol).as("id_b"), col(textCol).as("__t_b"))
     cands

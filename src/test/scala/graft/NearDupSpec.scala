@@ -67,6 +67,28 @@ class NearDupSpec extends SparkSuite {
     assert(fused.take(3) === Seq(7.0 / 8.0, 1.0, 0.0))
   }
 
+  test("MinHashTextSignature: bit-identical to MinHashSignature∘WordShingles") {
+    import spark.implicits._
+    import graft.functions.{ColumnBridge => CB}
+    val texts = Seq(
+      "a b c d e f g h i j",
+      "a b a b a",            // duplicate grams — min is idempotent
+      "a  b  c d",            // empty tokens from double spaces
+      "日本 語 テ ス ト",        // multi-byte UTF-8, spaces are gram cuts
+      "a b",                  // < k words → null
+      "")
+    val df = texts.toDF("text")
+    val fused = df.select(CB.col(graft.functions.MinHashTextSignature(
+      CB.expr(col("text")), 3, 64)).as("s")).collect()
+    val composed = df.select(CB.col(graft.functions.MinHashSignature(
+      CB.expr(MinHashLsh.shingles(col("text"), 3)), 64)).as("s")).collect()
+    fused.zip(composed).zip(texts).foreach { case ((f, c), t) =>
+      assert(f.isNullAt(0) === c.isNullAt(0), s"null mismatch for '$t'")
+      if (!f.isNullAt(0))
+        assert(f.getSeq[Long](0) === c.getSeq[Long](0), s"sig mismatch for '$t'")
+    }
+  }
+
   test("simhash: identical token sets → identical signature; hamming 0") {
     import spark.implicits._
     val sigs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
