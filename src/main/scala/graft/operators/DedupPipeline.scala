@@ -11,7 +11,8 @@ import graft.functions.Hashes
   * components), one verdict row per input document.
   *
   * Stage order matters at scale: exact dedup collapses identical bodies
-  * with a 16-byte (fingerprint, id) shuffle BEFORE the LSH pipeline
+  * with ONE fingerprint-keyed shuffle (map-side partial aggregation —
+  * duplicate bodies combine before the wire) BEFORE the LSH pipeline
   * runs, so the expensive shingle→signature scan sees each distinct body
   * once. Within the near stage everything inherits the q18/q32 shapes:
   * one (band, bucket, id) shuffle, text joined for candidates only, the
@@ -34,23 +35,26 @@ object DedupPipeline {
       minJaccard: Double = 0.8): DataFrame = {
     val withFp = docs.select(col(idCol), col(textCol),
       Hashes.xxhash64Seed0(lower(trim(col(textCol)))).as("__fp"))
-    val exactRep = withFp.groupBy("__fp").agg(min(col(idCol)).as("__erep"))
-    val tagged = withFp.join(exactRep, "__fp")
-    val exactDropped = tagged
-      .filter(col(idCol) =!= col("__erep"))
-      .select(col(idCol), lit("exact_dup").as("stage"))
-    val reps = tagged
-      .filter(col(idCol) === col("__erep"))
+    // ONE corpus shuffle for the exact stage: every text in a fingerprint
+    // group is identical, so first(text) IS the representative body and
+    // no join-back is needed — exact_dup docs are simply those whose id
+    // is not the group min, recovered id-only at verdict time
+    val reps = withFp.groupBy("__fp")
+      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
       .select(col(idCol), col(textCol))
       .localCheckpoint()
     val pairs = MinHashLsh.nearDupPairs(reps, idCol, textCol,
       shingleK, numHashes, bands, minJaccard)
     val nearDropped = ClusterDedup.clusterReps(pairs.select("id_a", "id_b"))
       .filter(col("doc_id") =!= col("rep_id"))
-      .select(col("doc_id").as(idCol), lit("near_dup").as("stage"))
+      .select(col("doc_id").as(idCol), lit(true).as("__near"))
     docs.select(col(idCol))
-      .join(exactDropped.unionByName(nearDropped), Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("stage"), lit("kept")).as("stage"))
+      .join(reps.select(col(idCol), lit(true).as("__isrep")), Seq(idCol), "left")
+      .join(nearDropped, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__isrep").isNull, "exact_dup")
+          .when(col("__near").isNotNull, "near_dup")
+          .otherwise("kept").as("stage"))
       .withColumn("kept", col("stage") === "kept")
   }
 }
