@@ -406,6 +406,34 @@ object LlmPipeline {
       .select("doc_id", "source", "copy")
   }
 
+  /** q40: Gopher/C4-style quality-filter battery — the composite
+    * rule-based document filter a pipeline applies before training:
+    * every rule is a named boolean column (auditable, so a corpus owner
+    * can see WHICH rule killed a doc, not just that one did) and `pass`
+    * is their conjunction. Pure map over the corpus scan — no shuffle,
+    * no UDF, all rules are codegen-able column expressions. */
+  def q40QualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(s, dir, "documents")
+    val toks = split(col("text"), " ")
+    val nWords = size(toks).cast("long")
+    val meanLen = round((length(col("text")) - (nWords - 1))
+      .cast("double") / nWords, 6)
+    val diversity = round(size(array_distinct(toks)).cast("double") / nWords, 6)
+    docs.select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        diversity.as("diversity"),
+        arrays_overlap(toks,
+          array(lit("the"), lit("a"), lit("and"))).as("stop_ok"))
+      .withColumn("n_words_ok", col("n_words").between(50, 10000))
+      .withColumn("word_len_ok", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("diversity_ok", col("diversity") >= 0.1)
+      .withColumn("pass",
+        col("n_words_ok") && col("word_len_ok") &&
+          col("diversity_ok") && col("stop_ok"))
+  }
+
   /** Queries whose oracle reads the query's own output back and
     * re-derives the SQL-expressible part from the raw tables. */
   val oracleInputCopies: Seq[String] =
@@ -432,7 +460,8 @@ object LlmPipeline {
     "q36_pii_extract" -> q36PiiExtract _,
     "q37_contamination" -> q37Contamination _,
     "q38_dedup_corpus" -> q38DedupCorpus _,
-    "q39_corpus_mix" -> q39CorpusMix _)
+    "q39_corpus_mix" -> q39CorpusMix _,
+    "q40_quality_filter" -> q40QualityFilter _)
 
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" ->
@@ -725,5 +754,24 @@ object LlmPipeline {
         |  FROM documents d JOIN wt USING(source))
         |SELECT doc_id, source, CAST(c AS BIGINT) AS copy
         |FROM n, UNNEST(range(1, nc + 1)) t(c)
-        |ORDER BY doc_id, copy""".stripMargin)
+        |ORDER BY doc_id, copy""".stripMargin,
+    "q40_quality_filter" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+        |           FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  round(CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w), 6)
+        |    AS mean_word_len,
+        |  round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+        |    AS diversity,
+        |  list_has_any(w, ['the', 'a', 'and']) AS stop_ok
+        |FROM t)
+        |SELECT doc_id, n_words, mean_word_len, diversity, stop_ok,
+        |  n_words BETWEEN 50 AND 10000 AS n_words_ok,
+        |  mean_word_len BETWEEN 3.0 AND 10.0 AS word_len_ok,
+        |  diversity >= 0.1 AS diversity_ok,
+        |  (n_words BETWEEN 50 AND 10000 AND
+        |   mean_word_len BETWEEN 3.0 AND 10.0 AND
+        |   diversity >= 0.1 AND stop_ok) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin)
 }
