@@ -479,3 +479,67 @@ case class MinHashTextSignature(child: Expression, k: Int, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** SimHash computed directly from text bytes — the fused form of
+  * `SimHash64(WordShingles(text, k))`, hashing k-word-gram byte slices
+  * in place like [[MinHashTextSignature]]. SimHash votes are NOT
+  * idempotent, so unlike minhash the fusion must replicate WordShingles'
+  * dedup: grams are deduped by their 64-bit hash, which equals
+  * dedup-by-content unless two distinct grams of ONE doc collide in
+  * xxhash64 (~1e-15 at hundreds of grams — accepted; blocking is
+  * probabilistic anyway and candidates are exact-verified). Fewer than
+  * k words → 0L, matching SimHash64 over an empty gram array. */
+case class SimHashTextSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1)
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var nWords = 1
+    var i = 0
+    while (i < len) {
+      if (s.getByte(i) == 0x20) nWords += 1
+      i += 1
+    }
+    if (nWords < k) return java.lang.Long.valueOf(0L)
+    val starts = new Array[Int](nWords)
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (s.getByte(i) == 0x20) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    val votes = new Array[Int](64)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val m = nWords - k + 1
+    var g = 0
+    while (g < m) {
+      val gStart = starts(g)
+      val gEnd = if (g + k < nWords) starts(g + k) - 1 else len
+      val h = XXH64.hashUnsafeBytes(base, off + gStart, gEnd - gStart, 0L)
+      if (seen.add(h)) {
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      g += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

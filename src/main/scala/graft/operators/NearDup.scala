@@ -130,6 +130,14 @@ object SimHash {
   def simhash64(tokens: Column): Column =
     ColumnBridge.col(graft.functions.SimHash64(ColumnBridge.expr(tokens)))
 
+  /** Fused simhash over k-word gram byte slices of the text — see
+    * [[graft.functions.SimHashTextSignature]] (signature-equivalent to
+    * `simhash64(shingles(text, k))` modulo within-doc 64-bit gram-hash
+    * collisions). */
+  def simhashText(text: Column, k: Int): Column =
+    ColumnBridge.col(graft.functions.SimHashTextSignature(
+      ColumnBridge.expr(text), k))
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

@@ -208,7 +208,7 @@ object LlmPipeline {
     // non-cheap alias → not collapsed); only (id, sig) ever shuffles —
     // 16 bytes/row/band, never document text
     val sigs = docs.select(col("doc_id"),
-      SimHash.simhash64(MinHashLsh.shingles(col("text"), 3)).as("sig"))
+      SimHash.simhashText(col("text"), 3).as("sig"))
     val bands = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))

@@ -89,6 +89,24 @@ class NearDupSpec extends SparkSuite {
     }
   }
 
+  test("SimHashTextSignature: equals SimHash64∘WordShingles incl. dedup cases") {
+    import spark.implicits._
+    val texts = Seq(
+      "a b c d e f g h i j",
+      "a b a b a b a b a",    // heavy gram duplication — dedup must match
+      "a  b  c d",            // empty tokens
+      "日本 語 テ ス ト",
+      "a b",                  // < k words → 0L
+      "")
+    val df = texts.toDF("text")
+    val fused = df.select(SimHash.simhashText(col("text"), 3).as("s"))
+      .as[Long].collect().toSeq
+    val composed = df.select(
+      SimHash.simhash64(MinHashLsh.shingles(col("text"), 3)).as("s"))
+      .as[Long].collect().toSeq
+    assert(fused === composed)
+  }
+
   test("simhash: identical token sets → identical signature; hamming 0") {
     import spark.implicits._
     val sigs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
