@@ -73,6 +73,59 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- Fused text-signature expressions vs their compose models ----
+
+  private val textGen: Gen[String] = {
+    // stresses empty tokens (double spaces), multi-byte UTF-8, short docs
+    val word = Gen.oneOf("a", "b", "ab", "xyz", "", "日本", "longerword", "q1")
+    Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  }
+
+  test("MinHashTextSignature equals MinHashSignature∘WordShingles on random texts") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    forAll(textGen) { t =>
+      val u = UTF8String.fromString(t)
+      val sh = graft.functions.WordShingles(null, 3).nullSafeEval(u)
+      val composed =
+        if (sh.asInstanceOf[ArrayData].numElements() == 0) null
+        else graft.functions.MinHashSignature(null, 16).nullSafeEval(sh)
+      val fused = graft.functions.MinHashTextSignature(null, 3, 16).nullSafeEval(u)
+      if (composed == null) assert(fused === null)
+      else assert(fused.asInstanceOf[ArrayData].toLongArray().toSeq ===
+        composed.asInstanceOf[ArrayData].toLongArray().toSeq, s"text='$t'")
+    }
+  }
+
+  test("SimHashTextSignature equals SimHash64∘WordShingles on random texts") {
+    import org.apache.spark.unsafe.types.UTF8String
+    forAll(textGen) { t =>
+      val u = UTF8String.fromString(t)
+      val sh = graft.functions.WordShingles(null, 3).nullSafeEval(u)
+      val composed = graft.functions.SimHash64(null).nullSafeEval(sh)
+      val fused = graft.functions.SimHashTextSignature(null, 3).nullSafeEval(u)
+      assert(fused === composed, s"text='$t'")
+    }
+  }
+
+  test("ShingleJaccard equals the set-model jaccard on random text pairs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    forAll(Gen.zip(textGen, textGen)) { case (a, b) =>
+      val ga = grams(a); val gb = grams(b)
+      val union = (ga ++ gb).size
+      val model = if (union == 0) 0.0 else (ga & gb).size.toDouble / union
+      val got = graft.functions.ShingleJaccard(null, null, 3)
+        .nullSafeEval(UTF8String.fromString(a), UTF8String.fromString(b))
+        .asInstanceOf[java.lang.Double]
+      assert(got === model, s"a='$a' b='$b'")
+    }
+  }
+
   test("parseUint of non-negative longs is identity below the clamp") {
     forAll(Gen.chooseNum(0L, Long.MaxValue)) { v: Long =>
       assert(GoInts.parseUint(v.toString, 64) === v)
