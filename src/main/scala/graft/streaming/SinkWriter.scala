@@ -136,10 +136,9 @@ final class JdbcInsertTarget(
     columns: Seq[String],
     props: java.util.Properties) extends InsertTarget {
 
-  private def withConn[T](f: java.sql.Connection => T): T = {
-    val conn = java.sql.DriverManager.getConnection(url, props)
-    try f(conn) finally conn.close()
-  }
+  // pooled per executor JVM — see ConnectionPool (reference: pool/conn.go)
+  private def withConn[T](f: java.sql.Connection => T): T =
+    ConnectionPool.withConnection(url, props)(f)
 
   private val insertSql =
     s"INSERT INTO $table (${columns.mkString(", ")}) VALUES (${columns.map(_ => "?").mkString(", ")})"
