@@ -434,6 +434,60 @@ object LlmPipeline {
           col("diversity_ok") && col("stop_ok"))
   }
 
+  /** q41: the full corpus-build DAG as ONE query — what a user actually
+    * runs to turn raw documents into a training mix:
+    *
+    *   quality gate (q40 rules) → dedup verdicts (q38: exact → near →
+    *   components) → benchmark decontamination (q37: drop any train doc
+    *   sharing a 4-gram with the held-out split) → corpus mixing (q39
+    *   weights) → (doc_id, source, copy).
+    *
+    * The corpus plants work for every stage: perturbed (+1M) and
+    * verbatim (+2M) copies exercise near/exact dedup, and copies of
+    * held-out docs land in the train split where only decontamination
+    * can catch them. Every stage keeps its standalone plan shape (the
+    * composition adds no new shuffle beyond its parts); the oracle
+    * re-derives the whole DAG in SQL, recursive-CTE closure included. */
+  def q41CorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.parallel(s, dir, "documents")
+    val corpus = docs.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(docs.filter(col("n_chars") >= 100).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"),
+        col("source")))
+      .unionByName(docs.filter(col("n_chars") >= 100).select(
+        (col("doc_id") + 2000000L).as("doc_id"), col("text"), col("source")))
+    val isBench = col("doc_id") < 1000000L && col("doc_id") % 20 === 0
+    val bench = corpus.filter(isBench)
+    val train = corpus.filter(!isBench)
+    // quality gate — identical rounded formulations to q40 so boundary
+    // cases agree with the SQL oracle
+    val toks = split(col("text"), " ")
+    val nWords = size(toks).cast("long")
+    val meanLen = round((length(col("text")) - (nWords - 1))
+      .cast("double") / nWords, 6)
+    val diversity = round(size(array_distinct(toks)).cast("double") / nWords, 6)
+    val q = train.filter(
+      nWords.between(50, 10000) && meanLen.between(3.0, 10.0) &&
+        diversity >= 0.1 &&
+        arrays_overlap(toks, array(lit("the"), lit("a"), lit("and"))))
+    // dedup: keep only 'kept' verdicts
+    val kept = DedupPipeline.corpusVerdict(q.select("doc_id", "text"), "doc_id", "text")
+      .filter(col("kept")).select("doc_id")
+    val keptDocs = q.join(kept, "doc_id")
+    // decontamination: any shared 4-gram with the held-out split kills
+    val clean = Contamination
+      .ngramOverlap(keptDocs, bench, "doc_id", "text", k = 4)
+      .filter(col("n_contaminated") === 0).select("doc_id")
+    val weights = Seq.tabulate(20) { i =>
+      ("src" + i, Seq(0.0, 0.5, 1.0, 2.5)(i % 4))
+    }.toDF("source", "weight")
+    CorpusMix.mix(keptDocs.join(clean, "doc_id").select("doc_id", "source"),
+        weights, "source", pmod(col("doc_id"), lit(1000)))
+      .select("doc_id", "source", "copy")
+  }
+
   /** Queries whose oracle reads the query's own output back and
     * re-derives the SQL-expressible part from the raw tables. */
   val oracleInputCopies: Seq[String] =
@@ -461,7 +515,8 @@ object LlmPipeline {
     "q37_contamination" -> q37Contamination _,
     "q38_dedup_corpus" -> q38DedupCorpus _,
     "q39_corpus_mix" -> q39CorpusMix _,
-    "q40_quality_filter" -> q40QualityFilter _)
+    "q40_quality_filter" -> q40QualityFilter _,
+    "q41_corpus_build" -> q41CorpusBuild _)
 
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" ->
@@ -773,5 +828,80 @@ object LlmPipeline {
         |  (n_words BETWEEN 50 AND 10000 AND
         |   mean_word_len BETWEEN 3.0 AND 10.0 AND
         |   diversity >= 0.1 AND stop_ok) AS pass
-        |FROM m ORDER BY doc_id""".stripMargin)
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q41_corpus_build" ->
+      """WITH RECURSIVE
+        |corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1), source
+        |  FROM documents WHERE n_chars >= 100
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, source FROM documents
+        |  WHERE n_chars >= 100),
+        |train AS (SELECT * FROM corpus
+        |          WHERE NOT (doc_id < 1000000 AND doc_id % 20 = 0)),
+        |q AS (
+        |  SELECT doc_id, text, source FROM (
+        |    SELECT doc_id, text, source,
+        |      CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |      round(CAST(length(text) - (len(string_split(text,' ')) - 1)
+        |        AS DOUBLE) / len(string_split(text,' ')), 6) AS mwl,
+        |      round(CAST(len(list_distinct(string_split(text,' ')))
+        |        AS DOUBLE) / len(string_split(text,' ')), 6) AS dv,
+        |      list_has_any(string_split(text,' '), ['the','a','and']) AS stop_ok
+        |    FROM train)
+        |  WHERE n_words BETWEEN 50 AND 10000 AND mwl BETWEEN 3.0 AND 10.0
+        |    AND dv >= 0.1 AND stop_ok),
+        |g AS (SELECT doc_id, text,
+        |        min(doc_id) OVER (PARTITION BY lower(trim(text))) AS erep
+        |      FROM q),
+        |reps AS (SELECT doc_id, text FROM g WHERE doc_id = erep),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, len(string_split(text,' ')) - 2),
+        |         i -> string_split(text,' ')[i] || ' ' ||
+        |              string_split(text,' ')[i+1] || ' ' ||
+        |              string_split(text,' ')[i+2])) AS s FROM reps),
+        |sh2 AS (SELECT * FROM sh WHERE len(s) > 0),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s),
+        |comp AS (SELECT s AS doc_id, least(s, min(d)) AS rep
+        |         FROM reach GROUP BY s),
+        |near_drop AS (SELECT doc_id FROM comp WHERE doc_id <> rep),
+        |kept AS (SELECT r.doc_id, r.text FROM reps r
+        |         LEFT JOIN near_drop nd ON nd.doc_id = r.doc_id
+        |         WHERE nd.doc_id IS NULL),
+        |bw AS (SELECT string_split(text,' ') AS w FROM corpus
+        |       WHERE doc_id < 1000000 AND doc_id % 20 = 0),
+        |bg AS (SELECT DISTINCT array_to_string(w[i:i+3],' ') AS gram
+        |       FROM bw, UNNEST(range(1, greatest(len(w)-2,1))) AS t(i)),
+        |kw AS (SELECT doc_id, string_split(text,' ') AS w FROM kept),
+        |kg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3],' ') AS gram
+        |       FROM kw, UNNEST(range(1, greatest(len(w)-2,1))) AS t(i)),
+        |contam AS (SELECT DISTINCT doc_id FROM kg JOIN bg USING(gram)),
+        |clean AS (SELECT k.doc_id FROM kept k
+        |          LEFT JOIN contam c ON c.doc_id = k.doc_id
+        |          WHERE c.doc_id IS NULL),
+        |wt AS (SELECT 'src' || CAST(i AS VARCHAR) AS source,
+        |         CAST(CASE i % 4 WHEN 0 THEN 0.0 WHEN 1 THEN 0.5
+        |              WHEN 2 THEN 1.0 ELSE 2.5 END AS DOUBLE) AS w
+        |       FROM range(20) t(i)),
+        |base AS (SELECT c.doc_id, q2.source FROM clean c
+        |         JOIN (SELECT doc_id, source FROM q) q2 USING (doc_id)),
+        |n AS (SELECT b.doc_id, b.source,
+        |        CAST(floor(w) AS BIGINT) +
+        |          CASE WHEN b.doc_id % 1000 < (w - floor(w)) * 1000
+        |               THEN 1 ELSE 0 END AS nc
+        |      FROM base b JOIN wt USING(source))
+        |SELECT doc_id, source, CAST(c AS BIGINT) AS copy
+        |FROM n, UNNEST(range(1, nc + 1)) t(c)
+        |ORDER BY doc_id, copy""".stripMargin)
 }
