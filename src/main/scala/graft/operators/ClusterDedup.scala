@@ -52,7 +52,9 @@ object ClusterDedup {
           least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
           (col("nmin") < col("lab")).as("__changed"))
         .localCheckpoint()
-      converged = next.filter(col("__changed")).isEmpty
+      // round 1 always changes when edges exist (for any edge a<b, b's
+      // label drops to ≤a), so the convergence action starts at round 2
+      converged = it > 0 && next.filter(col("__changed")).isEmpty
       labels = next.drop("__changed")
       it += 1
     }

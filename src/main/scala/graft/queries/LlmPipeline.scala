@@ -472,10 +472,13 @@ object LlmPipeline {
       nWords.between(50, 10000) && meanLen.between(3.0, 10.0) &&
         diversity >= 0.1 &&
         arrays_overlap(toks, array(lit("the"), lit("a"), lit("and"))))
-    // dedup: keep only 'kept' verdicts
+    // dedup: keep only 'kept' verdicts. keptDocs feeds three downstream
+    // branches (contamination reads it twice, the mix once) —
+    // localCheckpoint it so the quality scan + LSH + component DAG
+    // behind it runs once, not once per consumer
     val kept = DedupPipeline.corpusVerdict(q.select("doc_id", "text"), "doc_id", "text")
       .filter(col("kept")).select("doc_id")
-    val keptDocs = q.join(kept, "doc_id")
+    val keptDocs = q.join(kept, "doc_id").localCheckpoint()
     // decontamination: any shared 4-gram with the held-out split kills
     val clean = Contamination
       .ngramOverlap(keptDocs, bench, "doc_id", "text", k = 4)
