@@ -78,11 +78,22 @@ object Bench {
     // cleaner's unfreed broadcast/shuffle blocks, which are only
     // reclaimed after a GC) from being billed to the next — without it,
     // whole runs degrade 3× once ~60 jobs of garbage pile up.
+    // queries that localCheckpoint intermediates (q32/q38/q41 cluster
+    // machinery) leave persisted RDD blocks behind; released between
+    // queries so one query's blocks never pressure the next timed region
+    // (observed: accumulated blocks from 3 runs × 3 such queries dragged
+    // the last-running ingest from ~650 K to ~160 K rows/s)
+    def releaseLeftovers(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.sharedState.cacheManager.clearCache()
+    }
     val queryResults = names.map { n =>
+      releaseLeftovers()
       System.gc()
       val a = runOnce(n); val b = runOnce(n)
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
+    releaseLeftovers()
     // Ingest runs LAST: its 2M-row working set churns the heap, and GC
     // debt from it must not be charged to the per-query timings. Same
     // protocol as the queries (untimed warm-up, System.gc(), min of two
@@ -107,7 +118,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = queryResults.map(_._2).filter(_ >= 0).sum
     val protocol = "per query: untimed warm-up, then min of 2 timed passes, " +
-      "System.gc() between; noop sink; ingest timed consume->sink over " +
+      "leftover persisted-RDD release + System.gc() between; noop sink; " +
+      "ingest timed consume->sink over " +
       "pre-materialized input (generation untimed), parse+geoip(131k ranges," +
       "src+dst)+serviceMap+shard stages, min of 2, excluded from total"
     System.out.println(
