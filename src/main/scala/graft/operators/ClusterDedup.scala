@@ -33,8 +33,18 @@ object ClusterDedup {
     val p = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .localCheckpoint()
+    // size the loop's partitioning to the GRAPH, not the corpus: the pair
+    // list is result-sized, so a near-dup graph usually fits a handful of
+    // partitions — running every round's joins at corpus-scale fan-out
+    // just multiplies task-scheduling overhead. ~100k edges/partition,
+    // capped at the cluster's parallelism for genuinely huge graphs.
+    // (p is already materialized, so the count is a cached-block scan.)
+    val parts = math.max(1, math.min(
+      p.sparkSession.sparkContext.defaultParallelism,
+      (p.count() / 100000L).toInt + 1))
     val edges = p
       .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      .coalesce(parts)
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
