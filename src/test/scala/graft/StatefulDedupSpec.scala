@@ -59,4 +59,51 @@ class StatefulDedupSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(out === Map("a" -> 1L, "b" -> 3L))
   }
+
+  test("streaming corpus intake: quality gate + cross-batch exact dedup") {
+    // the LLM-pipeline intake path as a stream: documents arrive in
+    // micro-batches, a q40-style quality gate drops junk inline, and
+    // online exact dedup (normalized-text fingerprint in the state
+    // store) suppresses bodies already admitted in ANY earlier batch —
+    // near-dup stays a batch job over the admitted corpus; first-pass
+    // exact dedup is the streaming-honest scope
+    val dir = Files.createTempDirectory("intake").toString
+    val srcDir = s"$dir/in"; val outDir = s"$dir/out"; val ckDir = s"$dir/ck"
+    Files.createDirectories(Paths.get(srcDir))
+    def write(file: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(srcDir, file), lines.mkString("\n").getBytes("UTF-8"))
+
+    def runOnce(): Unit = {
+      val src = spark.readStream.format("text").load(srcDir)
+        .select(
+          split(col("value"), "\\|").getItem(0).cast("long").as("doc_id"),
+          split(col("value"), "\\|").getItem(1).as("text"))
+      val toks = split(col("text"), " ")
+      val admitted = src
+        .filter(size(toks) >= 5 &&
+          arrays_overlap(toks, array(lit("the"), lit("a"), lit("and"))))
+        .withColumn("fp",
+          graft.functions.Hashes.xxhash64Seed0(lower(trim(col("text")))))
+      StatefulDedup.firstSeen(admitted, "fp")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination(60000)
+    }
+
+    write("b1.txt", Seq(
+      "1|the quick brown fox jumps",
+      "2|short one",                    // fails the word-count gate
+      "3|the quick brown fox jumps"))   // in-batch duplicate body
+    runOnce()
+    val got1 = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
+    assert(got1 === Set(1L))
+
+    write("b2.txt", Seq(
+      "4|the quick brown fox jumps",    // cross-batch dup → suppressed
+      "5|a completely new document about the corpus"))
+    runOnce()
+    val got2 = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
+    assert(got2 === Set(1L, 5L))
+  }
 }
