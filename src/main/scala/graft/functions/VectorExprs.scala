@@ -228,10 +228,12 @@ case class SimHash64(child: Expression)
   * (dot, |a|, |b| accumulated together — deterministic sequential order,
   * zero allocation). Mismatched/empty lengths → null. */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinaryEvalCodegen {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  override protected def castResult(x: String): String =
+    s"((java.lang.Double) $x).doubleValue()"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -381,11 +383,13 @@ case class HyperplaneSignature(child: Expression, nPlanes: Int)
   * echo the value, and the compose form's NULL (0/0 division) is
   * likewise dropped by every threshold filter. */
 case class ShingleJaccard(left: Expression, right: Expression, k: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinaryEvalCodegen {
   require(k >= 1)
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  override protected def castResult(x: String): String =
+    s"((java.lang.Double) $x).doubleValue()"
 
   private def gramSet(text: String): java.util.HashSet[String] = {
     val words = text.split(" ", -1)
@@ -429,11 +433,13 @@ case class ShingleJaccard(left: Expression, right: Expression, k: Int)
   * skipping WordShingles' dedup changes nothing. Fewer than k words →
   * null (same null-guard contract as the compose form). */
 case class MinHashTextSignature(child: Expression, k: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryEvalCodegen {
   require(k >= 1 && numHashes >= 1)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
+  override protected def castResult(x: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $x"
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
@@ -490,10 +496,12 @@ case class MinHashTextSignature(child: Expression, k: Int, numHashes: Int)
   * probabilistic anyway and candidates are exact-verified). Fewer than
   * k words → 0L, matching SimHash64 over an empty gram array. */
 case class SimHashTextSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryEvalCodegen {
   require(k >= 1)
 
   override def dataType: DataType = LongType
+  override protected def castResult(x: String): String =
+    s"((java.lang.Long) $x).longValue()"
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]

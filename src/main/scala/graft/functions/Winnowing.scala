@@ -21,11 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * array.
   */
 case class WinnowFingerprints(child: Expression, k: Int, window: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryEvalCodegen {
   require(k >= 2 && window >= 1)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
+  override protected def castResult(x: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $x"
 
   private val B = 1000003L // rolling base (wrap-around Long arithmetic)
   @transient private lazy val bPowK1 = {
