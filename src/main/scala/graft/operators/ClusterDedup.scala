@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Cluster-level dedup over verified near-dup pairs: assign every
@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   * clusters are quasi-cliques (diameter 1-2; a pathological chain of
   * length d needs ~log2(d) doubling… this simple propagation needs d —
   * acceptable because LSH blocking produces dense clusters, and
-  * `maxIter` bounds the worst case). The driver-side loop runs a count
-  * action per round on the (tiny) changed-label set; the corpus itself
-  * is never involved — only pair ids.
+  * `maxIter` bounds the worst case; exiting unconverged THROWS rather
+  * than silently returning wrong components). The driver-side loop runs
+  * exactly ONE job per round: the changed-label count rides the round's
+  * checkpoint materialization as a [[Observation]] (CollectMetrics)
+  * instead of a separate action, so driver round-trip latency — the
+  * dominant cost when the graph is tiny — is halved; the corpus itself
+  * is never involved, only pair ids.
   */
 object ClusterDedup {
 
@@ -56,18 +60,28 @@ object ClusterDedup {
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("lab")).as("nmin"))
+      // the changed count is observed DURING the checkpoint job
+      // (Dataset.checkpoint runs through withAction, so the
+      // CollectMetrics observation fires) — zero extra actions per round
+      val obs = Observation()
       val next = labels
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
           (col("nmin") < col("lab")).as("__changed"))
+        .observe(obs, coalesce(
+          sum(when(col("__changed"), 1L).otherwise(0L)), lit(0L)).as("n"))
         .localCheckpoint()
-      // round 1 always changes when edges exist (for any edge a<b, b's
-      // label drops to ≤a), so the convergence action starts at round 2
-      converged = it > 0 && next.filter(col("__changed")).isEmpty
+      converged = obs.get("n").asInstanceOf[Long] == 0L
       labels = next.drop("__changed")
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ClusterDedup.clusterReps did not converge in maxIter=$maxIter rounds: " +
+        "the pair graph has a component of diameter > maxIter (min-label " +
+        "propagation needs diameter rounds). Raise maxIter — returning the " +
+        "partial labels would silently assign wrong representatives.")
     labels.select(col("node").as("doc_id"), col("lab").as("rep_id"))
   }
 

@@ -46,8 +46,13 @@ object Contamination {
       .join(broadcast(benchGrams), "__g")
       .groupBy(idCol)
       .agg(count(lit(1)).as("__n_hit"))
+    // null text → null gram array → size() null: coalesce so gram-less
+    // and null-text docs share the documented n_grams=0 contract (and
+    // contam_frac=0.0, not NULL — a NULL frac would slip through
+    // n_contaminated===0 style filters downstream)
     train
-      .select(col(idCol), size(grams).cast("long").as("n_grams"))
+      .select(col(idCol),
+        coalesce(size(grams).cast("long"), lit(0L)).as("n_grams"))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol), col("n_grams"),
         coalesce(col("__n_hit"), lit(0L)).as("n_contaminated"))

@@ -160,7 +160,14 @@ final class JdbcInsertTarget(
       conn.commit()
     } catch {
       case e: Exception => conn.rollback(); throw e
-    } finally st.close()
+    } finally {
+      st.close()
+      // restore session state before the conn re-pools: insertRow and
+      // executeDdl rely on autoCommit=true — without this reset their
+      // writes on a recycled conn would sit uncommitted and be silently
+      // rolled back by a later borrower's rollback() or close
+      conn.setAutoCommit(true)
+    }
   }
 
   override def insertRow(row: Row): Unit = withConn { conn =>

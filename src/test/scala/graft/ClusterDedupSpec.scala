@@ -29,6 +29,24 @@ class ClusterDedupSpec extends SparkSuite {
     assert(reps.forall(_._2 == 100L), s"chain did not converge: ${reps.toSeq}")
   }
 
+  test("a component of diameter > maxIter throws instead of returning wrong labels") {
+    import spark.implicits._
+    // path graph of diameter 8: min-label propagation needs 8 rounds,
+    // so maxIter=3 must fail LOUDLY — the old code silently returned
+    // partially-propagated (wrong) representatives here
+    val pairs = (200L until 208L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      ClusterDedup.clusterReps(pairs, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("empty pair set yields an empty rep table without looping") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(ClusterDedup.clusterReps(pairs).count() === 0L)
+  }
+
   test("dedupKeepReps keeps one doc per cluster plus all unpaired docs") {
     import spark.implicits._
     val docs = (1L to 7L).map(i => (i, s"doc$i")).toDF("doc_id", "text")

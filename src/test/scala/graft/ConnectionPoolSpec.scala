@@ -91,6 +91,42 @@ class ConnectionPoolSpec extends AnyFunSuite {
     assert(FakeDriver.closed.get() === 1, "stale conn must be closed")
   }
 
+  test("open cap: borrows beyond maxOpenPerTarget block instead of dialing") {
+    reset()
+    val prevOpen = ConnectionPool.maxOpenPerTarget
+    ConnectionPool.maxOpenPerTarget = 2
+    try {
+      val entered = new java.util.concurrent.CountDownLatch(2)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val done = new java.util.concurrent.CountDownLatch(3)
+      (1 to 2).foreach { _ =>
+        val t = new Thread(() => {
+          ConnectionPool.withConnection(url, props) { _ =>
+            entered.countDown(); release.await()
+          }
+          done.countDown()
+        })
+        t.setDaemon(true); t.start()
+      }
+      entered.await()
+      assert(FakeDriver.dialed.get() === 2)
+      val third = new Thread(() => {
+        ConnectionPool.withConnection(url, props)(_ => ()); done.countDown()
+      })
+      third.setDaemon(true); third.start()
+      Thread.sleep(200)
+      assert(FakeDriver.dialed.get() === 2,
+        "third borrow must block at the open cap, not dial past it")
+      release.countDown()
+      done.await()
+      assert(FakeDriver.dialed.get() === 2,
+        "unblocked borrow must reuse a returned conn, not dial")
+    } finally {
+      ConnectionPool.maxOpenPerTarget = prevOpen
+      ConnectionPool.drain()
+    }
+  }
+
   test("idle cap: surplus connections close on return") {
     reset()
     // dial cap+1 conns by nesting borrows so none can be reused
