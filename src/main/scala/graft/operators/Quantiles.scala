@@ -50,4 +50,55 @@ object Quantiles {
     ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(keyCol) +: outs: _*)
   }
+
+  /** Approximate grouped quantiles via `percentile_approx` — Spark's
+    * built-in quantile sketch (ApproximatePercentile over
+    * QuantileSummaries, the Greenwald-Khanna family t-digest-style
+    * mergeable summary). This is the high-group-cardinality / 100 TB
+    * path [[exact]]'s scaladoc points at: partial aggregates are
+    * CONSTANT-SIZE sketches (O(accuracy·log n), not O(group values)),
+    * so map-side combine genuinely reduces, the shuffle carries
+    * sketches instead of data, and no sort is needed. Guaranteed rank
+    * error ≤ 1/accuracy; returns an observed value, not an
+    * interpolation. */
+  def approx(
+      df: DataFrame, keyCol: String, valCol: String,
+      ps: Seq[(Double, String)], accuracy: Int = 10000): DataFrame = {
+    val aggs = ps.map { case (p, name) =>
+      percentile_approx(col(valCol).cast("double"), lit(p), lit(accuracy)).as(name)
+    }
+    df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[approx]] plus a per-quantile rank-error audit: for each
+    * approximate value v and target rank p, recomputes the empirical CDF
+    * bracket of v in one extra pass over the data and flags
+    * `<name>_ok` = [frac(x < v) − tol ≤ p ≤ frac(x ≤ v) + tol] — the
+    * two-sided form is exact under ties, where a single CDF point would
+    * false-negative on heavy duplicates. The audit join broadcasts the
+    * per-group quantile table (rows = groups, tiny by construction). */
+  def approxWithRankCheck(
+      df: DataFrame, keyCol: String, valCol: String,
+      ps: Seq[(Double, String)], accuracy: Int = 10000,
+      tol: Double = 0.01): DataFrame = {
+    val a = approx(df, keyCol, valCol, ps, accuracy)
+    val joined = df
+      .select(col(keyCol), col(valCol).cast("double").as("__v"))
+      .join(broadcast(a), Seq(keyCol))
+    val cdfAggs = ps.flatMap { case (_, name) =>
+      Seq(
+        (sum(when(col("__v") < col(name), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as(s"__lt_$name"),
+        (sum(when(col("__v") <= col(name), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as(s"__le_$name"))
+    }
+    val vals = ps.map { case (_, name) => first(col(name)).as(name) }
+    val oks = ps.map { case (p, name) =>
+      ((col(s"__lt_$name") - tol <= p) && (col(s"__le_$name") + tol >= p))
+        .as(s"${name}_ok")
+    }
+    val aggAll = vals ++ cdfAggs
+    joined.groupBy(col(keyCol)).agg(aggAll.head, aggAll.tail: _*)
+      .select(col(keyCol) +: (ps.map(p => col(p._2)) ++ oks): _*)
+  }
 }

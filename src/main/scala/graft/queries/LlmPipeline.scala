@@ -494,7 +494,8 @@ object LlmPipeline {
   /** Queries whose oracle reads the query's own output back and
     * re-derives the SQL-expressible part from the raw tables. */
   val oracleInputCopies: Seq[String] =
-    Seq("q24_simhash_neardup", "q28_ivf_ann", "q31_winnow_neardup")
+    Seq("q24_simhash_neardup", "q28_ivf_ann", "q31_winnow_neardup",
+      "q42_quantiles_approx")
 
   private def readBack(name: String): String =
     s"read_parquet('$oracleInputDir/$name.parquet/*.parquet')"

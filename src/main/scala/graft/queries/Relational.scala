@@ -200,6 +200,22 @@ object Relational {
         Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
       .orderBy("l_returnflag")
 
+  /** q42: approximate grouped quantiles ([[graft.operators.Quantiles.approx]],
+    * `percentile_approx` sketch — constant-size mergeable partials, the
+    * high-group-cardinality scale path q29's exact sort can't cover) with
+    * an in-query rank-error audit: each approx value is checked against
+    * the empirical CDF of its own group within ±1% rank tolerance
+    * (sketch guarantee is 1/accuracy = 0.01%, so the audit passes with
+    * two orders of margin). Oracle: read-back — DuckDB re-derives every
+    * `_ok` boolean from the raw table's CDF at the read-back values, so
+    * a wrong approx value fails loudly in the oracle, not just in Spark. */
+  def q42QuantilesApprox(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.approxWithRankCheck(
+        Tables(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"),
+        accuracy = 10000, tol = 0.01)
+      .orderBy("l_returnflag")
+
   /** q30: as-of join — each click event picks up the same user's most
     * recent prior (or simultaneous) purchase, point-in-time correct.
     * Executed as [[graft.operators.AsOfJoin]]'s union + single key
@@ -223,6 +239,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pushdown" -> q01AggPushdown _,
     "q29_quantiles" -> q29Quantiles _,
+    "q42_quantiles_approx" -> q42QuantilesApprox _,
     "q30_asof_join" -> q30AsofJoin _,
     "q02_star_join" -> q02StarJoin _,
     "q03_range_join" -> q03RangeJoin _,
@@ -244,6 +261,28 @@ object Relational {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY click_id""".stripMargin,
+    "q42_quantiles_approx" ->
+      s"""WITH a AS (
+        |  SELECT l_returnflag, p50, p90, p99
+        |  FROM read_parquet('${graft.queries.LlmPipeline.oracleInputDir}/q42_quantiles_approx.parquet/*.parquet')),
+        |j AS (
+        |  SELECT a.l_returnflag, a.p50, a.p90, a.p99,
+        |    CAST(l.l_extendedprice AS DOUBLE) AS v
+        |  FROM a JOIN lineitem l USING (l_returnflag)),
+        |c AS (
+        |  SELECT l_returnflag, p50, p90, p99,
+        |    CAST(sum(CASE WHEN v < p50 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS lt50,
+        |    CAST(sum(CASE WHEN v <= p50 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS le50,
+        |    CAST(sum(CASE WHEN v < p90 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS lt90,
+        |    CAST(sum(CASE WHEN v <= p90 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS le90,
+        |    CAST(sum(CASE WHEN v < p99 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS lt99,
+        |    CAST(sum(CASE WHEN v <= p99 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS le99
+        |  FROM j GROUP BY 1, 2, 3, 4)
+        |SELECT l_returnflag, p50, p90, p99,
+        |  (lt50 - 0.01 <= 0.5 AND le50 + 0.01 >= 0.5) AS p50_ok,
+        |  (lt90 - 0.01 <= 0.9 AND le90 + 0.01 >= 0.9) AS p90_ok,
+        |  (lt99 - 0.01 <= 0.99 AND le99 + 0.01 >= 0.99) AS p99_ok
+        |FROM c ORDER BY 1""".stripMargin,
     "q29_quantiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

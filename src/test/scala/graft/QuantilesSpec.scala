@@ -40,6 +40,44 @@ class QuantilesSpec extends SparkSuite {
     assert(mine === ref)
   }
 
+  test("approx stays within 1% rank error of exact on real data") {
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val rows = Quantiles.approxWithRankCheck(li, "l_returnflag", "l_extendedprice",
+        Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"),
+        accuracy = 10000, tol = 0.01)
+      .collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      (4 to 6).foreach { i =>
+        assert(r.getBoolean(i),
+          s"rank error > 1% for ${r.getString(0)} col $i: $r")
+      }
+    }
+  }
+
+  test("approx rank audit is tie-exact (two-sided CDF bracket)") {
+    import spark.implicits._
+    // heavy duplicates: the CDF jumps from 0 to ~0.99 at v=1.0 — a
+    // single-point CDF check would call p50=1.0 wrong (CDF(1.0)=0.99 is
+    // nowhere near 0.5); the [frac_lt, frac_le] bracket accepts it
+    val df = (Seq.fill(990)(1.0) ++ Seq.fill(10)(2.0)).map(("k", _)).toDF("k", "v")
+    val r = Quantiles.approxWithRankCheck(df, "k", "v",
+        Seq(0.5 -> "p50"), accuracy = 10000, tol = 0.01)
+      .collect().head
+    assert(r.getDouble(1) === 1.0)
+    assert(r.getBoolean(2), "p50=1.0 must pass the two-sided bracket under ties")
+  }
+
+  test("approx plan: partial sketch aggregation (map-side combine)") {
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val plan = Quantiles.approx(li, "l_returnflag", "l_extendedprice",
+        Seq(0.5 -> "p50"))
+      .queryExecution.executedPlan.toString
+    // the shuffle must carry constant-size sketch partials, not raw values
+    assert(plan.contains("partial_percentile_approx"),
+      s"approx quantiles must partial-aggregate sketches:\n$plan")
+  }
+
   test("plan: no ObjectHashAggregate value buffering") {
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
     val plan = Quantiles.exact(li, "l_returnflag", "l_extendedprice",
