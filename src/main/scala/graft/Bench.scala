@@ -108,12 +108,129 @@ object Bench {
     }
     ingestOnce() // warm-up
     val ingestSec = (1 to 2).map { _ => System.gc(); ingestOnce() }.min
-    ingestInput.unpersist()
     System.err.println(
       f"[bench] ingest: $INGEST_ROWS rows in $ingestSec%.2f s = ${INGEST_ROWS / ingestSec}%.0f rows/s")
+
+    // Ingest variant that PAYS A REAL WRITE: same pipeline, but the sink
+    // is the replay-idempotent parquet lake sink instead of noop — the
+    // closest in-sandbox analog of the reference's ClickHouse INSERT cost
+    // (columnar encode + flush to storage), which its 142 K rows/s
+    // baseline includes. The no-write row above is kept for cross-round
+    // continuity; this row is the apples-to-apples one.
+    val lakeDir = java.nio.file.Files.createTempDirectory("graft_ingest_lake").toString
+    def ingestParquetOnce(pass: Long): Double = {
+      val t0 = System.nanoTime()
+      new graft.streaming.IdempotentParquetSink(lakeDir)
+        .write(ingestPipeline(ingestInput), pass)
+      (System.nanoTime() - t0) / 1e9
+    }
+    ingestParquetOnce(0L) // warm-up
+    val ingestPqSec = (1 to 2).map { p => System.gc(); ingestParquetOnce(p.toLong) }.min
+    System.err.println(
+      f"[bench] ingest+parquet: $INGEST_ROWS rows in $ingestPqSec%.2f s = ${INGEST_ROWS / ingestPqSec}%.0f rows/s")
+    ingestInput.unpersist()
+
+    // Ingest variant through the REAL JDBC sink machinery (JdbcInsertTarget
+    // batched inserts over the executor-local ConnectionPool) into embedded
+    // Derby — a genuine transactional database write per batch, the same
+    // code path a ClickHouse/warehouse target would exercise. Smaller row
+    // count: a B-tree row-store pays per-row costs a columnar target
+    // doesn't, and the point is to time OUR sink plumbing, not Derby.
+    System.setProperty("derby.system.home", "target/derby")
+    val JDBC_ROWS = 200000L
+    val jdbcUrl = "jdbc:derby:memory:graftBench;create=true"
+    val jdbcProps = new java.util.Properties()
+    val jdbcCols = Seq("ip_src", "ip_dst", "port_src", "port_dst", "bytes",
+      "loc_src", "isp_src", "loc_dst", "isp_dst")
+    graft.streaming.ConnectionPool.withConnection(jdbcUrl, jdbcProps) { c =>
+      val st = c.createStatement()
+      try st.execute(
+        "CREATE TABLE flow_sink (ip_src VARCHAR(48), ip_dst VARCHAR(48), " +
+        "port_src INT, port_dst INT, bytes BIGINT, loc_src VARCHAR(128), " +
+        "isp_src VARCHAR(128), loc_dst VARCHAR(128), isp_dst VARCHAR(128))")
+      catch { case _: java.sql.SQLException => () } finally st.close()
+    }
+    val jdbcInput = graft.sources.Generators.flowJson(spark, JDBC_ROWS).persist()
+    jdbcInput.count()
+    val jdbcReady = ingestPipeline(jdbcInput)
+      .select(jdbcCols.head, jdbcCols.tail: _*)
+    def jdbcTruncate(): Unit =
+      graft.streaming.ConnectionPool.withConnection(jdbcUrl, jdbcProps) { c =>
+        val st = c.createStatement()
+        try st.execute("DELETE FROM flow_sink") finally st.close()
+      }
+    def ingestJdbcOnce(): Double = {
+      val t0 = System.nanoTime()
+      val cols = jdbcCols
+      jdbcReady.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val target = new graft.streaming.JdbcInsertTarget(
+          jdbcUrl, "FLOW_SINK", cols, new java.util.Properties())
+        it.grouped(2000).foreach(chunk => target.insertBatch(chunk))
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    ingestJdbcOnce() // warm-up
+    val ingestJdbcSec = (1 to 2).map { _ =>
+      jdbcTruncate(); System.gc(); ingestJdbcOnce()
+    }.min
+    jdbcInput.unpersist()
+    graft.streaming.ConnectionPool.drain()
+    System.err.println(
+      f"[bench] ingest+jdbc(derby): $JDBC_ROWS rows in $ingestJdbcSec%.2f s = ${JDBC_ROWS / ingestJdbcSec}%.0f rows/s")
+
+    // Streaming corpus-intake throughput: the StatefulDedup path (q40-style
+    // quality gate + cross-batch exact dedup in the state store) driven as
+    // a real multi-micro-batch Structured Streaming query with a parquet
+    // sink — grounds the streaming story the way ingest grounds batch.
+    // Input pre-written untimed; timed region = the AvailableNow run
+    // (8 micro-batches of 2 files each, state + sink + checkpoint paid).
+    val STREAM_ROWS = 500000L
+    val streamBase = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val streamIn = s"$streamBase/in"
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(STREAM_ROWS).select(
+        col("id").as("doc_id"),
+        when(col("id") % 10 === 0, lit("junk"))   // fails the ≥5-word gate
+          .otherwise(concat(lit("the document "),
+            // ~10% of bodies duplicate an earlier doc's → exercises the
+            // cross-batch dedup state, not just the gate
+            (col("id") % lit((STREAM_ROWS * 9) / 10)).cast("string"),
+            lit(" talks about a corpus topic and more")))
+          .as("text"))
+        .repartition(16).write.mode("overwrite").parquet(streamIn)
+    }
+    val streamSchema = spark.read.parquet(streamIn).schema
+    def streamOnce(pass: Int): Double = {
+      import org.apache.spark.sql.functions._
+      val out = s"$streamBase/out$pass"; val ck = s"$streamBase/ck$pass"
+      val src = spark.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", 2).parquet(streamIn)
+      val toks = split(col("text"), " ")
+      val admitted = src
+        .filter(size(toks) >= 5 &&
+          arrays_overlap(toks, array(lit("the"), lit("a"), lit("and"))))
+        .withColumn("fp",
+          graft.functions.Hashes.xxhash64Seed0(lower(trim(col("text")))))
+      val t0 = System.nanoTime()
+      graft.streaming.StatefulDedup.firstSeen(admitted, "fp")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    streamOnce(0) // warm-up
+    val streamSec = (1 to 2).map { p => System.gc(); streamOnce(p) }.min
+    System.err.println(
+      f"[bench] stream intake: $STREAM_ROWS rows in $streamSec%.2f s = ${STREAM_ROWS / streamSec}%.0f rows/s")
     // ingest is reported per-query AND as rows/s, but kept OUT of `total`
     // so cross-round query totals stay apples-to-apples.
-    val results = queryResults :+ ("ingest_2m_jsonlog" -> ingestSec)
+    val results = queryResults ++ Seq(
+      "ingest_2m_jsonlog" -> ingestSec,
+      "ingest_2m_parquet_write" -> ingestPqSec,
+      "ingest_200k_jdbc_derby" -> ingestJdbcSec,
+      "stream_intake_500k" -> streamSec)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = queryResults.map(_._2).filter(_ >= 0).sum
@@ -121,10 +238,18 @@ object Bench {
       "leftover persisted-RDD release + System.gc() between; noop sink; " +
       "ingest timed consume->sink over " +
       "pre-materialized input (generation untimed), parse+geoip(131k ranges," +
-      "src+dst)+serviceMap+shard stages, min of 2, excluded from total"
+      "src+dst)+serviceMap+shard stages, min of 2, excluded from total; " +
+      "write variants: same pipeline into idempotent parquet lake sink (2M) " +
+      "and JdbcInsertTarget batched inserts via ConnectionPool into embedded " +
+      "Derby (200k, table truncated between passes); stream_intake: 500k docs, " +
+      "16 files, AvailableNow 2 files/trigger, quality gate + state-store " +
+      "first-seen dedup, parquet sink + checkpoint in the timed region"
     System.out.println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""ingest_rows_per_sec":${(INGEST_ROWS / ingestSec).toLong},""" +
+        s""""ingest_parquet_rows_per_sec":${(INGEST_ROWS / ingestPqSec).toLong},""" +
+        s""""ingest_jdbc_rows_per_sec":${(JDBC_ROWS / ingestJdbcSec).toLong},""" +
+        s""""stream_rows_per_sec":${(STREAM_ROWS / streamSec).toLong},""" +
         s""""protocol":"$protocol","sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
