@@ -1,0 +1,139 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling check: generate a 10× corpus ("sf1") from the sf0.1
+  * testdata and measure each expensive query at both scales, reporting
+  * the per-query time ratio. A query whose plan holds at scale should
+  * land near the data ratio (10×) or below (fixed overheads amortize,
+  * broadcast sides stay constant); a super-linear ratio exposes a
+  * driver-side constant or an all-pairs blow-up that sf0.1 hides.
+  *
+  * Generation preserves WORKLOAD SHAPE, not just row count — naive row
+  * replication would be wrong two ways: verbatim copies give every doc
+  * 9 exact twins (near-dup graph becomes 100× denser, not 10×), while
+  * independent random text would kill near-dup structure entirely. So:
+  *  - documents: copy i prefixes every word with `c<i>` — shingles never
+  *    match across copies, so each copy's internal near-dup structure is
+  *    preserved exactly and pair volume scales linearly with data.
+  *  - embeddings: copy i multiplies element j by 1 + 0.15·sin(i·(j+1)) —
+  *    deterministic jitter that keeps in-copy cosine structure but drops
+  *    cross-copy cosine to ~0.995, below every near-dup threshold.
+  *  - events/lineitem: key-shifted copies (event/user/order ids), so
+  *    group and join cardinalities scale with the data.
+  *  - q38's internal +1M/+2M doc_id offsets stay collision-free (copy
+  *    offset 100k × 9 < 1M) and copy offsets are multiples of 20 and
+  *    1000, preserving q37's split and q39's bucket membership per copy.
+  *
+  * Output: one JSON line per run plus /root/repo/BENCH_SF1.json with
+  * {query: {sf01, sf1, ratio}}. Protocol per query and scale: untimed
+  * warm-up, then min of 2 timed passes with leftover-block release and
+  * System.gc() between (same discipline as Bench).
+  */
+object ScaleBench {
+
+  val COPIES = 10
+  val OUT = "/root/repo/target/sf1"
+
+  /** The expensive-query set (r4 bench ranking) plus the new q42. */
+  val SCALE_QUERIES: Seq[String] = Seq(
+    "q01_agg_pushdown", "q13_json_parse", "q16_class_normalize",
+    "q18_minhash_neardup", "q24_simhash_neardup", "q28_ivf_ann",
+    "q29_quantiles", "q31_winnow_neardup", "q32_cluster_dedup",
+    "q35_repetition", "q37_contamination", "q38_dedup_corpus",
+    "q41_corpus_build", "q42_quantiles_approx")
+
+  def generate(spark: SparkSession, base: String): Unit = {
+    val done = new java.io.File(s"$OUT/_DONE")
+    if (done.exists()) return
+    val docs = graft.Tables(spark, base, "documents")
+    val emb = graft.Tables(spark, base, "embeddings")
+    val ev = graft.Tables(spark, base, "events")
+    val li = graft.Tables(spark, base, "lineitem")
+
+    def union(parts: Seq[DataFrame]): DataFrame = parts.reduce(_ unionByName _)
+
+    union((0 until COPIES).map { i =>
+      if (i == 0) docs
+      else {
+        val salted = regexp_replace(col("text"), "(^| )", "$1c" + i)
+        docs.select(
+          (col("doc_id") + i * 100000L).as("doc_id"),
+          salted.as("text"), col("lang"), col("source"),
+          length(salted).cast("long").as("n_chars"))
+      }
+    }).repartition(32).write.mode("overwrite").parquet(s"$OUT/documents.parquet")
+
+    union((0 until COPIES).map { i =>
+      if (i == 0) emb.select("vec_id", "embedding", "label")
+      else emb.select(
+        (col("vec_id") + i * 2000L).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          (x * (lit(1.0d) + lit(0.15d) * sin((j + 1).cast("double") * i)))
+            .cast("float")).as("embedding"),
+        col("label"))
+    }).repartition(32).write.mode("overwrite").parquet(s"$OUT/embeddings.parquet")
+
+    union((0 until COPIES).map { i =>
+      if (i == 0) ev
+      else ev.select(
+        (col("event_id") + i * 100000L).as("event_id"), col("ts"),
+        (col("user_id") + i * 1500L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }).repartition(32).write.mode("overwrite").parquet(s"$OUT/events.parquet")
+
+    union((0 until COPIES).map { i =>
+      if (i == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + i * 150000L)
+    }).repartition(32).write.mode("overwrite").parquet(s"$OUT/lineitem.parquet")
+
+    // small dims copied verbatim (only lineitem-family queries scale-run)
+    Seq("region", "nation", "customer", "supplier", "part", "orders")
+      .foreach { t =>
+        spark.read.parquet(s"$base/$t.parquet")
+          .write.mode("overwrite").parquet(s"$OUT/$t.parquet")
+      }
+    done.createNewFile()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.Sessions.builder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    generate(spark, base)
+
+    def releaseLeftovers(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.sharedState.cacheManager.clearCache()
+    }
+    def time(name: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      releaseLeftovers(); once() // warm-up
+      (1 to 2).map { _ => releaseLeftovers(); System.gc(); once() }.min
+    }
+
+    val names = if (args.nonEmpty) args.toSeq else SCALE_QUERIES
+    val rows = names.map { n =>
+      val a = time(n, base)
+      val b = time(n, OUT)
+      val r = b / a
+      System.err.println(f"[scale] $n%-22s sf0.1 $a%6.2f s   sf1 $b%7.2f s   ratio ${r}%5.2f")
+      n -> ((a, b, r))
+    }
+    val json = rows.map { case (n, (a, b, r)) =>
+      f""""$n":{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":$r%.2f}"""
+    }.mkString("{\"data_ratio\":10,\"queries\":{", ",", "}}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_SF1.json"), json)
+    System.out.println(json)
+    spark.stop()
+  }
+}
