@@ -189,6 +189,139 @@ case class HammingPairs(child: Expression, maxHamming: Int)
     copy(child = newChild)
 }
 
+/** PPJoin prefix extraction under a rare-first canonical gram order:
+  * input a hash-ascending distinct gram array ([[SortedGramHashes]]),
+  * output its first `n - ceil(t·n) + 1` grams under the total order
+  * `(df(g), hash(g))`, where `df` is looked up in a bounded stop-gram
+  * table (the corpus's top-C grams by doc frequency; absent → 0).
+  *
+  * The prefix-filter lemma holds under ANY globally consistent total
+  * order — the df table only steers EFFECTIVENESS (common grams sort to
+  * the suffix, so they stop creating quadratic index buckets), never
+  * correctness: a gram missing from the table orders by hash among the
+  * "rare" class on every doc identically. This is what makes the scheme
+  * 100 TB-safe: the exact PPJoin frequency order needs a corpus-wide
+  * (gram → df) join plus a per-doc sort — two data-proportional
+  * shuffles — while a top-C table is bounded (C ≪ corpus), rides the
+  * task binary, and turns the reorder into a pure map. Non-stop grams
+  * are already in hash order in the input, so the reorder is one merge
+  * of the (few) in-doc stop grams behind the non-stop run. */
+case class RarestPrefix(child: Expression, minJaccard: Double,
+    stopKeys: Array[Long], stopDfs: Array[Long])
+    extends UnaryExpression with UnaryEvalCodegen {
+  require(minJaccard > 0.0 && minJaccard <= 1.0)
+  require(stopKeys.length == stopDfs.length)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def castResult(x: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $x"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val p = n - math.ceil(minJaccard * n).toInt + 1
+    val rare = new Array[Long](n)
+    var nRare = 0
+    // (df, hash) pairs for in-doc stop grams; few per doc, so boxed
+    // sorting is fine
+    var stops: java.util.ArrayList[Array[Long]] = null
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      val idx = java.util.Arrays.binarySearch(stopKeys, h)
+      if (idx >= 0) {
+        if (stops == null) stops = new java.util.ArrayList[Array[Long]]()
+        stops.add(Array(stopDfs(idx), h))
+      } else {
+        rare(nRare) = h
+        nRare += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](math.min(p, n))
+    val take = out.length
+    var o = 0
+    while (o < take && o < nRare) { out(o) = rare(o); o += 1 }
+    if (o < take) {
+      stops.sort((a: Array[Long], b: Array[Long]) => {
+        val c = java.lang.Long.compare(a(0), b(0))
+        if (c != 0) c else java.lang.Long.compare(a(1), b(1))
+      })
+      var s = 0
+      while (o < take) { out(o) = stops.get(s)(1); s += 1; o += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** In-bucket candidate expansion with PPJoin's length filter fused in:
+  * input array<struct<id:long, n:long>> (n = the doc's distinct-gram
+  * count), output pairs (id_a < id_b) with `min(n_a,n_b) >= t·max(n_a,
+  * n_b)` — a pair below that bound cannot reach Jaccard t, so it is
+  * pruned inside the quadratic bucket scan instead of surviving to the
+  * distinct + verify joins. Replaces carrying sizes via two joins, which
+  * would re-run the gram pass over the whole corpus twice more.
+  * Duplicate ids keep their first n (ids are unique per bucket by
+  * construction — grams are distinct per doc). */
+case class LengthFilteredPairs(child: Expression, minJaccard: Double)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val ns = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      ns(i) = row.getLong(1)
+      i += 1
+    }
+    i = 1
+    while (i < n) {
+      val id = ids(i); val sz = ns(i)
+      var j = i - 1
+      while (j >= 0 && ids(j) > id) { ids(j + 1) = ids(j); ns(j + 1) = ns(j); j -= 1 }
+      ids(j + 1) = id; ns(j + 1) = sz
+      i += 1
+    }
+    var m = 0
+    i = 0
+    while (i < n) {
+      if (m == 0 || ids(m - 1) != ids(i)) { ids(m) = ids(i); ns(m) = ns(i); m += 1 }
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        val lo = math.min(ns(i), ns(j)).toDouble
+        val hi = math.max(ns(i), ns(j)).toDouble
+        if (lo >= minJaccard * hi)
+          out += org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit sign-vote SimHash of a string-array column (xxhash64-seed0 per
   * token, ±1 vote per bit, sign → bit). Empty arrays hash to 0 with every
   * vote negative — deterministic. */
@@ -480,6 +613,68 @@ case class MinHashTextSignature(child: Expression, k: Int, numHashes: Int)
       g += 1
     }
     new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sorted distinct xxhash64-seed-0 values of the k-word gram byte slices
+  * of a single-spaced text — the inverted-index key set of the exact
+  * Jaccard threshold join ([[graft.operators.JaccardJoin]]). Grams are
+  * hashed in place like [[MinHashTextSignature]] (zero gram strings);
+  * ascending hash order doubles as the canonical global gram order the
+  * PPJoin prefix filter requires. Fewer than k words → null (same
+  * explode null-guard contract as the signature expressions). Distinct
+  * grams of one doc that collide in 64 bits dedup to one entry — the
+  * same hash-set approximation documented on [[SimHashTextSignature]];
+  * the operator's final verify recomputes Jaccard over exact gram
+  * strings, so collisions can only perturb candidate pruning. */
+case class SortedGramHashes(child: Expression, k: Int)
+    extends UnaryExpression with UnaryEvalCodegen {
+  require(k >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def castResult(x: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $x"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var nWords = 1
+    var i = 0
+    while (i < len) {
+      if (s.getByte(i) == 0x20) nWords += 1
+      i += 1
+    }
+    if (nWords < k) return null
+    val starts = new Array[Int](nWords)
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (s.getByte(i) == 0x20) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    val m = nWords - k + 1
+    val hs = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      val gStart = starts(g)
+      val gEnd = if (g + k < nWords) starts(g + k) - 1 else len
+      hs(g) = XXH64.hashUnsafeBytes(base, off + gStart, gEnd - gStart, 0L)
+      g += 1
+    }
+    java.util.Arrays.sort(hs)
+    var dedup = 0
+    g = 0
+    while (g < m) {
+      if (dedup == 0 || hs(dedup - 1) != hs(g)) { hs(dedup) = hs(g); dedup += 1 }
+      g += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, dedup))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

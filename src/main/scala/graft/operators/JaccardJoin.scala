@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnBridge
+
+/** Exact n-gram Jaccard threshold self-join — the deterministic sibling
+  * of MinHash-LSH ([[MinHashLsh]]): recall is 1.0 by construction rather
+  * than probabilistic, at the cost of candidate volume that grows with
+  * `1 - minJaccard` and with gram skew.
+  *
+  * Shape (prefix-filtered inverted index, after Chaudhuri et al. ICDE'06
+  * and Xiao et al. "PPJoin" WWW'08 — public literature, no reference
+  * analog; the reference has no similarity joins at all):
+  *
+  *  1. Per doc, ONE fused pass builds the sorted distinct gram-hash set
+  *     ([[graft.functions.SortedGramHashes]]) — 8-byte hashes, never gram
+  *     strings.
+  *  2. A bounded **stop-gram table** (top `maxStopGrams` grams by doc
+  *     frequency, one map-combined count agg + sort-limit over 16-byte
+  *     rows) steers PPJoin's rare-first canonical order. The prefix
+  *     lemma is valid under ANY consistent total order; rare-first makes
+  *     prefix buckets small (hash order ≈ random measured 8× slower on a
+  *     931-distinct-bigram skew stress). The exact frequency order would
+  *     cost a corpus-wide (gram→df) join plus a per-doc sort — both
+  *     data-proportional shuffles (measured ~2.5 s of the 6.6 s cold
+  *     query at sf0.1); the top-C table is bounded, rides the task
+  *     binary, and makes the reorder a pure map
+  *     ([[graft.functions.RarestPrefix]]).
+  *  3. **Prefix filter**: a pair with Jaccard ≥ t shares a gram within
+  *     the first `n - ceil(t*n) + 1` elements of each doc's ordered gram
+  *     set (proof: an intersection of o ≥ ceil(t·n) elements leaves at
+  *     most n - o < prefix-length positions before its order-smallest
+  *     member, which lies in both prefixes). Only prefix grams are
+  *     indexed — at t=0.8 that is ~20% of (gram, id) rows, the rarest
+  *     ones.
+  *  4. ONE (gram, id, n) shuffle buckets prefix grams; in-bucket pair
+  *     expansion and PPJoin's **length filter** (`J ≥ t ⟹ min(|A|,|B|) ≥
+  *     t·max(|A|,|B|)`) run fused in one pass
+  *     ([[graft.functions.LengthFilteredPairs]]) — sizes ride the bucket
+  *     rows as 8 bytes, so no extra corpus scan or join carries them.
+  *  5. Candidates are re-spread before verification (AQE coalesces the
+  *     16-byte pair rows to one partition, serializing the verify —
+  *     measured 6.0 → 2.0 s; the count must be pinned because an
+  *     unpinned repartition is itself AQE-coalescible), then join raw
+  *     text and are verified by the exact fused
+  *     [[graft.functions.ShingleJaccard]] — string-gram-exact, so hash
+  *     collisions in steps 1-4 can only perturb candidate pruning, never
+  *     the reported jaccard.
+  *
+  * Both pre-filters are relaxed by 1e-9 on t so double rounding can only
+  * ADMIT a borderline candidate (the exact verify rejects it), never
+  * drop a true pair. The gram pass runs twice (stop-gram branch + index
+  * branch) — a deliberate recompute-over-materialize choice: it is a
+  * pure map, and checkpointing the exploded gram index at 100 TB costs
+  * more than re-scanning.
+  */
+object JaccardJoin {
+
+  /** docs(id, text) → (id_a, id_b, jaccard) for all pairs with exact
+    * k-word-gram Jaccard ≥ minJaccard (id_a < id_b). Building the
+    * DataFrame runs one bounded Spark job (the stop-gram collect —
+    * ≤ maxStopGrams (gram, df) rows on the driver). */
+  def nearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minJaccard: Double = 0.8,
+      maxStopGrams: Int = 1 << 16): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0)
+    val tRelaxed = minJaccard - 1e-9
+    val grams = ColumnBridge.col(graft.functions.SortedGramHashes(
+      ColumnBridge.expr(col(textCol)), k))
+    val g = docs.select(col(idCol).as("__id"), grams.as("__g"))
+    // stop-gram table: df >= 2 only (a df-1 gram can't skew a bucket),
+    // deterministic tie-break on the hash
+    val stopRows = g
+      .select(explode(when(col("__g").isNotNull, col("__g"))).as("__gram"))
+      .groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .orderBy(col("__df").desc, col("__gram"))
+      .limit(maxStopGrams)
+      .collect()
+    val byKey = stopRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val prefix = ColumnBridge.col(graft.functions.RarestPrefix(
+      ColumnBridge.expr(col("__g")), tRelaxed,
+      byKey.map(_._1), byKey.map(_._2)))
+    // __g is multi-referenced (size + prefix) and non-cheap, so it stays
+    // materialized in its own projection (CollapseProject keeps
+    // multi-ref non-cheap aliases); the explode is null-guarded rather
+    // than pre-filtered — a filter on the gram expression would be
+    // predicate-pushed below the projection and evaluate the fused pass
+    // twice (see MinHashLsh.bandBuckets).
+    val buckets = g.select(
+      col("__id"), size(col("__g")).cast("long").as("__n"),
+      explode(when(col("__g").isNotNull, prefix)).as("__bucket"))
+    val pairs = ColumnBridge.col(graft.functions.LengthFilteredPairs(
+      ColumnBridge.expr(col("__members")), tRelaxed))
+    val cands = buckets
+      .groupBy(col("__bucket"))
+      .agg(collect_list(struct(col("__id"), col("__n"))).as("__members"))
+      .filter(size(col("__members")) > 1)
+      .select(explode(pairs).as("__p"))
+      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
+      .distinct()
+    val rawA = docs.select(col(idCol).as("id_a"), col(textCol).as("__t_a"))
+    val rawB = docs.select(col(idCol).as("id_b"), col(textCol).as("__t_b"))
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // Round-robin REPARTITION_BY_NUM specifically: a hash repartition on
+    // (id_a, id_b) is elided as a no-op (the distinct already hash-
+    // partitioned on those keys) and the distinct's own exchange is then
+    // AQE-coalesced to ONE partition (16-byte rows look tiny), which
+    // serializes the verify — measured 4.5 s single-task vs 0.2 s spread.
+    cands
+      .repartition(nPart)
+      .join(rawA, "id_a").join(rawB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        MinHashLsh.shingleJaccard(col("__t_a"), col("__t_b"), k).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

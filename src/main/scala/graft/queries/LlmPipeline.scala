@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{ColumnBridge, Hashes}
-import graft.operators.{Ann, Contamination, CorpusMix, DedupPipeline, MinHashLsh, Multimodal, SimHash}
+import graft.operators.{Ann, Contamination, CorpusMix, DedupPipeline, JaccardJoin, MinHashLsh, Multimodal, SimHash}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
   * (deduplication, similarity search, text analysis, multimodal plumbing),
@@ -491,6 +491,20 @@ object LlmPipeline {
       .select("doc_id", "source", "copy")
   }
 
+  /** q43: exact n-gram Jaccard threshold self-join — the deterministic
+    * (recall-1.0) sibling of q18's probabilistic MinHash-LSH, via the
+    * rare-first prefix-filtered inverted index of
+    * [[graft.operators.JaccardJoin]]. Deliberately the SAME parameters
+    * as q18 (k=3, t=0.8): two independent algorithms — LSH blocking and
+    * PPJoin exact blocking — must reproduce the identical exhaustive
+    * all-pairs ground truth. (Bigrams were tried and rejected: this
+    * corpus has only ~931 distinct bigrams, avg doc-frequency ~540 —
+    * a gram-skew stress case that rare-first prefixes handle and that
+    * trigrams' 27k-gram vocabulary sidesteps entirely.) */
+  def q43JaccardNearDup(s: SparkSession, dir: String): DataFrame =
+    JaccardJoin.nearDupPairs(augmentedDocs(s, dir), "doc_id", "text",
+      k = 3, minJaccard = 0.8)
+
   /** Queries whose oracle reads the query's own output back and
     * re-derives the SQL-expressible part from the raw tables. */
   val oracleInputCopies: Seq[String] =
@@ -520,10 +534,29 @@ object LlmPipeline {
     "q38_dedup_corpus" -> q38DedupCorpus _,
     "q39_corpus_mix" -> q39CorpusMix _,
     "q40_quality_filter" -> q40QualityFilter _,
-    "q41_corpus_build" -> q41CorpusBuild _)
+    "q41_corpus_build" -> q41CorpusBuild _,
+    "q43_jaccard_neardup" -> q43JaccardNearDup _)
 
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" ->
+      s"""WITH $augmentedSql,
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2])) AS s
+        |  FROM aug),
+        |sh2 AS (SELECT * FROM sh WHERE len(s) > 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q43_jaccard_neardup" ->
       s"""WITH $augmentedSql,
         |sh AS (
         |  SELECT doc_id,

@@ -1,0 +1,184 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnBridge
+
+/** Stage-by-stage timing of q43's PPJoin pipeline at SPARK_GRAFT_SF_DIR.
+  * Each stage is timed on a FRESHLY built DataFrame (no shuffle reuse)
+  * to match what a cold query pays. */
+object ProfileQ43 {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.Sessions.builder("32").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def docs = {
+      val d = graft.Tables.parallel(spark, dir, "documents")
+      d.select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("n_chars") >= 100).select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    }
+    def time(name: String)(f: => Long): Unit = {
+      f // warm (jit/codegen); fresh DataFrames each call => no shuffle reuse
+      val ts = (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"[prof] $name%-30s ${ts.map(_._1).min}%6.2f s  rows=${ts.head._2}")
+    }
+    val t = 0.8 - 1e-9
+
+    def g = docs.select(col("doc_id").as("__id"),
+      ColumnBridge.col(graft.functions.SortedGramHashes(
+        ColumnBridge.expr(col("text")), 3)).as("__g"))
+
+    def stopRows() = g
+      .select(explode(when(col("__g").isNotNull, col("__g"))).as("__gram"))
+      .groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .orderBy(col("__df").desc, col("__gram"))
+      .limit(1 << 16)
+      .collect()
+    time("a: stop-gram collect")(stopRows().length)
+
+    val byKey = stopRows().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    def prefix = ColumnBridge.col(graft.functions.RarestPrefix(
+      ColumnBridge.expr(col("__g")), t, byKey.map(_._1), byKey.map(_._2)))
+    def buckets = g.select(
+      col("__id"), size(col("__g")).cast("long").as("__n"),
+      explode(when(col("__g").isNotNull, prefix)).as("__bucket"))
+    time("b: buckets (prefix explode)")(buckets.count())
+
+    def cands = buckets
+      .groupBy(col("__bucket"))
+      .agg(collect_list(struct(col("__id"), col("__n"))).as("__members"))
+      .filter(size(col("__members")) > 1)
+      .select(explode(ColumnBridge.col(graft.functions.LengthFilteredPairs(
+        ColumnBridge.expr(col("__members")), t))).as("__p"))
+      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
+      .distinct()
+    time("c: cands (+agg+pairs+distinct)")(cands.count())
+
+    def full = {
+      val rawA = docs.select(col("doc_id").as("id_a"), col("text").as("__t_a"))
+      val rawB = docs.select(col("doc_id").as("id_b"), col("text").as("__t_b"))
+      cands.repartition(32, col("id_a"), col("id_b"))
+        .join(rawA, "id_a").join(rawB, "id_b")
+        .select(col("id_a"), col("id_b"),
+          graft.operators.MinHashLsh.shingleJaccard(
+            col("__t_a"), col("__t_b"), 3).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    }
+    time("d: full (joins+verify)")(full.count())
+
+    def joinsOnly = {
+      val rawA = docs.select(col("doc_id").as("id_a"), col("text").as("__t_a"))
+      val rawB = docs.select(col("doc_id").as("id_b"), col("text").as("__t_b"))
+      cands.repartition(32, col("id_a"), col("id_b"))
+        .join(rawA, "id_a").join(rawB, "id_b")
+        .select(length(col("__t_a")) + length(col("__t_b")))
+    }
+    time("e: joins, no verify")(joinsOnly.count())
+
+    def fullHinted = {
+      val rawA = docs.select(col("doc_id").as("id_a"), col("text").as("__t_a"))
+      val rawB = docs.select(col("doc_id").as("id_b"), col("text").as("__t_b"))
+      cands.repartition(32, col("id_a"), col("id_b"))
+        .join(broadcast(rawA), "id_a").join(broadcast(rawB), "id_b")
+        .select(col("id_a"), col("id_b"),
+          graft.operators.MinHashLsh.shingleJaccard(
+            col("__t_a"), col("__t_b"), 3).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    }
+    time("f: full, broadcast-hinted")(fullHinted.count())
+
+    // micro: per-eval cost of the fused verify on representative texts
+    {
+      val rnd = new scala.util.Random(1)
+      val words = Array.fill(400)("w" + rnd.nextInt(200))
+      def mk() = Array.fill(54)(words(rnd.nextInt(words.length))).mkString(" ")
+      val ta = org.apache.spark.unsafe.types.UTF8String.fromString(mk())
+      val tb = org.apache.spark.unsafe.types.UTF8String.fromString(mk())
+      val ex = graft.functions.ShingleJaccard(
+        org.apache.spark.sql.catalyst.expressions.Literal(ta,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.catalyst.expressions.Literal(tb,
+          org.apache.spark.sql.types.StringType), 3)
+      var i = 0
+      var acc = 0.0
+      while (i < 20000) { acc += ex.nullSafeEval(ta, tb).asInstanceOf[Double]; i += 1 } // warm
+      val t0 = System.nanoTime()
+      i = 0
+      while (i < 200000) { acc += ex.nullSafeEval(ta, tb).asInstanceOf[Double]; i += 1 }
+      val el = (System.nanoTime() - t0) / 1e9
+      println(f"[prof] g: ShingleJaccard micro: ${el / 200000 * 1e6}%8.2f us/eval (acc=$acc%.1f)")
+    }
+    // skew: pairs per id_a / id_b
+    {
+      val top = cands.groupBy("id_a").count().orderBy(col("count").desc).limit(5).collect()
+      println("[prof] h: top id_a pair counts: " + top.map(r => r.getLong(1)).mkString(","))
+    }
+    // wall-clock attribution: stage submit->complete spans for one cold run
+    {
+      val spans = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, String)]()
+      val taskAgg = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, Long)]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          spans.add((si.stageId,
+            si.submissionTime.getOrElse(0L), si.completionTime.getOrElse(0L),
+            si.name.take(60)))
+        }
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val d = te.taskInfo.duration
+          taskAgg.merge(te.stageId, (1, d, d), (a, b) =>
+            (a._1 + b._1, a._2 + b._2, math.max(a._3, b._3)))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      full.write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"[prof] j: cold noop write wall=$wall%.2f s; stages:")
+      import scala.jdk.CollectionConverters._
+      val ss = spans.asScala.toSeq.sortBy(_._2)
+      val base = ss.headOption.map(_._2).getOrElse(0L)
+      ss.foreach { case (id, sub, comp, name) =>
+        val (nt, sum, mx) = Option(taskAgg.get(id)).getOrElse((0, 0L, 0L))
+        println(f"[prof]   stage $id%3d +${(sub - base) / 1000.0}%6.2f -> +${(comp - base) / 1000.0}%6.2f (${(comp - sub) / 1000.0}%5.2f s) tasks=$nt sumTask=${sum / 1000.0}%.2f maxTask=${mx / 1000.0}%.2f  $name")
+      }
+    }
+    // final adaptive plan with metrics for the full query
+    {
+      val f2 = full
+      val qe = f2.queryExecution
+      val n = qe.executedPlan.execute().count()
+      println(s"[prof] i: executed rows=$n; final plan node metrics:")
+      def walk(p: org.apache.spark.sql.execution.SparkPlan, d: Int): Unit = {
+        val interesting = p.metrics.filter { case (k, m) =>
+          m.value > 0 && (k.contains("Time") || k.contains("time") ||
+            k == "numOutputRows" || k.contains("dataSize"))
+        }
+        val ms = interesting.map { case (k, m) => s"$k=${m.value}" }.mkString(" ")
+        println(("[prof] " + "  " * d + p.nodeName + "  " + ms).take(200))
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan, d + 1)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan, d + 1)
+          case _ => p.children.foreach(walk(_, d + 1))
+        }
+      }
+      walk(qe.executedPlan, 0)
+    }
+    spark.stop()
+  }
+}
