@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Greedy concat-and-chunk sequence packing — the standard way training
+  * corpora are laid out into fixed-token-budget sequences (documents
+  * concatenated in a deterministic order, the stream split every
+  * `budget` tokens; "packing" in the Raffel et al. T5 / GPT-3 data
+  * pipeline sense). No reference analog; part of the LLM-pipeline
+  * extension surface.
+  *
+  * Scale shape: packing is inherently sequential, so the corpus is
+  * first split into `numGroups` deterministic pack groups and each
+  * group packs independently — ONE shuffle (the per-group window sort),
+  * no global sort, and `numGroups` is the parallelism/sequence-length
+  * dial (each group yields its own sequence numbering; the pair
+  * (pack_group, seq_id) is the globally unique sequence key). Rows
+  * carry (id, group, n_tokens) — 24 bytes; text never moves: a
+  * downstream writer joins the assignment back and streams each
+  * group's docs in (seq_id, tok_offset) order.
+  *
+  * Packing math per group, docs in ascending `orderCol` order:
+  * `tok_start = cumsum(tokens) - tokens`; a doc's first token lands in
+  * sequence `floor(tok_start / budget)` at offset `tok_start % budget`,
+  * and the doc spans `floor((tok_start + tokens - 1) / budget) -
+  * seq_id + 1` consecutive sequences (concat-and-chunk splits across
+  * the boundary rather than padding). Everything is integer window
+  * arithmetic — deterministic, no RNG, and SQL-expressible, so the
+  * whole operator is oracle-checkable.
+  */
+object SeqPack {
+
+  /** docs → (id, pack_group, n_tokens, seq_id, tok_offset, n_seqs) with
+    * one row per input doc. `groupCol` must be a deterministic
+    * expression over the row (e.g. `pmod(col("doc_id"), 32)`). */
+  def pack(
+      docs: DataFrame, idCol: String, tokensCol: Column,
+      groupCol: Column, orderCol: Column, budget: Int): DataFrame = {
+    require(budget >= 1)
+    val w = Window.partitionBy(col("pack_group")).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), groupCol.cast("long").as("pack_group"),
+        tokensCol.cast("long").as("n_tokens"), orderCol)
+      .withColumn("__tok_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(
+        col(idCol), col("pack_group"), col("n_tokens"),
+        (col("__tok_start") / budget).cast("long").as("seq_id"),
+        pmod(col("__tok_start"), lit(budget.toLong)).as("tok_offset"),
+        (((col("__tok_start") + col("n_tokens") - 1) / budget).cast("long")
+          - (col("__tok_start") / budget).cast("long") + 1).as("n_seqs"))
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{ColumnBridge, Hashes}
-import graft.operators.{Ann, Contamination, CorpusMix, DedupPipeline, JaccardJoin, MinHashLsh, Multimodal, SimHash}
+import graft.operators.{Ann, Contamination, CorpusMix, DedupPipeline, JaccardJoin, MinHashLsh, Multimodal, SeqPack, SimHash}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
   * (deduplication, similarity search, text analysis, multimodal plumbing),
@@ -505,6 +505,18 @@ object LlmPipeline {
     JaccardJoin.nearDupPairs(augmentedDocs(s, dir), "doc_id", "text",
       k = 3, minJaccard = 0.8)
 
+  /** q44: greedy concat-and-chunk sequence packing — assign every doc a
+    * (pack_group, seq_id, tok_offset) slot in fixed 512-token training
+    * sequences ([[graft.operators.SeqPack]]). Groups by `doc_id % 8`
+    * (SQL-portable stand-in for a hash group), orders by doc_id —
+    * fully deterministic window arithmetic, oracle-checked end to end. */
+  def q44SeqPack(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(s, dir, "documents")
+    SeqPack.pack(docs, "doc_id",
+      size(split(col("text"), " ")).cast("long"),
+      pmod(col("doc_id"), lit(8L)), col("doc_id"), budget = 512)
+  }
+
   /** Queries whose oracle reads the query's own output back and
     * re-derives the SQL-expressible part from the raw tables. */
   val oracleInputCopies: Seq[String] =
@@ -535,7 +547,8 @@ object LlmPipeline {
     "q39_corpus_mix" -> q39CorpusMix _,
     "q40_quality_filter" -> q40QualityFilter _,
     "q41_corpus_build" -> q41CorpusBuild _,
-    "q43_jaccard_neardup" -> q43JaccardNearDup _)
+    "q43_jaccard_neardup" -> q43JaccardNearDup _,
+    "q44_seq_pack" -> q44SeqPack _)
 
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" ->
@@ -574,6 +587,18 @@ object LlmPipeline {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "q44_seq_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS pack_group,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents),
+        |c AS (SELECT doc_id, pack_group, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS ts
+        |FROM t)
+        |SELECT doc_id, pack_group, n_tokens,
+        |  ts // 512 AS seq_id, ts % 512 AS tok_offset,
+        |  (ts + n_tokens - 1) // 512 - ts // 512 + 1 AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q19_ann_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 10),

@@ -108,6 +108,72 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SortedGramHashes equals sort∘distinct∘xxh64(WordShingles) on random texts") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    forAll(Gen.zip(textGen, Gen.oneOf(1, 2, 3))) { case (t, k) =>
+      val u = UTF8String.fromString(t)
+      val fused = graft.functions.SortedGramHashes(null, k).nullSafeEval(u)
+      val w = t.split(" ", -1)
+      if (w.length < k) assert(fused === null, s"text='$t' k=$k")
+      else {
+        val model = w.sliding(k).map(_.mkString(" ")).toSeq.distinct
+          .map { g =>
+            val gu = UTF8String.fromString(g)
+            org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(gu.getBaseObject, gu.getBaseOffset, gu.numBytes, 0L)
+          }.distinct.sorted
+        assert(fused.asInstanceOf[ArrayData].toLongArray().toSeq === model,
+          s"text='$t' k=$k")
+      }
+    }
+  }
+
+  test("LengthFilteredPairs equals the pair model for any member multiset") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    val member = Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(1L, 30L))
+    val members = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, member))
+    forAll(Gen.zip(members, Gen.oneOf(0.5, 0.8, 1.0))) { case (ms, t) =>
+      val arr = new GenericArrayData(
+        ms.map { case (id, n) => InternalRow(id, n): Any }.toArray)
+      val got = graft.functions.LengthFilteredPairs(null, t).nullSafeEval(arr)
+        .asInstanceOf[ArrayData]
+      val gotPairs = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }.toSet
+      val dedup = ms.groupBy(_._1).map { case (id, xs) => (id, xs.head._2) }.toSeq
+      val model = (for {
+        (a, na) <- dedup; (b, nb) <- dedup if a < b
+        if math.min(na, nb).toDouble >= t * math.max(na, nb)
+      } yield (a, b)).toSet
+      assert(gotPairs === model, s"members=$ms t=$t")
+    }
+  }
+
+  test("RarestPrefix equals take-prefix of the (df, hash) sort for any stop table") {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    val gramsGen = Gen.chooseNum(0, 20)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-50L, 50L)))
+      .map(_.distinct.sorted)
+    val stopsGen = Gen.chooseNum(0, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.zip(Gen.chooseNum(-50L, 50L), Gen.chooseNum(2L, 9L))))
+      .map(_.groupBy(_._1).map { case (k, xs) => (k, xs.head._2) }.toSeq.sortBy(_._1))
+    forAll(Gen.zip(gramsGen, stopsGen, Gen.oneOf(0.5, 0.8, 1.0))) { case (gs, stops, t) =>
+      val got = graft.functions.RarestPrefix(null, t,
+          stops.map(_._1).toArray, stops.map(_._2).toArray)
+        .nullSafeEval(new GenericArrayData(gs.toArray))
+        .asInstanceOf[ArrayData].toLongArray().toSeq
+      val df = stops.toMap
+      val n = gs.length
+      val model =
+        if (n == 0) Seq.empty[Long]
+        else gs.sortBy(g => (df.getOrElse(g, 0L), g))
+          .take(n - math.ceil(t * n).toInt + 1)
+      assert(got === model, s"grams=$gs stops=$stops t=$t")
+    }
+  }
+
   test("ShingleJaccard equals the set-model jaccard on random text pairs") {
     import org.apache.spark.unsafe.types.UTF8String
     def grams(t: String): Set[String] = {

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SeqPack
+
+/** Concat-and-chunk sequence packing: golden assignments plus the
+  * stream-reconstruction invariants that make the output usable by a
+  * sequence writer. */
+class SeqPackSpec extends SparkSuite {
+
+  test("golden: docs chunk across a 10-token budget") {
+    import spark.implicits._
+    // one group; token counts 4, 4, 12, 3 → starts 0, 4, 8, 20
+    val docs = Seq(
+      (1L, 4L), (2L, 4L), (3L, 12L), (4L, 3L)).toDF("doc_id", "toks")
+    val got = SeqPack.pack(docs, "doc_id", col("toks"),
+        lit(0L), col("doc_id"), budget = 10)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got === Array(
+      (1L, 0L, 0L, 1L),   // tokens 0-3 in seq 0
+      (2L, 0L, 4L, 1L),   // tokens 4-7 in seq 0
+      (3L, 0L, 8L, 2L),   // tokens 8-19: starts in seq 0, spans into seq 1
+      (4L, 2L, 0L, 1L)))  // tokens 20-22 open seq 2
+  }
+
+  test("invariants: offsets reconstruct the concatenated group stream") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val docs = (0 until 500)
+      .map(i => (i.toLong, 1L + rnd.nextInt(40).toLong))
+      .toDF("doc_id", "toks")
+    val budget = 64
+    val out = SeqPack.pack(docs, "doc_id", col("toks"),
+        pmod(col("doc_id"), lit(4L)), col("doc_id"), budget)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length === 500)
+    for (g <- out.groupBy(_._2).values) {
+      val inOrder = g.sortBy(_._1)
+      var pos = 0L
+      for ((id, _, toks, seq, off, nSeqs) <- inOrder) {
+        assert(seq === pos / budget, s"doc $id seq")
+        assert(off === pos % budget, s"doc $id offset")
+        assert(nSeqs === (pos + toks - 1) / budget - pos / budget + 1, s"doc $id span")
+        pos += toks
+      }
+    }
+  }
+}
