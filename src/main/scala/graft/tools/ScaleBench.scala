@@ -36,13 +36,15 @@ object ScaleBench {
   val COPIES = 10
   val OUT = "/root/repo/target/sf1"
 
-  /** The expensive-query set (r4 bench ranking) plus the new q42. */
+  /** The expensive-query set (r4 bench ranking) plus the queries added
+    * since (q42 approx quantiles, q43 exact Jaccard join, q44 packing). */
   val SCALE_QUERIES: Seq[String] = Seq(
     "q01_agg_pushdown", "q13_json_parse", "q16_class_normalize",
     "q18_minhash_neardup", "q24_simhash_neardup", "q28_ivf_ann",
     "q29_quantiles", "q31_winnow_neardup", "q32_cluster_dedup",
     "q35_repetition", "q37_contamination", "q38_dedup_corpus",
-    "q41_corpus_build", "q42_quantiles_approx")
+    "q41_corpus_build", "q42_quantiles_approx", "q43_jaccard_neardup",
+    "q44_seq_pack")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")
