@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -82,20 +83,27 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
-/** All unordered pairs (a, b) with a < b from a long-array column, as an
-  * array of structs — the single-pass form of an LSH bucket's candidate
-  * expansion (replaces a bucket self-join, which would execute the whole
-  * signature pipeline twice). Duplicate ids contribute one pair. */
+/** All unordered pairs (a, b) with a < b from a long-array column — the
+  * single-pass form of an LSH bucket's candidate expansion (replaces a
+  * bucket self-join, which would execute the whole signature pipeline
+  * twice). Duplicate ids contribute one pair.
+  *
+  * A lazy [[Generator]] (use directly in a select, no explode): a
+  * bucket's O(b²) pair set is streamed into the downstream consumer one
+  * row at a time instead of materialized as an in-memory array, so a
+  * pathological mega-bucket degrades to CPU time rather than executor
+  * OOM. Memory stays O(b) (the sorted id array). */
 case class SortedPairs(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with Generator with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(
+  override def elementSchema: StructType =
     StructType(Seq(StructField("a", LongType, nullable = false),
-      StructField("b", LongType, nullable = false))),
-    containsNull = false)
+      StructField("b", LongType, nullable = false)))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val ids = new Array[Long](n)
     var i = 0
@@ -108,22 +116,33 @@ case class SortedPairs(child: Expression)
       if (m == 0 || ids(m - 1) != ids(i)) { ids(m) = ids(i); m += 1 }
       i += 1
     }
-    val out = new Array[Any](m * (m - 1) / 2)
-    var k = 0
-    i = 0
-    while (i < m) {
-      var j = i + 1
-      while (j < m) {
-        out(k) = org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j))
-        k += 1; j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(out)
+    PairStream.pairs(m, (i, j) => InternalRow(ids(i), ids(j)))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Lazy i<j pair iterator shared by the bucket-expansion generators;
+  * `emit` may return null to filter a pair out. */
+private[functions] object PairStream {
+  def pairs(m: Int, emit: (Int, Int) => InternalRow): Iterator[InternalRow] =
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var j = 1
+      private var ready: InternalRow = _
+      private def advance(): Unit = {
+        while (ready == null && i < m - 1) {
+          if (j >= m) { i += 1; j = i + 1 }
+          else { ready = emit(i, j); j += 1 }
+        }
+      }
+      override def hasNext: Boolean = { advance(); ready != null }
+      override def next(): InternalRow = {
+        advance()
+        val r = ready; ready = null; r
+      }
+    }
 }
 
 /** In-bucket SimHash candidate expansion: input array<struct<id,sig>>,
@@ -131,19 +150,22 @@ case class SortedPairs(child: Expression)
   * `maxHamming` — candidate generation and Hamming verification fused in
   * one pass, so the quadratic in-bucket scan emits only verified pairs
   * (replaces a bucket self-join, which would execute the simhash pipeline
-  * twice and shuffle it twice). Duplicate ids keep their first signature. */
+  * twice and shuffle it twice). Duplicate ids keep their first signature.
+  * A lazy [[Generator]] like [[SortedPairs]]: O(b) memory, pairs
+  * streamed, rejected pairs never allocated. */
 case class HammingPairs(child: Expression, maxHamming: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with Generator with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(
+  override def elementSchema: StructType =
     StructType(Seq(
       StructField("a", LongType, nullable = false),
       StructField("b", LongType, nullable = false),
-      StructField("hamming", IntegerType, nullable = false))),
-    containsNull = false)
+      StructField("hamming", IntegerType, nullable = false)))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val ids = new Array[Long](n)
     val sigs = new Array[Long](n)
@@ -170,19 +192,10 @@ case class HammingPairs(child: Expression, maxHamming: Int)
       if (m == 0 || ids(m - 1) != ids(i)) { ids(m) = ids(i); sigs(m) = sigs(i); m += 1 }
       i += 1
     }
-    val out = new scala.collection.mutable.ArrayBuffer[Any]()
-    i = 0
-    while (i < m) {
-      var j = i + 1
-      while (j < m) {
-        val h = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
-        if (h <= maxHamming)
-          out += org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), h)
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(out.toArray)
+    PairStream.pairs(m, (i, j) => {
+      val h = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+      if (h <= maxHamming) InternalRow(ids(i), ids(j), h) else null
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -266,18 +279,21 @@ case class RarestPrefix(child: Expression, minJaccard: Double,
   * distinct + verify joins. Replaces carrying sizes via two joins, which
   * would re-run the gram pass over the whole corpus twice more.
   * Duplicate ids keep their first n (ids are unique per bucket by
-  * construction — grams are distinct per doc). */
+  * construction — grams are distinct per doc). A lazy [[Generator]]
+  * like [[SortedPairs]]: O(b) memory even when a frequent gram escapes
+  * the bounded stop table and forms a mega-bucket. */
 case class LengthFilteredPairs(child: Expression, minJaccard: Double)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with Generator with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(
+  override def elementSchema: StructType =
     StructType(Seq(
       StructField("a", LongType, nullable = false),
-      StructField("b", LongType, nullable = false))),
-    containsNull = false)
+      StructField("b", LongType, nullable = false)))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val ids = new Array[Long](n)
     val ns = new Array[Long](n)
@@ -302,20 +318,11 @@ case class LengthFilteredPairs(child: Expression, minJaccard: Double)
       if (m == 0 || ids(m - 1) != ids(i)) { ids(m) = ids(i); ns(m) = ns(i); m += 1 }
       i += 1
     }
-    val out = new scala.collection.mutable.ArrayBuffer[Any]()
-    i = 0
-    while (i < m) {
-      var j = i + 1
-      while (j < m) {
-        val lo = math.min(ns(i), ns(j)).toDouble
-        val hi = math.max(ns(i), ns(j)).toDouble
-        if (lo >= minJaccard * hi)
-          out += org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j))
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(out.toArray)
+    PairStream.pairs(m, (i, j) => {
+      val lo = math.min(ns(i), ns(j)).toDouble
+      val hi = math.max(ns(i), ns(j)).toDouble
+      if (lo >= minJaccard * hi) InternalRow(ids(i), ids(j)) else null
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

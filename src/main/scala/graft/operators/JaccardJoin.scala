@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.functions.ColumnBridge
 
 /** Exact n-gram Jaccard threshold self-join — the deterministic sibling
-  * of MinHash-LSH ([[MinHashLsh]]): recall is 1.0 by construction rather
-  * than probabilistic, at the cost of candidate volume that grows with
+  * of MinHash-LSH ([[MinHashLsh]]): the pre-filters are lossless by
+  * construction (recall 1.0 up to 64-bit gram-hash collisions, ~2⁻⁶⁴
+  * per gram pair — a collision can shrink one doc's hash-set size and
+  * perturb the length filter; there is no LSH-style tunable miss
+  * probability), at the cost of candidate volume that grows with
   * `1 - minJaccard` and with gram skew.
   *
   * Shape (prefix-filtered inverted index, after Chaudhuri et al. ICDE'06
@@ -66,7 +69,10 @@ object JaccardJoin {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minJaccard: Double = 0.8,
       maxStopGrams: Int = 1 << 16): DataFrame = {
-    require(minJaccard > 0.0 && minJaccard <= 1.0)
+    // lower bound well above the 1e-9 relaxation so tRelaxed stays
+    // positive with a clear message at the API boundary
+    require(minJaccard >= 0.01 && minJaccard <= 1.0,
+      s"minJaccard must be in [0.01, 1.0], got $minJaccard")
     val tRelaxed = minJaccard - 1e-9
     val grams = ColumnBridge.col(graft.functions.SortedGramHashes(
       ColumnBridge.expr(col(textCol)), k))
@@ -99,8 +105,8 @@ object JaccardJoin {
       .groupBy(col("__bucket"))
       .agg(collect_list(struct(col("__id"), col("__n"))).as("__members"))
       .filter(size(col("__members")) > 1)
-      .select(explode(pairs).as("__p"))
-      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
+      // lazy Generator: pair expansion + length filter stream per bucket
+      .select(pairs.as(Seq("id_a", "id_b")))
       .distinct()
     val rawA = docs.select(col(idCol).as("id_a"), col(textCol).as("__t_a"))
     val rawB = docs.select(col(idCol).as("id_b"), col(textCol).as("__t_b"))

@@ -76,8 +76,9 @@ object MinHashLsh {
       .groupBy(col("__band"), col("__bucket"))
       .agg(collect_list(col("__id")).as("__ids"))
       .filter(size(col("__ids")) > 1)
-      .select(explode(pairs).as("__p"))
-      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
+      // SortedPairs is a lazy Generator: selected directly (no explode),
+      // a mega-bucket's pair set streams instead of materializing
+      .select(pairs.as(Seq("id_a", "id_b")))
       .distinct()
   }
 

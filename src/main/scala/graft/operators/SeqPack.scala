@@ -34,22 +34,30 @@ object SeqPack {
 
   /** docs → (id, pack_group, n_tokens, seq_id, tok_offset, n_seqs) with
     * one row per input doc. `groupCol` must be a deterministic
-    * expression over the row (e.g. `pmod(col("doc_id"), 32)`). */
+    * expression over the row (e.g. `pmod(col("doc_id"), 32)`). The id
+    * column is appended to the window order as a tiebreak so duplicate
+    * `orderCol` values can't make the cumsum run-order-dependent. */
   def pack(
       docs: DataFrame, idCol: String, tokensCol: Column,
       groupCol: Column, orderCol: Column, budget: Int): DataFrame = {
     require(budget >= 1)
-    val w = Window.partitionBy(col("pack_group")).orderBy(orderCol)
+    // the order expression is aliased before the window so arbitrary
+    // expressions (not just bare columns) survive the projection
+    val w = Window.partitionBy(col("pack_group")).orderBy(col("__ord"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // integer `div`, not double /: exact beyond 2^53 cumulative tokens,
+    // and all operands are non-negative so div == floor; a zero-token
+    // doc occupies zero sequences (the div identity would say 1)
     docs
       .select(col(idCol), groupCol.cast("long").as("pack_group"),
-        tokensCol.cast("long").as("n_tokens"), orderCol)
+        tokensCol.cast("long").as("n_tokens"), orderCol.as("__ord"))
       .withColumn("__tok_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(
         col(idCol), col("pack_group"), col("n_tokens"),
-        (col("__tok_start") / budget).cast("long").as("seq_id"),
+        expr(s"__tok_start div $budget").as("seq_id"),
         pmod(col("__tok_start"), lit(budget.toLong)).as("tok_offset"),
-        (((col("__tok_start") + col("n_tokens") - 1) / budget).cast("long")
-          - (col("__tok_start") / budget).cast("long") + 1).as("n_seqs"))
+        when(col("n_tokens") === 0L, 0L)
+          .otherwise(expr(s"(__tok_start + n_tokens - 1) div $budget")
+            - expr(s"__tok_start div $budget") + 1).as("n_seqs"))
   }
 }

@@ -216,16 +216,15 @@ object LlmPipeline {
     val bucketed = sigs
       .select(col("doc_id"), col("sig"), explode(array(bands: _*)).as("bb"))
     // ONE shuffle on the band key; candidate generation + Hamming verify
-    // fused in-bucket (HammingPairs), so only surviving pairs materialize
+    // fused in-bucket (HammingPairs — a lazy Generator, so only
+    // surviving pairs are ever allocated and buckets stream)
     val pairs = ColumnBridge.col(graft.functions.HammingPairs(
       ColumnBridge.expr(col("__members")), maxHamming = 12))
     val cands = bucketed
       .groupBy(col("bb"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("__members"))
       .filter(size(col("__members")) > 1)
-      .select(explode(pairs).as("__p"))
-      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"),
-        col("__p.hamming").as("hamming"))
+      .select(pairs.as(Seq("id_a", "id_b", "hamming")))
       .dropDuplicates("id_a", "id_b")
     // exact shingle-Jaccard verification joins text for CANDIDATES only
     val rawA = docs.select(col("doc_id").as("id_a"), col("text").as("__t_a"))
@@ -313,8 +312,7 @@ object LlmPipeline {
       .select(col("doc_id").as("__id"), explode(fp).as("__fp"))
       .groupBy("__fp").agg(collect_list(col("__id")).as("__ids"))
       .filter(size(col("__ids")).between(2, 32))
-      .select(explode(pairs).as("__p"))
-      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
+      .select(pairs.as(Seq("id_a", "id_b")))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= 3)
     // text joined for candidates only — the oracle recomputes this
@@ -492,7 +490,8 @@ object LlmPipeline {
   }
 
   /** q43: exact n-gram Jaccard threshold self-join — the deterministic
-    * (recall-1.0) sibling of q18's probabilistic MinHash-LSH, via the
+    * sibling of q18's probabilistic MinHash-LSH (lossless pre-filters,
+    * no tunable miss probability), via the
     * rare-first prefix-filtered inverted index of
     * [[graft.operators.JaccardJoin]]. Deliberately the SAME parameters
     * as q18 (k=3, t=0.8): two independent algorithms — LSH blocking and
@@ -550,43 +549,35 @@ object LlmPipeline {
     "q43_jaccard_neardup" -> q43JaccardNearDup _,
     "q44_seq_pack" -> q44SeqPack _)
 
+  /** Exhaustive all-pairs k-gram Jaccard ground truth over the
+    * augmented corpus — ONE definition shared by q18 (MinHash-LSH) and
+    * q43 (exact PPJoin), so the two blocking algorithms are always
+    * cross-validated against the identical oracle. */
+  private def exactJaccardPairsSql(k: Int, threshold: String): String = {
+    val split = "string_split(text, ' ')"
+    val gram = (0 until k)
+      .map(j => if (j == 0) s"$split[i]" else s"$split[i+$j]")
+      .mkString(" || ' ' ||\n           ")
+    s"""WITH $augmentedSql,
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, len($split) - ${k - 1}),
+      |      i -> $gram)) AS s
+      |  FROM aug),
+      |sh2 AS (SELECT * FROM sh WHERE len(s) > 0)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.s, b.s))) >= $threshold
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "q18_minhash_neardup" ->
-      s"""WITH $augmentedSql,
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      generate_series(1, len(string_split(text, ' ')) - 2),
-        |      i -> string_split(text, ' ')[i] || ' ' ||
-        |           string_split(text, ' ')[i+1] || ' ' ||
-        |           string_split(text, ' ')[i+2])) AS s
-        |  FROM aug),
-        |sh2 AS (SELECT * FROM sh WHERE len(s) > 0)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-        |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
-    "q43_jaccard_neardup" ->
-      s"""WITH $augmentedSql,
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      generate_series(1, len(string_split(text, ' ')) - 2),
-        |      i -> string_split(text, ' ')[i] || ' ' ||
-        |           string_split(text, ' ')[i+1] || ' ' ||
-        |           string_split(text, ' ')[i+2])) AS s
-        |  FROM aug),
-        |sh2 AS (SELECT * FROM sh WHERE len(s) > 0)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-        |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q18_minhash_neardup" -> exactJaccardPairsSql(3, "0.8"),
+    "q43_jaccard_neardup" -> exactJaccardPairsSql(3, "0.8"),
     "q44_seq_pack" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS pack_group,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -41,8 +41,7 @@ object ProfileQ31 {
       .groupBy("__fp").agg(collect_list(col("__id")).as("__ids"))
       .filter(size(col("__ids")).between(2, 32))
     time("buckets(2..32)")(buckets)
-    val rawPairs = buckets.select(explode(pairs).as("__p"))
-      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
+    val rawPairs = buckets.select(pairs.as(Seq("id_a", "id_b")))
     time("pair instances")(rawPairs)
     val cands = rawPairs
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))

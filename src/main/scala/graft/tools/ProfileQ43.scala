@@ -6,7 +6,9 @@ import graft.functions.ColumnBridge
 
 /** Stage-by-stage timing of q43's PPJoin pipeline at SPARK_GRAFT_SF_DIR.
   * Each stage is timed on a FRESHLY built DataFrame (no shuffle reuse)
-  * to match what a cold query pays. */
+  * to match what a cold query pays; the full-query stage runs the
+  * SHIPPED operator (graft.operators.JaccardJoin), not a re-derivation,
+  * so the profile can't drift from production behavior. */
 object ProfileQ43 {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,44 +59,16 @@ object ProfileQ43 {
       .groupBy(col("__bucket"))
       .agg(collect_list(struct(col("__id"), col("__n"))).as("__members"))
       .filter(size(col("__members")) > 1)
-      .select(explode(ColumnBridge.col(graft.functions.LengthFilteredPairs(
-        ColumnBridge.expr(col("__members")), t))).as("__p"))
-      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
+      .select(ColumnBridge.col(graft.functions.LengthFilteredPairs(
+        ColumnBridge.expr(col("__members")), t)).as(Seq("id_a", "id_b")))
       .distinct()
     time("c: cands (+agg+pairs+distinct)")(cands.count())
 
-    def full = {
-      val rawA = docs.select(col("doc_id").as("id_a"), col("text").as("__t_a"))
-      val rawB = docs.select(col("doc_id").as("id_b"), col("text").as("__t_b"))
-      cands.repartition(32, col("id_a"), col("id_b"))
-        .join(rawA, "id_a").join(rawB, "id_b")
-        .select(col("id_a"), col("id_b"),
-          graft.operators.MinHashLsh.shingleJaccard(
-            col("__t_a"), col("__t_b"), 3).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-    }
-    time("d: full (joins+verify)")(full.count())
-
-    def joinsOnly = {
-      val rawA = docs.select(col("doc_id").as("id_a"), col("text").as("__t_a"))
-      val rawB = docs.select(col("doc_id").as("id_b"), col("text").as("__t_b"))
-      cands.repartition(32, col("id_a"), col("id_b"))
-        .join(rawA, "id_a").join(rawB, "id_b")
-        .select(length(col("__t_a")) + length(col("__t_b")))
-    }
-    time("e: joins, no verify")(joinsOnly.count())
-
-    def fullHinted = {
-      val rawA = docs.select(col("doc_id").as("id_a"), col("text").as("__t_a"))
-      val rawB = docs.select(col("doc_id").as("id_b"), col("text").as("__t_b"))
-      cands.repartition(32, col("id_a"), col("id_b"))
-        .join(broadcast(rawA), "id_a").join(broadcast(rawB), "id_b")
-        .select(col("id_a"), col("id_b"),
-          graft.operators.MinHashLsh.shingleJaccard(
-            col("__t_a"), col("__t_b"), 3).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-    }
-    time("f: full, broadcast-hinted")(fullHinted.count())
+    // the shipped operator end to end (includes the stop-gram job)
+    time("d: full operator")(
+      graft.operators.JaccardJoin
+        .nearDupPairs(docs, "doc_id", "text", k = 3, minJaccard = 0.8)
+        .count())
 
     // micro: per-eval cost of the fused verify on representative texts
     {
@@ -115,24 +89,21 @@ object ProfileQ43 {
       i = 0
       while (i < 200000) { acc += ex.nullSafeEval(ta, tb).asInstanceOf[Double]; i += 1 }
       val el = (System.nanoTime() - t0) / 1e9
-      println(f"[prof] g: ShingleJaccard micro: ${el / 200000 * 1e6}%8.2f us/eval (acc=$acc%.1f)")
+      println(f"[prof] e: ShingleJaccard micro: ${el / 200000 * 1e6}%8.2f us/eval (acc=$acc%.1f)")
     }
-    // skew: pairs per id_a / id_b
+
+    // wall-clock attribution: stage spans + per-stage task counts for one
+    // cold run of the shipped operator (catches serialized-verify
+    // regressions: the verify stage must run wide, not as one task)
     {
-      val top = cands.groupBy("id_a").count().orderBy(col("count").desc).limit(5).collect()
-      println("[prof] h: top id_a pair counts: " + top.map(r => r.getLong(1)).mkString(","))
-    }
-    // wall-clock attribution: stage submit->complete spans for one cold run
-    {
-      val spans = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, String)]()
+      val spans = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
       val taskAgg = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, Long)]()
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val si = sc.stageInfo
           spans.add((si.stageId,
-            si.submissionTime.getOrElse(0L), si.completionTime.getOrElse(0L),
-            si.name.take(60)))
+            si.submissionTime.getOrElse(0L), si.completionTime.getOrElse(0L)))
         }
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -143,41 +114,20 @@ object ProfileQ43 {
       }
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
-      full.write.format("noop").mode("overwrite").save()
+      graft.operators.JaccardJoin
+        .nearDupPairs(docs, "doc_id", "text", k = 3, minJaccard = 0.8)
+        .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500)
       spark.sparkContext.removeSparkListener(listener)
-      println(f"[prof] j: cold noop write wall=$wall%.2f s; stages:")
+      println(f"[prof] f: cold noop write wall=$wall%.2f s; stages:")
       import scala.jdk.CollectionConverters._
       val ss = spans.asScala.toSeq.sortBy(_._2)
       val base = ss.headOption.map(_._2).getOrElse(0L)
-      ss.foreach { case (id, sub, comp, name) =>
+      ss.foreach { case (id, sub, comp) =>
         val (nt, sum, mx) = Option(taskAgg.get(id)).getOrElse((0, 0L, 0L))
-        println(f"[prof]   stage $id%3d +${(sub - base) / 1000.0}%6.2f -> +${(comp - base) / 1000.0}%6.2f (${(comp - sub) / 1000.0}%5.2f s) tasks=$nt sumTask=${sum / 1000.0}%.2f maxTask=${mx / 1000.0}%.2f  $name")
+        println(f"[prof]   stage $id%3d +${(sub - base) / 1000.0}%6.2f -> +${(comp - base) / 1000.0}%6.2f (${(comp - sub) / 1000.0}%5.2f s) tasks=$nt sumTask=${sum / 1000.0}%.2f maxTask=${mx / 1000.0}%.2f")
       }
-    }
-    // final adaptive plan with metrics for the full query
-    {
-      val f2 = full
-      val qe = f2.queryExecution
-      val n = qe.executedPlan.execute().count()
-      println(s"[prof] i: executed rows=$n; final plan node metrics:")
-      def walk(p: org.apache.spark.sql.execution.SparkPlan, d: Int): Unit = {
-        val interesting = p.metrics.filter { case (k, m) =>
-          m.value > 0 && (k.contains("Time") || k.contains("time") ||
-            k == "numOutputRows" || k.contains("dataSize"))
-        }
-        val ms = interesting.map { case (k, m) => s"$k=${m.value}" }.mkString(" ")
-        println(("[prof] " + "  " * d + p.nodeName + "  " + ms).take(200))
-        p match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            walk(a.executedPlan, d + 1)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-            walk(q.plan, d + 1)
-          case _ => p.children.foreach(walk(_, d + 1))
-        }
-      }
-      walk(qe.executedPlan, 0)
     }
     spark.stop()
   }

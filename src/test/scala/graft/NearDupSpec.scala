@@ -122,18 +122,20 @@ class NearDupSpec extends SparkSuite {
 
   test("HammingPairs: sorted a<b pairs within threshold, duplicate ids collapsed") {
     import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
     val members = new GenericArrayData(Array[Any](
       InternalRow(30L, 0L),               // out-of-order id
       InternalRow(10L, 3L),
       InternalRow(10L, 59L),              // duplicate id — first sig kept
       InternalRow(20L, 255L)))
-    // evaluate directly via nullSafeEval to pin pure semantics
-    val res = graft.functions.HammingPairs(null, 6).nullSafeEval(members)
-      .asInstanceOf[GenericArrayData]
-    val triples = (0 until res.numElements()).map { i =>
-      val r = res.getStruct(i, 3); (r.getLong(0), r.getLong(1), r.getInt(2))
-    }.toSet
+    val dt = ArrayType(StructType(Seq(
+      StructField("id", LongType), StructField("sig", LongType))))
+    // evaluate the generator directly to pin pure semantics
+    val triples = graft.functions.HammingPairs(Literal(members, dt), 6)
+      .eval(null).iterator.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
     // pairs: (10,20) xor(3,255)=252 → 6 bits ✓; (10,30) xor(3,0)=3 → 2 ✓;
     // (20,30) xor(255,0) → 8 ✗; duplicate 10 contributes once
     assert(triples === Set((10L, 20L, 6), (10L, 30L, 2)))

@@ -131,17 +131,19 @@ class PropertySpec extends AnyFunSuite {
 
   test("LengthFilteredPairs equals the pair model for any member multiset") {
     import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val memberDt = ArrayType(StructType(Seq(
+      StructField("id", LongType), StructField("n", LongType))))
     val member = Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(1L, 30L))
     val members = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, member))
     forAll(Gen.zip(members, Gen.oneOf(0.5, 0.8, 1.0))) { case (ms, t) =>
       val arr = new GenericArrayData(
         ms.map { case (id, n) => InternalRow(id, n): Any }.toArray)
-      val got = graft.functions.LengthFilteredPairs(null, t).nullSafeEval(arr)
-        .asInstanceOf[ArrayData]
-      val gotPairs = (0 until got.numElements()).map { i =>
-        val r = got.getStruct(i, 2); (r.getLong(0), r.getLong(1))
-      }.toSet
+      val gotPairs = graft.functions
+        .LengthFilteredPairs(Literal(arr, memberDt), t)
+        .eval(null).iterator.map(r => (r.getLong(0), r.getLong(1))).toSet
       val dedup = ms.groupBy(_._1).map { case (id, xs) => (id, xs.head._2) }.toSeq
       val model = (for {
         (a, na) <- dedup; (b, nb) <- dedup if a < b
