@@ -516,11 +516,34 @@ object LlmPipeline {
       pmod(col("doc_id"), lit(8L)), col("doc_id"), budget = 512)
   }
 
+  /** q45: approximate distinct-token counts per language —
+    * `approx_count_distinct` (HyperLogLog++, rsd 2%) beside the exact
+    * count, with an in-query relative-error audit, mirroring q42's
+    * sketch-plus-audit pattern. At 100 TB the exact arm is dropped and
+    * only the sketch runs: constant-size mergeable partials, map-side
+    * combined, where exact count-distinct must shuffle every distinct
+    * (lang, token) pair. Oracle: read-back — DuckDB recomputes the
+    * exact count from the raw table and re-derives `rel_err` and
+    * `within_tol` from the read-back sketch value, so a wrong approx
+    * fails in the oracle, not just in Spark. */
+  def q45DistinctApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.parallel(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang")
+      .agg(
+        approx_count_distinct(col("tok"), 0.02).as("approx_distinct"),
+        countDistinct(col("tok")).as("exact_distinct"))
+      .withColumn("rel_err",
+        round(abs(col("approx_distinct") - col("exact_distinct"))
+          .cast("double") / col("exact_distinct"), 6))
+      .withColumn("within_tol", col("rel_err") <= 0.05)
+      .orderBy("lang")
+
   /** Queries whose oracle reads the query's own output back and
     * re-derives the SQL-expressible part from the raw tables. */
   val oracleInputCopies: Seq[String] =
     Seq("q24_simhash_neardup", "q28_ivf_ann", "q31_winnow_neardup",
-      "q42_quantiles_approx")
+      "q42_quantiles_approx", "q45_distinct_approx")
 
   private def readBack(name: String): String =
     s"read_parquet('$oracleInputDir/$name.parquet/*.parquet')"
@@ -547,7 +570,8 @@ object LlmPipeline {
     "q40_quality_filter" -> q40QualityFilter _,
     "q41_corpus_build" -> q41CorpusBuild _,
     "q43_jaccard_neardup" -> q43JaccardNearDup _,
-    "q44_seq_pack" -> q44SeqPack _)
+    "q44_seq_pack" -> q44SeqPack _,
+    "q45_distinct_approx" -> q45DistinctApprox _)
 
   /** Exhaustive all-pairs k-gram Jaccard ground truth over the
     * augmented corpus — ONE definition shared by q18 (MinHash-LSH) and
@@ -578,6 +602,21 @@ object LlmPipeline {
   val oracles: Map[String, String] = Map(
     "q18_minhash_neardup" -> exactJaccardPairsSql(3, "0.8"),
     "q43_jaccard_neardup" -> exactJaccardPairsSql(3, "0.8"),
+    "q45_distinct_approx" ->
+      s"""WITH a AS (
+        |  SELECT lang, approx_distinct
+        |  FROM ${readBack("q45_distinct_approx")}),
+        |e AS (
+        |  SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY lang)
+        |SELECT a.lang, a.approx_distinct, e.exact_distinct,
+        |  round(CAST(abs(a.approx_distinct - e.exact_distinct) AS DOUBLE)
+        |    / e.exact_distinct, 6) AS rel_err,
+        |  round(CAST(abs(a.approx_distinct - e.exact_distinct) AS DOUBLE)
+        |    / e.exact_distinct, 6) <= 0.05 AS within_tol
+        |FROM a JOIN e USING (lang) ORDER BY lang""".stripMargin,
     "q44_seq_pack" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS pack_group,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

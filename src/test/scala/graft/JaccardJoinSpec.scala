@@ -76,6 +76,27 @@ class JaccardJoinSpec extends SparkSuite {
     assert(!got.keySet.exists(p => p._1 == 104L || p._2 == 104L))
   }
 
+  test("mega-bucket pair expansion streams: 2k-doc bucket, 2M pairs, O(b) memory") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ColumnBridge
+    import spark.implicits._
+    // one bucket with 2000 members → 1,999,000 pairs; the lazy Generator
+    // must stream them through the count without materializing an array
+    val members = (0 until 2000).map(i => (i.toLong, 100L))
+    val df = Seq(Tuple1(members)).toDF("__members")
+      .select(transform(col("__members"),
+        m => struct(m.getField("_1").as("id"), m.getField("_2").as("n"))).as("__members"))
+    val pairs = ColumnBridge.col(graft.functions.LengthFilteredPairs(
+      ColumnBridge.expr(col("__members")), 0.8))
+    val n = df.select(pairs.as(Seq("a", "b"))).count()
+    assert(n === 2000L * 1999 / 2)
+    // same shape through SortedPairs (ids only)
+    val ids = Seq(Tuple1((0 until 2000).map(_.toLong))).toDF("__ids")
+    val sp = ColumnBridge.col(graft.functions.SortedPairs(
+      ColumnBridge.expr(col("__ids"))))
+    assert(ids.select(sp.as(Seq("a", "b"))).count() === 2000L * 1999 / 2)
+  }
+
   test("threshold sweep stays lossless across t") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
