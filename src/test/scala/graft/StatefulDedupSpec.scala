@@ -52,6 +52,44 @@ class StatefulDedupSpec extends SparkSuite {
     assert(got2 === Map("a" -> "1", "b" -> "2", "c" -> "4"))
   }
 
+  test("firstSeen passes across restarts on the RocksDB state store too") {
+    // the large-state deployment dial documented on StatefulDedup: same
+    // semantics, state off-heap
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("dedup_rocks").toString
+      val srcDir = s"$dir/in"
+      Files.createDirectories(Paths.get(srcDir))
+      def write(file: String, lines: Seq[String]): Unit =
+        Files.write(Paths.get(srcDir, file), lines.mkString("\n").getBytes("UTF-8"))
+      def runOnce(): Unit = {
+        val src = spark.readStream.format("text").load(srcDir)
+          .select(
+            split(col("value"), ",").getItem(0).as("k"),
+            split(col("value"), ",").getItem(1).as("v"))
+        StatefulDedup.firstSeen(src, "k")
+          .writeStream.format("parquet")
+          .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ck")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination(60000)
+      }
+      write("b1.csv", Seq("a,1", "b,2", "a,3"))
+      runOnce()
+      write("b2.csv", Seq("a,9", "c,4"))
+      runOnce()
+      val got = spark.read.parquet(s"$dir/out").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(got === Map("a" -> "1", "b" -> "2", "c" -> "4"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("firstSeen in batch mode behaves as per-batch dedup") {
     import spark.implicits._
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
