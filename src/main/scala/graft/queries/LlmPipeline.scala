@@ -446,16 +446,21 @@ object LlmPipeline {
     * can catch them. Every stage keeps its standalone plan shape (the
     * composition adds no new shuffle beyond its parts); the oracle
     * re-derives the whole DAG in SQL, recursive-CTE closure included. */
-  def q41CorpusBuild(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The q41/q46 corpus: documents ∪ perturbed (+1M) ∪ verbatim (+2M). */
+  private def buildCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallel(s, dir, "documents")
-    val corpus = docs.select(col("doc_id"), col("text"), col("source"))
+    docs.select(col("doc_id"), col("text"), col("source"))
       .unionByName(docs.filter(col("n_chars") >= 100).select(
         (col("doc_id") + 1000000L).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"),
         col("source")))
       .unionByName(docs.filter(col("n_chars") >= 100).select(
         (col("doc_id") + 2000000L).as("doc_id"), col("text"), col("source")))
+  }
+
+  def q41CorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = buildCorpus(s, dir)
     val isBench = col("doc_id") < 1000000L && col("doc_id") % 20 === 0
     val bench = corpus.filter(isBench)
     val train = corpus.filter(!isBench)
@@ -539,6 +544,25 @@ object LlmPipeline {
       .withColumn("within_tol", col("rel_err") <= 0.05)
       .orderBy("lang")
 
+  /** q46: the corpus-build DAG carried through to its training layout —
+    * quality → dedup → decontaminate → mix (q41) → **sequence packing**
+    * (q44's operator): every surviving (doc, copy) instance gets a
+    * deterministic (pack_group, seq_id, tok_offset) slot in fixed
+    * 512-token sequences. `row_id = doc_id·8 + copy` keys each instance
+    * uniquely (copies ≤ 3 < 8); the oracle re-derives the WHOLE chain —
+    * recursive-CTE closure included — plus the packing windows in one
+    * SQL statement. */
+  def q46CorpusPack(s: SparkSession, dir: String): DataFrame = {
+    val mixed = q41CorpusBuild(s, dir)
+    val toks = buildCorpus(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val rows = mixed.join(toks, "doc_id")
+      .select((col("doc_id") * 8 + col("copy")).as("row_id"),
+        pmod(col("doc_id"), lit(8L)).as("grp"), col("n_toks"))
+    SeqPack.pack(rows, "row_id", col("n_toks"), col("grp"), col("row_id"),
+      budget = 512)
+  }
+
   /** Queries whose oracle reads the query's own output back and
     * re-derives the SQL-expressible part from the raw tables. */
   val oracleInputCopies: Seq[String] =
@@ -571,7 +595,8 @@ object LlmPipeline {
     "q41_corpus_build" -> q41CorpusBuild _,
     "q43_jaccard_neardup" -> q43JaccardNearDup _,
     "q44_seq_pack" -> q44SeqPack _,
-    "q45_distinct_approx" -> q45DistinctApprox _)
+    "q45_distinct_approx" -> q45DistinctApprox _,
+    "q46_corpus_pack" -> q46CorpusPack _)
 
   /** Exhaustive all-pairs k-gram Jaccard ground truth over the
     * augmented corpus — ONE definition shared by q18 (MinHash-LSH) and
@@ -922,6 +947,37 @@ object LlmPipeline {
         |   diversity >= 0.1 AND stop_ok) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
     "q41_corpus_build" ->
+      s"""$corpusBuildSqlPrefix
+        |SELECT doc_id, source, CAST(c AS BIGINT) AS copy
+        |FROM n, UNNEST(range(1, nc + 1)) t(c)
+        |ORDER BY doc_id, copy""".stripMargin,
+    "q46_corpus_pack" ->
+      s"""$corpusBuildSqlPrefix,
+        |mixed AS (
+        |  SELECT doc_id, source, CAST(c AS BIGINT) AS copy
+        |  FROM n, UNNEST(range(1, nc + 1)) t(c)),
+        |tok AS (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |        FROM corpus),
+        |packrows AS (
+        |  SELECT m.doc_id * 8 + m.copy AS row_id, m.doc_id % 8 AS pack_group,
+        |    t.n_tokens
+        |  FROM mixed m JOIN tok t USING (doc_id)),
+        |cum AS (
+        |  SELECT row_id, pack_group, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY row_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS ts
+        |  FROM packrows)
+        |SELECT row_id, pack_group, n_tokens,
+        |  ts // 512 AS seq_id, ts % 512 AS tok_offset,
+        |  (ts + n_tokens - 1) // 512 - ts // 512 + 1 AS n_seqs
+        |FROM cum ORDER BY row_id""".stripMargin)
+
+  /** Shared WITH-chain of the corpus-build DAG oracle (quality gate →
+    * exact dedup → transitive near-dup closure → decontamination → mix
+    * copy counts), ending at CTE `n` — q41 appends the mix expansion,
+    * q46 continues through token counts and the packing windows. */
+  private lazy val corpusBuildSqlPrefix: String =
       """WITH RECURSIVE
         |corpus AS (
         |  SELECT doc_id, text, source FROM documents
@@ -992,8 +1048,5 @@ object LlmPipeline {
         |        CAST(floor(w) AS BIGINT) +
         |          CASE WHEN b.doc_id % 1000 < (w - floor(w)) * 1000
         |               THEN 1 ELSE 0 END AS nc
-        |      FROM base b JOIN wt USING(source))
-        |SELECT doc_id, source, CAST(c AS BIGINT) AS copy
-        |FROM n, UNNEST(range(1, nc + 1)) t(c)
-        |ORDER BY doc_id, copy""".stripMargin)
+        |      FROM base b JOIN wt USING(source))""".stripMargin
 }
