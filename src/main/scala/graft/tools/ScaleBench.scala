@@ -44,7 +44,7 @@ object ScaleBench {
     "q29_quantiles", "q31_winnow_neardup", "q32_cluster_dedup",
     "q35_repetition", "q37_contamination", "q38_dedup_corpus",
     "q41_corpus_build", "q42_quantiles_approx", "q43_jaccard_neardup",
-    "q44_seq_pack")
+    "q44_seq_pack", "q45_distinct_approx", "q46_corpus_pack")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")
