@@ -97,6 +97,24 @@ class JaccardJoinSpec extends SparkSuite {
     assert(ids.select(sp.as(Seq("a", "b"))).count() === 2000L * 1999 / 2)
   }
 
+  test("results are independent of stop-table coverage (effectiveness-only dial)") {
+    import spark.implicits._
+    // same skewed corpus as the brute-force test; a stop table capped at
+    // 4 entries (vs ~90 bigrams) must change nothing but bucket sizes
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    val docs = (0 until 70).map { i =>
+      val len = 2 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def pairs(cap: Int) = JaccardJoin
+      .nearDupPairs(docs, "doc_id", "text", k = 2, minJaccard = 0.5,
+        maxStopGrams = cap)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(4) === pairs(1 << 16))
+    assert(pairs(0) === pairs(1 << 16)) // empty table = pure hash order
+  }
+
   test("threshold sweep stays lossless across t") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
