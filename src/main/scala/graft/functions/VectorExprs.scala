@@ -140,6 +140,7 @@ private[functions] object PairStream {
       override def hasNext: Boolean = { advance(); ready != null }
       override def next(): InternalRow = {
         advance()
+        if (ready == null) throw new NoSuchElementException("next on empty pair stream")
         val r = ready; ready = null; r
       }
     }
@@ -220,10 +221,17 @@ case class HammingPairs(child: Expression, maxHamming: Int)
   * are already in hash order in the input, so the reorder is one merge
   * of the (few) in-doc stop grams behind the non-stop run. */
 case class RarestPrefix(child: Expression, minJaccard: Double,
-    stopKeys: Array[Long], stopDfs: Array[Long])
+    stopKeys: Seq[Long], stopDfs: Seq[Long])
     extends UnaryExpression with UnaryEvalCodegen {
   require(minJaccard > 0.0 && minJaccard <= 1.0)
   require(stopKeys.length == stopDfs.length)
+
+  // Seq params (not Array) so case-class equality is structural:
+  // semanticEquals/canonicalization/subexpression elimination all need
+  // two identical instances to compare equal. The hot path still
+  // binary-searches primitive arrays, derived once per deserialized copy.
+  @transient private lazy val keysArr: Array[Long] = stopKeys.toArray
+  @transient private lazy val dfsArr: Array[Long] = stopDfs.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def castResult(x: String): String =
@@ -242,10 +250,10 @@ case class RarestPrefix(child: Expression, minJaccard: Double,
     var i = 0
     while (i < n) {
       val h = arr.getLong(i)
-      val idx = java.util.Arrays.binarySearch(stopKeys, h)
+      val idx = java.util.Arrays.binarySearch(keysArr, h)
       if (idx >= 0) {
         if (stops == null) stops = new java.util.ArrayList[Array[Long]]()
-        stops.add(Array(stopDfs(idx), h))
+        stops.add(Array(dfsArr(idx), h))
       } else {
         rare(nRare) = h
         nRare += 1

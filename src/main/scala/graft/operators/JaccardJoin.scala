@@ -89,7 +89,7 @@ object JaccardJoin {
     val byKey = stopRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val prefix = ColumnBridge.col(graft.functions.RarestPrefix(
       ColumnBridge.expr(col("__g")), tRelaxed,
-      byKey.map(_._1), byKey.map(_._2)))
+      byKey.map(_._1).toSeq, byKey.map(_._2).toSeq))
     // __g is multi-referenced (size + prefix) and non-cheap, so it stays
     // materialized in its own projection (CollapseProject keeps
     // multi-ref non-cheap aliases); the explode is null-guarded rather

@@ -652,7 +652,8 @@ object LlmPipeline {
         |FROM t)
         |SELECT doc_id, pack_group, n_tokens,
         |  ts // 512 AS seq_id, ts % 512 AS tok_offset,
-        |  (ts + n_tokens - 1) // 512 - ts // 512 + 1 AS n_seqs
+        |  CASE WHEN n_tokens = 0 THEN 0
+        |       ELSE (ts + n_tokens - 1) // 512 - ts // 512 + 1 END AS n_seqs
         |FROM c ORDER BY doc_id""".stripMargin,
     "q19_ann_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
@@ -970,7 +971,8 @@ object LlmPipeline {
         |  FROM packrows)
         |SELECT row_id, pack_group, n_tokens,
         |  ts // 512 AS seq_id, ts % 512 AS tok_offset,
-        |  (ts + n_tokens - 1) // 512 - ts // 512 + 1 AS n_seqs
+        |  CASE WHEN n_tokens = 0 THEN 0
+        |       ELSE (ts + n_tokens - 1) // 512 - ts // 512 + 1 END AS n_seqs
         |FROM cum ORDER BY row_id""".stripMargin)
 
   /** Shared WITH-chain of the corpus-build DAG oracle (quality gate →

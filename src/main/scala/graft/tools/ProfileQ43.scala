@@ -49,7 +49,7 @@ object ProfileQ43 {
 
     val byKey = stopRows().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     def prefix = ColumnBridge.col(graft.functions.RarestPrefix(
-      ColumnBridge.expr(col("__g")), t, byKey.map(_._1), byKey.map(_._2)))
+      ColumnBridge.expr(col("__g")), t, byKey.map(_._1).toSeq, byKey.map(_._2).toSeq))
     def buckets = g.select(
       col("__id"), size(col("__g")).cast("long").as("__n"),
       explode(when(col("__g").isNotNull, prefix)).as("__bucket"))

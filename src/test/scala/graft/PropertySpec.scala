@@ -163,7 +163,7 @@ class PropertySpec extends AnyFunSuite {
       .map(_.groupBy(_._1).map { case (k, xs) => (k, xs.head._2) }.toSeq.sortBy(_._1))
     forAll(Gen.zip(gramsGen, stopsGen, Gen.oneOf(0.5, 0.8, 1.0))) { case (gs, stops, t) =>
       val got = graft.functions.RarestPrefix(null, t,
-          stops.map(_._1).toArray, stops.map(_._2).toArray)
+          stops.map(_._1), stops.map(_._2))
         .nullSafeEval(new GenericArrayData(gs.toArray))
         .asInstanceOf[ArrayData].toLongArray().toSeq
       val df = stops.toMap

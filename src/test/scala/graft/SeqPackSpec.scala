@@ -25,6 +25,22 @@ class SeqPackSpec extends SparkSuite {
       (4L, 2L, 0L, 1L)))  // tokens 20-22 open seq 2
   }
 
+  test("zero-token doc occupies zero sequences and doesn't shift the stream") {
+    import spark.implicits._
+    // starts: 0, 4, 4, 4 — doc 2 is empty, docs 3/4 pack as if it were absent
+    val docs = Seq(
+      (1L, 4L), (2L, 0L), (3L, 8L), (4L, 2L)).toDF("doc_id", "toks")
+    val got = SeqPack.pack(docs, "doc_id", col("toks"),
+        lit(0L), col("doc_id"), budget = 10)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got === Array(
+      (1L, 0L, 0L, 1L),
+      (2L, 0L, 4L, 0L),   // n_seqs = 0, not the div identity's 1
+      (3L, 0L, 4L, 2L),   // 4..11 spans seqs 0-1 — unshifted by doc 2
+      (4L, 1L, 2L, 1L)))
+  }
+
   test("invariants: offsets reconstruct the concatenated group stream") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
