@@ -203,6 +203,87 @@ case class HammingPairs(child: Expression, maxHamming: Int)
     copy(child = newChild)
 }
 
+/** In-cell cosine candidate expansion (the SemDeDup in-cluster scan):
+  * input array<struct<id:long, vec:array<double>>>, output all pairs
+  * (id_a < id_b) whose exact cosine reaches `minCos` minus a 1e-9
+  * relaxation — the caller re-applies the threshold on the µ-rounded
+  * value so the decision semantics match the suite's other cosine
+  * queries exactly. Pair generation and cosine verification are fused in
+  * one pass (replaces a cell self-join, which would shuffle vectors
+  * twice and materialize the quadratic pair set); rejected pairs are
+  * never allocated, and a mega-cell streams lazily like
+  * [[SortedPairs]]. Duplicate ids keep their first vector; pairs with
+  * mismatched dimensionality or a zero-norm side have no defined cosine
+  * and are skipped. */
+case class CosinePairs(child: Expression, minCos: Double)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType =
+    StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("cos", DoubleType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      vecs(i) = row.getArray(1).toDoubleArray()
+      i += 1
+    }
+    // sort by id (insertion into parallel arrays; cells are bounded)
+    i = 1
+    while (i < n) {
+      val id = ids(i); val vec = vecs(i)
+      var j = i - 1
+      while (j >= 0 && ids(j) > id) { ids(j + 1) = ids(j); vecs(j + 1) = vecs(j); j -= 1 }
+      ids(j + 1) = id; vecs(j + 1) = vec
+      i += 1
+    }
+    // compact duplicate ids in place (sorted), keeping the first vector
+    var m = 0
+    i = 0
+    while (i < n) {
+      if (m == 0 || ids(m - 1) != ids(i)) { ids(m) = ids(i); vecs(m) = vecs(i); m += 1 }
+      i += 1
+    }
+    // precompute norms once per member, not once per pair
+    val norms = new Array[Double](m)
+    i = 0
+    while (i < m) {
+      val x = vecs(i)
+      var s = 0.0
+      var d = 0
+      while (d < x.length) { s += x(d) * x(d); d += 1 }
+      norms(i) = math.sqrt(s)
+      i += 1
+    }
+    val relaxed = minCos - 1e-9
+    PairStream.pairs(m, (i, j) => {
+      val x = vecs(i); val y = vecs(j)
+      if (x.length != y.length || x.length == 0 ||
+          norms(i) == 0.0 || norms(j) == 0.0) null
+      else {
+        var dot = 0.0
+        var d = 0
+        while (d < x.length) { dot += x(d) * y(d); d += 1 }
+        val cos = dot / (norms(i) * norms(j))
+        if (cos >= relaxed) InternalRow(ids(i), ids(j), cos) else null
+      }
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** PPJoin prefix extraction under a rare-first canonical gram order:
   * input a hash-ascending distinct gram array ([[SortedGramHashes]]),
   * output its first `n - ceil(t·n) + 1` grams under the total order

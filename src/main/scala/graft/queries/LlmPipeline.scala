@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{ColumnBridge, Hashes}
-import graft.operators.{Ann, Contamination, CorpusMix, DedupPipeline, JaccardJoin, MinHashLsh, Multimodal, SeqPack, SimHash}
+import graft.operators.{Ann, Contamination, CorpusMix, DedupPipeline, JaccardJoin, MinHashLsh, Multimodal, SemanticDedup, SeqPack, SimHash}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
   * (deduplication, similarity search, text analysis, multimodal plumbing),
@@ -563,11 +563,34 @@ object LlmPipeline {
       budget = 512)
   }
 
+  /** q47: semantic dedup — SemDeDup over the embedding corpus
+    * ([[graft.operators.SemanticDedup]]): k-means cells as the blocking
+    * scheme, in-cell cosine ≥ 0.999 pairs, connected-component min-id
+    * representative per vector. Planted duplicates are the q25/q33
+    * scaled copies (+1M, ×2 — cosine exactly 1 after rounding, and
+    * scale-invariant cell assignment puts a copy in its original's
+    * cell). Oracle: read-back — DuckDB accepts the k-means cell
+    * assignment (not SQL-derivable) but re-derives EVERYTHING downstream
+    * exhaustively from the raw table: all in-cell cosine pairs, the
+    * recursive-CTE transitive closure, the min-id representative, and
+    * both verdict columns. A wrong pair, wrong closure, or wrong
+    * verdict fails the gate. */
+  def q47SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.parallel(s, dir, "embeddings")
+    val scaled = emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * 2).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(scaled)
+    SemanticDedup.verdicts(corpus, "vec_id", "embedding",
+        minCos = 0.999, nCells = 8)
+      .orderBy("vec_id")
+  }
+
   /** Queries whose oracle reads the query's own output back and
     * re-derives the SQL-expressible part from the raw tables. */
   val oracleInputCopies: Seq[String] =
     Seq("q24_simhash_neardup", "q28_ivf_ann", "q31_winnow_neardup",
-      "q42_quantiles_approx", "q45_distinct_approx")
+      "q42_quantiles_approx", "q45_distinct_approx", "q47_semantic_dedup")
 
   private def readBack(name: String): String =
     s"read_parquet('$oracleInputDir/$name.parquet/*.parquet')"
@@ -596,7 +619,8 @@ object LlmPipeline {
     "q43_jaccard_neardup" -> q43JaccardNearDup _,
     "q44_seq_pack" -> q44SeqPack _,
     "q45_distinct_approx" -> q45DistinctApprox _,
-    "q46_corpus_pack" -> q46CorpusPack _)
+    "q46_corpus_pack" -> q46CorpusPack _,
+    "q47_semantic_dedup" -> q47SemanticDedup _)
 
   /** Exhaustive all-pairs k-gram Jaccard ground truth over the
     * augmented corpus — ONE definition shared by q18 (MinHash-LSH) and
@@ -973,7 +997,32 @@ object LlmPipeline {
         |  ts // 512 AS seq_id, ts % 512 AS tok_offset,
         |  CASE WHEN n_tokens = 0 THEN 0
         |       ELSE (ts + n_tokens - 1) // 512 - ts // 512 + 1 END AS n_seqs
-        |FROM cum ORDER BY row_id""".stripMargin)
+        |FROM cum ORDER BY row_id""".stripMargin,
+    "q47_semantic_dedup" ->
+      s"""WITH RECURSIVE out AS (
+        |  SELECT vec_id, cell FROM ${readBack("q47_semantic_dedup")}),
+        |corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 2)
+        |  FROM embeddings),
+        |m AS (SELECT o.vec_id, o.cell, c.v FROM out o JOIN corpus c USING (vec_id)),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s),
+        |rep AS (SELECT s AS vec_id, least(s, min(d)) AS rep_id
+        |        FROM reach GROUP BY s)
+        |SELECT m.vec_id, m.cell,
+        |  CAST(coalesce(rep.rep_id, m.vec_id) AS BIGINT) AS rep_id,
+        |  coalesce(rep.rep_id, m.vec_id) = m.vec_id AS kept
+        |FROM m LEFT JOIN rep USING (vec_id) ORDER BY m.vec_id""".stripMargin)
 
   /** Shared WITH-chain of the corpus-build DAG oracle (quality gate →
     * exact dedup → transitive near-dup closure → decontamination → mix
