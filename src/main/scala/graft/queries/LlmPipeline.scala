@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{ColumnBridge, Hashes}
-import graft.operators.{Ann, Contamination, CorpusMix, DedupPipeline, JaccardJoin, MinHashLsh, Multimodal, SemanticDedup, SeqPack, SimHash}
+import graft.operators.{Ann, Bm25, Contamination, CorpusMix, DedupPipeline, JaccardJoin, MinHashLsh, Multimodal, SemanticDedup, SeqPack, SimHash}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
   * (deduplication, similarity search, text analysis, multimodal plumbing),
@@ -586,6 +586,28 @@ object LlmPipeline {
       .orderBy("vec_id")
   }
 
+  /** The q48 query set — shared literal fixture for the Spark side and
+    * the oracle's VALUES list. Terms span the corpus idf range ('dup'
+    * is the rarest corpus term; the rest are mid/high-df). */
+  val bm25Queries: Seq[(Int, String)] = Seq(
+    0 -> "hash join batch",
+    1 -> "slow query scan",
+    2 -> "dup vector window")
+
+  /** q48: BM25 ranked retrieval over the documents table
+    * ([[graft.operators.Bm25]]) — top-10 docs for each of three fixed
+    * queries. Fully SQL-expressible oracle: DuckDB re-derives tf, df,
+    * dl, the corpus stats, the Okapi formula (identical `+1` idf form),
+    * the DECIMAL-accumulated per-doc sum, and the rounded-score ranking
+    * from the raw table. */
+  def q48Bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.parallel(s, dir, "documents")
+    Bm25.search(docs, "doc_id", "text",
+        bm25Queries.toDF("q_id", "q_text"), "q_id", "q_text", k = 10)
+      .orderBy("q_id", "rank")
+  }
+
   /** Queries whose oracle reads the query's own output back and
     * re-derives the SQL-expressible part from the raw tables. */
   val oracleInputCopies: Seq[String] =
@@ -620,7 +642,8 @@ object LlmPipeline {
     "q44_seq_pack" -> q44SeqPack _,
     "q45_distinct_approx" -> q45DistinctApprox _,
     "q46_corpus_pack" -> q46CorpusPack _,
-    "q47_semantic_dedup" -> q47SemanticDedup _)
+    "q47_semantic_dedup" -> q47SemanticDedup _,
+    "q48_bm25_topk" -> q48Bm25TopK _)
 
   /** Exhaustive all-pairs k-gram Jaccard ground truth over the
     * augmented corpus — ONE definition shared by q18 (MinHash-LSH) and
@@ -1022,7 +1045,35 @@ object LlmPipeline {
         |SELECT m.vec_id, m.cell,
         |  CAST(coalesce(rep.rep_id, m.vec_id) AS BIGINT) AS rep_id,
         |  coalesce(rep.rep_id, m.vec_id) = m.vec_id AS kept
-        |FROM m LEFT JOIN rep USING (vec_id) ORDER BY m.vec_id""".stripMargin)
+        |FROM m LEFT JOIN rep USING (vec_id) ORDER BY m.vec_id""".stripMargin,
+    "q48_bm25_topk" -> {
+      val values = bm25Queries
+        .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      s"""WITH q(q_id, q_text) AS (VALUES $values),
+        |qt AS (SELECT q_id, unnest(list_distinct(string_split(q_text, ' '))) AS term
+        |       FROM q),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |tok AS (SELECT doc_id, unnest(ws) AS term FROM d),
+        |tf AS (SELECT qt.q_id, qt.term, tok.doc_id, count(*) AS tf
+        |       FROM tok JOIN qt USING (term) GROUP BY 1, 2, 3),
+        |df AS (SELECT q_id, term, count(*) AS df FROM tf GROUP BY 1, 2),
+        |sc AS (SELECT tf.q_id, tf.doc_id,
+        |  CAST(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1) *
+        |    (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+        |    AS DECIMAL(28,12)) AS s
+        |  FROM tf JOIN df USING (q_id, term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats),
+        |agg AS (SELECT q_id, doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS score
+        |        FROM sc GROUP BY 1, 2),
+        |r AS (SELECT q_id, doc_id, score,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |  FROM agg)
+        |SELECT q_id, rank, doc_id, score FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    })
 
   /** Shared WITH-chain of the corpus-build DAG oracle (quality gate →
     * exact dedup → transitive near-dup closure → decontamination → mix
