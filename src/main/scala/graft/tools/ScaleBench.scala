@@ -37,14 +37,22 @@ object ScaleBench {
   val OUT = "/root/repo/target/sf1"
 
   /** The expensive-query set (r4 bench ranking) plus the queries added
-    * since (q42 approx quantiles, q43 exact Jaccard join, q44 packing). */
+    * since (q42 approx quantiles, q43 exact Jaccard join, q44 packing,
+    * r6's q47 semantic dedup and q48 BM25). Scale-shape notes for the
+    * r6 pair: q47's jittered embedding copies stay below the 0.999
+    * cosine threshold cross-copy, so the pair graph densifies linearly;
+    * q48's salted document copies never match the query terms, so its
+    * ratio measures the token-scan + broadcast-probe side (the matched
+    * set stays constant — the realistic shape for fixed queries over a
+    * growing corpus). */
   val SCALE_QUERIES: Seq[String] = Seq(
     "q01_agg_pushdown", "q13_json_parse", "q16_class_normalize",
     "q18_minhash_neardup", "q24_simhash_neardup", "q28_ivf_ann",
     "q29_quantiles", "q31_winnow_neardup", "q32_cluster_dedup",
     "q35_repetition", "q37_contamination", "q38_dedup_corpus",
     "q41_corpus_build", "q42_quantiles_approx", "q43_jaccard_neardup",
-    "q44_seq_pack", "q45_distinct_approx", "q46_corpus_pack")
+    "q44_seq_pack", "q45_distinct_approx", "q46_corpus_pack",
+    "q47_semantic_dedup", "q48_bm25_topk")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")
