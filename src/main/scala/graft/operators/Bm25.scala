@@ -66,11 +66,13 @@ object Bm25 {
     val termScore = tf
       .join(broadcast(df), Seq("q_id", "__term"))
       .crossJoin(broadcast(stats))
-      .withColumn("__s",
-        (log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0) *
-          (col("__tf") * (k1 + 1)) /
-          (col("__tf") + (col("__dl") / col("__avgdl") * b + (1 - b)) * k1))
-          .cast("decimal(28,12)"))
+      .withColumn("__s", termScoreCol(k1, b))
+    rankTopK(termScore, k)
+  }
+
+  /** Shared scoring tail: per-doc DECIMAL-accumulated score → per-query
+    * window top-k on the rounded score with doc_id tie-breaks. */
+  private def rankTopK(termScore: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     termScore
@@ -79,5 +81,72 @@ object Bm25 {
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "doc_id", "score")
+  }
+
+  private def termScoreCol(k1: Double, b: Double) =
+    (log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0) *
+      (col("__tf") * (k1 + 1)) /
+      (col("__tf") + (col("__dl") / col("__avgdl") * b + (1 - b)) * k1))
+      .cast("decimal(28,12)")
+
+  /** Persist the corpus as a BM25 inverted index — the repeated-query
+    * deployment shape at 100 TB ([[Ann.writeIvfIndex]]'s pattern for
+    * lexical search): postings (term, doc_id, tf, dl) land
+    * parquet-partitioned by a bounded term-hash bucket (a directory per
+    * bucket, `nBuckets` bounds the directory count no matter the
+    * vocabulary), and the 1-row corpus stats (N, avgdl) store
+    * alongside. Indexing cost = the same one token scan + one matched
+    * shuffle as a single [[search]], paid once. */
+  def writeIndex(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      nBuckets: Int = 64): Unit = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("__ws"))
+    toks.select(size(col("__ws")).cast("long").as("__dl"))
+      .agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    toks
+      .select(col("doc_id"), size(col("__ws")).cast("long").as("__dl"),
+        explode(col("__ws")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), first(col("__dl")).as("dl"))
+      .withColumn("__bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .write.partitionBy("__bucket").mode("overwrite")
+      .parquet(s"$path/postings")
+  }
+
+  /** Search a persisted index. The query terms' hash buckets are
+    * resolved driver-side into a LITERAL `__bucket IN (…)` predicate,
+    * so Catalyst prunes every other postings directory before any I/O
+    * (`PartitionFilters` on the scan — Bm25Spec asserts it); within the
+    * probed buckets the broadcast term join keeps only exact matches.
+    * Scores are identical to [[search]] by construction (same formula,
+    * same DECIMAL accumulation — Bm25Spec asserts parity). */
+  def searchIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      nBuckets: Int = 64): DataFrame = {
+    val stats = spark.read.parquet(s"$path/stats")
+    val qterms = queries.select(col(qIdCol).as("q_id"),
+      explode(array_distinct(split(col(qTextCol), " "))).as("term"))
+    // literal probe set: the union of the query terms' buckets (queries
+    // are small by contract — this is a driver-side constant, not a job
+    // over the corpus)
+    val probed = qterms.select(
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("__bucket"))
+      .distinct().collect().map(_.getLong(0))
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("__bucket").isin(probed.map(java.lang.Long.valueOf): _*))
+      .join(broadcast(qterms), "term")
+      .select(col("q_id"), col("term").as("__term"), col("doc_id"),
+        col("tf").as("__tf"), col("dl").as("__dl"))
+    val df = tf.groupBy("q_id", "__term").agg(count(lit(1)).as("__df"))
+    rankTopK(
+      tf.join(broadcast(df), Seq("q_id", "__term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("__s", termScoreCol(k1, b)),
+      k)
   }
 }

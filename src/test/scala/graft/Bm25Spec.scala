@@ -59,6 +59,35 @@ class Bm25Spec extends SparkSuite {
     assert(out(0)._3 === out(1)._3)
   }
 
+  test("persisted inverted index: searchIndex == search, scan prunes buckets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("scan", "join", "hash", "sort", "merge", "batch",
+      "row", "filter", "agg", "window", "query", "dup")
+    val docs = (1L to 200L).map { i =>
+      (i, Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val queries = Seq((0, "hash join"), (1, "dup sort scan")).toDF("q_id", "q_text")
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25idx").toString
+    graft.operators.Bm25.writeIndex(docs, "doc_id", "text", path, nBuckets = 16)
+    val direct = Bm25.search(docs, "doc_id", "text",
+      queries, "q_id", "q_text", k = 10)
+    val viaIndex = Bm25.searchIndex(spark, path,
+      queries, "q_id", "q_text", k = 10, nBuckets = 16)
+    val a = direct.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val bst = viaIndex.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(a === bst)
+    // the postings scan must carry the literal bucket partition filter:
+    // only the query terms' directories are read
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__bucket"),
+      s"no partition pruning in:\n$plan")
+  }
+
   test("duplicate query terms count once") {
     import spark.implicits._
     val docs = Seq((1L, "a a b")).toDF("doc_id", "text")
