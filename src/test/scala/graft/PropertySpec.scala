@@ -153,6 +153,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CosinePairs equals the brute-force cosine pair model") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val memberDt = ArrayType(StructType(Seq(
+      StructField("id", LongType),
+      StructField("vec", ArrayType(DoubleType)))))
+    // small integer coords make near-threshold cosines common; include
+    // zero vectors and a mixed-dim member to hit the skip paths
+    val vec = Gen.chooseNum(2, 4).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-2, 2).map(_.toDouble)))
+    val member = Gen.zip(Gen.chooseNum(0L, 7L), vec)
+    val members = Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, member))
+    def cos(x: Seq[Double], y: Seq[Double]): Option[Double] = {
+      if (x.length != y.length || x.isEmpty) return None
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+      }
+      val den = math.sqrt(nx) * math.sqrt(ny)
+      if (den == 0.0) None else Some(dot / den)
+    }
+    forAll(Gen.zip(members, Gen.oneOf(0.0, 0.5, 0.9, 0.999))) { case (ms, t) =>
+      val arr = new GenericArrayData(ms.map { case (id, v) =>
+        InternalRow(id, new GenericArrayData(v.toArray)): Any
+      }.toArray)
+      val got = graft.functions.CosinePairs(Literal(arr, memberDt), t)
+        .eval(null).iterator
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val dedup = ms.groupBy(_._1).map { case (id, xs) => (id, xs.head._2) }.toSeq
+      val model = (for {
+        (a, va) <- dedup; (b, vb) <- dedup if a < b
+        c <- cos(va, vb) if c >= t - 1e-9
+      } yield (a, b, c)).toSet
+      assert(got === model, s"members=$ms t=$t")
+    }
+  }
+
   test("RarestPrefix equals take-prefix of the (df, hash) sort for any stop table") {
     import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
     val gramsGen = Gen.chooseNum(0, 20)
