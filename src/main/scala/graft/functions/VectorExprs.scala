@@ -126,6 +126,18 @@ case class SortedPairs(child: Expression)
 /** Lazy i<j pair iterator shared by the bucket-expansion generators;
   * `emit` may return null to filter a pair out. */
 private[functions] object PairStream {
+  /** Index permutation sorting by `ids` — O(n log n) (insertion into
+    * parallel arrays would be O(n²) exactly on the mega-bucket inputs
+    * the generators are documented to stream through). */
+  def sortPermutation(ids: Array[Long], n: Int): Array[Int] = {
+    val idx = new Array[Integer](n)
+    var i = 0
+    while (i < n) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) =>
+      java.lang.Long.compare(ids(a), ids(b)))
+    idx.map(_.intValue())
+  }
+
   def pairs(m: Int, emit: (Int, Int) => InternalRow): Iterator[InternalRow] =
     new Iterator[InternalRow] {
       private var i = 0
@@ -168,29 +180,28 @@ case class HammingPairs(child: Expression, maxHamming: Int)
     if (v == null) return Iterator.empty
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val ids = new Array[Long](n)
-    val sigs = new Array[Long](n)
+    val rawIds = new Array[Long](n)
+    val rawSigs = new Array[Long](n)
     var i = 0
     while (i < n) {
       val row = arr.getStruct(i, 2)
-      ids(i) = row.getLong(0)
-      sigs(i) = row.getLong(1)
+      rawIds(i) = row.getLong(0)
+      rawSigs(i) = row.getLong(1)
       i += 1
     }
-    // sort by id (insertion into parallel arrays; buckets are small)
-    i = 1
-    while (i < n) {
-      val id = ids(i); val sg = sigs(i)
-      var j = i - 1
-      while (j >= 0 && ids(j) > id) { ids(j + 1) = ids(j); sigs(j + 1) = sigs(j); j -= 1 }
-      ids(j + 1) = id; sigs(j + 1) = sg
-      i += 1
-    }
-    // compact duplicate ids in place (sorted), keeping the first signature
+    // O(n log n) id sort (stable) + duplicate compaction keeping the
+    // first signature — a mega-bucket must not hit an O(n²) sort before
+    // its lazy pair stream even starts
+    val perm = PairStream.sortPermutation(rawIds, n)
+    val ids = new Array[Long](n)
+    val sigs = new Array[Long](n)
     var m = 0
     i = 0
     while (i < n) {
-      if (m == 0 || ids(m - 1) != ids(i)) { ids(m) = ids(i); sigs(m) = sigs(i); m += 1 }
+      val p = perm(i)
+      if (m == 0 || ids(m - 1) != rawIds(p)) {
+        ids(m) = rawIds(p); sigs(m) = rawSigs(p); m += 1
+      }
       i += 1
     }
     PairStream.pairs(m, (i, j) => {
@@ -205,16 +216,20 @@ case class HammingPairs(child: Expression, maxHamming: Int)
 
 /** In-cell cosine candidate expansion (the SemDeDup in-cluster scan):
   * input array<struct<id:long, vec:array<double>>>, output all pairs
-  * (id_a < id_b) whose exact cosine reaches `minCos` minus a 1e-9
-  * relaxation — the caller re-applies the threshold on the µ-rounded
-  * value so the decision semantics match the suite's other cosine
-  * queries exactly. Pair generation and cosine verification are fused in
-  * one pass (replaces a cell self-join, which would shuffle vectors
-  * twice and materialize the quadratic pair set); rejected pairs are
-  * never allocated, and a mega-cell streams lazily like
-  * [[SortedPairs]]. Duplicate ids keep their first vector; pairs with
-  * mismatched dimensionality or a zero-norm side have no defined cosine
-  * and are skipped. */
+  * (id_a < id_b) whose exact cosine reaches `minCos` minus a 1e-6
+  * relaxation — one full rounding step, so every pair whose µ-ROUNDED
+  * (6-digit) cosine can still reach the threshold is emitted and the
+  * caller's `round(cos, 6) >= minCos` filter makes the final decision
+  * (a narrower relaxation would silently drop pairs the suite's other
+  * cosine operators, and the q47 oracle, accept). Pair generation and
+  * cosine verification are fused in one pass (replaces a cell
+  * self-join, which would shuffle vectors twice and materialize the
+  * quadratic pair set); rejected pairs are never allocated, and a
+  * mega-cell streams lazily like [[SortedPairs]] (the id sort is an
+  * O(n log n) index permutation, not an insertion sort, for the same
+  * reason). Duplicate ids keep their first vector; members with a null
+  * vector, and pairs with mismatched dimensionality or a zero-norm
+  * side, have no defined cosine and are skipped. */
 case class CosinePairs(child: Expression, minCos: Double)
     extends UnaryExpression with Generator with CodegenFallback {
 
@@ -228,30 +243,32 @@ case class CosinePairs(child: Expression, minCos: Double)
     val v = child.eval(input)
     if (v == null) return Iterator.empty
     val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
+    val nIn = arr.numElements()
+    val rawIds = new Array[Long](nIn)
+    val rawVecs = new Array[Array[Double]](nIn)
+    var n = 0
+    var i = 0
+    while (i < nIn) {
+      val row = arr.getStruct(i, 2)
+      if (row != null && !row.isNullAt(1)) { // null vector: no defined cosine
+        rawIds(n) = row.getLong(0)
+        rawVecs(n) = row.getArray(1).toDoubleArray()
+        n += 1
+      }
+      i += 1
+    }
+    val perm = PairStream.sortPermutation(rawIds, n)
     val ids = new Array[Long](n)
     val vecs = new Array[Array[Double]](n)
-    var i = 0
-    while (i < n) {
-      val row = arr.getStruct(i, 2)
-      ids(i) = row.getLong(0)
-      vecs(i) = row.getArray(1).toDoubleArray()
-      i += 1
-    }
-    // sort by id (insertion into parallel arrays; cells are bounded)
-    i = 1
-    while (i < n) {
-      val id = ids(i); val vec = vecs(i)
-      var j = i - 1
-      while (j >= 0 && ids(j) > id) { ids(j + 1) = ids(j); vecs(j + 1) = vecs(j); j -= 1 }
-      ids(j + 1) = id; vecs(j + 1) = vec
-      i += 1
-    }
-    // compact duplicate ids in place (sorted), keeping the first vector
+    // compact duplicate ids while applying the permutation, keeping the
+    // first (lowest original index among equal ids after a stable sort)
     var m = 0
     i = 0
     while (i < n) {
-      if (m == 0 || ids(m - 1) != ids(i)) { ids(m) = ids(i); vecs(m) = vecs(i); m += 1 }
+      val p = perm(i)
+      if (m == 0 || ids(m - 1) != rawIds(p)) {
+        ids(m) = rawIds(p); vecs(m) = rawVecs(p); m += 1
+      }
       i += 1
     }
     // precompute norms once per member, not once per pair
@@ -265,7 +282,7 @@ case class CosinePairs(child: Expression, minCos: Double)
       norms(i) = math.sqrt(s)
       i += 1
     }
-    val relaxed = minCos - 1e-9
+    val relaxed = minCos - 1e-6
     PairStream.pairs(m, (i, j) => {
       val x = vecs(i); val y = vecs(j)
       if (x.length != y.length || x.length == 0 ||

@@ -175,6 +175,10 @@ object Ann {
       val meanRows = samp
         .select(element_at(nearestCells(col("__v"), cents, 1), 1).as("__cell"),
           posexplode(col("__v")).as(Seq("__pos", "__x")))
+        // a sampled vector with no defined cosine to any centroid (zero
+        // norm, mismatched dims) has a null cell — it must not join any
+        // mean (and would NPE the driver-side getInt below)
+        .filter(col("__cell").isNotNull)
         .groupBy("__cell", "__pos")
         // decimal accumulation: double sums depend on partition merge
         // order; decimal ones don't, so centroids are reproducible

@@ -102,8 +102,12 @@ object Bm25 {
       nBuckets: Int = 64): Unit = {
     val toks = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("__ws"))
+    // nBuckets stores WITH the index: a reader guessing a different
+    // bucket count would prune to the wrong directories and silently
+    // lose postings — the index must be self-describing
     toks.select(size(col("__ws")).cast("long").as("__dl"))
       .agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+      .withColumn("__nbuckets", lit(nBuckets))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     toks
       .select(col("doc_id"), size(col("__ws")).cast("long").as("__dl"),
@@ -116,19 +120,22 @@ object Bm25 {
       .parquet(s"$path/postings")
   }
 
-  /** Search a persisted index. The query terms' hash buckets are
-    * resolved driver-side into a LITERAL `__bucket IN (…)` predicate,
-    * so Catalyst prunes every other postings directory before any I/O
-    * (`PartitionFilters` on the scan — Bm25Spec asserts it); within the
-    * probed buckets the broadcast term join keeps only exact matches.
-    * Scores are identical to [[search]] by construction (same formula,
-    * same DECIMAL accumulation — Bm25Spec asserts parity). */
+  /** Search a persisted index. The bucket count comes from the index's
+    * own stats (never a caller guess — a mismatched count would prune
+    * to the wrong directories and silently lose postings); the query
+    * terms' hash buckets are resolved driver-side into a LITERAL
+    * `__bucket IN (…)` predicate, so Catalyst prunes every other
+    * postings directory before any I/O (`PartitionFilters` on the scan
+    * — Bm25Spec asserts a non-empty bucket filter); within the probed
+    * buckets the broadcast term join keeps only exact matches. Scores
+    * are identical to [[search]] by construction (same formula, same
+    * DECIMAL accumulation — Bm25Spec asserts parity). */
   def searchIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75,
-      nBuckets: Int = 64): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val stats = spark.read.parquet(s"$path/stats")
+    val nBuckets = stats.select("__nbuckets").head().getInt(0)
     val qterms = queries.select(col(qIdCol).as("q_id"),
       explode(array_distinct(split(col(qTextCol), " "))).as("term"))
     // literal probe set: the union of the query terms' buckets (queries
@@ -145,7 +152,7 @@ object Bm25 {
     val df = tf.groupBy("q_id", "__term").agg(count(lit(1)).as("__df"))
     rankTopK(
       tf.join(broadcast(df), Seq("q_id", "__term"))
-        .crossJoin(broadcast(stats))
+        .crossJoin(broadcast(stats.select("__n", "__avgdl")))
         .withColumn("__s", termScoreCol(k1, b)),
       k)
   }

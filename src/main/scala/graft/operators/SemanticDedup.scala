@@ -34,9 +34,9 @@ object SemanticDedup {
     * component (itself when it has no such neighbor), kept ⇔ it is its
     * own representative. The threshold is applied to the µ-rounded
     * cosine (round 6) so decisions match the suite's other cosine
-    * operators. Empty vectors land in cell -1 and are always kept
-    * (no defined cosine, so no neighbors — nothing is silently
-    * dropped). */
+    * operators. Vectors with no defined cosine (empty, null, zero-norm)
+    * land in cell -1 and are always kept — no neighbors, and nothing is
+    * silently dropped or left with a null cell. */
   def verdicts(
       corpus: DataFrame, idCol: String, vecCol: String,
       minCos: Double = 0.999, nCells: Int = 8,
@@ -48,10 +48,15 @@ object SemanticDedup {
     val assigned = corpus
       .select(col(idCol).cast("long").as("vec_id"),
         Ann.toDoubleArray(col(vecCol)).as("__v"))
+      // coalesce, not when/otherwise: NearestCells is null not just for
+      // empty vectors but for any vector with no defined cosine to a
+      // centroid (zero norm, mismatched dimensionality) — ALL of those
+      // must land in cell -1, never a null cell
       .withColumn("cell",
-        when(size(col("__v")) > 0,
-          element_at(Ann.nearestCells(col("__v"), cents, 1), 1))
-          .otherwise(lit(-1)))
+        coalesce(
+          when(size(col("__v")) > 0,
+            element_at(Ann.nearestCells(col("__v"), cents, 1), 1)),
+          lit(-1)))
       .localCheckpoint()
     val pairGen = ColumnBridge.col(graft.functions.CosinePairs(
       ColumnBridge.expr(col("__m")), minCos))

@@ -1039,7 +1039,8 @@ object LlmPipeline {
         |p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999),
+        |  WHERE a.cell <> -1
+        |    AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.999),
         |e AS (SELECT id_a AS s, id_b AS d FROM p
         |      UNION ALL SELECT id_b, id_a FROM p),
         |reach(s, d) AS (

@@ -186,7 +186,7 @@ class PropertySpec extends AnyFunSuite {
       val dedup = ms.groupBy(_._1).map { case (id, xs) => (id, xs.head._2) }.toSeq
       val model = (for {
         (a, va) <- dedup; (b, vb) <- dedup if a < b
-        c <- cos(va, vb) if c >= t - 1e-9
+        c <- cos(va, vb) if c >= t - 1e-6
       } yield (a, b, c)).toSet
       assert(got === model, s"members=$ms t=$t")
     }

@@ -48,20 +48,24 @@ class SemanticDedupSpec extends SparkSuite {
     assert(out(8L) === 8L)
   }
 
-  test("empty vectors land in cell -1 and are kept, not dropped") {
+  test("empty, zero-norm, and null vectors land in cell -1 and are kept") {
     import spark.implicits._
     val rows = Seq(
-      (1L, v(1, 0)), (2L, v(2, 0)), (3L, Seq.empty[Double]), (4L, Seq.empty[Double]))
+      (1L, v(1, 0)), (2L, v(2, 0)),
+      (3L, Seq.empty[Double]), (4L, Seq.empty[Double]),
+      (5L, v(0, 0)),                         // zero norm: no defined cosine
+      (6L, null.asInstanceOf[Seq[Double]]))  // null vector
     val out = SemanticDedup.verdicts(
         rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
         minCos = 0.999, nCells = 1, sampleN = 8)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
       .sortBy(_._1)
-    assert(out.length === 4)
+    assert(out.length === 6)
     assert(out(0) === ((1L, 0, 1L, true)))
     assert(out(1)._3 === 1L && !out(1)._4)
-    assert(out(2) === ((3L, -1, 3L, true)))
-    assert(out(3) === ((4L, -1, 4L, true)))
+    // every no-defined-cosine row: cell -1 (never null), kept, rep self
+    for (i <- 2 until 6)
+      assert(out(i) === ((out(i)._1, -1, out(i)._1, true)), s"row ${out(i)}")
   }
 
   test("duplicate ids keep one verdict row per input row, first vector wins") {
