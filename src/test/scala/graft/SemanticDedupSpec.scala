@@ -68,6 +68,33 @@ class SemanticDedupSpec extends SparkSuite {
       assert(out(i) === ((out(i)._1, -1, out(i)._1, true)), s"row ${out(i)}")
   }
 
+  test("cell blocking only LOSES duplicate pairs vs the exhaustive run") {
+    import spark.implicits._
+    // random directions plus planted scaled copies: nCells=1 is the
+    // exhaustive all-pairs ground truth; any multi-cell run must drop a
+    // SUBSET of its drops (a cross-cell split can hide a pair, but
+    // blocking can never fabricate one)
+    val rnd = new scala.util.Random(7)
+    val base = (1L to 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian())))
+    val copies = base.filter(_._1 % 3 == 0).map { case (i, v) =>
+      (i + 1000L, v.map(_ * 1.5))
+    }
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    def dropped(nCells: Int): Set[Long] =
+      SemanticDedup.verdicts(df, "vec_id", "embedding",
+          minCos = 0.999, nCells = nCells, sampleN = 64)
+        .filter(!col("kept")).collect().map(_.getLong(0)).toSet
+    val exhaustive = dropped(1)
+    val blocked = dropped(4)
+    assert(blocked.subsetOf(exhaustive),
+      s"blocked run fabricated drops: ${blocked -- exhaustive}")
+    // scaled copies are guaranteed-same-cell (cosine is scale-invariant,
+    // ties deterministic), so none of them may be lost either
+    assert(blocked === exhaustive)
+    assert(exhaustive === copies.map(_._1).toSet)
+  }
+
   test("duplicate ids keep one verdict row per input row, first vector wins") {
     import spark.implicits._
     val rows = Seq((1L, v(1, 0)), (1L, v(1, 0)), (2L, v(3, 0)))
