@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{ColumnBridge, Hashes}
-import graft.operators.{Ann, Bm25, Contamination, CorpusMix, DedupPipeline, JaccardJoin, MinHashLsh, Multimodal, SemanticDedup, SeqPack, SimHash}
+import graft.operators.{Ann, Bm25, Contamination, CorpusMix, DedupPipeline, DupSpans, JaccardJoin, MinHashLsh, Multimodal, SemanticDedup, SeqPack, SimHash}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
   * (deduplication, similarity search, text analysis, multimodal plumbing),
@@ -614,6 +614,85 @@ object LlmPipeline {
       .orderBy("q_id", "rank")
   }
 
+  /** q49: exact duplicate-span profile ([[graft.operators.DupSpans]],
+    * the Lee-et-al. exact-substring dedup semantics): per augmented doc,
+    * the maximal merged spans of tokens covered by a 10-gram occurring
+    * ≥2 times anywhere in the corpus. The perturbed copies plant long
+    * cross-doc spans; repetitive docs plant within-doc ones. Fully
+    * SQL-expressible oracle: DuckDB re-derives the gram stream (by gram
+    * TEXT where Spark uses the 8-byte fingerprint — equal results absent
+    * a 64-bit collision), the ≥2 count, and the same gaps-and-islands
+    * window merge. The synthetic corpus is template-generated, so ~96%
+    * of docs carry naturally repeated 10-grams and coverage skews high
+    * (L=30 still flags 80% — a corpus property, not a dial failure;
+    * measured r6); DupSpansSpec pins the discriminating semantics on
+    * planted fixtures. */
+  def q49DupSpans(s: SparkSession, dir: String): DataFrame =
+    DupSpans.profile(augmentedDocs(s, dir), "doc_id", "text", L = 10)
+      .orderBy("doc_id")
+
+  /** q50's quality-tier cutoffs (avg negative log-likelihood, nats):
+    * shared literals for the Spark side and the oracle SQL so the
+    * bucket comparison uses bit-identical constants. Deriving cutoffs
+    * from the corpus is an offline quantile job (q29/q42); these sit
+    * inside the observed nll range (3.26–3.83 across sf0.001–sf0.1,
+    * tertiles ≈ 3.37–3.41) so all three tiers are populated at every
+    * scale factor. */
+  val perplexityHeadMax = 3.39
+  val perplexityMiddleMax = 3.41
+
+  /** q50: CCNet-shape perplexity quality scoring
+    * ([[graft.operators.NgramLm]]): every document scored by an add-one
+    * bigram LM trained on the corpus itself, bucketed head/middle/tail
+    * by fixed nll cutoffs. Fully SQL-expressible oracle: DuckDB
+    * re-derives the bigram counts (by gram TEXT where Spark uses 8-byte
+    * fingerprints), the smoothed per-occurrence `ln`, the
+    * DECIMAL-accumulated per-doc sum, and the same cutoff CASE. */
+  def q50Perplexity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.perplexityProfile(
+        Tables.parallel(s, dir, "documents"), "doc_id", "text",
+        headMax = perplexityHeadMax, middleMax = perplexityMiddleMax)
+      .orderBy("doc_id")
+
+  /** q51: incremental dedup of a new batch against the persisted corpus
+    * index ([[graft.operators.IncrementalDedup]]) — the daily-crawl
+    * flow. New batch: perturbed (+1M → near), verbatim (+2M → exact),
+    * and word-reversed (+3M → new) copies of the long docs. The index
+    * is built once per JVM+sfDir (the deployment shape: index exists,
+    * the daily job probes it); the timed query is the probe path.
+    * Fully SQL-expressible oracle: exact via normalized-text equality,
+    * near via the exhaustive new×history shingle-Jaccard scan that the
+    * LSH blocking provably (1e-14) reproduces. */
+  def q51IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalDedup
+    val docs = Tables.parallel(s, dir, "documents")
+    val hist = docs.select(col("doc_id"), col("text"))
+    val long = docs.filter(col("n_chars") >= 100)
+    val newBatch = long
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      .unionByName(long.select((col("doc_id") + 2000000L).as("doc_id"),
+        col("text")))
+      .unionByName(long.select((col("doc_id") + 3000000L).as("doc_id"),
+        concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+    val idx = incrementalIndexFor(s, dir, hist)
+    IncrementalDedup.dedupNew(s, newBatch, hist, "doc_id", "text", idx)
+      .orderBy("doc_id")
+  }
+
+  /** One index build per (JVM, sfDir): q51's bench-timed region is the
+    * daily probe, not the one-time index build it amortizes. */
+  private val incrementalIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def incrementalIndexFor(
+      s: SparkSession, dir: String, hist: DataFrame): String =
+    incrementalIndexes.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_incdedup").toString
+      graft.operators.IncrementalDedup.writeIndex(hist, "doc_id", "text", p)
+      p
+    })
+
   /** Queries whose oracle reads the query's own output back and
     * re-derives the SQL-expressible part from the raw tables. */
   val oracleInputCopies: Seq[String] =
@@ -649,7 +728,10 @@ object LlmPipeline {
     "q45_distinct_approx" -> q45DistinctApprox _,
     "q46_corpus_pack" -> q46CorpusPack _,
     "q47_semantic_dedup" -> q47SemanticDedup _,
-    "q48_bm25_topk" -> q48Bm25TopK _)
+    "q48_bm25_topk" -> q48Bm25TopK _,
+    "q49_dup_spans" -> q49DupSpans _,
+    "q50_perplexity" -> q50Perplexity _,
+    "q51_incremental_dedup" -> q51IncrementalDedup _)
 
   /** Exhaustive all-pairs k-gram Jaccard ground truth over the
     * augmented corpus — ONE definition shared by q18 (MinHash-LSH) and
@@ -1080,7 +1162,113 @@ object LlmPipeline {
         |  FROM agg)
         |SELECT q_id, rank, doc_id, score FROM r
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
-    })
+    },
+    "q49_dup_spans" ->
+      s"""WITH $augmentedSql,
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+        |g2 AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+9], ' ') AS gram
+        |       FROM toks, UNNEST(range(1, greatest(len(w) - 8, 1))) AS t(i)),
+        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (SELECT doc_id, pos, pos + 9 AS e FROM g2 JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, pos, e,
+        |          max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |        FROM cov),
+        |isl2 AS (SELECT doc_id, pos, e,
+        |           sum(CASE WHEN pmax IS NULL OR pos > pmax + 1
+        |               THEN 1 ELSE 0 END)
+        |             OVER (PARTITION BY doc_id ORDER BY pos
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS island
+        |         FROM isl),
+        |spans AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e2
+        |          FROM isl2 GROUP BY doc_id, island),
+        |prof AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+        |           CAST(sum(e2 - s + 1) AS BIGINT) AS dup_tokens
+        |         FROM spans GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / len(t.w), 6)
+        |    AS dup_ratio
+        |FROM toks t LEFT JOIN prof p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q50_perplexity" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |bo AS (SELECT doc_id, w[i] AS p, w[i] || ' ' || w[i+1] AS b
+        |       FROM d, UNNEST(range(1, greatest(len(w), 1))) AS t(i)),
+        |tf AS (SELECT doc_id, b, p, CAST(count(*) AS BIGINT) AS tf
+        |       FROM bo GROUP BY 1, 2, 3),
+        |c2 AS (SELECT b, CAST(sum(tf) AS BIGINT) AS c2 FROM tf GROUP BY b),
+        |c1 AS (SELECT p, CAST(sum(tf) AS BIGINT) AS c1 FROM tf GROUP BY p),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |            FROM documents)),
+        |term AS (SELECT tf.doc_id,
+        |    CAST(ln((CAST(c2.c2 AS DOUBLE) + 1.0) /
+        |        CAST(c1.c1 + v.v AS DOUBLE)) * tf.tf
+        |      AS DECIMAL(28,12)) AS s,
+        |    tf.tf AS tf
+        |  FROM tf JOIN c2 USING (b) JOIN c1 USING (p) CROSS JOIN v),
+        |agg AS (SELECT doc_id, sum(s) AS ss,
+        |          CAST(sum(tf) AS BIGINT) AS n_bigrams
+        |        FROM term GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  round(-CAST(a.ss AS DOUBLE) / a.n_bigrams, 6) AS nll,
+        |  CASE WHEN a.doc_id IS NULL THEN 'unscored'
+        |       WHEN round(-CAST(a.ss AS DOUBLE) / a.n_bigrams, 6)
+        |         <= CAST($perplexityHeadMax AS DOUBLE) THEN 'head'
+        |       WHEN round(-CAST(a.ss AS DOUBLE) / a.n_bigrams, 6)
+        |         <= CAST($perplexityMiddleMax AS DOUBLE) THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q51_incremental_dedup" ->
+      """WITH hist AS (SELECT doc_id, text FROM documents),
+        |newb AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(text, strpos(text, ' ') + 1) AS text
+        |  FROM documents WHERE n_chars >= 100
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE n_chars >= 100
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |  FROM documents WHERE n_chars >= 100),
+        |ex AS (SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_exact
+        |       FROM newb n JOIN hist h
+        |         ON lower(trim(n.text)) = lower(trim(h.text))
+        |       GROUP BY 1),
+        |ns AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, len(string_split(text, ' ')) - 2),
+        |         i -> string_split(text, ' ')[i] || ' ' ||
+        |              string_split(text, ' ')[i+1] || ' ' ||
+        |              string_split(text, ' ')[i+2])) AS s
+        |       FROM newb
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+        |hs AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, len(string_split(text, ' ')) - 2),
+        |         i -> string_split(text, ' ')[i] || ' ' ||
+        |              string_split(text, ' ')[i+1] || ' ' ||
+        |              string_split(text, ' ')[i+2])) AS s
+        |       FROM hist),
+        |nr AS (SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_near
+        |       FROM ns n JOIN hs h
+        |         ON len(n.s) > 0 AND len(h.s) > 0
+        |        AND CAST(len(list_intersect(n.s, h.s)) AS DOUBLE) /
+        |            len(list_distinct(list_concat(n.s, h.s))) >= 0.8
+        |       GROUP BY 1)
+        |SELECT n.doc_id,
+        |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+        |       WHEN nr.doc_id IS NOT NULL THEN 'near'
+        |       ELSE 'new' END AS verdict,
+        |  CAST(coalesce(ex.n_exact, nr.n_near, 0) AS BIGINT) AS n_dups
+        |FROM newb n
+        |LEFT JOIN ex ON ex.doc_id = n.doc_id
+        |LEFT JOIN nr ON nr.doc_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin)
 
   /** Shared WITH-chain of the corpus-build DAG oracle (quality gate →
     * exact dedup → transitive near-dup closure → decontamination → mix

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.IncrementalDedup
+
+/** Incremental-dedup semantics: exact-by-normalized-fingerprint, near by
+  * verified shingle Jaccard against the persisted index, exact-wins
+  * precedence, the every-new-doc-reports contract, and the
+  * self-describing index parameters.
+  */
+class IncrementalDedupSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val history = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "completely different content words here banana",
+    3L -> "short").toDF("doc_id", "text")
+
+  test("verdicts: exact, normalized exact, near, new, shingle-less new") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("inc_dedup_spec").toString
+    IncrementalDedup.writeIndex(history, "doc_id", "text", dir)
+    val newDocs = Seq(
+      11L -> "the quick brown fox jumps over the lazy dog", // verbatim
+      12L -> "The quick brown fox jumps over the lazy DOG  ", // case/trim
+      13L -> "quick brown fox jumps over the lazy dog", // J = 6/7 near
+      14L -> "entirely novel sentence about unrelated topics today",
+      15L -> "short", // exact match of a short doc
+      16L -> "xy" // < k words: no shingles, must come out new
+    ).toDF("doc_id", "text")
+    val got = IncrementalDedup
+      .dedupNew(spark, newDocs, history, "doc_id", "text", dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (11L, "exact", 1L),
+      (12L, "exact", 1L),
+      (13L, "near", 1L),
+      (14L, "new", 0L),
+      (15L, "exact", 1L),
+      (16L, "new", 0L)))
+  }
+
+  test("probe honors the index's own parameters, not caller defaults") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("inc_dedup_spec2").toString
+    // non-default signature shape: a probe that assumed 64/32 would
+    // compute different band keys and find nothing
+    IncrementalDedup.writeIndex(history, "doc_id", "text", dir,
+      shingleK = 2, numHashes = 16, bands = 8)
+    val newDocs = Seq(
+      21L -> "quick brown fox jumps over the lazy dog").toDF("doc_id", "text")
+    val got = IncrementalDedup
+      .dedupNew(spark, newDocs, history, "doc_id", "text", dir,
+        minJaccard = 0.7)
+      .head()
+    assert(got.getString(1) === "near")
+  }
+}
