@@ -693,11 +693,47 @@ object LlmPipeline {
       p
     })
 
+  /** q52: PII redaction ([[graft.operators.PiiRedact]]) — the write
+    * side of q36's extraction over the same planted event lines, plus
+    * an IPv4 segment so all three rule types fire. The oracle doesn't
+    * run regexes at all: it constructs the expected redacted line
+    * directly from the planted layout, so any over- or under-match by
+    * the Spark regex fold breaks string equality on every row. */
+  def q52PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PiiRedact
+    val events = Tables.parallel(s, dir, "events")
+    val line = concat(
+      lit("user "), col("user_id"), lit(" contact "),
+      col("event_type"), col("user_id"), lit("@example.com"),
+      lit(" or "), col("event_type"), lit("_admin@corp.io tel "),
+      pmod(col("user_id"), lit(900)) + 100, lit("-"),
+      pmod(col("user_id") * 7, lit(9000)) + 1000,
+      lit(" src 10."), pmod(col("user_id"), lit(256)), lit(".0."),
+      pmod(col("user_id") * 3, lit(256)))
+    events.select(col("event_id"),
+        PiiRedact.redact(line).as("redacted"),
+        PiiRedact.redactionCount(line).as("n_redacted"))
+      .orderBy("event_id")
+  }
+
+  /** q53: deterministic corpus reshard ([[graft.operators.Reshard]]):
+    * seed-42 hash order into 32 shards. Read-back oracle: the hash is
+    * echoed (pinned against official vectors by HashesSpec), and DuckDB
+    * re-derives shard = pmod(h, 32) and pos = row_number by (h, id)
+    * from it, anchored on `documents` via a LEFT join so a missing or
+    * fabricated id breaks the row count. */
+  def q53Reshard(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Reshard.reshard(
+        Tables.parallel(s, dir, "documents"), "doc_id",
+        nShards = 32, seed = 42L)
+      .orderBy("shard", "pos")
+
   /** Queries whose oracle reads the query's own output back and
     * re-derives the SQL-expressible part from the raw tables. */
   val oracleInputCopies: Seq[String] =
     Seq("q24_simhash_neardup", "q28_ivf_ann", "q31_winnow_neardup",
-      "q42_quantiles_approx", "q45_distinct_approx", "q47_semantic_dedup")
+      "q42_quantiles_approx", "q45_distinct_approx", "q47_semantic_dedup",
+      "q53_reshard")
 
   private def readBack(name: String): String =
     s"read_parquet('$oracleInputDir/$name.parquet/*.parquet')"
@@ -731,7 +767,9 @@ object LlmPipeline {
     "q48_bm25_topk" -> q48Bm25TopK _,
     "q49_dup_spans" -> q49DupSpans _,
     "q50_perplexity" -> q50Perplexity _,
-    "q51_incremental_dedup" -> q51IncrementalDedup _)
+    "q51_incremental_dedup" -> q51IncrementalDedup _,
+    "q52_pii_redact" -> q52PiiRedact _,
+    "q53_reshard" -> q53Reshard _)
 
   /** Exhaustive all-pairs k-gram Jaccard ground truth over the
     * augmented corpus — ONE definition shared by q18 (MinHash-LSH) and
@@ -1268,7 +1306,26 @@ object LlmPipeline {
         |FROM newb n
         |LEFT JOIN ex ON ex.doc_id = n.doc_id
         |LEFT JOIN nr ON nr.doc_id = n.doc_id
-        |ORDER BY n.doc_id""".stripMargin)
+        |ORDER BY n.doc_id""".stripMargin,
+    "q52_pii_redact" ->
+      """SELECT event_id,
+        |  'user ' || CAST(user_id AS VARCHAR) ||
+        |    ' contact <EMAIL> or <EMAIL> tel <PHONE> src <IP>' AS redacted,
+        |  CAST(4 AS BIGINT) AS n_redacted
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q53_reshard" ->
+      s"""WITH o AS (SELECT doc_id, h, shard, pos
+        |           FROM ${readBack("q53_reshard")}),
+        |j AS (SELECT d.doc_id, o.h FROM documents d
+        |      LEFT JOIN o ON o.doc_id = d.doc_id),
+        |r AS (SELECT doc_id, h,
+        |        CAST(((h % 32) + 32) % 32 AS INTEGER) AS shard,
+        |        CAST(row_number() OVER (
+        |          PARTITION BY ((h % 32) + 32) % 32
+        |          ORDER BY h, doc_id) AS BIGINT) AS pos
+        |      FROM j)
+        |SELECT doc_id, h, shard, pos FROM r
+        |ORDER BY shard, pos""".stripMargin)
 
   /** Shared WITH-chain of the corpus-build DAG oracle (quality gate →
     * exact dedup → transitive near-dup closure → decontamination → mix
