@@ -38,13 +38,17 @@ object ScaleBench {
 
   /** The expensive-query set (r4 bench ranking) plus the queries added
     * since (q42 approx quantiles, q43 exact Jaccard join, q44 packing,
-    * r6's q47 semantic dedup and q48 BM25). Scale-shape notes for the
-    * r6 pair: q47's jittered embedding copies stay below the 0.999
+    * q47 semantic dedup, q48 BM25, and r6's q49–q53). Scale-shape
+    * notes: q47's jittered embedding copies stay below the 0.999
     * cosine threshold cross-copy, so the pair graph densifies linearly;
     * q48's salted document copies never match the query terms, so its
     * ratio measures the token-scan + broadcast-probe side (the matched
     * set stays constant — the realistic shape for fixed queries over a
-    * growing corpus). */
+    * growing corpus). For r6: q49's salted copies share no 10-gram
+    * across copies, so the duplicate-gram table and span volume scale
+    * linearly; q50's per-copy bigram structure is preserved (vocabulary
+    * grows 10×, count tables scale linearly); q51's index and new batch
+    * both scale 10× with collision-free id offsets (950k < 1M). */
   val SCALE_QUERIES: Seq[String] = Seq(
     "q01_agg_pushdown", "q13_json_parse", "q16_class_normalize",
     "q18_minhash_neardup", "q24_simhash_neardup", "q28_ivf_ann",
@@ -52,7 +56,9 @@ object ScaleBench {
     "q35_repetition", "q37_contamination", "q38_dedup_corpus",
     "q41_corpus_build", "q42_quantiles_approx", "q43_jaccard_neardup",
     "q44_seq_pack", "q45_distinct_approx", "q46_corpus_pack",
-    "q47_semantic_dedup", "q48_bm25_topk")
+    "q47_semantic_dedup", "q48_bm25_topk", "q49_dup_spans",
+    "q50_perplexity", "q51_incremental_dedup", "q52_pii_redact",
+    "q53_reshard")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")
