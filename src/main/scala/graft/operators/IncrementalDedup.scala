@@ -67,9 +67,12 @@ object IncrementalDedup {
       spark: SparkSession, newDocs: DataFrame, history: DataFrame,
       idCol: String, textCol: String, path: String,
       minJaccard: Double = 0.8): DataFrame = {
+    // by NAME, not position — the meta contract is the field names, and
+    // a future writer reordering columns must not silently swap k/bands
     val meta = spark.read.parquet(s"$path/meta").head()
-    val (shingleK, numHashes, bands) =
-      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val shingleK = meta.getAs[Int]("shingle_k")
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
     val fps = spark.read.parquet(s"$path/fps")
     val newFp = newDocs.select(col(idCol).as("__nid"),
       Hashes.xxhash64Seed0(lower(trim(col(textCol)))).as("__fp"))

@@ -76,6 +76,60 @@ class DupSpansSpec extends SparkSuite {
     assert(got(7L) === "z4 z5 z6")
   }
 
+  test("profile matches a brute-force model on 30 seeded random corpora") {
+    val rnd = new scala.util.Random(42)
+    val L = 3
+    // small vocab + short docs force dense overlap/adjacency/gap cases;
+    // corpora are isolated by a token prefix so one Spark job covers all
+    val corpora: Seq[(Int, Seq[(Long, Vector[String])])] =
+      (0 until 30).map { ci =>
+        val nDocs = 3 + rnd.nextInt(4)
+        ci -> (0 until nDocs).map { j =>
+          val n = rnd.nextInt(13) // 0..12 tokens (0 → one empty token)
+          val toks =
+            if (n == 0) Vector(s"c${ci}_x")
+            else Vector.fill(n)(s"c${ci}_" + ('a' + rnd.nextInt(4)).toChar)
+          (ci * 100L + j, toks)
+        }
+      }
+    val all = corpora.flatMap(_._2)
+      .map { case (id, w) => (id, w.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = DupSpans.profile(all, "doc_id", "text", L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    corpora.foreach { case (_, docs) =>
+      val expected = bruteForce(docs, L)
+      expected.foreach { case (id, e) =>
+        assert(got(id) === e, s"doc $id")
+      }
+    }
+  }
+
+  /** O(n²) reference: count grams by TEXT, mark ≥2-occurrence covers,
+    * merge intervals by fold. */
+  private def bruteForce(docs: Seq[(Long, Vector[String])], L: Int)
+      : Map[Long, (Long, Long, Long, Double)] = {
+    val grams = docs.flatMap { case (id, w) =>
+      (0 to w.length - L).map(i => (id, i, w.slice(i, i + L).mkString(" ")))
+    }
+    val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    docs.map { case (id, w) =>
+      val ivs = grams
+        .filter(g => g._1 == id && counts(g._3) >= 2)
+        .map(g => (g._2, g._2 + L - 1)).sortBy(_._1)
+      val merged = ivs.foldLeft(List.empty[(Int, Int)]) {
+        case ((ps, pe) :: t, (s, e)) if s <= pe + 1 =>
+          (ps, math.max(pe, e)) :: t
+        case (acc, iv) => iv :: acc
+      }
+      val dup = merged.map { case (s, e) => e - s + 1 }.sum.toLong
+      id -> ((w.length.toLong, merged.size.toLong, dup,
+        round6(dup.toDouble / w.length)))
+    }.toMap
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
