@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.Parsing.queries ++
       graft.queries.Enrichment.queries ++
       graft.queries.Sharded.queries ++
-      graft.queries.LlmPipeline.queries
+      graft.queries.LlmPipeline.queries ++
+      graft.queries.EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.Parsing.oracles ++
       graft.queries.Enrichment.oracles ++
       graft.queries.Sharded.oracles ++
-      graft.queries.LlmPipeline.oracles
+      graft.queries.LlmPipeline.oracles ++
+      graft.queries.EventQueries.oracles
 }

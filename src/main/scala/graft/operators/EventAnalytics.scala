@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** ClickHouse-style event analytics (the workloads a sinker's users run
+  * on the ingested tables: docs/dev/introduction.md:58-70 positions the
+  * reference as the feeder of an OLAP event store). Batch forms of
+  * sessionization, `windowFunnel` and `retention` — all expressed as
+  * window functions / aggregates over ONE hash shuffle on the user key:
+  * every window and the final per-user (or per-session) aggregate share
+  * `partitionBy(userCol)`, so EnsureRequirements inserts a single
+  * exchange and the window passes pipeline on top of it. At 100 TB the
+  * shuffle carries only the projected analysis columns (user, time,
+  * type, value), never the event payload.
+  */
+object EventAnalytics {
+
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  /** Gap-based sessionization: a row starts a new session when it is
+    * its user's first event or follows the previous one by more than
+    * `gapUs`. Adds `session_seq` (1-based per user, ordered by time).
+    * Tied timestamps are gap-0 by construction, so any tie order yields
+    * the same assignment; the cumulative sum uses the default RANGE
+    * frame (peers included) to stay order-independent — both mirrored
+    * by the DuckDB oracle's default window frame. */
+  def sessionize(
+      events: DataFrame, userCol: String, tsCol: String,
+      gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(tsCol)
+    val t = unix_micros(col(tsCol))
+    val prev = lag(t, 1).over(w)
+    events
+      .withColumn("__new",
+        when(prev.isNull || t - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("__new")).over(w))
+      .drop("__new")
+  }
+
+  /** Strict-order funnel (ClickHouse `windowFunnel(window)(t, c1..cn)`
+    * semantics in their exists-a-chain reading): per user, the maximum
+    * k such that events matching `steps(0) < steps(1) < … < steps(k-1)`
+    * exist at strictly increasing times with `t_k − t_1 ≤ windowUs`.
+    *
+    * Shape: k−1 chained cumulative-max window passes instead of a k-way
+    * self-join. `__b1` is the latest step-1 time strictly before each
+    * row; `__b(i)` the latest *chain start* reaching step i strictly
+    * before each row (propagated unconstrained — the window bound binds
+    * only at the level being scored, and a longer chain's constraint
+    * implies its prefix's). Scoring at the max chain start is exact:
+    * if the latest feasible start misses the window, every earlier one
+    * misses it by more. Strictness comes from the RANGE(−∞, −1] frame
+    * over integer microseconds, which excludes peer rows. All passes
+    * share one partitioning; a duplicate step type scores its highest
+    * level first (the `when` chain tests deepest-first). */
+  def funnelLevels(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.size >= 2, s"need >= 2 funnel steps, got ${steps.size}")
+    val w = Window.partitionBy(userCol).orderBy(col("__t"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    var df = events.select(col(userCol), col(typeCol).as("__ty"),
+      unix_micros(col(tsCol)).as("__t"))
+    steps.indices.dropRight(1).foreach { i =>
+      val chainStart =
+        if (i == 0) when(col("__ty") === steps(0), col("__t"))
+        else when(col("__ty") === steps(i), col(s"__b$i"))
+      df = df.withColumn(s"__b${i + 1}", max(chainStart).over(w))
+    }
+    val lvl = steps.indices.reverse.foldLeft(lit(0)) { (rest, i) =>
+      val cond =
+        if (i == 0) col("__ty") === steps(0)
+        else col("__ty") === steps(i) && col(s"__b$i").isNotNull &&
+          col("__t") - col(s"__b$i") <= windowUs
+      when(cond, i + 1).otherwise(rest)
+    }
+    df.groupBy(col(userCol))
+      .agg(max(lvl).cast("int").as("funnel_level"))
+  }
+
+  /** Cohort retention matrix (ClickHouse `retention` generalized to a
+    * cohort table): cohort = ISO week of each user's first `cohortType`
+    * event; a user is retained at offset o if active (ANY event) in
+    * cohort-week + o. Emits (cohort, week_offset, n_active,
+    * cohort_size, retention). The first-event aggregate is
+    * users-per-cohort small — both joins against it broadcast. */
+  def cohortRetention(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      cohortType: String): DataFrame = {
+    val cohorts = events.filter(col(typeCol) === cohortType)
+      .groupBy(col(userCol))
+      .agg(min(date_trunc("week", col(tsCol))).as("__cohort"))
+    val sizes = cohorts.groupBy(col("__cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val active = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("__wk"))
+      .distinct()
+    active
+      .join(broadcast(cohorts), userCol)
+      .filter(col("__wk") >= col("__cohort"))
+      .select(col("__cohort"),
+        ((unix_micros(col("__wk")) - unix_micros(col("__cohort"))) /
+          lit(WeekUs)).cast("long").as("week_offset"),
+        col(userCol))
+      .groupBy(col("__cohort"), col("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+      .join(broadcast(sizes), "__cohort")
+      .select(col("__cohort").as("cohort"), col("week_offset"),
+        col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
+
+  /** DECIMAL-routed double sum (partition-order independent; mirrors the
+    * oracle's `CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE)`). */
+  def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tsDf(rows: Seq[(Long, Long)]) =
+    rows.toDF("user_id", "__us").withColumn("ts", timestamp_micros(col("__us")))
+
+  // --- sessionize -----------------------------------------------------
+
+  test("sessionize: gap boundary is strict, first event starts session 1") {
+    val us = 1000000L
+    val rows = tsDf(Seq(
+      (1L, 0L), (1L, 10L * us), (1L, 20L * us + 1), // ==gap stays, >gap splits
+      (2L, 5L * us)))
+    val got = EventAnalytics.sessionize(rows, "user_id", "ts", 10L * us)
+      .select("user_id", "__us", "session_seq")
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, t, s) => ((u, t), s) }.toMap
+    assert(got((1L, 0L)) === 1L)
+    assert(got((1L, 10L * us)) === 1L)
+    assert(got((1L, 20L * us + 1)) === 2L)
+    assert(got((2L, 5L * us)) === 1L)
+  }
+
+  test("sessionize: tied timestamps land in the same session") {
+    val rows = tsDf(Seq((1L, 42L), (1L, 42L), (1L, 42L)))
+    val seqs = EventAnalytics.sessionize(rows, "user_id", "ts", 1000000L)
+      .select("session_seq").as[Long].collect()
+    assert(seqs.toSeq === Seq(1L, 1L, 1L))
+  }
+
+  // --- funnel ---------------------------------------------------------
+
+  /** Brute-force exists-chain model: max k such that some strictly
+    * time-increasing event chain matching steps(0..k-1) fits the
+    * window (t_k - t_1 <= W). Exponential — fine at test sizes. */
+  private def bruteFunnel(
+      events: Seq[(Long, String)], steps: Seq[String], w: Long): Int = {
+    def chains(k: Int): Boolean = {
+      def ext(sofar: List[Long], depth: Int): Boolean =
+        if (depth == k) sofar.head - sofar.last <= w
+        else events.exists { case (t, ty) =>
+          ty == steps(depth) && (sofar.isEmpty || t > sofar.head) &&
+            ext(t :: sofar, depth + 1)
+        }
+      ext(Nil, 0)
+    }
+    (steps.size to 1 by -1).find(chains).getOrElse(0)
+  }
+
+  private def runFunnel(events: Seq[(Long, Long, String)],
+      steps: Seq[String], w: Long): Map[Long, Int] = {
+    val df = events.toDF("user_id", "__us", "event_type")
+      .withColumn("ts", timestamp_micros(col("__us")))
+    EventAnalytics.funnelLevels(df, "user_id", "ts", "event_type", steps, w)
+      .as[(Long, Int)].collect().toMap
+  }
+
+  test("funnel: matches brute force on 40 seeded random users") {
+    val rnd = new scala.util.Random(7)
+    val steps = Seq("s", "v", "c", "p")
+    val types = Vector("s", "v", "c", "p", "x")
+    val w = 50L
+    // times drawn from a small range so ties, out-of-window chains and
+    // rescued-by-later-start chains all occur across the 40 users
+    val users = (1L to 40L).map { u =>
+      val n = 1 + rnd.nextInt(12)
+      u -> Seq.fill(n)((rnd.nextInt(120).toLong, types(rnd.nextInt(5))))
+    }
+    val all = users.flatMap { case (u, es) =>
+      es.map { case (t, ty) => (u, t, ty) }
+    }
+    val got = runFunnel(all, steps, w)
+    users.foreach { case (u, es) =>
+      assert(got(u) === bruteFunnel(es, steps, w), s"user $u events=$es")
+    }
+  }
+
+  test("funnel: window binds on the whole chain, not per step") {
+    // s@0, v@60, c@70, p@80 with W=50: every adjacent hop fits, but no
+    // full chain does (80-0>50) and even level 2 fails (60-0>50).
+    // A per-hop-window bug would score 4.
+    val got = runFunnel(Seq((1L, 0L, "s"), (1L, 60L, "v"), (1L, 70L, "c"),
+      (1L, 80L, "p")), Seq("s", "v", "c", "p"), 50L)
+    assert(got(1L) === 1)
+  }
+
+  test("funnel: later chain start rescues the window") {
+    // s@0 misses the window for p@105; s@60 fits (105-60<=50).
+    // Greedy-earliest-start scoring would return 3.
+    val got = runFunnel(Seq((1L, 0L, "s"), (1L, 60L, "s"), (1L, 70L, "v"),
+      (1L, 90L, "c"), (1L, 105L, "p")), Seq("s", "v", "c", "p"), 50L)
+    assert(got(1L) === 4)
+  }
+
+  test("funnel: ties do not chain (strictly increasing times required)") {
+    val got = runFunnel(Seq((1L, 10L, "s"), (1L, 10L, "v"), (1L, 20L, "c"),
+      (1L, 30L, "p")), Seq("s", "v", "c", "p"), 100L)
+    assert(got(1L) === 1) // v at t=10 cannot follow s at t=10
+  }
+
+  // --- retention ------------------------------------------------------
+
+  test("retention: cohort by first signup week, offsets count any activity") {
+    def ts(d: String) = java.sql.Timestamp.valueOf(d)
+    val rows = Seq(
+      // user 1 signs up week of Jan 1 (a Monday), active weeks 0 and 2
+      (1L, ts("2024-01-02 10:00:00"), "signup"),
+      (1L, ts("2024-01-16 10:00:00"), "click"),
+      // user 2 same cohort, active week 0 only (pre-signup activity in an
+      // earlier week must NOT count as an offset)
+      (2L, ts("2023-12-28 10:00:00"), "view"),
+      (2L, ts("2024-01-03 10:00:00"), "signup"),
+      // user 3 never signs up -> excluded entirely
+      (3L, ts("2024-01-02 10:00:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics
+      .cohortRetention(rows, "user_id", "ts", "event_type", "signup")
+      .select("week_offset", "n_active", "cohort_size", "retention")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set((0L, 2L, 2L, 1.0), (2L, 1L, 2L, 0.5)))
+  }
+}
