@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.Enrichment.queries ++
       graft.queries.Sharded.queries ++
       graft.queries.LlmPipeline.queries ++
-      graft.queries.EventQueries.queries
+      graft.queries.EventQueries.queries ++
+      graft.queries.CorpusExtras.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.Enrichment.oracles ++
       graft.queries.Sharded.oracles ++
       graft.queries.LlmPipeline.oracles ++
-      graft.queries.EventQueries.oracles
+      graft.queries.EventQueries.oracles ++
+      graft.queries.CorpusExtras.oracles
 }

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.ColumnBridge
+
+/** Round-6 corpus operators: text canonicalization, sketched heavy
+  * hitters, and asymmetric containment dedup. Kept out of
+  * [[LlmPipeline]] only for file size; same conventions (shared
+  * literals between Spark and oracle SQL, read-back oracles where a
+  * sketch's content is run-dependent). */
+object CorpusExtras {
+
+  /** q57's unicode plant, keyed by doc_id % 4: decomposed accents (NFC
+    * composes), compatibility-composed U+212B (NFC maps to U+00C5),
+    * C0 controls (stripped), and whitespace runs (collapsed). The
+    * Scala literals and the oracle's chr() concatenations must stay
+    * character-for-character identical. */
+  private def plantedText = concat(col("text"),
+    when(pmod(col("doc_id"), lit(4)) === 0,
+        lit("  Cafe\u0301 \u0007du\u000B monde "))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        lit("\t\u212B Angstro\u0308m"))
+      .when(pmod(col("doc_id"), lit(4)) === 2, lit(" already clean "))
+      .otherwise(lit("A\u030A\u0001end")))
+
+  // NOTE: no line may START with "||" — this fragment is re-embedded in
+  // a stripMargin template, which would eat the first pipe
+  private val plantedSql =
+    """text || CASE
+      |    WHEN doc_id % 4 = 0 THEN '  Cafe' || chr(769) || ' ' || chr(7) ||
+      |      'du' || chr(11) || ' monde '
+      |    WHEN doc_id % 4 = 1 THEN chr(9) || chr(8491) || ' Angstro' ||
+      |      chr(776) || 'm'
+      |    WHEN doc_id % 4 = 2 THEN ' already clean '
+      |    ELSE 'A' || chr(778) || chr(1) || 'end' END""".stripMargin
+
+  /** q57: corpus text canonicalization
+    * ([[graft.functions.NormalizeText]]): control strip → NFC →
+    * whitespace collapse → trim, one native codegen pass. Pure map —
+    * no shuffle; the plant makes every branch observable on an
+    * otherwise-ASCII corpus. */
+  def q57TextNormalize(s: SparkSession, dir: String): DataFrame = {
+    Tables.parallel(s, dir, "documents")
+      .select(col("doc_id"),
+        ColumnBridge.col(graft.functions.NormalizeText(
+          ColumnBridge.expr(plantedText))).as("norm_text"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_text_normalize" -> q57TextNormalize _)
+
+  val oracles: Map[String, String] = Map(
+    "q57_text_normalize" ->
+      s"""SELECT doc_id,
+        |  trim(regexp_replace(nfc_normalize(regexp_replace(
+        |    $plantedSql,
+        |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')),
+        |    '[ \\t\\n\\r]+', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
