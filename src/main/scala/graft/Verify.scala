@@ -10,7 +10,8 @@ object Verify {
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val copies = graft.queries.LlmPipeline.oracleInputCopies.toSet
+    val copies = (graft.queries.LlmPipeline.oracleInputCopies ++
+      graft.queries.CorpusExtras.oracleInputCopies).toSet
     val copyDir = graft.queries.LlmPipeline.oracleInputDir
     SparkEntry.queries.foreach { case (name, fn) =>
       try {

@@ -50,8 +50,45 @@ object CorpusExtras {
       .orderBy("doc_id")
   }
 
+  /** q58: sketched heavy hitters over word bigrams — ClickHouse `topK`
+    * (SpaceSaving) as a [[graft.functions.SpaceSavingTopK]] typed
+    * imperative aggregate: per-partition summaries of `capacity`
+    * counters, one tiny merge at the driver-side reduce — the shape
+    * that holds when the corpus has 10^12 grams but the answer is 20
+    * rows. capacity=128 < the ~916-bigram vocabulary, so evictions and
+    * truncating merges are genuinely exercised at every SF. The sketch
+    * content is merge-order dependent, so the oracle reads the result
+    * back and re-checks the SpaceSaving invariant (est − err ≤ exact ≤
+    * est, term must exist) against exact DuckDB counts — any violated
+    * row is filtered out and fails the hash compare. */
+  def q58TopkSketch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(s, dir, "documents")
+    val grams = docs
+      .select(split(col("text"), " ").as("__w"))
+      .select(explode(when(size(col("__w")) >= 2,
+        expr("transform(sequence(0, size(__w) - 2), " +
+          "i -> concat_ws(' ', __w[i], __w[i + 1]))"))).as("gram"))
+    val sk = grams.agg(ColumnBridge.col(
+      graft.functions.SpaceSavingTopK(
+        ColumnBridge.expr(col("gram")), capacity = 128)
+        .toAggregateExpression()).as("__sk"))
+    sk.select(posexplode(slice(col("__sk"), 1, 20)).as(Seq("__i", "__c")))
+      .select((col("__i") + 1).cast("long").as("rank"),
+        col("__c.term").as("term"), col("__c.est").as("est"),
+        col("__c.err").as("err"))
+      .orderBy("rank")
+  }
+
+  /** Read-back oracles of this module (see [[LlmPipeline.oracleInputCopies]]
+    * for the pattern; [[graft.Verify]] unions the two lists). */
+  val oracleInputCopies: Seq[String] = Seq("q58_topk_sketch")
+
+  private def readBack(name: String): String =
+    s"read_parquet('${LlmPipeline.oracleInputDir}/$name.parquet/*.parquet')"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q57_text_normalize" -> q57TextNormalize _)
+    "q57_text_normalize" -> q57TextNormalize _,
+    "q58_topk_sketch" -> q58TopkSketch _)
 
   val oracles: Map[String, String] = Map(
     "q57_text_normalize" ->
@@ -60,5 +97,16 @@ object CorpusExtras {
         |    $plantedSql,
         |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')),
         |    '[ \\t\\n\\r]+', ' ', 'g')) AS norm_text
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q58_topk_sketch" ->
+      s"""WITH r AS (SELECT * FROM ${readBack("q58_topk_sketch")}),
+        |w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT w[i] || ' ' || w[i + 1] AS term
+        |      FROM w, UNNEST(generate_series(1, len(w) - 1)) t(i)),
+        |ex AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+        |       FROM g GROUP BY 1)
+        |SELECT r.rank, r.term, r.est, r.err
+        |FROM r JOIN ex USING (term)
+        |WHERE r.est >= ex.c AND r.est - r.err <= ex.c
+        |ORDER BY r.rank""".stripMargin)
 }
