@@ -668,6 +668,53 @@ case class ShingleJaccard(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact k-word-gram containment of `left` IN `right`:
+  * |g(L) ∩ g(R)| / |g(L)| — the asymmetric sibling of
+  * [[ShingleJaccard]] (quote/snippet detection: a short doc wholly
+  * inside a long one scores ~1.0 where Jaccard stays near |L|/|R|).
+  * String-gram-exact like the Jaccard verify, so the hash-based
+  * candidate stages can only perturb pruning, never the reported
+  * value. Left side with no grams (< k words) has no defined
+  * containment → 0.0, and the candidate stages never emit such docs. */
+case class ShingleContainment(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with BinaryEvalCodegen {
+  require(k >= 1)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override protected def castResult(x: String): String =
+    s"((java.lang.Double) $x).doubleValue()"
+
+  private def gramSet(text: String): java.util.HashSet[String] = {
+    val words = text.split(" ", -1)
+    val set = new java.util.HashSet[String]()
+    var i = 0
+    val last = words.length - k
+    while (i <= last) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+      set.add(sb.toString)
+      i += 1
+    }
+    set
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val setA = gramSet(a.asInstanceOf[UTF8String].toString)
+    if (setA.isEmpty) return java.lang.Double.valueOf(0.0)
+    val setB = gramSet(b.asInstanceOf[UTF8String].toString)
+    var inter = 0
+    val it = setA.iterator()
+    while (it.hasNext) if (setB.contains(it.next())) inter += 1
+    java.lang.Double.valueOf(inter.toDouble / setA.size.toDouble)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** MinHash signature computed directly from the text bytes — the fused
   * form of `MinHashSignature(WordShingles(text, k))`. Each k-word gram
   * of a single-spaced text is a contiguous byte slice of the original

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnBridge
+
+/** Asymmetric k-gram containment self-join — doc-in-doc detection
+  * (quotes, snippets, boilerplate inclusions: the near-dup family's
+  * blind spot, since Jaccard of a snippet against its source is only
+  * ~|snippet|/|source|). Emits directed pairs (id_a, id_b) with
+  * `|g(A) ∩ g(B)| / |g(A)| ≥ t`, A ≠ B.
+  *
+  * Shape (prefix filter on the PROBE side only):
+  *
+  *  1. One fused pass per doc builds the sorted distinct gram-hash set
+  *     ([[graft.functions.SortedGramHashes]]); 8-byte hashes on the
+  *     wire throughout.
+  *  2. Containment ≥ t needs |g(A) ∩ g(B)| ≥ ceil(t·|A|), so dropping
+  *     any |A| − ceil(t·|A|) grams of A still leaves a shared gram: A's
+  *     prefix under the rare-first order is the same
+  *     `n − ceil(t·n) + 1` formula as PPJoin's — [[graft.functions
+  *     .RarestPrefix]] is reused verbatim (the lemma only needs a
+  *     globally consistent order, and rare-first keeps probe buckets
+  *     small).
+  *  3. The INDEX side has no symmetric prefix: containment puts no
+  *     lower bound on |B|'s share of its own grams, so B must index
+  *     ALL its grams — the full inverted index is the honest
+  *     data-proportional cost (same shape as the contamination gram
+  *     index), one (gram, id, n) explode, no text.
+  *  4. The only sound size filter is one-directional: ∩ ≤ |B| forces
+  *     |B| ≥ t·|A| (relaxed by 1e-9 so double rounding only ADMITS).
+  *     Applied inside the bucket join; candidates then distinct.
+  *  5. Candidates re-spread (pinned round-robin count — the AQE
+  *     small-bytes collapse documented in [[JaccardJoin]]), text joined
+  *     for candidates only, verified by the string-gram-exact
+  *     [[graft.functions.ShingleContainment]].
+  */
+object ContainmentJoin {
+
+  /** docs(id, text) → (id_a, id_b, containment): directed pairs where
+    * A's gram set is ≥ minContainment covered by B's. */
+  def containedPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minContainment: Double = 0.9,
+      maxStopGrams: Int = 1 << 16): DataFrame = {
+    require(minContainment >= 0.01 && minContainment <= 1.0,
+      s"minContainment must be in [0.01, 1.0], got $minContainment")
+    val tRelaxed = minContainment - 1e-9
+    val grams = ColumnBridge.col(graft.functions.SortedGramHashes(
+      ColumnBridge.expr(col(textCol)), k))
+    val g = docs.select(col(idCol).as("__id"), grams.as("__g"))
+    val stopRows = g
+      .select(explode(when(col("__g").isNotNull, col("__g"))).as("__gram"))
+      .groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .orderBy(col("__df").desc, col("__gram"))
+      .limit(maxStopGrams)
+      .collect()
+    val byKey = stopRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val prefix = ColumnBridge.col(graft.functions.RarestPrefix(
+      ColumnBridge.expr(col("__g")), tRelaxed,
+      byKey.map(_._1).toSeq, byKey.map(_._2).toSeq))
+    val probe = g.select(
+      col("__id").as("id_a"), size(col("__g")).cast("long").as("__na"),
+      explode(when(col("__g").isNotNull, prefix)).as("__gram"))
+    val index = g.select(
+      col("__id").as("id_b"), size(col("__g")).cast("long").as("__nb"),
+      explode(when(col("__g").isNotNull, col("__g"))).as("__gram"))
+    val cands = probe.join(index, "__gram")
+      .filter(col("id_a") =!= col("id_b") &&
+        col("__nb").cast("double") >= col("__na") * tRelaxed)
+      .select("id_a", "id_b")
+      .distinct()
+    val rawA = docs.select(col(idCol).as("id_a"), col(textCol).as("__t_a"))
+    val rawB = docs.select(col(idCol).as("id_b"), col(textCol).as("__t_b"))
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    cands
+      .repartition(nPart)
+      .join(rawA, "id_a").join(rawB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        ColumnBridge.col(graft.functions.ShingleContainment(
+          ColumnBridge.expr(col("__t_a")), ColumnBridge.expr(col("__t_b")),
+          k)).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+}

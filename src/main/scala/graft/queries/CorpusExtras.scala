@@ -79,6 +79,30 @@ object CorpusExtras {
       .orderBy("rank")
   }
 
+  /** q59's corpus: documents ∪ a 35% head snippet of every long doc
+    * (+4M ids) — planted doc-in-doc inclusions that Jaccard dedup
+    * (q18/q43, scoring ~0.35 here) can never flag. Word arithmetic is
+    * integer-exact and mirrored by the oracle. */
+  private def snippetCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(s, dir, "documents")
+    val w = split(col("text"), " ")
+    val nTake = greatest(lit(5L), floor(size(w) * 35 / 100)).cast("int")
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("n_chars") >= 100)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat_ws(" ", slice(w, lit(1), nTake)).as("text")))
+  }
+
+  /** q59: asymmetric containment self-join
+    * ([[graft.operators.ContainmentJoin]]) — directed doc-in-doc pairs
+    * at trigram containment ≥ 0.9. Exhaustive all-pairs DuckDB ground
+    * truth (the q43 pattern): the lossless probe-prefix blocking must
+    * reproduce it exactly. */
+  def q59ContainmentDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ContainmentJoin.containedPairs(
+        snippetCorpus(s, dir), "doc_id", "text", k = 3, minContainment = 0.9)
+      .orderBy("id_a", "id_b")
+
   /** Read-back oracles of this module (see [[LlmPipeline.oracleInputCopies]]
     * for the pattern; [[graft.Verify]] unions the two lists). */
   val oracleInputCopies: Seq[String] = Seq("q58_topk_sketch")
@@ -88,7 +112,8 @@ object CorpusExtras {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_text_normalize" -> q57TextNormalize _,
-    "q58_topk_sketch" -> q58TopkSketch _)
+    "q58_topk_sketch" -> q58TopkSketch _,
+    "q59_containment_dedup" -> q59ContainmentDedup _)
 
   val oracles: Map[String, String] = Map(
     "q57_text_normalize" ->
@@ -108,5 +133,28 @@ object CorpusExtras {
         |SELECT r.rank, r.term, r.est, r.err
         |FROM r JOIN ex USING (term)
         |WHERE r.est >= ex.c AND r.est - r.err <= ex.c
-        |ORDER BY r.rank""".stripMargin)
+        |ORDER BY r.rank""".stripMargin,
+    "q59_containment_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000,
+        |    array_to_string(string_split(text, ' ')[1:CAST(greatest(5,
+        |      floor(len(string_split(text, ' ')) * 35 / 100)) AS INT)], ' ')
+        |  FROM documents WHERE n_chars >= 100),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2])) AS s
+        |  FROM aug),
+        |sh2 AS (SELECT * FROM sh WHERE len(s) > 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+        |    AS containment
+        |FROM sh2 a JOIN sh2 b ON a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin)
 }
