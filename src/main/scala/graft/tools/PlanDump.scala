@@ -7,11 +7,10 @@ import org.apache.spark.sql.SparkSession
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .appName("plan-dump").master("local[4]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", false)
-      .getOrCreate()
+    // graft.Sessions (not a bare builder): events.parquet needs the
+    // nanosAsLong conf at session-build time or the scan throws
+    // PARQUET_TYPE_ILLEGAL
+    val spark = graft.Sessions.builder("4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
       println(s"========== $name ==========")

@@ -58,7 +58,15 @@ object ScaleBench {
     "q44_seq_pack", "q45_distinct_approx", "q46_corpus_pack",
     "q47_semantic_dedup", "q48_bm25_topk", "q49_dup_spans",
     "q50_perplexity", "q51_incremental_dedup", "q52_pii_redact",
-    "q53_reshard")
+    "q53_reshard",
+    // r6 additions: q54-q56 ride the key-shifted event copies (user and
+    // group cardinality scale with the data, per-user event counts stay
+    // constant); q57 is a pure map; q58's summary stays `capacity`
+    // counters while the gram stream grows 10×; q59's salted copies
+    // share no trigram across copies, so snippet-pair volume scales
+    // linearly like q43's.
+    "q54_sessionize", "q55_funnel", "q56_retention",
+    "q57_text_normalize", "q58_topk_sketch", "q59_containment_dedup")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")
