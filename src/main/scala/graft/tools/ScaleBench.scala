@@ -152,11 +152,22 @@ object ScaleBench {
       System.err.println(f"[scale] $n%-22s sf0.1 $a%6.2f s   sf1 $b%7.2f s   ratio ${r}%5.2f")
       n -> ((a, b, r))
     }
-    val json = rows.map { case (n, (a, b, r)) =>
-      f""""$n":{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":$r%.2f}"""
-    }.mkString("{\"data_ratio\":10,\"queries\":{", ",", "}}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_SF1.json"), json)
+    // merge into the existing file: an args-restricted run refreshes its
+    // queries without dropping the rest of the recorded curve
+    val out = java.nio.file.Paths.get("/root/repo/BENCH_SF1.json")
+    val prior: Map[String, String] =
+      if (java.nio.file.Files.exists(out)) {
+        val txt = java.nio.file.Files.readString(out)
+        """"(q[0-9a-z_]+)":(\{[^}]*\})""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toMap
+      } else Map.empty
+    val fresh = rows.map { case (n, (a, b, r)) =>
+      n -> f"""{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":$r%.2f}"""
+    }.toMap
+    val json = (prior ++ fresh).toSeq.sortBy(_._1)
+      .map { case (n, v) => s""""$n":$v""" }
+      .mkString("{\"data_ratio\":10,\"queries\":{", ",", "}}")
+    java.nio.file.Files.writeString(out, json)
     System.out.println(json)
     spark.stop()
   }
