@@ -37,15 +37,23 @@ class SpaceSavingBuffer(val capacity: Int) {
   private def minEst: Long =
     if (counters.isEmpty) 0L else counters.valuesIterator.map(_._1).min
 
-  def update(item: String): Unit = {
+  def update(item: String): Unit = update(item, 1L)
+
+  /** Weighted update (ClickHouse `topKWeighted`): counts the item
+    * `weight` times in one step — identical invariants (a weight-w hit
+    * is w unit hits; an eviction inherits the min est as error exactly
+    * as the unit case does). Non-positive weights are ignored. */
+  def update(item: String, weight: Long): Unit = {
+    if (weight <= 0) return
     counters.get(item) match {
-      case Some((est, err)) => counters.update(item, (est + 1, err))
-      case None if counters.size < capacity => counters.update(item, (1L, 0L))
+      case Some((est, err)) => counters.update(item, (est + weight, err))
+      case None if counters.size < capacity =>
+        counters.update(item, (weight, 0L))
       case None =>
         filled = true
         val (evictKey, (m, _)) = counters.minBy { case (k, (est, _)) => (est, k) }
         counters.remove(evictKey)
-        counters.update(item, (m + 1, m))
+        counters.update(item, (m + weight, m))
     }
   }
 
@@ -73,14 +81,17 @@ class SpaceSavingBuffer(val capacity: Int) {
 
 /** array<struct<term, est, err>> of the summary's counters, est-desc
   * (term-asc tie-break). `child` is the item column; rows with a null
-  * item are ignored. */
+  * item are ignored. With `weight` set (ClickHouse `topKWeighted`),
+  * each row counts its long weight; null or non-positive weights are
+  * ignored. */
 case class SpaceSavingTopK(
     child: Expression, capacity: Int,
+    weight: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[SpaceSavingBuffer] {
   require(capacity >= 1)
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = child +: weight.toSeq
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("term", StringType, nullable = false),
@@ -92,7 +103,15 @@ case class SpaceSavingTopK(
 
   override def update(buf: SpaceSavingBuffer, input: InternalRow): SpaceSavingBuffer = {
     val v = child.eval(input)
-    if (v != null) buf.update(v.asInstanceOf[UTF8String].toString)
+    if (v != null) {
+      val w = weight match {
+        case None => 1L
+        case Some(we) =>
+          val wv = we.eval(input)
+          if (wv == null) 0L else wv.asInstanceOf[Long]
+      }
+      buf.update(v.asInstanceOf[UTF8String].toString, w)
+    }
     buf
   }
 
@@ -143,5 +162,6 @@ case class SpaceSavingTopK(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren.head)
+    copy(child = newChildren.head,
+      weight = if (newChildren.length > 1) Some(newChildren(1)) else None)
 }

@@ -34,6 +34,33 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(seqs.toSeq === Seq(1L, 1L, 1L))
   }
 
+  test("sessionize matches a linear-scan model on seeded random streams") {
+    val rnd = new scala.util.Random(13)
+    val gap = 10L
+    val events = (1L to 20L).flatMap { u =>
+      val n = 1 + rnd.nextInt(15)
+      // small time range forces ties and boundary gaps
+      Seq.fill(n)((u, rnd.nextInt(100).toLong))
+    }
+    val got = EventAnalytics
+      .sessionize(tsDf(events), "user_id", "ts", gap)
+      .select("user_id", "__us", "session_seq")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1)
+      .map { case (u, rows) => u -> rows.sortBy(_._2).map(_._3).toSeq }
+    val expected = events.groupBy(_._1).map { case (u, es) =>
+      val ts = es.map(_._2).sorted
+      val seqs = ts.zipWithIndex.scanLeft(0L) {
+        case (s, (t, i)) =>
+          if (i == 0 || t - ts(i - 1) > gap) s + 1 else s
+      }.drop(1)
+      u -> seqs
+    }
+    expected.foreach { case (u, seqs) =>
+      assert(got(u) === seqs, s"user $u ts=${events.filter(_._1 == u)}")
+    }
+  }
+
   // --- funnel ---------------------------------------------------------
 
   /** Brute-force exists-chain model: max k such that some strictly

@@ -70,6 +70,44 @@ class SpaceSavingSpec extends SparkSuite {
     }
   }
 
+  test("weighted updates keep invariants (topKWeighted semantics)") {
+    val rnd = new Random(3)
+    (0 until 10).foreach { trial =>
+      val vocab = 4 + rnd.nextInt(30)
+      val updates = Seq.fill(600)(("i" + rnd.nextInt(vocab), 1L + rnd.nextInt(9)))
+      val buf = new SpaceSavingBuffer(6)
+      updates.foreach { case (k, w) => buf.update(k, w) }
+      val exact = updates.groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).sum }
+      val n = updates.map(_._2).sum
+      checkInvariants(buf, exact, n)
+      assert(buf.counters.size <= 6, s"trial $trial")
+    }
+  }
+
+  test("non-positive weights are no-ops") {
+    val buf = new SpaceSavingBuffer(4)
+    buf.update("a", 0L)
+    buf.update("a", -5L)
+    assert(buf.counters.isEmpty)
+    buf.update("a", 3L)
+    assert(buf.counters("a") === ((3L, 0L)))
+  }
+
+  test("spark aggregate with weight column") {
+    val data = Seq(("x", 5L), ("y", 2L), ("x", 1L), ("z", 0L))
+    val df = data.toDF("item", "w")
+    val sk = df.agg(ColumnBridge.col(
+      SpaceSavingTopK(ColumnBridge.expr(col("item")), 8,
+        weight = Some(ColumnBridge.expr(col("w"))))
+        .toAggregateExpression()).as("sk"))
+    val rows = sk.select(explode(col("sk")).as("c"))
+      .select("c.term", "c.est", "c.err")
+      .as[(String, Long, Long)].collect()
+      .map { case (t, e, r) => t -> ((e, r)) }.toMap
+    assert(rows === Map("x" -> ((6L, 0L)), "y" -> ((2L, 0L))))
+  }
+
   test("serialization round-trips") {
     val buf = new SpaceSavingBuffer(4)
     Seq("x", "y", "x", "z", "q", "r").foreach(buf.update)
