@@ -45,10 +45,21 @@ object IncrementalDedup {
     Seq((shingleK, numHashes, bands))
       .toDF("shingle_k", "num_hashes", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    history
+    val fps = history
       .select(Hashes.xxhash64Seed0(lower(trim(col(textCol)))).as("fp"),
         col(idCol).as("doc_id"))
-      .write.mode("overwrite").parquet(s"$path/fps")
+    fps.write.mode("overwrite").parquet(s"$path/fps")
+    // bloom sidecar over the fingerprints: lets the daily probe reject
+    // definite non-members map-side before the history-sized exact join
+    // (false positives are settled by that join — semantics unchanged).
+    // Built distributed (partial filters OR-merged), collected once here.
+    val persisted = spark.read.parquet(s"$path/fps")
+    val bloom = persisted.stat.bloomFilter(
+      "fp", math.max(persisted.count(), 1L), 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    Seq(Tuple1(bos.toByteArray)).toDF("bloom")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bloom")
     val sig = ColumnBridge.col(graft.functions.MinHashTextSignature(
       ColumnBridge.expr(col(textCol)), shingleK, numHashes))
     MinHashLsh.bandBuckets(history, col(idCol), sig, numHashes, bands)
@@ -76,7 +87,24 @@ object IncrementalDedup {
     val fps = spark.read.parquet(s"$path/fps")
     val newFp = newDocs.select(col(idCol).as("__nid"),
       Hashes.xxhash64Seed0(lower(trim(col(textCol)))).as("__fp"))
-    val exact = newFp.join(fps, col("__fp") === col("fp"))
+    // bloom pre-probe (when the index carries the sidecar): definite
+    // non-members never reach the exact join — at deployment scale the
+    // daily crawl is mostly-new, so the join input shrinks to the few
+    // suspects. False positives are eliminated by the join itself; the
+    // anti-join below still sees every new doc (`exact` holds only true
+    // matches), so verdicts are bit-identical with or without the filter
+    // (IncrementalDedupSpec pins this equivalence).
+    val bloomDir = new java.io.File(s"$path/bloom")
+    val probed =
+      if (!bloomDir.exists()) newFp
+      else {
+        val bytes = spark.read.parquet(s"$path/bloom")
+          .head().getAs[Array[Byte]]("bloom")
+        newFp.filter(ColumnBridge.col(graft.functions.BloomMightContain(
+          ColumnBridge.expr(col("__fp")),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes))))
+      }
+    val exact = probed.join(fps, col("__fp") === col("fp"))
       .groupBy("__nid").agg(count(lit(1)).as("__n_exact"))
     val survivors = newDocs
       .select(col(idCol).as("__nid"), col(textCol).as("__t_new"))

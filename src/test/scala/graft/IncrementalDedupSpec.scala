@@ -58,4 +58,37 @@ class IncrementalDedupSpec extends SparkSuite {
       .head()
     assert(got.getString(1) === "near")
   }
+
+  test("bloom pre-probe changes no verdict (and the index carries it)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("inc_dedup_spec3").toString
+    IncrementalDedup.writeIndex(history, "doc_id", "text", dir)
+    assert(new java.io.File(s"$dir/bloom").exists(), "bloom sidecar missing")
+    val rnd = new scala.util.Random(5)
+    // mostly-new batch (the deployment shape the bloom exists for) plus
+    // planted exact/near copies
+    val newDocs = ((1 to 40).map { i =>
+      (100L + i) -> s"novel content ${rnd.nextInt(1000)} batch item $i words"
+    } ++ Seq(
+      201L -> "the quick brown fox jumps over the lazy dog",
+      202L -> "quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    def run() = IncrementalDedup
+      .dedupNew(spark, newDocs, history, "doc_id", "text", dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val withBloom = run()
+    // removing the sidecar must yield bit-identical verdicts (the bloom
+    // is a pure pre-filter: false => definitely absent, true => settled
+    // by the exact join)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/bloom"))
+    assert(run() === withBloom)
+    assert(withBloom.count(_._2 == "exact") === 1)
+    assert(withBloom.count(_._2 == "near") === 1)
+    assert(withBloom.count(_._2 == "new") === 40)
+  }
 }
