@@ -92,6 +92,22 @@ case class SpaceSavingTopK(
   require(capacity >= 1)
 
   override def children: Seq[Expression] = child +: weight.toSeq
+
+  // analysis-time contract (ExpectsInputTypes needs the private[sql]
+  // AbstractDataType, so the check is spelled directly) — without it a
+  // mistyped column would ClassCastException mid-task
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"item must be STRING, got ${child.dataType.catalogString}")
+    else weight match {
+      case Some(w) if w.dataType != LongType && w.dataType != IntegerType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"weight must be BIGINT or INT, got ${w.dataType.catalogString}")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
+  }
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("term", StringType, nullable = false),
@@ -106,9 +122,13 @@ case class SpaceSavingTopK(
     if (v != null) {
       val w = weight match {
         case None => 1L
-        case Some(we) =>
-          val wv = we.eval(input)
-          if (wv == null) 0L else wv.asInstanceOf[Long]
+        case Some(we) => we.eval(input) match {
+          case null => 0L
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case other => throw new IllegalStateException(
+            s"unexpected weight value $other") // unreachable after type check
+        }
       }
       buf.update(v.asInstanceOf[UTF8String].toString, w)
     }
@@ -136,7 +156,12 @@ case class SpaceSavingTopK(
     out.writeBoolean(buf.filled)
     out.writeInt(buf.counters.size)
     buf.counters.foreach { case (k, (est, err)) =>
-      out.writeUTF(k); out.writeLong(est); out.writeLong(err)
+      // length-prefixed raw UTF-8, not writeUTF: a tracked term over
+      // 64 KB (one giant unbroken token) would make writeUTF throw at
+      // shuffle time
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb)
+      out.writeLong(est); out.writeLong(err)
     }
     out.flush()
     bos.toByteArray
@@ -149,7 +174,10 @@ case class SpaceSavingTopK(
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      val k = in.readUTF(); val est = in.readLong(); val err = in.readLong()
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      val k = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
+      val est = in.readLong(); val err = in.readLong()
       buf.counters.update(k, (est, err))
       i += 1
     }

@@ -628,16 +628,12 @@ case class HyperplaneSignature(child: Expression, nPlanes: Int)
   * than k words) → 0.0; the candidate-verify call sites all threshold or
   * echo the value, and the compose form's NULL (0/0 division) is
   * likewise dropped by every threshold filter. */
-case class ShingleJaccard(left: Expression, right: Expression, k: Int)
-    extends BinaryExpression with BinaryEvalCodegen {
-  require(k >= 1)
-
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
-  override protected def castResult(x: String): String =
-    s"((java.lang.Double) $x).doubleValue()"
-
-  private def gramSet(text: String): java.util.HashSet[String] = {
+/** The ONE definition of a string k-word-gram set — shared by the
+  * string-exact verify expressions ([[ShingleJaccard]],
+  * [[ShingleContainment]]) so their gram semantics can never diverge
+  * from each other (or from the oracles that re-derive them). */
+private[functions] object StringGrams {
+  def of(text: String, k: Int): java.util.HashSet[String] = {
     val words = text.split(" ", -1)
     val set = new java.util.HashSet[String]()
     var i = 0
@@ -651,10 +647,20 @@ case class ShingleJaccard(left: Expression, right: Expression, k: Int)
     }
     set
   }
+}
+
+case class ShingleJaccard(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with BinaryEvalCodegen {
+  require(k >= 1)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override protected def castResult(x: String): String =
+    s"((java.lang.Double) $x).doubleValue()"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val setA = gramSet(a.asInstanceOf[UTF8String].toString)
-    val setB = gramSet(b.asInstanceOf[UTF8String].toString)
+    val setA = StringGrams.of(a.asInstanceOf[UTF8String].toString, k)
+    val setB = StringGrams.of(b.asInstanceOf[UTF8String].toString, k)
     val union = setA.size + setB.size
     if (union == 0) return java.lang.Double.valueOf(0.0)
     var inter = 0
@@ -685,25 +691,10 @@ case class ShingleContainment(left: Expression, right: Expression, k: Int)
   override protected def castResult(x: String): String =
     s"((java.lang.Double) $x).doubleValue()"
 
-  private def gramSet(text: String): java.util.HashSet[String] = {
-    val words = text.split(" ", -1)
-    val set = new java.util.HashSet[String]()
-    var i = 0
-    val last = words.length - k
-    while (i <= last) {
-      val sb = new java.lang.StringBuilder(words(i))
-      var j = 1
-      while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
-      set.add(sb.toString)
-      i += 1
-    }
-    set
-  }
-
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val setA = gramSet(a.asInstanceOf[UTF8String].toString)
+    val setA = StringGrams.of(a.asInstanceOf[UTF8String].toString, k)
     if (setA.isEmpty) return java.lang.Double.valueOf(0.0)
-    val setB = gramSet(b.asInstanceOf[UTF8String].toString)
+    val setB = StringGrams.of(b.asInstanceOf[UTF8String].toString, k)
     var inter = 0
     val it = setA.iterator()
     while (it.hasNext) if (setB.contains(it.next())) inter += 1

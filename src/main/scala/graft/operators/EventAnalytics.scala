@@ -70,7 +70,10 @@ object EventAnalytics {
         else when(col("__ty") === steps(i), col(s"__b$i"))
       df = df.withColumn(s"__b${i + 1}", max(chainStart).over(w))
     }
-    val lvl = steps.indices.reverse.foldLeft(lit(0)) { (rest, i) =>
+    // foldLeft over ASCENDING indices so the DEEPEST level's condition
+    // ends up outermost in the when-chain — with a duplicated step type
+    // a row can satisfy several levels and must score the highest one
+    val lvl = steps.indices.foldLeft(lit(0)) { (rest, i) =>
       val cond =
         if (i == 0) col("__ty") === steps(0)
         else col("__ty") === steps(i) && col(s"__b$i").isNotNull &&
@@ -85,8 +88,11 @@ object EventAnalytics {
     * cohort table): cohort = ISO week of each user's first `cohortType`
     * event; a user is retained at offset o if active (ANY event) in
     * cohort-week + o. Emits (cohort, week_offset, n_active,
-    * cohort_size, retention). The first-event aggregate is
-    * users-per-cohort small — both joins against it broadcast. */
+    * cohort_size, retention). The per-USER cohort table is
+    * user-cardinality — joined on the user key WITHOUT a broadcast hint
+    * (both sides are user-keyed shuffles; AQE still broadcasts it when
+    * a deployment's user set is genuinely small). Only the per-WEEK
+    * `sizes` aggregate — cohort-week cardinality — is hinted broadcast. */
   def cohortRetention(
       events: DataFrame, userCol: String, tsCol: String, typeCol: String,
       cohortType: String): DataFrame = {
@@ -99,7 +105,7 @@ object EventAnalytics {
       .select(col(userCol), date_trunc("week", col(tsCol)).as("__wk"))
       .distinct()
     active
-      .join(broadcast(cohorts), userCol)
+      .join(cohorts, userCol)
       .filter(col("__wk") >= col("__cohort"))
       .select(col("__cohort"),
         ((unix_micros(col("__wk")) - unix_micros(col("__cohort"))) /

@@ -52,14 +52,17 @@ object IncrementalDedup {
     // bloom sidecar over the fingerprints: lets the daily probe reject
     // definite non-members map-side before the history-sized exact join
     // (false positives are settled by that join — semantics unchanged).
-    // Built distributed (partial filters OR-merged), collected once here.
-    val persisted = spark.read.parquet(s"$path/fps")
-    val bloom = persisted.stat.bloomFilter(
-      "fp", math.max(persisted.count(), 1L), 0.01)
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    Seq(Tuple1(bos.toByteArray)).toDF("bloom")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/bloom")
+    // Built distributed (partial filters OR-merged), collected once here;
+    // cached so sizing (count) and building scan the 8-byte table once.
+    val persisted = spark.read.parquet(s"$path/fps").cache()
+    try {
+      val bloom = persisted.stat.bloomFilter(
+        "fp", math.max(persisted.count(), 1L), 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      Seq(Tuple1(bos.toByteArray)).toDF("bloom")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/bloom")
+    } finally { persisted.unpersist(); () }
     val sig = ColumnBridge.col(graft.functions.MinHashTextSignature(
       ColumnBridge.expr(col(textCol)), shingleK, numHashes))
     MinHashLsh.bandBuckets(history, col(idCol), sig, numHashes, bands)
@@ -94,9 +97,13 @@ object IncrementalDedup {
     // anti-join below still sees every new doc (`exact` holds only true
     // matches), so verdicts are bit-identical with or without the filter
     // (IncrementalDedupSpec pins this equivalence).
-    val bloomDir = new java.io.File(s"$path/bloom")
+    // Hadoop FS, not java.io.File: the index path can be hdfs://s3a://
+    // and a local-only probe would silently never apply the sidecar
+    val bloomPath = new org.apache.hadoop.fs.Path(s"$path/bloom")
+    val bloomExists = bloomPath
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(bloomPath)
     val probed =
-      if (!bloomDir.exists()) newFp
+      if (!bloomExists) newFp
       else {
         val bytes = spark.read.parquet(s"$path/bloom")
           .head().getAs[Array[Byte]]("bloom")

@@ -153,19 +153,32 @@ object ScaleBench {
       n -> ((a, b, r))
     }
     // merge into the existing file: an args-restricted run refreshes its
-    // queries without dropping the rest of the recorded curve
+    // queries without dropping the rest of the recorded curve. Parsed
+    // with json4s (ships with Spark) — a regex over nested JSON braces
+    // would corrupt the file.
     val out = java.nio.file.Paths.get("/root/repo/BENCH_SF1.json")
-    val prior: Map[String, String] =
+    val prior: Map[String, (Double, Double, Double)] =
       if (java.nio.file.Files.exists(out)) {
-        val txt = java.nio.file.Files.readString(out)
-        """"(q[0-9a-z_]+)":(\{[^}]*\})""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2)).toMap
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        (JsonMethods.parse(java.nio.file.Files.readString(out)) \ "queries") match {
+          case JObject(fields) => fields.collect {
+            case (name, q: JObject) =>
+              def num(k: String): Double =
+                (q \ k) match { case JDouble(d) => d
+                  case JInt(i) => i.toDouble
+                  case JDecimal(d) => d.toDouble
+                  case _ => Double.NaN }
+              name -> ((num("sf01"), num("sf1"), num("ratio")))
+          }.toMap
+          case _ => Map.empty
+        }
       } else Map.empty
-    val fresh = rows.map { case (n, (a, b, r)) =>
-      n -> f"""{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":$r%.2f}"""
-    }.toMap
+    val fresh = rows.map { case (n, (a, b, r)) => n -> ((a, b, r)) }.toMap
     val json = (prior ++ fresh).toSeq.sortBy(_._1)
-      .map { case (n, v) => s""""$n":$v""" }
+      .map { case (n, (a, b, r)) =>
+        f""""$n":{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":$r%.2f}"""
+      }
       .mkString("{\"data_ratio\":10,\"queries\":{", ",", "}}")
     java.nio.file.Files.writeString(out, json)
     System.out.println(json)

@@ -125,6 +125,17 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got(1L) === 4)
   }
 
+  test("funnel: duplicated step type scores the deepest level") {
+    // steps a,b,b: b@3 completes the 3-chain (a@1, b@2, b@3) and must
+    // score 3, not stop at its first-matching shallower condition
+    val got = runFunnel(Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "b")),
+      Seq("a", "b", "b"), 100L)
+    assert(got(1L) === 3)
+    // brute force agrees
+    assert(bruteFunnel(Seq((1L, "a"), (2L, "b"), (3L, "b")),
+      Seq("a", "b", "b"), 100L) === 3)
+  }
+
   test("funnel: ties do not chain (strictly increasing times required)") {
     val got = runFunnel(Seq((1L, 10L, "s"), (1L, 10L, "v"), (1L, 20L, "c"),
       (1L, 30L, "p")), Seq("s", "v", "c", "p"), 100L)
