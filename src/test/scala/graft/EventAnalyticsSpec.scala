@@ -106,6 +106,15 @@ class EventAnalyticsSpec extends SparkSuite {
     users.foreach { case (u, es) =>
       assert(got(u) === bruteFunnel(es, steps, w), s"user $u events=$es")
     }
+    // same corpora against a funnel with a DUPLICATED step type — the
+    // class of bug where a row satisfying several levels must score the
+    // deepest (caught once by review, pinned here against brute force)
+    val dupSteps = Seq("s", "v", "v", "c")
+    val gotDup = runFunnel(all, dupSteps, w)
+    users.foreach { case (u, es) =>
+      assert(gotDup(u) === bruteFunnel(es, dupSteps, w),
+        s"user $u (dup steps) events=$es")
+    }
   }
 
   test("funnel: window binds on the whole chain, not per step") {
