@@ -45,15 +45,58 @@ object IncrementalDedup {
     Seq((shingleK, numHashes, bands))
       .toDF("shingle_k", "num_hashes", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    val fps = history
+    history
       .select(Hashes.xxhash64Seed0(lower(trim(col(textCol)))).as("fp"),
         col(idCol).as("doc_id"))
-    fps.write.mode("overwrite").parquet(s"$path/fps")
-    // bloom sidecar over the fingerprints: lets the daily probe reject
-    // definite non-members map-side before the history-sized exact join
-    // (false positives are settled by that join — semantics unchanged).
-    // Built distributed (partial filters OR-merged), collected once here;
-    // cached so sizing (count) and building scan the 8-byte table once.
+      .write.mode("overwrite").parquet(s"$path/fps")
+    val sig = ColumnBridge.col(graft.functions.MinHashTextSignature(
+      ColumnBridge.expr(col(textCol)), shingleK, numHashes))
+    MinHashLsh.bandBuckets(history, col(idCol), sig, numHashes, bands)
+      .select(col("__band").as("band"), col("__bucket").as("bucket"),
+        col("__id").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    rebuildBloom(spark, path)
+  }
+
+  /** Fold a day's ACCEPTED documents into the index — the maintenance
+    * half of the daily-crawl loop (probe with [[dedupNew]], admit the
+    * `new` verdicts, append them here so tomorrow's batch dedups
+    * against today's too). Signature parameters come from the index's
+    * own meta (never the caller), fps/bands rows APPEND (the tables are
+    * unordered key-value sets, so append commutes with probing), and
+    * the bloom sidecar is rebuilt from the full fingerprint table — an
+    * 8-byte-column scan, cheap next to the text-sized signature pass,
+    * and exact (a merged-filter shortcut would need the sizing params
+    * persisted; rebuilding keeps the sidecar self-contained).
+    * IncrementalDedupSpec pins append ≡ from-scratch rebuild. */
+  def appendToIndex(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val shingleK = meta.getAs[Int]("shingle_k")
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
+    newDocs
+      .select(Hashes.xxhash64Seed0(lower(trim(col(textCol)))).as("fp"),
+        col(idCol).as("doc_id"))
+      .write.mode("append").parquet(s"$path/fps")
+    val sig = ColumnBridge.col(graft.functions.MinHashTextSignature(
+      ColumnBridge.expr(col(textCol)), shingleK, numHashes))
+    MinHashLsh.bandBuckets(newDocs, col(idCol), sig, numHashes, bands)
+      .select(col("__band").as("band"), col("__bucket").as("bucket"),
+        col("__id").as("doc_id"))
+      .write.mode("append").parquet(s"$path/bands")
+    rebuildBloom(spark, path)
+  }
+
+  /** Bloom sidecar over the fingerprints: lets the daily probe reject
+    * definite non-members map-side before the history-sized exact join
+    * (false positives are settled by that join — semantics unchanged).
+    * Built distributed (partial filters OR-merged), collected once;
+    * cached so sizing (count) and building scan the 8-byte table once. */
+  private def rebuildBloom(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
     val persisted = spark.read.parquet(s"$path/fps").cache()
     try {
       val bloom = persisted.stat.bloomFilter(
@@ -63,12 +106,6 @@ object IncrementalDedup {
       Seq(Tuple1(bos.toByteArray)).toDF("bloom")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/bloom")
     } finally { persisted.unpersist(); () }
-    val sig = ColumnBridge.col(graft.functions.MinHashTextSignature(
-      ColumnBridge.expr(col(textCol)), shingleK, numHashes))
-    MinHashLsh.bandBuckets(history, col(idCol), sig, numHashes, bands)
-      .select(col("__band").as("band"), col("__bucket").as("bucket"),
-        col("__id").as("doc_id"))
-      .write.mode("overwrite").parquet(s"$path/bands")
   }
 
   /** Verdicts for `newDocs` against the index at `path`: (id, verdict,

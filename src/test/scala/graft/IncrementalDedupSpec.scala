@@ -91,4 +91,37 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(withBloom.count(_._2 == "near") === 1)
     assert(withBloom.count(_._2 == "new") === 40)
   }
+
+  test("appendToIndex == from-scratch rebuild on the union (daily loop)") {
+    val day1 = history
+    val day2 = Seq(
+      31L -> "fresh day two document with brand new material inside",
+      32L -> "another accepted crawl document full of other words").toDF("doc_id", "text")
+    val probes = Seq(
+      41L -> "fresh day two document with brand new material inside", // exact vs day2
+      42L -> "day two document with brand new material inside", // near vs day2
+      43L -> "the quick brown fox jumps over the lazy dog", // exact vs day1
+      44L -> "totally unrelated probe sentence appears here now").toDF("doc_id", "text")
+    // maintained index: write day1, append day2 (non-default params so
+    // append must honor the index's own meta, not defaults)
+    val dirA = java.nio.file.Files
+      .createTempDirectory("inc_dedup_append").toString
+    IncrementalDedup.writeIndex(day1, "doc_id", "text", dirA,
+      shingleK = 2, numHashes = 32, bands = 16)
+    IncrementalDedup.appendToIndex(day2, "doc_id", "text", dirA)
+    // reference index: built from scratch over day1 ∪ day2
+    val dirB = java.nio.file.Files
+      .createTempDirectory("inc_dedup_scratch").toString
+    IncrementalDedup.writeIndex(day1.unionByName(day2), "doc_id", "text",
+      dirB, shingleK = 2, numHashes = 32, bands = 16)
+    val full = day1.unionByName(day2)
+    def verdicts(dir: String) = IncrementalDedup
+      .dedupNew(spark, probes, full, "doc_id", "text", dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val a = verdicts(dirA)
+    assert(a === verdicts(dirB))
+    assert(a.map(v => v._1 -> v._2).toMap ===
+      Map(41L -> "exact", 42L -> "near", 43L -> "exact", 44L -> "new"))
+  }
 }
