@@ -65,9 +65,13 @@ object MmdbConverter {
         val ss = (ctrl >>> 3) & 0x3
         val vvv = ctrl & 0x7
         val (target, after) = ss match {
+          // spec: bias is added AFTER the or — ((vvv<<16)|payload)+2048.
+          // The +bias binds tighter than | in Scala, so parens matter: an
+          // unparenthesized payload+2048 overflowing into bit 16 cannot
+          // carry through the or and lands 65536 short.
           case 0 => ((vvv << 8) | u8(p), p + 1)
-          case 1 => ((vvv << 16) | beUint(p, 2).toInt + 2048, p + 2)
-          case 2 => ((vvv << 24) | beUint(p, 3).toInt + 526336, p + 3)
+          case 1 => (((vvv << 16) | beUint(p, 2).toInt) + 2048, p + 2)
+          case 2 => (((vvv << 24) | beUint(p, 3).toInt) + 526336, p + 3)
           case _ => (beUint(p, 4).toInt, p + 4)
         }
         return (decode(target)._1, after)
@@ -142,15 +146,20 @@ object MmdbConverter {
     out.toSeq
   }
 
-  /** Top-64-bit IPv6 range table (the [[Zxipv6Converter]] key scheme, so
-    * the same binsearch serves both). Keys are the upper 64 bits as a
-    * signed Long — all allocated unicast space (2000::/3) is positive. */
+  /** Top-64-bit IPv6 range table in the [[Zxipv6Converter]] key scheme:
+    * the probe side ([[Zxipv6Converter.Ipv6ToLongHi]]) maps unsigned
+    * top-64 bits through `mapKey` (`^ Long.MinValue`), so the range keys
+    * MUST live in the same mapped domain or the binsearch never matches
+    * — and mapping (instead of dropping negatives) also keeps
+    * above-8000:: space (fc00::, fe80::) addressable. */
   def readAllV6(data: Array[Byte], lang: String = "zh-CN"): Seq[IpRange] = {
     val t = open(data)
     require(t.ipVersion == 6, s"mmdb: ip_version ${t.ipVersion} has no IPv6 tree")
     val out = new ArrayBuffer[IpRange]
     enumerate(t, 0, 0L, 0, 64, lang, out)
-    out.filter(_.start >= 0).toSeq
+    out.toSeq.map(r => r.copy(
+      start = Zxipv6Converter.mapKey(r.start),
+      end = Zxipv6Converter.mapKey(r.end)))
   }
 
   private final case class Tree(

@@ -68,7 +68,11 @@ object MessageParser {
   /** Prometheus-mode series id + labels (model/message.go:176-211):
     * `__series_id = xxhash64_seed0(concat per non-empty string dim of
     * "###" + name + "###" + value)`; `labels` renders the same dims as a
-    * JSON object, excluding the metric-name key and `le`.
+    * JSON object, excluding the metric-name key and `le`. Label values
+    * are deliberately NOT JSON-escaped: the reference renders with a raw
+    * `fmt.Sprintf("\"%s\": \"%s\"")` (model/message.go:201), so a value
+    * containing a quote produces the same not-quite-JSON string there —
+    * byte parity with the reference's series table wins over strictness.
     */
   def withSeriesColumns(
       df: DataFrame,

@@ -46,7 +46,10 @@ object SchemaEvolution {
         val parser = new JsonParser()
         val z = ZoneId.of(tzId)
         it.flatMap { case (msg, off) =>
-          parser.parse(msg) match {
+          // null Kafka value (tombstone): nothing to scan — parse(null)
+          // would NPE outside JsonParser's own catch list
+          if (msg == null) Iterator.empty
+          else parser.parse(msg) match {
             case Some(o: JValue.JObj) =>
               o.fields.iterator.flatMap { case (k, v) =>
                 if (knownB.value.contains(k)) None

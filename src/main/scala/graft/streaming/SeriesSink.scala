@@ -23,9 +23,16 @@ final class SeriesParquetSink(
     val newSeries = batch
       .select(seriesCols.map(col): _*)
       .dropDuplicates("__series_id")
+    // only the first-batch "path does not exist" may skip the anti-join;
+    // a transient read failure must PROPAGATE — treating it as
+    // no-table-yet would re-append every series id in the batch and
+    // break the at-most-once-per-series contract
     val existing =
       try spark.read.parquet(seriesPath).select("__series_id")
-      catch { case _: Exception => null }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => null
+      }
     val fresh =
       if (existing == null) newSeries
       else newSeries.join(existing, Seq("__series_id"), "left_anti")

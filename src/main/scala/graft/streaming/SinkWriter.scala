@@ -85,7 +85,11 @@ final class ReplicaRing(n: Int) {
   @volatile private var current = 0
   @volatile private var version = 0
 
-  def get: (Int, Int) = (current, version)
+  // synchronized with nextGoodReplica: two separate volatile reads could
+  // interleave with a rotation and pair the OLD replica with the NEW
+  // version, defeating the guard (the stale writer would rotate again
+  // past the healthy replica)
+  def get: (Int, Int) = synchronized { (current, version) }
 
   /** Advance only if the caller saw the current version (version-guarded
     * reconnect, pool/conn.go:98-112). Returns the replica to use next. */
@@ -136,9 +140,31 @@ final class JdbcInsertTarget(
     columns: Seq[String],
     props: java.util.Properties) extends InsertTarget {
 
-  // pooled per executor JVM — see ConnectionPool (reference: pool/conn.go)
-  private def withConn[T](f: java.sql.Connection => T): T =
-    ConnectionPool.withConnection(url, props)(f)
+  // pooled per executor JVM — see ConnectionPool (reference: pool/conn.go).
+  // Connection-class failures are mapped to SinkUnavailableException so
+  // the quarantine layer (which treats exceptions as DATA errors) never
+  // swallows an outage: failing to BORROW a connection is unavailability
+  // by definition, and in-use SQLException subtypes that signal a dead
+  // connection (non-transient/transient-connection, recoverable,
+  // timeout) are the JDBC analog of the reference's connection-class
+  // codes 242/319/1000 (output/clickhouse.go:48).
+  private def withConn[T](f: java.sql.Connection => T): T = {
+    var borrowed = false
+    try ConnectionPool.withConnection(url, props) { c => borrowed = true; f(c) }
+    catch {
+      case e: SinkUnavailableException => throw e
+      case e: Exception if !borrowed =>
+        throw new SinkUnavailableException(s"cannot obtain connection to $url", e)
+      case e: java.sql.SQLNonTransientConnectionException =>
+        throw new SinkUnavailableException(s"connection lost: ${e.getMessage}", e)
+      case e: java.sql.SQLTransientConnectionException =>
+        throw new SinkUnavailableException(s"connection lost: ${e.getMessage}", e)
+      case e: java.sql.SQLRecoverableException =>
+        throw new SinkUnavailableException(s"connection lost: ${e.getMessage}", e)
+      case e: java.sql.SQLTimeoutException =>
+        throw new SinkUnavailableException(s"sink timeout: ${e.getMessage}", e)
+    }
+  }
 
   private val insertSql =
     s"INSERT INTO $table (${columns.mkString(", ")}) VALUES (${columns.map(_ => "?").mkString(", ")})"

@@ -46,7 +46,14 @@ object StatefulDedup {
     val timeout =
       if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    df.groupByKey(r => String.valueOf(r.get(keyIdx)))(Encoders.STRING)
+    // null keys get a non-printable sentinel prefix so they can never
+    // collide with a row whose key is the literal string "null"
+    // (String.valueOf(null) == "null"); real keys are prefixed too so
+    // the two domains stay disjoint
+    df.groupByKey { r =>
+      val v = r.get(keyIdx)
+      if (v == null) "\u0000null" else "k" + v
+    }(Encoders.STRING)
       .flatMapGroupsWithState[Boolean, Row](
         OutputMode.Append(), timeout) {
         (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>

@@ -59,7 +59,7 @@ object TaskConfig {
       case n: JNum => n.int64.map(_.toInt).getOrElse(dflt)
       case _ => dflt
     }
-    def bool(o: JObj, k: String): Boolean = task.get(k) match {
+    def bool(o: JObj, k: String): Boolean = o.get(k) match {
       case JBool(b) => b
       case _ => false
     }

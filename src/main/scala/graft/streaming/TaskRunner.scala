@@ -83,12 +83,16 @@ object TaskRunner {
     val enriched = enrich(withSeries)
     cfg.shardingKey match {
       case Some(key) if numShards > 1 =>
-        val shardCol =
-          if (cfg.shardingPolicy == "hash") Sharding.hashShard(col(key), numShards)
-          else {
-            val stripe = cfg.shardingPolicy.stripPrefix("stripe,").toLong
-            Sharding.stripeShard(col(key), stripe, numShards)
-          }
+        // stripe only on an explicit well-formed "stripe,N"; anything
+        // else (incl. the default empty policy) is hash — the reference's
+        // default — instead of crashing on "".toLong
+        val shardCol = cfg.shardingPolicy match {
+          case p if p.startsWith("stripe,") &&
+              p.stripPrefix("stripe,").matches("\\d+") =>
+            Sharding.stripeShard(
+              col(key), p.stripPrefix("stripe,").toLong, numShards)
+          case _ => Sharding.hashShard(col(key), numShards)
+        }
         Sharding.repartitionByShard(
           enriched.withColumn("__shard", shardCol), col("__shard"), numShards)
       case _ => enriched

@@ -33,6 +33,14 @@ object MmdbTestDb {
     (((7 << 5) | pairs.length).toByte) +:
       pairs.toArray.flatMap { case (k, v) => encStr(k) ++ v }
 
+  /** Pointer (type 1, SS=1) to a data-section offset in [2048, 2^19+2048). */
+  def encPtr1(off: Int): Array[Byte] = {
+    require(off >= 2048 && off < (1 << 19) + 2048)
+    val v = off - 2048
+    Array((((1 << 5) | (1 << 3) | ((v >> 16) & 0x7)).toByte),
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  }
+
   /** Pointer (type 1, SS=0) to a data-section offset < 2048. */
   def encPtr(off: Int): Array[Byte] = {
     require(off >= 0 && off < 2048)
@@ -197,12 +205,44 @@ class GeoDbSpec extends SparkSuite {
   }
 
   test("mmdb: readAllV6 enumerates top-64-bit ranges (zx key scheme)") {
+    import graft.enrich.Zxipv6Converter.mapKey
     // 2001:db8::/32 — the documentation prefix
     val prefix32 = bits(0x20010db8L, 32)
     val db = MmdbTestDb.build(Seq(prefix32 -> 0), Seq(recCn), ipVersion = 6)
     val ranges = MmdbConverter.readAllV6(db)
+    // keys live in the PROBE side's mapped domain (mapKey = ^MinValue):
+    // raw keys would make every Ipv6ToLongHi probe miss
     assert(ranges === Seq(graft.enrich.IpRange(
-      0x20010db8L << 32, (0x20010db8L << 32) | 0xffffffffL, "中国", "北京")))
+      mapKey(0x20010db8L << 32), mapKey((0x20010db8L << 32) | 0xffffffffL),
+      "中国", "北京")))
+    // end-to-end: the probe expression's key for an address in the range
+    // falls inside [start, end]
+    val probe = mapKey(0x20010db80000abcdL)
+    assert(ranges.head.start <= probe && probe <= ranges.head.end)
+  }
+
+  test("mmdb: readAllV6 keeps above-8000:: space (fc00::) addressable") {
+    import graft.enrich.Zxipv6Converter.mapKey
+    val db = MmdbTestDb.build(Seq(bits(0xfc00L, 16) -> 0), Seq(recCn),
+      ipVersion = 6)
+    val ranges = MmdbConverter.readAllV6(db)
+    assert(ranges.length === 1)
+    val probe = mapKey(0xfc00123400000000L)
+    assert(ranges.head.start <= probe && probe <= ranges.head.end)
+  }
+
+  test("mmdb: ss=1 pointer bias is added AFTER the or (carry past bit 16)") {
+    // target = ((vvv<<16) | payload) + 2048 with vvv=1, payload=0xF900
+    // -> 0x20100. The precedence bug (payload+2048 before the or) loses
+    // the carry and resolves 65536 short, decoding filler garbage.
+    val target = ((1 << 16) | 0xF900) + 2048
+    val filler = Array.fill[Byte](target)(0) // never decoded
+    val ptrRec = MmdbTestDb.encPtr1(target) // recCn sits at offset=target
+    val db = MmdbTestDb.build(
+      Seq(bits(1, 8) -> 2), Seq(filler, recCn, ptrRec))
+    val ranges = MmdbConverter.readAll(db)
+    assert(ranges.map(r => (r.start >> 24, r.country, r.area)) ===
+      Seq((1L, "中国", "北京")))
   }
 
   test("mmdb: pointer values resolve into the data section") {

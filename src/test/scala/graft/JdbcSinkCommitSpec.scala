@@ -45,4 +45,21 @@ class JdbcSinkCommitSpec extends AnyFunSuite {
     }
     ConnectionPool.drain()
   }
+
+  test("unreachable database maps to SinkUnavailableException, not quarantine") {
+    // borrow failure (no such in-memory db without ;create=true) must be
+    // classified as unavailability so RetryingWriter rotates replicas
+    // instead of QuarantineWriter dropping the batch as bad data
+    val badUrl = "jdbc:derby:memory:graftNoSuchDb"
+    val target = new JdbcInsertTarget(badUrl, "SINK_T", Seq("a", "b"),
+      new java.util.Properties())
+    val e = intercept[graft.streaming.SinkUnavailableException] {
+      target.insertBatch(Seq(Row(Integer.valueOf(1), "x")))
+    }
+    assert(e.getMessage.contains("cannot obtain connection"))
+    val e2 = intercept[graft.streaming.SinkUnavailableException] {
+      target.insertRow(Row(Integer.valueOf(1), "x"))
+    }
+    assert(e2.getMessage.contains("cannot obtain connection"))
+  }
 }
