@@ -55,8 +55,10 @@ object GoTimeLayouts {
   private final case class Layout(fmt: DateTimeFormatter, hasZone: Boolean, hasTime: Boolean)
 
   private val goTokens: Seq[String] = Seq(
-    // longest-match-first
-    "2006", "Monday", "Mon", "Jan", "January", "_2", "02", "01", "15", "03",
+    // longest-match-first: "January"/"Monday" MUST precede their "Jan"/
+    // "Mon" prefixes or the find() matches the short form and treats the
+    // tail ("uary"/"day") as literals, rejecting every other month/day
+    "2006", "Monday", "Mon", "January", "Jan", "_2", "02", "01", "15", "03",
     "04", "05", "06", "PM", "Z07:00", "Z0700", "-07:00", "-0700", "MST")
 
   private def translate(go: String): Layout = {

@@ -410,20 +410,25 @@ case class LengthFilteredPairs(child: Expression, minJaccard: Double)
       ns(i) = row.getLong(1)
       i += 1
     }
-    i = 1
-    while (i < n) {
-      val id = ids(i); val sz = ns(i)
-      var j = i - 1
-      while (j >= 0 && ids(j) > id) { ids(j + 1) = ids(j); ns(j + 1) = ns(j); j -= 1 }
-      ids(j + 1) = id; ns(j + 1) = sz
-      i += 1
-    }
+    // O(n log n) permutation sort, NOT insertion sort: this generator's
+    // whole reason to stream lazily is the mega-bucket a frequent gram
+    // forms when it escapes the bounded stop table, and an O(n²) shuffle
+    // of 100k members would pin the task before the first pair emits
+    // (same rationale as HammingPairs/CosinePairs).
+    val perm = PairStream.sortPermutation(ids, n)
+    val sIds = new Array[Long](n)
+    val sNs = new Array[Long](n)
     var m = 0
     i = 0
     while (i < n) {
-      if (m == 0 || ids(m - 1) != ids(i)) { ids(m) = ids(i); ns(m) = ns(i); m += 1 }
+      val p = perm(i)
+      if (m == 0 || sIds(m - 1) != ids(p)) {
+        sIds(m) = ids(p); sNs(m) = ns(p); m += 1
+      }
       i += 1
     }
+    System.arraycopy(sIds, 0, ids, 0, m)
+    System.arraycopy(sNs, 0, ns, 0, m)
     PairStream.pairs(m, (i, j) => {
       val lo = math.min(ns(i), ns(j)).toDouble
       val hi = math.max(ns(i), ns(j)).toDouble

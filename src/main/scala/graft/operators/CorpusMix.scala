@@ -7,8 +7,13 @@ import org.apache.spark.sql.functions._
   * corpora into a training mix ("web ×0.5, wiki ×2.5"). Each stratum has
   * a sampling weight w: every doc emits floor(w) full copies, plus one
   * more when its hash bucket falls below the fractional part — so the
-  * realized rate is exactly w in expectation, the choice is
-  * deterministic per doc (reproducible mixes, no RNG), and subsampling
+  * realized rate is w in expectation up to double rounding (the
+  * `(w − floor(w)) × buckets` threshold is IEEE-double arithmetic, so a
+  * fraction that is not exactly representable — 0.1, say — can shift
+  * the cut by one bucket in a thousand; the oracle computes the SAME
+  * double expression, so the two sides always agree bit for bit), the
+  * choice is deterministic per doc (reproducible mixes, no RNG), and
+  * subsampling
   * (w < 1), pass-through (w = 1) and epoch-style oversampling (w > 1)
   * are all the same rule.
   *

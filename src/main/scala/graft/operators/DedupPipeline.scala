@@ -35,12 +35,16 @@ object DedupPipeline {
       minJaccard: Double = 0.8): DataFrame = {
     val withFp = docs.select(col(idCol), col(textCol),
       Hashes.xxhash64Seed0(lower(trim(col(textCol)))).as("__fp"))
-    // ONE corpus shuffle for the exact stage: every text in a fingerprint
-    // group is identical, so first(text) IS the representative body and
-    // no join-back is needed — exact_dup docs are simply those whose id
-    // is not the group min, recovered id-only at verdict time
+    // ONE corpus shuffle for the exact stage: fingerprint groups hold
+    // NORMALIZED-equal bodies, so the min-id doc's raw text is the
+    // representative and no join-back is needed — exact_dup docs are
+    // simply those whose id is not the group min, recovered id-only at
+    // verdict time. min_by (not first): group members can differ in
+    // case/padding, and a nondeterministic first() would feed the
+    // case-sensitive near stage different grams run to run.
     val reps = withFp.groupBy("__fp")
-      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
+      .agg(min(col(idCol)).as(idCol),
+        min_by(col(textCol), col(idCol)).as(textCol))
       .select(col(idCol), col(textCol))
       .localCheckpoint()
     val pairs = MinHashLsh.nearDupPairs(reps, idCol, textCol,

@@ -103,10 +103,15 @@ object DupSpans {
   /** Documents with their duplicated spans cut out: (id, text) where
     * `text` keeps only tokens outside every merged span — the actual
     * "remove the duplicated substring" edit of the paper, not just a
-    * per-doc score. Span rows explode to covered token indices (merged
-    * spans are few per doc by construction, so the expansion is the
-    * duplicated-token count, not n_spans × doc length) and the kept
-    * tokens reassemble position-ordered. */
+    * per-doc score. A FULLY-covered doc (every token duplicated
+    * elsewhere) emits NO row — it is a whole-document duplicate and
+    * drops out of the corpus rather than surviving as an empty string;
+    * DupSpansSpec pins this contract, and callers that need one row per
+    * input join back against the input ids. Span rows explode to
+    * covered token indices (merged spans are few per doc by
+    * construction, so the expansion is the duplicated-token count, not
+    * n_spans × doc length) and the kept tokens reassemble
+    * position-ordered. */
   def removeSpans(
       docs: DataFrame, idCol: String, textCol: String, L: Int): DataFrame = {
     val coveredPos = spans(docs, idCol, textCol, L)

@@ -108,8 +108,13 @@ object EventAnalytics {
       .join(cohorts, userCol)
       .filter(col("__wk") >= col("__cohort"))
       .select(col("__cohort"),
-        ((unix_micros(col("__wk")) - unix_micros(col("__cohort"))) /
-          lit(WeekUs)).cast("long").as("week_offset"),
+        // +half-week before the truncating divide = round-to-nearest:
+        // exact in UTC (boundaries are whole weeks apart) and correct in
+        // a DST session zone, where spring-forward makes adjacent week
+        // boundaries 7d−1h apart and a bare floor would collapse
+        // offset 1 into offset 0
+        ((unix_micros(col("__wk")) - unix_micros(col("__cohort")) +
+          lit(WeekUs / 2)) / lit(WeekUs)).cast("long").as("week_offset"),
         col(userCol))
       .groupBy(col("__cohort"), col("week_offset"))
       .agg(countDistinct(col(userCol)).as("n_active"))

@@ -23,8 +23,12 @@ object PiiRedact {
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
   val Ipv4Rule: (String, String) =
     (graft.enrich.EntityExtract.Ipv4Pattern.pattern(), "<IP>")
+  /** Digit-boundary lookarounds so a 7-digit phone shape never matches
+    * INSIDE a longer digit run — "2024-0815" (a date) and "12345-6789"
+    * (zip+4) must survive redaction intact, not be shredded into
+    * "2<PHONE>"-style fragments. */
   val PhoneRule: (String, String) =
-    ("[0-9]{3}-[0-9]{4}", "<PHONE>")
+    ("(?<![0-9])[0-9]{3}-[0-9]{4}(?![0-9])", "<PHONE>")
 
   val DefaultRules: Seq[(String, String)] = Seq(EmailRule, Ipv4Rule, PhoneRule)
 

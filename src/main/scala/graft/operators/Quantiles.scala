@@ -31,6 +31,9 @@ object Quantiles {
     val wn = Window.partitionBy(col(keyCol))
     val ranked = df
       .select(col(keyCol), col(valCol).cast("double").as("__v"))
+      // percentile_cont semantics ignore NULLs (incl. failed casts);
+      // without this filter a null ranks first and shifts every index
+      .filter(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wn))
 

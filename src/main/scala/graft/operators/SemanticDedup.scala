@@ -61,6 +61,11 @@ object SemanticDedup {
     val pairGen = ColumnBridge.col(graft.functions.CosinePairs(
       ColumnBridge.expr(col("__m")), minCos))
     val pairs = assigned
+      // cell -1 members have no defined relationship to ANY centroid and
+      // the contract keeps them all; without this filter the -1 group
+      // itself would be pair-scanned and could dedup its members (the
+      // oracle excludes cell -1 pairs for the same reason)
+      .filter(col("cell") =!= -1)
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("vec_id"), col("__v"))).as("__m"))
       .select(pairGen.as(Seq("id_a", "id_b", "cos")))

@@ -42,6 +42,10 @@ object Sharding {
   /** Smallest shift with `1 << shift >= s` — the buffer-size roundup used
     * for batch alignment (`GetShift`, util/common.go:104-108). */
   def roundupShift(s: Int): Int = {
+    // 1<<31 is negative and Java masks shift counts mod 32, so an
+    // unbounded loop would never terminate past 2^30 — fail fast instead
+    // (the reference caps bufferSize at 2^20, config/config.go:257-263)
+    require(s <= (1 << 30), s"roundupShift: $s exceeds 2^30")
     var shift = 0
     while ((1 << shift) < s) shift += 1
     shift

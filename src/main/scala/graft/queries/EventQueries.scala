@@ -110,8 +110,8 @@ object EventQueries {
         |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
         |        FROM events),
         |j AS (SELECT s.cohort,
-        |        (epoch_us(a.wk) - epoch_us(s.cohort)) // 604800000000
-        |          AS week_offset,
+        |        (epoch_us(a.wk) - epoch_us(s.cohort) + 302400000000)
+        |          // 604800000000 AS week_offset,
         |        a.user_id
         |      FROM act a JOIN su s USING (user_id)
         |      WHERE a.wk >= s.cohort),

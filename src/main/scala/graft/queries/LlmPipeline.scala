@@ -160,7 +160,10 @@ object LlmPipeline {
       pmod(col("user_id") * 7, lit(9000)) + 1000)
     val emails = regexp_extract_all(line,
       lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))
-    val phones = regexp_extract_all(line, lit("[0-9]{3}-[0-9]{4}"), lit(0))
+    // single-sourced from the redaction rule so extraction (q36) and
+    // redaction (q52) can never disagree on what a phone is
+    val phones = regexp_extract_all(line,
+      lit(graft.operators.PiiRedact.PhoneRule._1), lit(0))
     events.select(
       col("event_id"),
       element_at(emails, 1).as("email_1"),
