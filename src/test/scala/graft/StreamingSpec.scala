@@ -281,4 +281,29 @@ class StreamingSmokeSpec extends SparkSuite {
     assert(out.rdd.getNumPartitions === 4)
     assert(out.select("__shard").distinct().count() === 4)
   }
+
+  test("shardingKey with default (empty) policy falls back to hash, not a crash") {
+    import spark.implicits._
+    // no shardingPolicy field at all — the default "" used to hit
+    // "".stripPrefix("stripe,").toLong
+    val cfg = TaskConfig.fromJson(
+      """{"name": "sh2", "topic": "t", "parser": "json", "tableName": "t",
+        |"dims": [{"name": "k", "type": "Int64"}],
+        |"shardingKey": "k"}""".stripMargin)
+    val df = (0 until 64).map(i => (s"""{"k": $i}""", "t", 0, i.toLong))
+      .toDF("value", "topic", "partition", "offset")
+    val out = TaskRunner.build(cfg, numShards = 4)(df)
+    assert(out.select("__shard").distinct().count() === 4)
+  }
+
+  test("dynamic-schema key scan survives null (tombstone) message values") {
+    import spark.implicits._
+    val df = Seq(
+      (null.asInstanceOf[String], 0L),
+      ("""{"known": 1, "extra": "x"}""", 1L))
+      .toDF("value", "offset")
+    val found = graft.streaming.SchemaEvolution
+      .scanNewKeys(df, "value", "offset", Set("known"), None, None)
+    assert(found.map(_._1) === Seq("extra"))
+  }
 }
