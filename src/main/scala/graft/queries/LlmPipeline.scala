@@ -134,7 +134,12 @@ object LlmPipeline {
     val grams = transform(sequence(lit(1), size(w) - 1),
       i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
     docs
-      .select(col("doc_id"), explode(grams).as("__gram"))
+      // guard like NgramLm: an unguarded sequence(1, 0) counts DOWN to
+      // [1, 0] for a one-token doc and element_at(w, 0) throws; the
+      // null explodes to no rows, matching the oracle's empty
+      // generate_series
+      .select(col("doc_id"),
+        explode(when(size(w) >= 2, grams)).as("__gram"))
       // 8-byte fingerprint crosses the shuffle, never the gram text
       .select(col("doc_id"), Hashes.xxhash64Seed0(col("__gram")).as("__g"))
       .groupBy("doc_id", "__g").agg(count(lit(1)).as("__n"))
@@ -150,16 +155,24 @@ object LlmPipeline {
     * fixed regexes from a deterministic rendered line (the corpus is
     * synthetic, so PII is planted the same way q27 plants entities);
     * pure map, regex dialect shared by Spark and the DuckDB oracle. */
+  /** The planted contact line shared by q36 (extraction) and q52
+    * (redaction, which appends an IP segment) — ONE definition so the
+    * two queries and their hand-written oracles always describe the
+    * same plant. */
+  private def contactLine: org.apache.spark.sql.Column = concat(
+    lit("user "), col("user_id"), lit(" contact "),
+    col("event_type"), col("user_id"), lit("@example.com"),
+    lit(" or "), col("event_type"), lit("_admin@corp.io tel "),
+    pmod(col("user_id"), lit(900)) + 100, lit("-"),
+    pmod(col("user_id") * 7, lit(9000)) + 1000)
+
   def q36PiiExtract(s: SparkSession, dir: String): DataFrame = {
     val events = Tables.parallel(s, dir, "events")
-    val line = concat(
-      lit("user "), col("user_id"), lit(" contact "),
-      col("event_type"), col("user_id"), lit("@example.com"),
-      lit(" or "), col("event_type"), lit("_admin@corp.io tel "),
-      pmod(col("user_id"), lit(900)) + 100, lit("-"),
-      pmod(col("user_id") * 7, lit(9000)) + 1000)
+    val line = contactLine
+    // single-sourced from the redaction rules so extraction (q36) and
+    // redaction (q52) can never disagree on what an email is
     val emails = regexp_extract_all(line,
-      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))
+      lit(graft.operators.PiiRedact.EmailRule._1), lit(0))
     // single-sourced from the redaction rule so extraction (q36) and
     // redaction (q52) can never disagree on what a phone is
     val phones = regexp_extract_all(line,
@@ -397,13 +410,20 @@ object LlmPipeline {
     * {0.0, 0.5, 1.0, 2.5} over the source index, bucket = doc_id % 1000
     * (a plain modulus keeps the oracle exact; production mixes hash).
     * Map-side broadcast join + explode, zero shuffles. */
-  def q39CorpusMix(s: SparkSession, dir: String): DataFrame = {
+  /** The 20-source weight dim shared by q39 and q41/q46's mix stage —
+    * one definition so the two mixes (and the oracles that re-encode
+    * the same {0.0, 0.5, 1.0, 2.5} cycle in SQL) cannot drift apart. */
+  private def mixWeights(s: SparkSession): DataFrame = {
     import s.implicits._
-    val docs = Tables.parallel(s, dir, "documents")
-    val weights = Seq.tabulate(20) { i =>
+    Seq.tabulate(20) { i =>
       ("src" + i, Seq(0.0, 0.5, 1.0, 2.5)(i % 4))
     }.toDF("source", "weight")
-    CorpusMix.mix(docs, weights, "source", pmod(col("doc_id"), lit(1000)))
+  }
+
+  def q39CorpusMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(s, dir, "documents")
+    CorpusMix.mix(docs, mixWeights(s), "source",
+        pmod(col("doc_id"), lit(1000)))
       .select("doc_id", "source", "copy")
   }
 
@@ -489,11 +509,8 @@ object LlmPipeline {
     val clean = Contamination
       .ngramOverlap(keptDocs, bench, "doc_id", "text", k = 4)
       .filter(col("n_contaminated") === 0).select("doc_id")
-    val weights = Seq.tabulate(20) { i =>
-      ("src" + i, Seq(0.0, 0.5, 1.0, 2.5)(i % 4))
-    }.toDF("source", "weight")
     CorpusMix.mix(keptDocs.join(clean, "doc_id").select("doc_id", "source"),
-        weights, "source", pmod(col("doc_id"), lit(1000)))
+        mixWeights(s), "source", pmod(col("doc_id"), lit(1000)))
       .select("doc_id", "source", "copy")
   }
 
@@ -705,12 +722,7 @@ object LlmPipeline {
   def q52PiiRedact(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.PiiRedact
     val events = Tables.parallel(s, dir, "events")
-    val line = concat(
-      lit("user "), col("user_id"), lit(" contact "),
-      col("event_type"), col("user_id"), lit("@example.com"),
-      lit(" or "), col("event_type"), lit("_admin@corp.io tel "),
-      pmod(col("user_id"), lit(900)) + 100, lit("-"),
-      pmod(col("user_id") * 7, lit(9000)) + 1000,
+    val line = concat(contactLine,
       lit(" src 10."), pmod(col("user_id"), lit(256)), lit(".0."),
       pmod(col("user_id") * 3, lit(256)))
     events.select(col("event_id"),
@@ -874,7 +886,8 @@ object LlmPipeline {
         |  round(CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / n_tokens, 6)
         |    AS avg_token_len,
         |  (n_tokens >= 5 AND n_tokens <= 1000 AND
-        |   CAST(n_distinct AS DOUBLE) / n_tokens >= 0.05) AS quality_ok
+        |   round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) >= 0.05)
+        |    AS quality_ok
         |FROM t ORDER BY doc_id""".stripMargin,
     "q22_token_count" ->
       """WITH t AS (SELECT lang,
