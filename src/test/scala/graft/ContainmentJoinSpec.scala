@@ -63,6 +63,17 @@ class ContainmentJoinSpec extends SparkSuite {
     }
   }
 
+  test("t = 1.0: full-containment only, prefix shrinks to one gram") {
+    // at t=1.0 the probe prefix is n - ceil(n) + 1 = 1 rarest gram;
+    // blocking must still find full containments and nothing partial
+    val src = (1 to 20).map(i => s"t$i").mkString(" ")
+    val full = (1 to 8).map(i => s"t$i").mkString(" ")
+    val partial = ((1 to 7).map(i => s"t$i") :+ "zz").mkString(" ")
+    val got = run(Seq((1L, src), (2L, full), (3L, partial)), 1.0)
+    assert(got.filter(_._1 == 2L) === Set((2L, 1L, 1.0)))
+    assert(!got.exists { case (ia, ib, _) => ia == 3L && ib == 1L })
+  }
+
   test("threshold boundary: exactly t kept, just below dropped") {
     // A has 4 grams, 3 shared with B -> containment 0.75
     val a = "x1 x2 x3 x4 x5 zz" // grams: x1x2x3, x2x3x4, x3x4x5, x4x5zz

@@ -118,6 +118,18 @@ class SpaceSavingSpec extends SparkSuite {
     assert(back.capacity === buf.capacity)
   }
 
+  test("serialization survives a term beyond writeUTF's 64KB limit") {
+    // one giant unbroken token (a real hazard for bigram terms over raw
+    // corpus text); writeUTF would throw UTFDataFormatException here
+    val big = "x" * 70000
+    val buf = new SpaceSavingBuffer(4)
+    buf.update(big); buf.update(big); buf.update("small")
+    val agg = SpaceSavingTopK(ColumnBridge.expr(lit("unused")), 4)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.counters(big) === ((2L, 0L)))
+    assert(back.counters("small") === ((1L, 0L)))
+  }
+
   test("spark aggregate: partial+merge path matches invariants, nulls skipped") {
     val rnd = new Random(7)
     val data = Seq.fill(4000)(Some("g" + rnd.nextInt(50))) ++
