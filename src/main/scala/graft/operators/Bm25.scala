@@ -86,7 +86,10 @@ object Bm25 {
   private def termScoreCol(k1: Double, b: Double) =
     (log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0) *
       (col("__tf") * (k1 + 1)) /
-      (col("__tf") + (col("__dl") / col("__avgdl") * b + (1 - b)) * k1))
+      // operand order mirrors the oracle's `0.25 + 0.75 * dl / avgdl`
+      // exactly: (b*dl) is computed first (one rounding fewer than
+      // dl/avgdl*b), so both sides round identically on knife-edge rows
+      (col("__tf") + (lit(b) * col("__dl") / col("__avgdl") + (1 - b)) * k1))
       .cast("decimal(28,12)")
 
   /** Persist the corpus as a BM25 inverted index — the repeated-query

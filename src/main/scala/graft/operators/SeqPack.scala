@@ -32,6 +32,34 @@ import org.apache.spark.sql.functions._
   */
 object SeqPack {
 
+  /** Default pack-group sizing: 32 budget-512 sequences per group. Sized
+    * for the test corpora (sf0.01 stays at the 8-group floor, so gate
+    * results are unchanged; sf0.1+ scales up); a production run packs
+    * orders of magnitude more tokens per group (e.g. 1e9) — the point is
+    * that group count is derived from data volume, never a literal. */
+  val DefaultTokensPerGroup: Long = 16384L
+
+  /** Derive the pack parallelism from input size:
+    * `max(minGroups, ceil(total_tokens / targetTokensPerGroup))` in exact
+    * integer arithmetic (one cheap count-shaped aggregation job; the
+    * token column is typically already computed, so this scans only it).
+    * Deterministic for a fixed input, so an oracle can re-derive the
+    * identical count with `greatest(minGroups, (sum(toks) + T - 1) // T)`.
+    * Without this a fixed group count serializes into a handful of giant
+    * sequential cumsums at 100× the data — the group count IS the dial
+    * that keeps per-group window sorts bounded. */
+  def deriveNumGroups(
+      docs: DataFrame, tokensCol: Column,
+      targetTokensPerGroup: Long = DefaultTokensPerGroup,
+      minGroups: Int = 8): Int = {
+    require(targetTokensPerGroup >= 1 && minGroups >= 1)
+    val total = docs
+      .agg(coalesce(sum(tokensCol.cast("long")), lit(0L)))
+      .head.getLong(0)
+    val derived = (total + targetTokensPerGroup - 1) / targetTokensPerGroup
+    math.min(math.max(minGroups.toLong, derived), Int.MaxValue.toLong).toInt
+  }
+
   /** docs → (id, pack_group, n_tokens, seq_id, tok_offset, n_seqs) with
     * one row per input doc. `groupCol` must be a deterministic
     * expression over the row (e.g. `pmod(col("doc_id"), 32)`). The id

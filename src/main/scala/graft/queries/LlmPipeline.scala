@@ -272,14 +272,33 @@ object LlmPipeline {
       .select("id_a", "id_b", "label", "cos")
   }
 
-  /** q26: multimodal plumbing — text lifted into a binary payload column,
-    * decoded per-partition by the (stubbed) media decoder into typed
-    * metadata. */
+  /** q26: multimodal plumbing + REAL image-header decode. Two payload
+    * populations: the documents' text lifted into opaque binary (no
+    * recognizable container → deterministic stub branch), and planted
+    * single-frame stills (+1M ids) — genuine PNG/JPEG/GIF/BMP binary
+    * containers built at runtime with dimensions derived from doc_id
+    * ([[graft.operators.Multimodal.MediaBuild]]), which the decoder
+    * must parse back from the actual bytes (magic, BE/LE dimension
+    * fields, JPEG marker walk). The oracle re-derives the planted dims
+    * arithmetically from doc_id, so any endianness/offset bug in the
+    * real parser fails the gate. */
   def q26MediaMeta(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
+    import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
     val media = Multimodal.asMedia(docs, "doc_id", "text", "image")
-    Multimodal.decodeMeta(media).toDF()
+    val planted = docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (id % 640L).toInt + 1
+      val h = (id % 480L).toInt + 1
+      val payload = (id % 4L) match {
+        case 0L => Multimodal.MediaBuild.png(w, h)
+        case 1L => Multimodal.MediaBuild.jpeg(w, h)
+        case 2L => Multimodal.MediaBuild.gif(w, h)
+        case _ => Multimodal.MediaBuild.bmp(w, h)
+      }
+      Multimodal.MediaRecord(id + 1000000L, "image", payload)
+    }
+    Multimodal.decodeMeta(media.union(planted)).toDF()
       .select("media_id", "kind", "size_bytes", "width", "height",
         "n_frames", "first_frame_offset")
   }
@@ -531,14 +550,19 @@ object LlmPipeline {
 
   /** q44: greedy concat-and-chunk sequence packing — assign every doc a
     * (pack_group, seq_id, tok_offset) slot in fixed 512-token training
-    * sequences ([[graft.operators.SeqPack]]). Groups by `doc_id % 8`
-    * (SQL-portable stand-in for a hash group), orders by doc_id —
-    * fully deterministic window arithmetic, oracle-checked end to end. */
+    * sequences ([[graft.operators.SeqPack]]). Groups by `doc_id % G`
+    * (SQL-portable stand-in for a hash group) where G is DERIVED from
+    * the corpus token total ([[SeqPack.deriveNumGroups]]) — the
+    * parallelism dial scales with data volume instead of serializing
+    * into 8 giant cumsums at 100× — orders by doc_id: fully
+    * deterministic window arithmetic (the derivation is an exact
+    * integer ceil-div the oracle replays), oracle-checked end to end. */
   def q44SeqPack(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallel(s, dir, "documents")
-    SeqPack.pack(docs, "doc_id",
-      size(split(col("text"), " ")).cast("long"),
-      pmod(col("doc_id"), lit(8L)), col("doc_id"), budget = 512)
+    val toks = size(split(col("text"), " ")).cast("long")
+    val ng = SeqPack.deriveNumGroups(docs, toks)
+    SeqPack.pack(docs, "doc_id", toks,
+      pmod(col("doc_id"), lit(ng.toLong)), col("doc_id"), budget = 512)
   }
 
   /** q45: approximate distinct-token counts per language —
@@ -576,9 +600,16 @@ object LlmPipeline {
     val mixed = q41CorpusBuild(s, dir)
     val toks = buildCorpus(s, dir).select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_toks"))
-    val rows = mixed.join(toks, "doc_id")
+    // localCheckpoint: the survivor row set is consumed twice (the
+    // group-count derivation scans it, then the pack) — without the
+    // pin the whole corpus-build DAG would run once per consumer
+    val rows0 = mixed.join(toks, "doc_id")
       .select((col("doc_id") * 8 + col("copy")).as("row_id"),
-        pmod(col("doc_id"), lit(8L)).as("grp"), col("n_toks"))
+        col("doc_id"), col("n_toks"))
+      .localCheckpoint()
+    val ng = SeqPack.deriveNumGroups(rows0, col("n_toks"))
+    val rows = rows0.select(col("row_id"),
+      pmod(col("doc_id"), lit(ng.toLong)).as("grp"), col("n_toks"))
     SeqPack.pack(rows, "row_id", col("n_toks"), col("grp"), col("row_id"),
       budget = 512)
   }
@@ -831,9 +862,14 @@ object LlmPipeline {
         |    / e.exact_distinct, 6) <= 0.05 AS within_tol
         |FROM a JOIN e USING (lang) ORDER BY lang""".stripMargin,
     "q44_seq_pack" ->
-      """WITH t AS (SELECT doc_id, doc_id % 8 AS pack_group,
+      s"""WITH t0 AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |FROM documents),
+        |ng AS (SELECT greatest(CAST(8 AS BIGINT),
+        |  (sum(n_tokens) + ${SeqPack.DefaultTokensPerGroup - 1}) //
+        |    ${SeqPack.DefaultTokensPerGroup}) AS g FROM t0),
+        |t AS (SELECT doc_id, doc_id % (SELECT g FROM ng) AS pack_group,
+        |  n_tokens FROM t0),
         |c AS (SELECT doc_id, pack_group, n_tokens,
         |  sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
         |    ROWS UNBOUNDED PRECEDING) - n_tokens AS ts
@@ -1038,6 +1074,17 @@ object LlmPipeline {
         | CAST(strlen(text) % 480 AS INTEGER) AS height,
         | CAST(strlen(text) // 100 + 1 AS INTEGER) AS n_frames,
         | CAST(strlen(text) % 100 AS BIGINT) AS first_frame_offset
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS media_id,
+        | CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |   WHEN 2 THEN 'gif' ELSE 'bmp' END AS kind,
+        | CAST(CASE doc_id % 4 WHEN 0 THEN 45 WHEN 1 THEN 23
+        |   WHEN 2 THEN 13 ELSE 54 END AS BIGINT) AS size_bytes,
+        | CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+        | CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+        | CAST(1 AS INTEGER) AS n_frames,
+        | CAST(0 AS BIGINT) AS first_frame_offset
         |FROM documents ORDER BY media_id""".stripMargin,
     "q37_contamination" ->
       """WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w
@@ -1149,10 +1196,15 @@ object LlmPipeline {
         |tok AS (SELECT doc_id,
         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |        FROM corpus),
-        |packrows AS (
-        |  SELECT m.doc_id * 8 + m.copy AS row_id, m.doc_id % 8 AS pack_group,
-        |    t.n_tokens
+        |packrows0 AS (
+        |  SELECT m.doc_id * 8 + m.copy AS row_id, m.doc_id, t.n_tokens
         |  FROM mixed m JOIN tok t USING (doc_id)),
+        |ng AS (SELECT greatest(CAST(8 AS BIGINT),
+        |  (sum(n_tokens) + ${SeqPack.DefaultTokensPerGroup - 1}) //
+        |    ${SeqPack.DefaultTokensPerGroup}) AS g FROM packrows0),
+        |packrows AS (
+        |  SELECT row_id, doc_id % (SELECT g FROM ng) AS pack_group, n_tokens
+        |  FROM packrows0),
         |cum AS (
         |  SELECT row_id, pack_group, n_tokens,
         |    sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY row_id

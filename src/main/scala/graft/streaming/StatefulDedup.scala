@@ -49,7 +49,15 @@ object StatefulDedup {
     // null keys get a non-printable sentinel prefix so they can never
     // collide with a row whose key is the literal string "null"
     // (String.valueOf(null) == "null"); real keys are prefixed too so
-    // the two domains stay disjoint
+    // the two domains stay disjoint.
+    // STATE-COMPAT: this "k"+v / "\u0000null" encoding (introduced after
+    // the unprefixed String.valueOf encoding) changes every state-store
+    // group key — a job restarted from a checkpoint written by the old
+    // encoding sees all previously-seen keys as unseen and re-admits one
+    // duplicate per key, once, after the upgrade. Deliberate trade: the
+    // old encoding silently merged null-keyed rows with literal-"null"
+    // keys. Operators upgrading a long-lived stream should either drain
+    // + restart with a fresh checkpoint or accept the one-shot re-admit.
     df.groupByKey { r =>
       val v = r.get(keyIdx)
       if (v == null) "\u0000null" else "k" + v

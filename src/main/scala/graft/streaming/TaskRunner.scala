@@ -83,12 +83,14 @@ object TaskRunner {
     val enriched = enrich(withSeries)
     cfg.shardingKey match {
       case Some(key) if numShards > 1 =>
-        // stripe only on an explicit well-formed "stripe,N"; anything
-        // else (incl. the default empty policy) is hash — the reference's
-        // default — instead of crashing on "".toLong
+        // stripe only on an explicit well-formed "stripe,N" with N a
+        // positive Long-range integer; anything else (incl. the default
+        // empty policy, "stripe,0", and overflow-length digit strings)
+        // is hash — the reference's default — instead of crashing on
+        // "".toLong / require(stripe > 0)
         val shardCol = cfg.shardingPolicy match {
           case p if p.startsWith("stripe,") &&
-              p.stripPrefix("stripe,").matches("\\d+") =>
+              p.stripPrefix("stripe,").matches("[1-9]\\d{0,17}") =>
             Sharding.stripeShard(
               col(key), p.stripPrefix("stripe,").toLong, numShards)
           case _ => Sharding.hashShard(col(key), numShards)
