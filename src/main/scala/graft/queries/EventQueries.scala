@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.EventAnalytics
+import graft.operators.{EventAnalytics, SequenceMatch}
 
 /** ClickHouse-analytics exercises over the `events` stream table
   * ([[graft.operators.EventAnalytics]]): the sessionize / windowFunnel /
@@ -60,10 +60,56 @@ object EventQueries {
       .orderBy("cohort", "week_offset")
   }
 
+  /** q60: ClickHouse `sequenceMatch` / `sequenceCount` — four pattern
+    * branches over the same event table, chosen so every grammar form
+    * is exercised AND every output column is mixed true/false (measured
+    * at sf0.01: m_funnel 58/92, m_adjacent 110/40, m_gap 72/78, c_pairs
+    * 0..4 spread):
+    *  - m_funnel  `(?1)(?t<=43200)(?2)(?t<=43200)(?3)` — chained upper
+    *    time bounds (view→click→purchase, ≤12 h each hop);
+    *  - m_adjacent `(?1)(?2)(?3)` — DIRECT adjacency in the considered
+    *    sequence, which is ClickHouse-parity restricted to the
+    *    pattern's own condition set (signup,error,purchase);
+    *  - m_gap `(?4)(?t>2300000)(?3)` — lower time bound (signup, then
+    *    a purchase > ~26.6 days later);
+    *  - c_pairs `sequenceCount((?1)(?t<=21600)(?2))` — non-overlapping
+    *    view→click≤6 h chains, earliest-end greedy.
+    * The three subsequence patterns evaluate from ONE collected array;
+    * the adjacency pattern needs its own condition set (adjacency is
+    * relative to the considered sequence), so q60 runs exactly two
+    * 16-byte-per-event user-keyed shuffles. The oracle re-derives
+    * m_funnel/m_gap by exhaustive per-user self-joins, m_adjacent by
+    * window lead()s, and c_pairs by a recursive-CTE replay of the
+    * greedy (earliest feasible chain end, restart strictly after). */
+  def q60SequenceMatch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, dir, "events")
+    val ty = col("event_type")
+    val sub = SequenceMatch.collectSequences(e, "user_id", "ts",
+      Seq(ty === "view", ty === "click", ty === "purchase", ty === "signup"))
+    val adj = SequenceMatch.collectSequences(e, "user_id", "ts",
+      Seq(ty === "signup", ty === "error", ty === "purchase"))
+    e.select(col("user_id")).distinct()
+      .join(sub.select(col("user_id"), col("__ev").as("__sub")),
+        Seq("user_id"), "left")
+      .join(adj.select(col("user_id"), col("__ev").as("__adj")),
+        Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(SequenceMatch.matchPattern(col("__sub"),
+          "(?1)(?t<=43200)(?2)(?t<=43200)(?3)"), lit(false)).as("m_funnel"),
+        coalesce(SequenceMatch.matchPattern(col("__adj"),
+          "(?1)(?2)(?3)"), lit(false)).as("m_adjacent"),
+        coalesce(SequenceMatch.matchPattern(col("__sub"),
+          "(?4)(?t>2300000)(?3)"), lit(false)).as("m_gap"),
+        coalesce(SequenceMatch.countPattern(col("__sub"),
+          "(?1)(?t<=21600)(?2)"), lit(0L)).as("c_pairs"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_sessionize" -> q54Sessionize _,
     "q55_funnel" -> q55Funnel _,
-    "q56_retention" -> q56Retention _)
+    "q56_retention" -> q56Retention _,
+    "q60_sequence_match" -> q60SequenceMatch _)
 
   val oracles: Map[String, String] = Map(
     "q54_sessionize" ->
@@ -123,5 +169,56 @@ object EventQueries {
         |SELECT r.cohort, r.week_offset, r.n_active, cs.cohort_size,
         |  round(CAST(r.n_active AS DOUBLE) / cs.cohort_size, 6) AS retention
         |FROM r JOIN cs USING (cohort)
-        |ORDER BY cohort, week_offset""".stripMargin)
+        |ORDER BY cohort, week_offset""".stripMargin,
+    "q60_sequence_match" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT user_id, epoch_us(ts) AS t, event_type AS ty
+        |       FROM events),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |mf AS (
+        |  SELECT DISTINCT a.user_id FROM ev a
+        |  JOIN ev b ON b.user_id = a.user_id
+        |  JOIN ev c ON c.user_id = a.user_id
+        |  WHERE a.ty = 'view' AND b.ty = 'click' AND c.ty = 'purchase'
+        |    AND b.t > a.t AND b.t - a.t <= 43200000000
+        |    AND c.t > b.t AND c.t - b.t <= 43200000000),
+        |fa AS (SELECT user_id, ty,
+        |         lead(ty, 1) OVER (PARTITION BY user_id ORDER BY t) AS n1,
+        |         lead(ty, 2) OVER (PARTITION BY user_id ORDER BY t) AS n2
+        |       FROM ev WHERE ty IN ('signup', 'error', 'purchase')),
+        |ma AS (SELECT DISTINCT user_id FROM fa
+        |       WHERE ty = 'signup' AND n1 = 'error' AND n2 = 'purchase'),
+        |mg AS (
+        |  SELECT DISTINCT a.user_id FROM ev a
+        |  JOIN ev b ON b.user_id = a.user_id
+        |  WHERE a.ty = 'signup' AND b.ty = 'purchase' AND b.t > a.t
+        |    AND b.t - a.t > 2300000000000),
+        |feas AS (
+        |  SELECT b.user_id, b.t,
+        |    (SELECT max(a.t) FROM ev a WHERE a.user_id = b.user_id
+        |      AND a.ty = 'view' AND a.t < b.t
+        |      AND b.t - a.t <= 21600000000) AS besta
+        |  FROM ev b WHERE b.ty = 'click'),
+        |f2 AS (SELECT user_id, t, besta FROM feas WHERE besta IS NOT NULL),
+        |rec AS (
+        |  SELECT user_id, CAST(-9223372036854775808 AS BIGINT) AS match_end,
+        |    0 AS cnt
+        |  FROM u
+        |  UNION ALL
+        |  SELECT r.user_id,
+        |    (SELECT min(f.t) FROM f2 f WHERE f.user_id = r.user_id
+        |       AND f.besta > r.match_end),
+        |    r.cnt + 1
+        |  FROM rec r
+        |  WHERE (SELECT min(f.t) FROM f2 f WHERE f.user_id = r.user_id
+        |           AND f.besta > r.match_end) IS NOT NULL),
+        |cp AS (SELECT user_id, CAST(max(cnt) AS BIGINT) AS c_pairs
+        |       FROM rec GROUP BY user_id)
+        |SELECT u.user_id,
+        |  u.user_id IN (SELECT user_id FROM mf) AS m_funnel,
+        |  u.user_id IN (SELECT user_id FROM ma) AS m_adjacent,
+        |  u.user_id IN (SELECT user_id FROM mg) AS m_gap,
+        |  coalesce(cp.c_pairs, 0) AS c_pairs
+        |FROM u LEFT JOIN cp USING (user_id)
+        |ORDER BY user_id""".stripMargin)
 }
