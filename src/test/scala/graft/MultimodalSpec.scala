@@ -23,6 +23,79 @@ class MultimodalSpec extends SparkSuite {
     assert(meta(2L).first_frame_offset === 50L)
   }
 
+  test("real header decode: round-trip every builder at adversarial dims") {
+    import Multimodal.{MediaBuild, MediaDecoder}
+    // 257/258 cross a byte boundary, catching BE/LE swaps; 1×1 minimal
+    for ((w, h) <- Seq((1, 1), (257, 258), (640, 480), (300, 2))) {
+      assert(MediaDecoder.decodeHeader(MediaBuild.png(w, h)) ===
+        Some(("png", w, h)))
+      assert(MediaDecoder.decodeHeader(MediaBuild.jpeg(w, h)) ===
+        Some(("jpeg", w, h)))
+      assert(MediaDecoder.decodeHeader(MediaBuild.gif(w, h)) ===
+        Some(("gif", w, h)))
+      assert(MediaDecoder.decodeHeader(MediaBuild.bmp(w, h)) ===
+        Some(("bmp", w, h)))
+    }
+    assert(MediaBuild.png(1, 1).length.toLong === MediaBuild.PngBytes)
+    assert(MediaBuild.jpeg(1, 1).length.toLong === MediaBuild.JpegBytes)
+    assert(MediaBuild.gif(1, 1).length.toLong === MediaBuild.GifBytes)
+    assert(MediaBuild.bmp(1, 1).length.toLong === MediaBuild.BmpBytes)
+  }
+
+  test("header decode: JPEG marker walk skips APP/COM segments and fills") {
+    import Multimodal.{MediaBuild, MediaDecoder}
+    val sof = MediaBuild.jpeg(311, 207)
+    // splice an APP0 (JFIF) segment and a comment between SOI and SOF0,
+    // plus a fill 0xFF before the SOF marker
+    val app0 = Array(0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0, 1, 1, 0,
+      0, 1, 0, 1, 0, 0).map(_.toByte)
+    val com = Array(0xff, 0xfe, 0x00, 0x05, 'h', 'i', '!').map(_.toByte)
+    val fill = Array(0xff.toByte)
+    val spliced = sof.take(2) ++ app0 ++ com ++ fill ++ sof.drop(2)
+    assert(MediaDecoder.decodeHeader(spliced) === Some(("jpeg", 311, 207)))
+    // progressive SOF2 parses too
+    val sof2 = sof.clone(); sof2(3) = 0xc2.toByte
+    assert(MediaDecoder.decodeHeader(sof2) === Some(("jpeg", 311, 207)))
+    // DHT (C4) must NOT be taken for a frame header
+    val dht = Array(0xff, 0xc4, 0x00, 0x04, 0, 0).map(_.toByte)
+    val withDht = sof.take(2) ++ dht ++ sof.drop(2)
+    assert(MediaDecoder.decodeHeader(withDht) === Some(("jpeg", 311, 207)))
+  }
+
+  test("header decode: corrupt/truncated/unknown payloads fall back") {
+    import Multimodal.{MediaBuild, MediaDecoder}
+    assert(MediaDecoder.decodeHeader("plain text payload".getBytes) === None)
+    assert(MediaDecoder.decodeHeader(Array.empty[Byte]) === None)
+    assert(MediaDecoder.decodeHeader(MediaBuild.png(5, 5).take(20)) === None)
+    // PNG signature with a non-IHDR first chunk
+    val badPng = MediaBuild.png(5, 5)
+    badPng(12) = 'X'.toByte
+    assert(MediaDecoder.decodeHeader(badPng) === None)
+    // JPEG with no SOF before EOI
+    assert(MediaDecoder.decodeHeader(
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) === None)
+    // BMP core-header (size 12 < 40) is not parsed
+    val coreBmp = MediaBuild.bmp(9, 9)
+    coreBmp(14) = 12.toByte
+    assert(MediaDecoder.decodeHeader(coreBmp) === None)
+    // decode() routes unknown payloads to the stub
+    val stubbed = MediaDecoder.decode(
+      Multimodal.MediaRecord(1L, "blob", "hello world".getBytes))
+    assert(stubbed.kind === "blob" && stubbed.size_bytes === 11L)
+  }
+
+  test("header decode: BMP top-down negative height and GIF87a") {
+    import Multimodal.{MediaBuild, MediaDecoder}
+    val bmp = MediaBuild.bmp(33, 0) // overwrite height with -44 (top-down)
+    val bb = java.nio.ByteBuffer.wrap(bmp)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -44)
+    assert(MediaDecoder.decodeHeader(bmp) === Some(("bmp", 33, 44)))
+    val gif87 = MediaBuild.gif(12, 34)
+    gif87(4) = '7'.toByte
+    assert(MediaDecoder.decodeHeader(gif87) === Some(("gif", 12, 34)))
+  }
+
   test("sampleFrames slices byte ranges deterministically") {
     import spark.implicits._
     implicit val s = spark
