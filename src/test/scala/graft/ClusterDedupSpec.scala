@@ -20,11 +20,14 @@ class ClusterDedupSpec extends SparkSuite {
       9L -> 9L, 10L -> 9L, 11L -> 9L))
   }
 
-  test("long chain converges within maxIter (diameter bound)") {
+  test("long chain converges within maxIter (diameter bound, loop path)") {
     import spark.implicits._
-    // path graph 100-101-...-107: diameter 7
+    // path graph 100-101-...-107: diameter 7. maxDriverEdges=0 forces
+    // the distributed propagation loop (the driver fast path would
+    // otherwise take every test-sized graph).
     val pairs = (100L until 107L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val reps = ClusterDedup.clusterReps(pairs, maxIter = 10).collect()
+    val reps = ClusterDedup
+      .clusterReps(pairs, maxIter = 10, maxDriverEdges = 0L).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(reps.forall(_._2 == 100L), s"chain did not converge: ${reps.toSeq}")
   }
@@ -36,9 +39,29 @@ class ClusterDedupSpec extends SparkSuite {
     // partially-propagated (wrong) representatives here
     val pairs = (200L until 208L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      ClusterDedup.clusterReps(pairs, maxIter = 3).collect()
+      ClusterDedup.clusterReps(pairs, maxIter = 3, maxDriverEdges = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("driver union-find path ≡ distributed loop path on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    for (trial <- 0 until 3) {
+      // random graph over a sparse id domain: mixes singleton pairs,
+      // chains, and dense mini-cliques
+      val ids = (0 until 60).map(_ => rnd.nextInt(40).toLong * 7L)
+      val pairs = (0 until 80)
+        .map(_ => (ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size))))
+        .filter { case (a, b) => a != b }
+        .toDF("id_a", "id_b")
+      val fast = ClusterDedup.clusterReps(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val loop = ClusterDedup
+        .clusterReps(pairs, maxIter = 64, maxDriverEdges = 0L).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(fast === loop, s"trial=$trial")
+    }
   }
 
   test("empty pair set yields an empty rep table without looping") {
