@@ -201,6 +201,50 @@ final class JdbcInsertTarget(
     try { bind(st, row); st.executeUpdate() } finally st.close()
   }
 
+  /** Exactly-once slice replacement: transactionally DELETE the
+    * `(batch_id, part_id)` slice and re-INSERT it. The two provenance
+    * columns pin each row to the micro-batch and task partition that
+    * produced it, so BOTH failure modes of the at-least-once path heal
+    * themselves: a micro-batch replayed after a crash-before-checkpoint
+    * re-runs every partition and each partition replaces its own slice,
+    * and a retried TASK (Spark re-runs failed tasks within a batch)
+    * replaces only its slice without touching sibling partitions. This
+    * is the JDBC analog of [[IdempotentParquetSink]]'s per-batch
+    * overwrite and of the reference's ReplacingMergeTree keying
+    * (docs/dev/design.md:6-13) — dedup keyed on write provenance, done
+    * at write time instead of merge time. At scale the DELETE is an
+    * index probe on (batch_id, part_id), not a table scan — the DDL
+    * helper creates that index with the table.
+    */
+  def replaceSlice(
+      rows: Seq[Row], batchId: Long, partId: Int,
+      batchCol: String = "batch_id", partCol: String = "part_id"): Unit =
+    withConn { conn =>
+      conn.setAutoCommit(false)
+      val del = conn.prepareStatement(
+        s"DELETE FROM $table WHERE $batchCol = ? AND $partCol = ?")
+      val allCols = columns ++ Seq(batchCol, partCol)
+      val ins = conn.prepareStatement(
+        s"INSERT INTO $table (${allCols.mkString(", ")}) VALUES (${allCols.map(_ => "?").mkString(", ")})")
+      try {
+        del.setLong(1, batchId); del.setInt(2, partId); del.executeUpdate()
+        rows.foreach { r =>
+          bind(ins, r)
+          ins.setLong(columns.length + 1, batchId)
+          ins.setInt(columns.length + 2, partId)
+          ins.addBatch()
+        }
+        ins.executeBatch()
+        conn.commit()
+      } catch {
+        // rollback restores the PREVIOUS slice: a slice is never half-new
+        case e: Exception => conn.rollback(); throw e
+      } finally {
+        del.close(); ins.close()
+        conn.setAutoCommit(true)
+      }
+    }
+
   /** Discover target columns (name → ClickHouse-ish type string) via JDBC
     * metadata — the `system.columns` analog. */
   def discoverSchema(): Seq[(String, String)] = withConn { conn =>
@@ -235,6 +279,38 @@ final class ParquetSink(path: String) extends BatchSink {
 final class IdempotentParquetSink(path: String) extends BatchSink {
   override def write(batch: DataFrame, batchId: Long): Unit =
     batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+}
+
+/** Exactly-once JDBC sink: every partition of every micro-batch lands
+  * via [[JdbcInsertTarget.replaceSlice]], so replays (batch OR task
+  * level) replace rather than append — `foreachBatch` + this sink is
+  * effectively-once end to end without any post-hoc merge. The target
+  * table needs the two provenance columns and, for probe-cost deletes
+  * at scale, an index on them ([[JdbcExactlyOnceSink.ddlSuffix]]).
+  * Connection state stays executor-local: the sink object is a small
+  * serializable recipe, the pool lives per executor JVM. */
+final class JdbcExactlyOnceSink(
+    url: String, table: String, columns: Seq[String],
+    propsMap: Map[String, String] = Map.empty) extends BatchSink {
+  override def write(batch: DataFrame, batchId: Long): Unit = {
+    val (u, t, cols, pm) = (url, table, columns, propsMap) // don't capture `this`
+    batch.selectExpr(cols: _*).foreachPartition {
+      (it: Iterator[Row]) =>
+        val props = new java.util.Properties()
+        pm.foreach { case (k, v) => props.setProperty(k, v) }
+        val target = new JdbcInsertTarget(u, t, cols, props)
+        target.replaceSlice(it.toSeq, batchId,
+          org.apache.spark.TaskContext.getPartitionId())
+    }
+  }
+}
+
+object JdbcExactlyOnceSink {
+  /** Provenance columns + index the target table must carry. */
+  def ddlSuffix(table: String): Seq[String] = Seq(
+    s"ALTER TABLE $table ADD COLUMN batch_id BIGINT",
+    s"ALTER TABLE $table ADD COLUMN part_id INT",
+    s"CREATE INDEX ${table}_slice_idx ON $table (batch_id, part_id)")
 }
 
 /** Default batch→shard routing (SURVEY §2.4 B3, output/clickhouse.go:167):

@@ -196,6 +196,46 @@ class SinkWriterSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** DataFrame-level exactly-once JDBC sink contract (SURVEY §2.4 B6, the
+  * keyed-replacement half of the reference's effectively-once story). */
+class JdbcExactlyOnceSinkSpec extends SparkSuite {
+
+  test("JdbcExactlyOnceSink: replayed foreachBatch invocation lands once") {
+    import spark.implicits._
+    System.setProperty("derby.system.home", "target/derby")
+    val url = "jdbc:derby:memory:graftEoSink;create=true"
+    val props = new java.util.Properties()
+    graft.streaming.ConnectionPool.withConnection(url, props) { c =>
+      val st = c.createStatement()
+      try st.execute(
+        "CREATE TABLE eo_df (a INT, b VARCHAR(32), batch_id BIGINT, part_id INT)")
+      catch { case _: java.sql.SQLException => () }
+      finally st.close()
+      val del = c.createStatement()
+      try del.execute("DELETE FROM eo_df") finally del.close()
+    }
+    val sink = new graft.streaming.JdbcExactlyOnceSink(url, "EO_DF", Seq("a", "b"))
+    val batch = (1 to 20).map(i => (i, s"v$i")).toDF("a", "b").repartition(4)
+    sink.write(batch, 5L) // first delivery
+    sink.write(batch, 5L) // crash-before-checkpoint replay
+    sink.write(batch.limit(3), 6L) // next batch appends
+    graft.streaming.ConnectionPool.withConnection(url, props) { c =>
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(
+          "SELECT COUNT(*), COUNT(DISTINCT part_id) FROM eo_df WHERE batch_id = 5")
+        rs.next()
+        assert(rs.getInt(1) === 20, "replay must not duplicate")
+        assert(rs.getInt(2) === 4, "every task partition wrote its own slice")
+        val rs2 = st.executeQuery("SELECT COUNT(*) FROM eo_df")
+        rs2.next()
+        assert(rs2.getInt(1) === 23)
+      } finally st.close()
+    }
+    graft.streaming.ConnectionPool.drain()
+  }
+}
+
 /** End-to-end streaming smoke mirroring go.test.sh:51-58: N JSON messages
   * through source → typed projection → checkpointed foreachBatch sink;
   * count == N; restart from checkpoint does not re-deliver. */
