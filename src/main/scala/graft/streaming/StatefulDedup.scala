@@ -1,7 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.catalyst.expressions.XxHash64
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.functions.ColumnBridge
 
 /** Cross-batch first-seen deduplication as a genuinely *stateful* streaming
   * operator (SURVEY §2.6 "stateful streaming op"): the streaming twin of the
@@ -78,4 +83,101 @@ object StatefulDedup {
           }
       }
   }
+
+  /** Online APPROXIMATE near-dup gate (flag-on variant of the exact
+    * first-seen gate above; the batch MinHash-LSH job
+    * [[graft.operators.MinHashLsh]] stays the exact offline path): a doc
+    * is suppressed when ANY of its minhash band keys has been seen in an
+    * earlier micro-batch — standard LSH banding, so a ≥0.8-Jaccard
+    * near-dup of an already-admitted doc collides with near-certainty at
+    * the 64-hash/32-band defaults, without the candidate-verify join the
+    * batch job does (that join needs the original text of BOTH sides;
+    * online, the admitted doc's text is gone — hence *approximate*:
+    * band-collision false positives are accepted, the TTL/band dials
+    * trade them against recall).
+    *
+    * Scale shape: state is one boolean per band key, hash-partitioned by
+    * band key across executors (the exact analog of the batch job's one
+    * (band,bucket) shuffle), TTL-bounded for unbounded streams. The doc
+    * payload crosses the shuffle ONCE (riding the first band record,
+    * null on the rest); the other `bands-1` records are two longs each.
+    *
+    * The returned stream is per-(doc,band) verdict rows — a doc's
+    * verdict is the AND over its bands, which is not expressible as a
+    * second stateful operator downstream of this one (chained
+    * flatMapGroupsWithState is unsupported), and doesn't need to be:
+    * every band record of a doc lands in the SAME micro-batch, so the
+    * caller folds verdicts batch-side with [[finishNearDupGate]] inside
+    * `foreachBatch` (this engine's sink shape, [[TaskRunner]]).
+    *
+    * Within one micro-batch, docs colliding on a band tie-break in
+    * iterator order (exactly one of them is admitted); across batches
+    * the admitted set is deterministic.
+    *
+    * Docs too short to shingle (null signature) gate on a whole-text
+    * exact key instead of vanishing at the explode: empty/short dups
+    * still dedup, just exactly. */
+  def nearDupGate(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 32,
+      stateTtlMs: Long = 0L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    def xxh(seed: Long, c: Column): Column =
+      ColumnBridge.col(new XxHash64(Seq(ColumnBridge.expr(c)), seed))
+    val sig = ColumnBridge.col(graft.functions.MinHashTextSignature(
+      ColumnBridge.expr(col(textCol)), shingleK, numHashes))
+    // band index is hashed INTO the key (seed carries it) so band 3 of
+    // one doc can never collide with band 7 of another
+    val bandCols = (0 until bands).map { b =>
+      xxh(b.toLong, concat_ws("|",
+        (0 until rows).map(r => element_at(col("__sig"), b * rows + r + 1)): _*))
+    }
+    val exploded = df
+      .select(struct(df.columns.map(col): _*).as("__payload"),
+        col(idCol).cast("string").as("__gid"), sig.as("__sig"))
+      .select(col("__gid"), col("__payload"),
+        posexplode(when(col("__sig").isNotNull, array(bandCols: _*))
+          .otherwise(array(xxh(-1L, col(s"__payload.$textCol"))))))
+      .select(col("col").as("__band"), col("__gid"),
+        when(col("pos") === 0, col("__payload")).as("__payload"))
+
+    val outSchema = StructType(Seq(
+      StructField("__gid", StringType),
+      StructField("__hit", IntegerType),
+      StructField("__payload", exploded.schema("__payload").dataType)))
+    val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val inEnc: Encoder[Row] = Encoders.row(exploded.schema)
+    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    exploded.groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[Boolean, Row](OutputMode.Append(), timeout) ({
+        (_: Long, recs: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.exists
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            recs.map { r =>
+              val hit = if (seen) 1 else 0
+              if (!seen) { state.update(true); seen = true }
+              Row(r.getString(1), hit, r.get(2))
+            }
+          }
+      })(implicitly, outEnc)
+  }
+
+  /** Batch-side fold of [[nearDupGate]]'s per-band verdicts: keep a doc
+    * iff NO band hit. Run inside `foreachBatch` on each micro-batch of
+    * the gate's output; returns rows in the input frame's original
+    * schema. */
+  def finishNearDupGate(gated: DataFrame): DataFrame =
+    gated.groupBy(col("__gid"))
+      .agg(max(col("__hit")).as("__anyhit"),
+        first(col("__payload"), ignoreNulls = true).as("__p"))
+      .filter(col("__anyhit") === 0)
+      .select(col("__p.*"))
 }

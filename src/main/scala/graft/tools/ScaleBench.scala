@@ -66,7 +66,10 @@ object ScaleBench {
     // share no trigram across copies, so snippet-pair volume scales
     // linearly like q43's.
     "q54_sessionize", "q55_funnel", "q56_retention",
-    "q57_text_normalize", "q58_topk_sketch", "q59_containment_dedup")
+    "q57_text_normalize", "q58_topk_sketch", "q59_containment_dedup",
+    // r7: q60 rides the same key-shifted event copies as q54-q56 — the
+    // chained-window DP is linear in per-user events, user count ×10
+    "q60_sequence_match")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

@@ -144,4 +144,75 @@ class StatefulDedupSpec extends SparkSuite {
     val got2 = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
     assert(got2 === Set(1L, 5L))
   }
+
+  test("nearDupGate suppresses a cross-batch NEAR-duplicate (LSH band state)") {
+    val dir = Files.createTempDirectory("neargate").toString
+    val srcDir = s"$dir/in"; val outDir = s"$dir/out"; val ckDir = s"$dir/ck"
+    Files.createDirectories(Paths.get(srcDir))
+    def write(file: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(srcDir, file), lines.mkString("\n").getBytes("UTF-8"))
+
+    def runOnce(): Unit = {
+      val src = spark.readStream.format("text").load(srcDir)
+        .select(
+          split(col("value"), "\\|").getItem(0).cast("long").as("doc_id"),
+          split(col("value"), "\\|").getItem(1).as("text"))
+      StatefulDedup.nearDupGate(src, "doc_id", "text")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          StatefulDedup.finishNearDupGate(batch)
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination(60000)
+    }
+
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "sun sets slowly behind the distant purple mountains and the river " +
+      "keeps flowing gently through the quiet green valley toward the sea"
+    val nearDup = base.replace("quiet green valley", "quiet green meadow")
+    val unrelated = "completely different content about spark structured " +
+      "streaming state stores and their checkpoint recovery semantics " +
+      "under partition rebalancing across long running executor fleets"
+
+    write("b1.txt", Seq(s"1|$base", s"2|tiny"))
+    runOnce()
+    val got1 = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
+    assert(got1 === Set(1L, 2L), "batch 1 admits the base doc and the short doc")
+
+    // batch 2 after restart: the near-dup (one word changed) must collide
+    // on at least one checkpointed band; the unrelated doc must pass; the
+    // exact short dup gates on the whole-text key path
+    write("b2.txt", Seq(s"3|$nearDup", s"4|$unrelated", s"5|tiny"))
+    runOnce()
+    val got2 = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
+    assert(got2 === Set(1L, 2L, 4L),
+      s"near-dup 3 and short-dup 5 must be suppressed, got $got2")
+  }
+
+  test("nearDupGate in-batch: one of two colliding docs is admitted") {
+    val dir = Files.createTempDirectory("neargate2").toString
+    val srcDir = s"$dir/in"; val outDir = s"$dir/out"; val ckDir = s"$dir/ck"
+    Files.createDirectories(Paths.get(srcDir))
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    Files.write(Paths.get(srcDir, "b1.txt"),
+      Seq(s"1|$text", s"2|$text").mkString("\n").getBytes("UTF-8"))
+    val src = spark.readStream.format("text").load(srcDir)
+      .select(
+        split(col("value"), "\\|").getItem(0).cast("long").as("doc_id"),
+        split(col("value"), "\\|").getItem(1).as("text"))
+    StatefulDedup.nearDupGate(src, "doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StatefulDedup.finishNearDupGate(batch)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination(60000)
+    val got = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
+    assert(got.size === 1, s"exactly one of the identical pair survives, got $got")
+  }
 }
