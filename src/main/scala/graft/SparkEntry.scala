@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Sharded.queries ++
       graft.queries.LlmPipeline.queries ++
       graft.queries.EventQueries.queries ++
-      graft.queries.CorpusExtras.queries
+      graft.queries.CorpusExtras.queries ++
+      graft.queries.PipelineExtras.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.Sharded.oracles ++
       graft.queries.LlmPipeline.oracles ++
       graft.queries.EventQueries.oracles ++
-      graft.queries.CorpusExtras.oracles
+      graft.queries.CorpusExtras.oracles ++
+      graft.queries.PipelineExtras.oracles
 }
