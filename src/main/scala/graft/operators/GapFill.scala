@@ -27,11 +27,22 @@ object GapFill {
     * `fillValue` for every aggregate column and `filled = 1`.
     *
     * `aggs` maps output column name → aggregate over the raw rows
-    * (evaluated per (series, bucket) group).
+    * (evaluated per (series, bucket) group). Columns named in
+    * `interpolate` (ClickHouse `WITH FILL … INTERPOLATE`) carry the
+    * last observed value forward across gaps instead of taking
+    * `fillValue` — this is the one path that uses a window, and it
+    * runs over the DENSE GRID, whose per-series row count is bounded
+    * by the calendar range at `step`, not by event volume, so the
+    * per-series sort stays safe at any data scale. The grid starts at
+    * each series' first observation, so an interpolated column is
+    * never null.
     */
   def fillTimeBuckets(
       df: DataFrame, seriesCol: String, tsCol: String, step: String,
-      aggs: Seq[(String, Column)], fillValue: Double = 0.0): DataFrame = {
+      aggs: Seq[(String, Column)], fillValue: Double = 0.0,
+      interpolate: Seq[String] = Nil): DataFrame = {
+    require(interpolate.forall(n => aggs.exists(_._1 == n)),
+      "interpolate names must be aggregate columns")
     val bucketed = df
       .select(col(seriesCol).as("series"),
         date_trunc(stepUnit(step), col(tsCol)).as("bucket"),
@@ -43,8 +54,12 @@ object GapFill {
       .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
     val grid = spans.select(col("series"),
       explode(expr(s"sequence(__mn, __mx, interval $step)")).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series")).orderBy(col("bucket"))
+      .rowsBetween(Long.MinValue, 0)
     val filledCols = aggs.map { case (n, _) =>
-      coalesce(col(n), lit(fillValue).cast(bucketed.schema(n).dataType)).as(n)
+      if (interpolate.contains(n)) last(col(n), ignoreNulls = true).over(w).as(n)
+      else coalesce(col(n), lit(fillValue).cast(bucketed.schema(n).dataType)).as(n)
     }
     grid.join(bucketed, Seq("series", "bucket"), "left")
       .select(Seq(col("series"), col("bucket")) ++ filledCols :+

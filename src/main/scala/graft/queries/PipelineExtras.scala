@@ -31,9 +31,11 @@ object PipelineExtras {
     graft.operators.GapFill.fillTimeBuckets(
         Tables(s, dir, "events"), "event_type", "ts", "1 hour",
         Seq("cnt" -> count(lit(1)),
-          "sum_val" -> round(dsum(col("value")), 4)))
+          "sum_val" -> round(dsum(col("value")), 4),
+          "locf_val" -> round(dsum(col("value")), 4)),
+        interpolate = Seq("locf_val"))
       .select(col("series").as("event_type"), col("bucket"),
-        col("cnt"), col("sum_val"), col("filled"))
+        col("cnt"), col("sum_val"), col("locf_val"), col("filled"))
       .orderBy("event_type", "bucket")
 
   /** q63: incrementally-maintained aggregate table
@@ -53,6 +55,38 @@ object PipelineExtras {
         IncrementalAgg.merge(keys, state,
           IncrementalAgg.partials(delta, keys, "n_chars")))
       .orderBy("source", "lang")
+  }
+
+  /** q64: cross-source near-dup leakage matrix — how many exact-Jaccard
+    * near-dup pairs link each source pair. The diagnostic a corpus
+    * builder runs before mixing: a hot cell means two "independent"
+    * sources share content (mirrors, scrapes of scrapes) and their mix
+    * weights double-count it. Pair base is the EXACT PPJoin
+    * ([[graft.operators.JaccardJoin]]), aggregated by normalized source
+    * pair, so the matrix inherits q43's exactness — the oracle
+    * recomputes it from the exhaustive all-pairs scan. The plant gives
+    * each long doc a near-dup copy attributed to the NEXT source, so
+    * off-diagonal cells are populated at every SF. */
+  def q64SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(s, dir, "documents")
+    val long = docs.filter(col("n_chars") >= 100)
+    val aug = docs.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(long.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"),
+        concat(lit("src"), pmod(col("doc_id") + 1, lit(20))).as("source")))
+    val pairs = graft.operators.JaccardJoin.nearDupPairs(
+      aug.select("doc_id", "text"), "doc_id", "text", k = 3, minJaccard = 0.8)
+    val src = aug.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.as("sa"), pairs("id_a") === col("sa.doc_id"))
+      .join(src.as("sb"), pairs("id_b") === col("sb.doc_id"))
+      .select(
+        least(col("sa.source"), col("sb.source")).as("source_a"),
+        greatest(col("sa.source"), col("sb.source")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("pair_cnt"))
+      .orderBy("source_a", "source_b")
   }
 
   /** One history-state build per (JVM, sfDir): q63's timed region is
@@ -75,7 +109,8 @@ object PipelineExtras {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_source_quota" -> q61SourceQuota _,
     "q62_with_fill" -> q62WithFill _,
-    "q63_incr_agg" -> q63IncrAgg _)
+    "q63_incr_agg" -> q63IncrAgg _,
+    "q64_source_overlap" -> q64SourceOverlap _)
 
   val oracles: Map[String, String] = Map(
     "q61_source_quota" ->
@@ -103,9 +138,42 @@ object PipelineExtras {
         |SELECT g.event_type, g.bucket,
         |  coalesce(c.cnt, 0) AS cnt,
         |  coalesce(c.sum_val, 0.0) AS sum_val,
+        |  last_value(c.sum_val IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_val,
         |  CAST(CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END AS INT) AS filled
         |FROM g LEFT JOIN c
         |  ON g.event_type = c.event_type AND g.bucket = c.bucket
+        |ORDER BY 1, 2""".stripMargin,
+    "q64_source_overlap" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(text, instr(text, ' ') + 1),
+        |    'src' || CAST((doc_id + 1) % 20 AS VARCHAR)
+        |  FROM documents WHERE n_chars >= 100),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2])) AS s
+        |  FROM aug),
+        |sh2 AS (SELECT * FROM sh WHERE len(s) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+        |SELECT least(sa.source, sb.source) AS source_a,
+        |  greatest(sa.source, sb.source) AS source_b,
+        |  CAST(count(*) AS BIGINT) AS pair_cnt
+        |FROM pairs
+        |JOIN aug sa ON pairs.id_a = sa.doc_id
+        |JOIN aug sb ON pairs.id_b = sb.doc_id
+        |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
     "q63_incr_agg" ->
       """SELECT source, lang,

@@ -68,8 +68,17 @@ object ScaleBench {
     "q54_sessionize", "q55_funnel", "q56_retention",
     "q57_text_normalize", "q58_topk_sketch", "q59_containment_dedup",
     // r7: q60 rides the same key-shifted event copies as q54-q56 — the
-    // chained-window DP is linear in per-user events, user count ×10
-    "q60_sequence_match")
+    // chained-window DP is linear in per-user events, user count ×10.
+    // q61's per-source doc count grows 10× against a fixed quota — the
+    // bounded-heap summaries stay n pairs/key/partition by construction.
+    // q62's grid is bounded by series × calendar range (copies shift
+    // user ids, not time), so only the bucket-count aggregate scales.
+    // q63 merges 10× delta partials into 10×-key state — row counts per
+    // key stay 1 on both sides.
+    "q60_sequence_match", "q61_source_quota", "q62_with_fill",
+    // q64 rides q43's salted-copy shape: no cross-copy trigrams, pair
+    // volume linear; the source-pair aggregate is cells, not rows
+    "q63_incr_agg", "q64_source_overlap")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

@@ -71,6 +71,24 @@ class GapFillSpec extends SparkSuite {
       ("s2", "2024-01-01 02:00:00.0", 1L, 5.0, 0)))
   }
 
+  test("INTERPOLATE columns carry the last observed value across gaps") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "2024-01-01 00:10:00", 7.0),
+      ("s1", "2024-01-01 03:20:00", 2.0))
+      .toDF("k", "ts", "v")
+      .select(col("k"), col("ts").cast("timestamp").as("ts"), col("v"))
+    val got = GapFill.fillTimeBuckets(df, "k", "ts", "1 hour",
+        Seq("cnt" -> count(lit(1)), "sv" -> sum(col("v")),
+          "locf" -> sum(col("v"))),
+        interpolate = Seq("locf"))
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getInt(5)))
+    assert(got.toSeq === Seq(
+      (1L, 7.0, 7.0, 0), (0L, 0.0, 7.0, 1),
+      (0L, 0.0, 7.0, 1), (1L, 2.0, 2.0, 0)))
+  }
+
   test("day step aligns to day boundaries") {
     import spark.implicits._
     val df = Seq(("s", "2024-03-01 23:59:00", 1.0), ("s", "2024-03-04 00:01:00", 2.0))
