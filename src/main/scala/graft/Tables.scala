@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Session factory with the engine's required configuration. All entry
   * points (Verify, Bench, tests) build through here so conf is set once at
@@ -59,11 +59,18 @@ object Tables {
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+    df.schema.find(_.name == "ts").map(_.dataType) match {
       // integral ns→µs division: epoch-nanos (~1.7e18) exceed double's
       // 2^53 exact range, so `/ 1000` (double div) would drift by ~1µs.
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // parquet µs timestamps without isAdjustedToUTC surface as
+      // TIMESTAMP_NTZ; the session tz is pinned to UTC, so the cast is a
+      // lossless reinterpretation and epoch extraction (`unix_micros`)
+      // matches DuckDB's `epoch_us` on the same naive values.
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 }

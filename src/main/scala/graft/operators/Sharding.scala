@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
 import graft.functions.ColumnBridge
 
@@ -58,7 +58,11 @@ case class UnsignedStripeShard(child: Expression, stripe: Long, n: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = IntegerType
 
-  @transient private lazy val secondsInput: Boolean = child.dataType == TimestampType
+  // NTZ timestamps evaluate to the same micros-Long encoding as TIMESTAMP;
+  // without this both-types check an NTZ key would silently stripe raw
+  // micros (observed against regenerated µs-NTZ testdata).
+  @transient private lazy val secondsInput: Boolean =
+    child.dataType == TimestampType || child.dataType == TimestampNTZType
 
   override def nullSafeEval(input: Any): Any = {
     val raw = input match {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.operators.{Sharding, UnsignedMod, UnsignedStripeShard}
 
@@ -32,6 +32,14 @@ class ShardingSpec extends SparkSuite {
     val e = UnsignedStripeShard(
       Literal(7200L * 1000000L + 123456L, TimestampType), 3600, 5)
     assert(e.eval(InternalRow.empty) === 2) // 7200s / 3600 = 2, % 5 = 2
+  }
+
+  test("TIMESTAMP_NTZ keys also stripe on seconds, not raw micros") {
+    // NTZ shares TIMESTAMP's micros-Long encoding; pre-fix it fell through
+    // to the raw-integer branch and striped micros (wrong by 10^6).
+    val e = UnsignedStripeShard(
+      Literal(7200L * 1000000L + 123456L, TimestampNTZType), 3600, 5)
+    assert(e.eval(InternalRow.empty) === 2)
   }
 
   test("unsigned mod differs from pmod for negative hashes") {
