@@ -231,8 +231,6 @@ object Bench {
       "ingest_2m_parquet_write" -> ingestPqSec,
       "ingest_200k_jdbc_derby" -> ingestJdbcSec,
       "stream_intake_500k" -> streamSec)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = queryResults.map(_._2).filter(_ >= 0).sum
     val protocol = "per query: untimed warm-up, then min of 2 timed passes, " +
       "leftover persisted-RDD release + System.gc() between; noop sink; " +
@@ -244,13 +242,37 @@ object Bench {
       "Derby (200k, table truncated between passes); stream_intake: 500k docs, " +
       "16 files, AvailableNow 2 files/trigger, quality gate + state-store " +
       "first-seen dedup, parquet sink + checkpoint in the timed region"
-    System.out.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""ingest_rows_per_sec":${(INGEST_ROWS / ingestSec).toLong},""" +
+    // The driver captures only the LAST 2000 chars of stdout and parses the
+    // JSON line out of that window (BENCH_r05/r06 shipped parsed:null when
+    // the full-name, full-precision line outgrew it). The stdout line
+    // therefore uses the contract's short "q1":sec keys (the qNN prefix is
+    // unique) + 3-decimal seconds (~1.2 KB total); the full-name,
+    // full-precision record — same numbers — lands in BENCH_FULL.json for
+    // humans and the per-round archive.
+    def f3(v: Double): String = f"$v%.3f"
+    val shortKey = Map(
+      "ingest_2m_jsonlog" -> "ingest_json",
+      "ingest_2m_parquet_write" -> "ingest_pq",
+      "ingest_200k_jdbc_derby" -> "ingest_jdbc",
+      "stream_intake_500k" -> "stream")
+    val shortQs = results.map { case (k, v) =>
+      "\"" + shortKey.getOrElse(k, k.takeWhile(_ != '_')) + "\":" + f3(v)
+    }.mkString("{", ",", "}")
+    val rates =
+      s""""ingest_rows_per_sec":${(INGEST_ROWS / ingestSec).toLong},""" +
         s""""ingest_parquet_rows_per_sec":${(INGEST_ROWS / ingestPqSec).toLong},""" +
         s""""ingest_jdbc_rows_per_sec":${(JDBC_ROWS / ingestJdbcSec).toLong},""" +
-        s""""stream_rows_per_sec":${(STREAM_ROWS / streamSec).toLong},""" +
-        s""""protocol":"$protocol","sf":"$sfDir"}""")
+        s""""stream_rows_per_sec":${(STREAM_ROWS / streamSec).toLong}"""
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
+        s"""$rates,"protocol":"$protocol","sf":"$sfDir"}""")
+    System.out.println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+        s""""queries":$shortQs,$rates,""" +
+        s""""protocol":"short keys = qNN prefix of SparkEntry.queries names; full-precision record in repo BENCH_FULL.json","sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }
