@@ -89,6 +89,39 @@ object PipelineExtras {
       .orderBy("source_a", "source_b")
   }
 
+  /** q65: sliding-window token chunking ([[graft.operators.Chunker]]) —
+    * long documents become overlapping 50-token training windows at
+    * stride 40 (10-token overlap), short tails < 10 tokens dropped
+    * unless they are the document's only chunk. Pure narrow projection:
+    * no shuffle until the presentation `orderBy`. */
+  def q65DocChunk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunker.slidingChunks(
+        Tables.parallel(s, dir, "documents"), "doc_id", "text",
+        window = 50, stride = 40, minTail = 10)
+      .orderBy("doc_id", "chunk_id")
+
+  /** q66: per-source adaptive quality cut — keep each source's top 70%
+    * of documents by token count (`10·rank ≤ 7·|source|`, all-integer so
+    * the threshold is exact at every SF). The rank-fraction form is the
+    * scale-stable way to express "per-domain quality quantile": no
+    * floating-point percentile to knife-edge, one window over the
+    * source partition, and skew is bounded by the largest single
+    * source, not the corpus. */
+  def q66QualityTopfrac(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.parallel(s, dir, "documents")
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val bySrc = Window.partitionBy(col("source"))
+    val w = bySrc.orderBy(col("n_tokens").desc, col("doc_id").asc)
+    docs
+      .select(col("source"), col("doc_id"), nTok.as("n_tokens"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("__cnt", count(lit(1)).over(bySrc))
+      .filter(lit(10) * col("rank") <= lit(7) * col("__cnt"))
+      .select("source", "rank", "doc_id", "n_tokens")
+      .orderBy("source", "rank")
+  }
+
   /** One history-state build per (JVM, sfDir): q63's timed region is
     * the daily merge, not the one-time backfill it amortizes (the q51
     * index pattern). */
@@ -110,7 +143,9 @@ object PipelineExtras {
     "q61_source_quota" -> q61SourceQuota _,
     "q62_with_fill" -> q62WithFill _,
     "q63_incr_agg" -> q63IncrAgg _,
-    "q64_source_overlap" -> q64SourceOverlap _)
+    "q64_source_overlap" -> q64SourceOverlap _,
+    "q65_doc_chunk" -> q65DocChunk _,
+    "q66_quality_topfrac" -> q66QualityTopfrac _)
 
   val oracles: Map[String, String] = Map(
     "q61_source_quota" ->
@@ -122,6 +157,30 @@ object PipelineExtras {
         |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rank
         |  FROM documents) t
         |WHERE rank <= 15
+        |ORDER BY source, rank""".stripMargin,
+    "q65_doc_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |             len(string_split(text, ' ')) AS n FROM documents),
+        |e AS (SELECT doc_id, w, n, CAST(i AS BIGINT) AS i
+        |      FROM t, UNNEST(range(1, n + 1, 40)) AS u(i))
+        |SELECT doc_id,
+        |  CAST((i - 1) // 40 AS INT) AS chunk_id,
+        |  array_to_string(w[i:least(i + 49, n)], ' ') AS chunk,
+        |  CAST(least(n - i + 1, 50) AS INT) AS n_tokens
+        |FROM e
+        |WHERE i = 1 OR n - i + 1 >= 10
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q66_quality_topfrac" ->
+      """WITH t AS (SELECT source, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |r AS (SELECT source, doc_id, n_tokens,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY n_tokens DESC, doc_id) AS INT) AS rank,
+        |        count(*) OVER (PARTITION BY source) AS cnt
+        |      FROM t)
+        |SELECT source, rank, doc_id, n_tokens FROM r
+        |WHERE 10 * rank <= 7 * cnt
         |ORDER BY source, rank""".stripMargin,
     "q62_with_fill" ->
       """WITH c AS (
