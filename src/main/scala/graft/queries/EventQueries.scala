@@ -105,11 +105,32 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** q68: ClickHouse `argMax` — latest event per user as a MERGEABLE
+    * AGGREGATE, not a window: `max(struct(ts, event_id, …))` gives
+    * map-side partial maxima that merge associatively, so the shuffle
+    * carries one candidate row per (user × partition) and nothing is
+    * ever sorted — the at-scale winner over the row_number() / ORDER BY
+    * LIMIT 1 formulations whenever only the argmax row is wanted.
+    * Struct comparison is lexicographic, so (ts, event_id) ties break
+    * to the larger event_id deterministically on both sides. */
+  def q68ArgMax(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, dir, "events")
+    e.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("__m"))
+      .select(col("user_id"), col("__m.ts").as("ts"),
+        col("__m.event_id").as("event_id"),
+        col("__m.event_type").as("event_type"),
+        round(col("__m.value"), 6).as("value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_sessionize" -> q54Sessionize _,
     "q55_funnel" -> q55Funnel _,
     "q56_retention" -> q56Retention _,
-    "q60_sequence_match" -> q60SequenceMatch _)
+    "q60_sequence_match" -> q60SequenceMatch _,
+    "q68_arg_max" -> q68ArgMax _)
 
   val oracles: Map[String, String] = Map(
     "q54_sessionize" ->
@@ -220,5 +241,15 @@ object EventQueries {
         |  u.user_id IN (SELECT user_id FROM mg) AS m_gap,
         |  coalesce(cp.c_pairs, 0) AS c_pairs
         |FROM u LEFT JOIN cp USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q68_arg_max" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts, event_id, event_type,
+        |  round(value, 6) AS value
+        |FROM r WHERE rn = 1
         |ORDER BY user_id""".stripMargin)
 }

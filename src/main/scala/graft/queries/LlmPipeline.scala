@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{ColumnBridge, Hashes}
-import graft.operators.{Ann, Bm25, Contamination, CorpusMix, DedupPipeline, DupSpans, JaccardJoin, MinHashLsh, Multimodal, SemanticDedup, SeqPack, SimHash}
+import graft.operators.{Ann, Bm25, Contamination, CorpusMix, DedupPipeline, DupSpans, JaccardJoin, MinHashLsh, Multimodal, Pq, SemanticDedup, SeqPack, SimHash}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
   * (deduplication, similarity search, text analysis, multimodal plumbing),
@@ -318,6 +318,42 @@ object LlmPipeline {
     val emb = Tables.parallel(s, dir, "embeddings")
     Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 10, nCells = 16, nProbe = 8)
+  }
+
+  /** q67: product-quantization ANN ([[graft.operators.Pq]]) — the
+    * memory-compressed corpus path: vectors encoded to m=16 codes once,
+    * the ADC scan shortlists 64 candidates per query over CODES only
+    * (the float corpus is never scanned at query time; PqSpec measures
+    * shortlist-64 recall of the exact top-10 at 0.94), and the exact
+    * cosine rerank joins raw vectors for the shortlist alone — the
+    * standard IVF-PQ deployment shape at 100 TB.
+    *
+    * Oracle: read-back, exactly q28's contract — which candidates the
+    * codes shortlist depends on the trained codebooks (not
+    * SQL-expressible; recall is pinned by PqSpec), but every returned
+    * row is checkable: DuckDB recomputes each pair's cosine from the
+    * raw table and re-derives `rank`, so a wrong score, fabricated id,
+    * or ADC-ordered (instead of rerank-ordered) output breaks the
+    * compare. */
+  def q67PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.parallel(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 16, ksub = 16)
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+    val shortlist = Pq.adcTopK(codes, queries, "vec_id", "embedding", cb, k = 64)
+    val vecs = emb.select(col("vec_id"),
+      Ann.toDoubleArray(col("embedding")).as("__v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    shortlist
+      .join(vecs.withColumnRenamed("vec_id", "nn_id")
+        .withColumnRenamed("__v", "__vc"), "nn_id")
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        Ann.toDoubleArray(col("embedding")).as("__vq"))), "q_id")
+      .withColumn("cos", round(Ann.cosine(col("__vq"), col("__vc")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("q_id", "rank", "nn_id", "cos")
   }
 
   /** q31: winnowing (rolling-hash) near-dup candidates — the MOSS-style
@@ -779,7 +815,7 @@ object LlmPipeline {
   val oracleInputCopies: Seq[String] =
     Seq("q24_simhash_neardup", "q28_ivf_ann", "q31_winnow_neardup",
       "q42_quantiles_approx", "q45_distinct_approx", "q47_semantic_dedup",
-      "q53_reshard")
+      "q53_reshard", "q67_pq_ann")
 
   private def readBack(name: String): String =
     s"read_parquet('$oracleInputDir/$name.parquet/*.parquet')"
@@ -787,6 +823,7 @@ object LlmPipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_minhash_neardup" -> q18MinhashNearDup _,
     "q28_ivf_ann" -> q28IvfAnn _,
+    "q67_pq_ann" -> q67PqAnn _,
     "q31_winnow_neardup" -> q31WinnowNearDup _,
     "q19_ann_topk" -> q19AnnTopK _,
     "q20_lang_id" -> q20LangId _,
@@ -963,6 +1000,21 @@ object LlmPipeline {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |    len(list_distinct(list_concat(a.s, b.s))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q67_pq_ann" ->
+      s"""WITH pairs AS (
+        |  SELECT q_id, nn_id FROM ${readBack("q67_pq_ann")}),
+        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |rescored AS (
+        |  SELECT p.q_id, p.nn_id,
+        |    round(list_cosine_similarity(q.v, c.v), 6) AS cos
+        |  FROM pairs p
+        |  JOIN emb q ON q.vec_id = p.q_id
+        |  JOIN emb c ON c.vec_id = p.nn_id)
+        |SELECT q_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, nn_id ASC) AS INTEGER) AS rank,
+        |  nn_id, cos
+        |FROM rescored ORDER BY q_id, rank""".stripMargin,
     "q28_ivf_ann" ->
       s"""WITH pairs AS (
         |  SELECT q_id, nn_id FROM ${readBack("q28_ivf_ann")}),

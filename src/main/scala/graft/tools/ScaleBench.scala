@@ -78,7 +78,12 @@ object ScaleBench {
     "q60_sequence_match", "q61_source_quota", "q62_with_fill",
     // q64 rides q43's salted-copy shape: no cross-copy trigrams, pair
     // volume linear; the source-pair aggregate is cells, not rows
-    "q63_incr_agg", "q64_source_overlap")
+    "q63_incr_agg", "q64_source_overlap",
+    // r7: q65 is a pure narrow explode — output rows scale with corpus
+    // tokens, no shuffle to stress. q66's window partitions by source
+    // (copies keep the source column), so per-source row count ×10 and
+    // the per-partition sort is the only super-constant term.
+    "q65_doc_chunk", "q66_quality_topfrac")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

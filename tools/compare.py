@@ -39,6 +39,9 @@ def values_equal(a, b) -> bool:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional third arg: write a CORRECTNESS_r{N}.json-shaped artifact
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    results = {}
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -51,29 +54,41 @@ def main():
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        results[name] = rec
         try:
             got = pd.read_parquet(d)
         except Exception as e:
+            rec["err"] = f"cannot read spark output: {e}"
             print(f"FAIL {name}: cannot read spark output: {e}")
             n_fail += 1
             continue
+        rec["spark_rows"] = len(got)
         if name not in oracles:
             print(f"rows {name}: {len(got)} rows (no oracle, rows-only check: "
                   f"{'OK' if len(got) > 0 else 'EMPTY!'})")
+            rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = \
+                len(got) > 0
+            rec["err"] = "rows-only check (no oracle)"
             n_fail += 0 if len(got) > 0 else 1
             continue
         try:
             exp = con.execute(oracles[name]).df()
         except Exception as e:
+            rec["err"] = f"oracle error: {str(e).splitlines()[0]}"
             print(f"FAIL {name}: oracle error: {str(e).splitlines()[0]}")
             n_fail += 1
             continue
+        rec["oracle_rows"] = len(exp)
         g, e = canon(got), canon(exp)
-        if list(g.columns) != list(e.columns):
+        rec["rows_match"] = len(g) == len(e)
+        rec["schema_match"] = list(g.columns) == list(e.columns)
+        if not rec["schema_match"]:
             print(f"FAIL {name}: columns {list(g.columns)} != {list(e.columns)}")
             n_fail += 1
             continue
-        if len(g) != len(e):
+        if not rec["rows_match"]:
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
             n_fail += 1
             continue
@@ -89,9 +104,13 @@ def main():
             print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} duckdb={bad[3]!r}")
             n_fail += 1
         else:
+            rec["hash_match"] = True
             print(f"PASS {name}: {len(g)} rows")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
