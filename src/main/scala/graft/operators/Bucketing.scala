@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table co-location — the standing answer to "this join
+  * shuffles 100 TB every night". Writing both sides `bucketBy(n, key)`
+  * once pins an identical hash partitioning INTO THE TABLE LAYOUT, so
+  * every later equi-join or aggregation on that key reads co-located
+  * buckets and plans a SortMergeJoin with NO Exchange on either side —
+  * the shuffle is paid once at write time, then amortized over every
+  * downstream read ([[graft.streaming.SinkWriter]]'s shard routing is
+  * the streaming cousin; this is the lake-side one).
+  *
+  * The 100 TB discipline encoded here:
+  *  - both sides MUST share the bucket count — mismatched counts
+  *    silently fall back to a full shuffle (Spark only elides the
+  *    exchange when the output partitioning subsumes the required
+  *    distribution), so [[colocatedJoin]] checks and fails loudly;
+  *  - `sortBy` the same key at write time; NOTE that since Spark 3.0
+  *    the scan reports no output ordering by default (multi-file
+  *    buckets made trusting it unsafe), so the join still plans a
+  *    cheap in-bucket Sort — the data-motion win is the Exchange
+  *    elision; flipping
+  *    `spark.sql.legacy.bucketedTableScan.outputOrdering` on a
+  *    one-file-per-bucket layout (which [[writeBucketed]] guarantees)
+  *    removes the Sorts too, and the spec demonstrates both modes;
+  *  - bucket counts should be sized to the TARGET cluster's
+  *    parallelism, not the writer's (a 1000-executor reader of
+  *    32-bucket tables has 968 idle cores in the join stage).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, per-bucket-sorted managed parquet table
+    * (session catalog). One shuffle now, none on any later key join.
+    * The pre-write `repartition(nBuckets, key)` uses the same hash as
+    * the bucket spec, so each bucket lands as ONE file — with several
+    * files per bucket the reader can't trust the per-file sort and the
+    * join re-sorts every bucket, quietly un-earning half the win. */
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
+    df.repartition(nBuckets, df(key))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  private def bucketCount(spark: SparkSession, table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $table is not bucketed — colocatedJoin would silently shuffle"))
+
+  /** Equi-join two same-bucketed tables on `key`, guaranteed
+    * exchange-free (bucket counts are verified up front rather than
+    * letting the planner quietly insert the shuffle back). */
+  def colocatedJoin(
+      spark: SparkSession, left: String, right: String,
+      key: String): DataFrame = {
+    val (lb, rb) = (bucketCount(spark, left), bucketCount(spark, right))
+    require(lb == rb,
+      s"bucket counts differ ($left=$lb, $right=$rb): the exchange-free " +
+        "plan needs identical bucketing — rewrite one side")
+    spark.table(left).join(spark.table(right), key)
+  }
+}
