@@ -249,7 +249,10 @@ object Bench {
     // unique) + 3-decimal seconds (~1.2 KB total); the full-name,
     // full-precision record — same numbers — lands in BENCH_FULL.json for
     // humans and the per-round archive.
-    def f3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // a comma-decimal locale would render 1,234 — invalid JSON
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val shortKey = Map(
       "ingest_2m_jsonlog" -> "ingest_json",
       "ingest_2m_parquet_write" -> "ingest_pq",

@@ -30,6 +30,32 @@ private[graft] object PqMath {
     while (i < n) { v(i) *= inv; i += 1 }
     v
   }
+
+  /** Squared L2 between `v[off, off+cent.length)` and `cent` — the ONE
+    * distance kernel shared by encode, query-table scoring, and k-means
+    * assignment, so the three can never drift apart. */
+  def sliceDist(v: Array[Double], off: Int, cent: Array[Double]): Double = {
+    var d = 0.0
+    var j = 0
+    while (j < cent.length) {
+      val diff = v(off + j) - cent(j); d += diff * diff; j += 1
+    }
+    d
+  }
+
+  /** Lowest-distance codeword index (ties to the lowest code). */
+  def nearestCode(
+      v: Array[Double], off: Int, cb: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cb.length) {
+      val d = sliceDist(v, off, cb(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
 }
 
 /** Per-subspace nearest-codeword id of the unit-normalized vector:
@@ -53,22 +79,7 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     val out = new Array[Any](m)
     var s = 0
     while (s < m) {
-      val cb = cents(s)
-      val off = s * dsub
-      var best = 0
-      var bestD = Double.MaxValue
-      var c = 0
-      while (c < cb.length) {
-        val cent = cb(c)
-        var d = 0.0
-        var j = 0
-        while (j < dsub) {
-          val diff = v(off + j) - cent(j); d += diff * diff; j += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      out(s) = best
+      out(s) = PqMath.nearestCode(v, s * dsub, cents(s))
       s += 1
     }
     new GenericArrayData(out)
@@ -106,13 +117,7 @@ case class PqQueryTables(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
       val row = new Array[Any](cb.length)
       var c = 0
       while (c < cb.length) {
-        val cent = cb(c)
-        var d = 0.0
-        var j = 0
-        while (j < dsub) {
-          val diff = v(off + j) - cent(j); d += diff * diff; j += 1
-        }
-        row(c) = d
+        row(c) = PqMath.sliceDist(v, off, cb(c))
         c += 1
       }
       tables(s) = new GenericArrayData(row)

@@ -43,23 +43,31 @@ object Bucketing {
       .bucketBy(nBuckets, key).sortBy(key)
       .saveAsTable(table)
 
-  private def bucketCount(spark: SparkSession, table: String): Int =
+  private def bucketSpecOf(spark: SparkSession, table: String) =
     spark.sessionState.catalog
       .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
-      .bucketSpec.map(_.numBuckets)
+      .bucketSpec
       .getOrElse(throw new IllegalArgumentException(
         s"table $table is not bucketed — colocatedJoin would silently shuffle"))
 
   /** Equi-join two same-bucketed tables on `key`, guaranteed
-    * exchange-free (bucket counts are verified up front rather than
-    * letting the planner quietly insert the shuffle back). */
+    * exchange-free (bucket counts AND bucket columns are verified up
+    * front rather than letting the planner quietly insert the shuffle
+    * back — a table bucketed on a different column passes the count
+    * check but its scan partitioning can't satisfy the join). */
   def colocatedJoin(
       spark: SparkSession, left: String, right: String,
       key: String): DataFrame = {
-    val (lb, rb) = (bucketCount(spark, left), bucketCount(spark, right))
-    require(lb == rb,
-      s"bucket counts differ ($left=$lb, $right=$rb): the exchange-free " +
-        "plan needs identical bucketing — rewrite one side")
+    val (ls, rs) = (bucketSpecOf(spark, left), bucketSpecOf(spark, right))
+    require(ls.numBuckets == rs.numBuckets,
+      s"bucket counts differ ($left=${ls.numBuckets}, " +
+        s"$right=${rs.numBuckets}): the exchange-free plan needs " +
+        "identical bucketing — rewrite one side")
+    Seq(left -> ls, right -> rs).foreach { case (t, s) =>
+      require(s.bucketColumnNames == Seq(key),
+        s"table $t is bucketed on ${s.bucketColumnNames.mkString(",")}, " +
+          s"not on join key $key — the join would silently shuffle")
+    }
     spark.table(left).join(spark.table(right), key)
   }
 }

@@ -37,8 +37,15 @@ object Chunker {
       window: Int = 50, stride: Int = 40, minTail: Int = 10): DataFrame = {
     require(window > 0 && stride > 0 && minTail >= 0,
       s"window/stride must be positive, got window=$window stride=$stride minTail=$minTail")
+    // minTail > window would silently drop FULL interior windows (every
+    // non-first chunk has n_tokens <= window), not just tails
+    require(minTail <= window,
+      s"minTail=$minTail > window=$window would drop interior windows")
     val toks: Column = split(col(textCol), " ")
     docs
+      // null text: split→null, size→-1, and sequence(1,-1) THROWS; the
+      // oracle's range(1, NULL+1) emits no rows — drop, don't crash
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), toks.as("__w"), size(toks).as("__n"))
       .select(col(idCol), col("__w"), col("__n"),
         posexplode(sequence(lit(1), col("__n"), lit(stride)))

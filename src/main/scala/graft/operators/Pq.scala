@@ -101,16 +101,9 @@ object Pq {
       var i = 0
       while (i < xs.length) {
         val x = xs(i)
-        var best = 0
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < cents.length) {
-          var dist = 0.0
-          var j = 0
-          while (j < d) { val t = x(j) - cents(c)(j); dist += t * t; j += 1 }
-          if (dist < bestD) { bestD = dist; best = c }
-          c += 1
-        }
+        // same kernel as PqEncode/PqQueryTables (graft.functions.PqMath)
+        // so training, encoding, and scoring can never drift apart
+        val best = graft.functions.PqMath.nearestCode(x, 0, cents)
         val acc = sums(best)
         var j = 0
         while (j < d) { acc(j) += x(j); j += 1 }

@@ -69,6 +69,25 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("bucketed-on-a-different-column table is rejected") {
+    import spark.implicits._
+    try {
+      Bucketing.writeBucketed(
+        spark.range(10).select(col("id").as("k"), (col("id") + 1).as("other")),
+        "bkt_k", "k", 4)
+      Bucketing.writeBucketed(
+        spark.range(10).select(col("id").as("k"), (col("id") + 1).as("other")),
+        "bkt_other", "other", 4)
+      val e = intercept[IllegalArgumentException] {
+        Bucketing.colocatedJoin(spark, "bkt_k", "bkt_other", "k")
+      }
+      assert(e.getMessage.contains("not on join key"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_k")
+      spark.sql("DROP TABLE IF EXISTS bkt_other")
+    }
+  }
+
   test("unbucketed table is rejected") {
     import spark.implicits._
     try {

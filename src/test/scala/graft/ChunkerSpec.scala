@@ -41,6 +41,25 @@ class ChunkerSpec extends SparkSuite {
       Seq((0, "solo", 1)))
   }
 
+  test("null text rows are dropped, not crashed on (oracle parity)") {
+    import spark.implicits._
+    val got = Chunker.slidingChunks(
+        Seq((1L, "a b c"), (2L, null)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L))
+  }
+
+  test("minTail > window is rejected (would drop interior windows)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Chunker.slidingChunks(df, "doc_id", "text",
+        window = 50, stride = 50, minTail = 60)
+    }
+    assert(e.getMessage.contains("interior"))
+  }
+
   test("plan is shuffle-free (narrow explode only)") {
     import spark.implicits._
     val plan = Chunker.slidingChunks(
