@@ -122,6 +122,26 @@ object PipelineExtras {
       .orderBy("source", "rank")
   }
 
+  /** q69: deterministic stratified sampling — the reproducible-subset
+    * primitive every corpus experiment needs ("the same 10% sample,
+    * every run, on any cluster"). Selection is a pure function of
+    * (doc_id, literal): Knuth-hash priority < threshold, so the sample
+    * is stable under partitioning, retries, and data layout — none of
+    * which is true of `rand()`-based sampling (`TABLESAMPLE` draws a
+    * different subset per run and per partitioning). The per-source
+    * acceptance counts ride the same scan; no second pass. */
+  def q69HashSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(s, dir, "documents")
+    // ~10%: priority ∈ [0, 1e9+7) uniform-ish; threshold = floor(p/10)
+    val pri = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+    docs
+      .filter(pri < lit(100000000L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("source")
+  }
+
   /** One history-state build per (JVM, sfDir): q63's timed region is
     * the daily merge, not the one-time backfill it amortizes (the q51
     * index pattern). */
@@ -145,7 +165,8 @@ object PipelineExtras {
     "q63_incr_agg" -> q63IncrAgg _,
     "q64_source_overlap" -> q64SourceOverlap _,
     "q65_doc_chunk" -> q65DocChunk _,
-    "q66_quality_topfrac" -> q66QualityTopfrac _)
+    "q66_quality_topfrac" -> q66QualityTopfrac _,
+    "q69_hash_sample" -> q69HashSample _)
 
   val oracles: Map[String, String] = Map(
     "q61_source_quota" ->
@@ -170,6 +191,13 @@ object PipelineExtras {
         |FROM e
         |WHERE i = 1 OR n - i + 1 >= 10
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q69_hash_sample" ->
+      """SELECT source, count(*) AS n_sampled,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 1000000007 < 100000000
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "q66_quality_topfrac" ->
       """WITH t AS (SELECT source, doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
