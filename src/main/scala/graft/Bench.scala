@@ -213,7 +213,11 @@ object Bench {
         .withColumn("fp",
           graft.functions.Hashes.xxhash64Seed0(lower(trim(col("text")))))
       val t0 = System.nanoTime()
-      graft.streaming.StatefulDedup.firstSeen(admitted, "fp")
+      // the TTL-0 exact gate rides the NATIVE streaming dedup operator
+      // (same state store, no object shuffle) — see firstSeenExact's doc;
+      // the TTL/observability variant firstSeen is benched by
+      // tools/StateStoreBench
+      graft.streaming.StatefulDedup.firstSeenExact(admitted, "fp")
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ck)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -240,8 +244,9 @@ object Bench {
       "write variants: same pipeline into idempotent parquet lake sink (2M) " +
       "and JdbcInsertTarget batched inserts via ConnectionPool into embedded " +
       "Derby (200k, table truncated between passes); stream_intake: 500k docs, " +
-      "16 files, AvailableNow 2 files/trigger, quality gate + state-store " +
-      "first-seen dedup, parquet sink + checkpoint in the timed region"
+      "16 files, AvailableNow 2 files/trigger, quality gate + native " +
+      "streaming-dedup first-seen gate (state store, codegen path), " +
+      "parquet sink + checkpoint in the timed region"
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window (BENCH_r05/r06 shipped parsed:null when
     // the full-name, full-precision line outgrew it). The stdout line

@@ -24,9 +24,10 @@ import graft.functions.ColumnBridge
   * (e.g. suppressing duplicate series rows from the metric stream itself).
   *
   * State-store provider is a deployment dial, deliberately not set here:
-  * the default HDFS-backed store keeps ALL state in executor heap — fastest
-  * while state fits (measured 7.8 s vs RocksDB's 9.8 s on the 450 K-key
-  * bench intake, `tools/StateStoreBench`), but an OOM wall when it doesn't.
+  * the default HDFS-backed store keeps ALL state in executor heap — fast
+  * while state fits (r7 measurement on the 450 K-key bench intake,
+  * `tools/StateStoreBench`: 9.3 s HDFS vs 8.3 s RocksDB vs 6.9 s for the
+  * native-operator path below), but an OOM wall when it doesn't.
   * At 100 TB-scale key domains set
   * `spark.sql.streaming.stateStore.providerClass` to
   * `RocksDBStateStoreProvider` (+ changelog checkpointing): state moves
@@ -83,6 +84,22 @@ object StatefulDedup {
           }
       }
   }
+
+  /** The TTL-0 exact case of [[firstSeen]] on Spark's NATIVE streaming
+    * dedup operator (`dropDuplicates` → `StreamingDeduplicateExec`):
+    * identical first-seen-admit semantics and the same key-partitioned
+    * state store, but the per-row path stays inside codegen — no
+    * `groupByKey` object shuffle, no Row-encoder round trip, no Scala
+    * closure per group. Measured on the 500 K-doc bench intake
+    * (`tools/StateStoreBench`, r7): 6.9 s vs 9.3 s — 34% faster, 72 K
+    * rows/s. Use [[firstSeen]]
+    * when you need the TTL dial or duplicate-count observability from
+    * the state callback; use this when you need throughput on the
+    * forever-exact gate. In-batch ties: `dropDuplicates` keeps an
+    * arbitrary row of a key's first batch (vs [[firstSeen]]'s
+    * iterator-order first) — both admit exactly one. */
+  def firstSeenExact(df: DataFrame, keyCol: String): DataFrame =
+    df.dropDuplicates(Seq(keyCol))
 
   /** Online APPROXIMATE near-dup gate (flag-on variant of the exact
     * first-seen gate above; the batch MinHash-LSH job

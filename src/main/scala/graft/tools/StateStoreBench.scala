@@ -20,7 +20,9 @@ object StateStoreBench {
       .repartition(16).write.mode("overwrite").parquet(s"$base/in")
     val schema = spark.read.parquet(s"$base/in").schema
 
-    def run(tag: String, provider: Option[String]): Double = {
+    def run(tag: String, provider: Option[String],
+        gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Double = {
       provider.foreach(p =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
       def once(pass: String): Double = {
@@ -33,7 +35,7 @@ object StateStoreBench {
           .withColumn("fp",
             graft.functions.Hashes.xxhash64Seed0(lower(trim(col("text")))))
         val t0 = System.nanoTime()
-        graft.streaming.StatefulDedup.firstSeen(admitted, "fp")
+        gate(admitted)
           .writeStream.format("parquet")
           .option("path", s"$base/out_${tag}_$pass")
           .option("checkpointLocation", s"$base/ck_${tag}_$pass")
@@ -46,9 +48,18 @@ object StateStoreBench {
       println(f"[ssbench] $tag%-8s $t%6.2f s  (${rows / t}%.0f rows/s)")
       t
     }
-    run("hdfs", None)
+    val fmgws = (df: org.apache.spark.sql.DataFrame) =>
+      graft.streaming.StatefulDedup.firstSeen(df, "fp")
+    val native = (df: org.apache.spark.sql.DataFrame) =>
+      graft.streaming.StatefulDedup.firstSeenExact(df, "fp")
+    run("hdfs", None, fmgws)
     run("rocksdb", Some(
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+      fmgws)
+    // back to the default provider for the native-operator row
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    run("native", None, native)
     spark.stop()
   }
 }
