@@ -245,7 +245,8 @@ object Bench {
       "and JdbcInsertTarget batched inserts via ConnectionPool into embedded " +
       "Derby (200k, table truncated between passes); stream_intake: 500k docs, " +
       "16 files, AvailableNow 2 files/trigger, quality gate + native " +
-      "streaming-dedup first-seen gate (state store, codegen path), " +
+      "streaming-dedup first-seen gate (StreamingDeduplicateExec, " +
+      "UnsafeRow state-store path), " +
       "parquet sink + checkpoint in the timed region"
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window (BENCH_r05/r06 shipped parsed:null when

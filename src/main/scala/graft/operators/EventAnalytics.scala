@@ -129,4 +129,35 @@ object EventAnalytics {
     * oracle's `CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE)`). */
   def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** ClickHouse `groupArrayMovingSum(n)` / `groupArrayMovingAvg(n)`
+    * (docs: "moving sum/average of input values over a window of size
+    * n"), flattened from CH's array-per-group form to the equivalent
+    * one-row-per-event stream: for each event in (`timeCol`, `tieCol`)
+    * order within `keyCol`, the sum/avg of the last `n` values
+    * INCLUDING the current one (frame shorter than n at the head, like
+    * CH before the window fills). Appends `mv_sum`, `mv_avg`, `mv_n`.
+    *
+    * Scale shape: one key-hash shuffle; the window sort is per-key and
+    * bounded by that key's event count (the same property as
+    * [[sessionize]] — at 100 TB the sort never sees more than one
+    * user's history). The sum is routed through DECIMAL(18,4) so the
+    * moving value is exact and independent of how the engine evaluates
+    * the frame (Spark re-scans the sliding frame; DuckDB merges segment
+    * trees — associative only because the addition is exact). */
+  def movingAgg(
+      events: DataFrame, keyCol: String, timeCol: String, tieCol: String,
+      valCol: String, n: Int): DataFrame = {
+    require(n > 0, s"window size must be positive, got $n")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col(tieCol))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val mvSum = sum(col(valCol).cast(DecimalType(18, 4))).over(w)
+      .cast("double")
+    val mvN = count(lit(1)).over(w)
+    events
+      .withColumn("mv_sum", mvSum)
+      .withColumn("mv_n", mvN)
+      .withColumn("mv_avg", round(col("mv_sum") / col("mv_n"), 6))
+  }
 }

@@ -125,12 +125,27 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** q70: ClickHouse `groupArrayMovingSum(7)` / `groupArrayMovingAvg(7)`
+    * over each user's value stream, flattened to one row per event
+    * ([[EventAnalytics.movingAgg]]). Same single user-keyed shuffle as
+    * q54–q56; the DECIMAL-routed sum keeps the moving value exact, so
+    * Spark's frame re-scan and DuckDB's segment-tree merge agree
+    * bit-for-bit. */
+  def q70MovingAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, dir, "events")
+    EventAnalytics.movingAgg(e, "user_id", "ts", "event_id", "value", 7)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("mv_sum"), col("mv_avg"), col("mv_n"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_sessionize" -> q54Sessionize _,
     "q55_funnel" -> q55Funnel _,
     "q56_retention" -> q56Retention _,
     "q60_sequence_match" -> q60SequenceMatch _,
-    "q68_arg_max" -> q68ArgMax _)
+    "q68_arg_max" -> q68ArgMax _,
+    "q70_moving_agg" -> q70MovingAgg _)
 
   val oracles: Map[String, String] = Map(
     "q54_sessionize" ->
@@ -251,5 +266,16 @@ object EventQueries {
         |SELECT user_id, ts, event_id, event_type,
         |  round(value, 6) AS value
         |FROM r WHERE rn = 1
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    "q70_moving_agg" ->
+      """SELECT user_id, event_id, ts,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    AS mv_sum,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    / count(*) OVER w, 6) AS mv_avg,
+        |  CAST(count(*) OVER w AS BIGINT) AS mv_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin)
 }

@@ -132,8 +132,11 @@ object PipelineExtras {
     * acceptance counts ride the same scan; no second pass. */
   def q69HashSample(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallel(s, dir, "documents")
-    // ~10%: priority ∈ [0, 1e9+7) uniform-ish; threshold = floor(p/10)
-    val pri = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+    // ~10%: priority ∈ [0, 1e9+7) uniform-ish; threshold = floor(p/10).
+    // Same Knuth-hash priority as q61's quota (pmod keeps the invariant
+    // even for negative ids, where sign-preserving % would silently
+    // admit every row).
+    val pri = graft.operators.SourceQuota.hashPriority(col("doc_id"))
     docs
       .filter(pri < lit(100000000L))
       .groupBy(col("source"))

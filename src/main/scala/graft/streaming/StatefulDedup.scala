@@ -24,15 +24,16 @@ import graft.functions.ColumnBridge
   * (e.g. suppressing duplicate series rows from the metric stream itself).
   *
   * State-store provider is a deployment dial, deliberately not set here:
-  * the default HDFS-backed store keeps ALL state in executor heap — fast
-  * while state fits (r7 measurement on the 450 K-key bench intake,
-  * `tools/StateStoreBench`: 9.3 s HDFS vs 8.3 s RocksDB vs 6.9 s for the
-  * native-operator path below), but an OOM wall when it doesn't.
-  * At 100 TB-scale key domains set
-  * `spark.sql.streaming.stateStore.providerClass` to
+  * the default HDFS-backed store keeps ALL state in executor heap and
+  * hits an OOM wall when state outgrows it. At 100 TB-scale key domains
+  * set `spark.sql.streaming.stateStore.providerClass` to
   * `RocksDBStateStoreProvider` (+ changelog checkpointing): state moves
-  * off-heap and spills to local disk, trading ~25% per-batch overhead for
-  * unbounded state. Both providers pass this operator's restart spec.
+  * off-heap and spills to local disk, so state size is unbounded — and on
+  * this workload it isn't even a throughput trade (r7 measurement on the
+  * 450 K-key bench intake, `tools/StateStoreBench`: 9.3 s HDFS vs 8.3 s
+  * RocksDB vs 6.9 s for the native-operator path below; RocksDB's
+  * maintenance work overlaps the heap store's snapshot cost). Both
+  * providers pass this operator's restart spec.
   */
 object StatefulDedup {
 
@@ -88,9 +89,11 @@ object StatefulDedup {
   /** The TTL-0 exact case of [[firstSeen]] on Spark's NATIVE streaming
     * dedup operator (`dropDuplicates` → `StreamingDeduplicateExec`):
     * identical first-seen-admit semantics and the same key-partitioned
-    * state store, but the per-row path stays inside codegen — no
+    * state store, but the per-row path works on UnsafeRow directly — no
     * `groupByKey` object shuffle, no Row-encoder round trip, no Scala
-    * closure per group. Measured on the 500 K-doc bench intake
+    * closure per group. (`StreamingDeduplicateExec` itself is outside
+    * whole-stage codegen, as all stateful operators are; the win is the
+    * avoided object churn, not codegen.) Measured on the 500 K-doc bench intake
     * (`tools/StateStoreBench`, r7): 6.9 s vs 9.3 s — 34% faster, 72 K
     * rows/s. Use [[firstSeen]]
     * when you need the TTL dial or duplicate-count observability from

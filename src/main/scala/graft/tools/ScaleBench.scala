@@ -83,7 +83,17 @@ object ScaleBench {
     // tokens, no shuffle to stress. q66's window partitions by source
     // (copies keep the source column), so per-source row count ×10 and
     // the per-partition sort is the only super-constant term.
-    "q65_doc_chunk", "q66_quality_topfrac")
+    "q65_doc_chunk", "q66_quality_topfrac",
+    // q67: queries stay the fixed 10 (copy offsets shift vec_ids well
+    // past 10), so the ratio measures train (sampled kmeans) + encode
+    // (pure map) + ADC probe over a 10× corpus with a broadcast
+    // codebook. q68 is one partial-agg shuffle of a single struct per
+    // user, user count ×10. q69 is a full scan + map-side filter into
+    // a per-source count — the cheapest possible shape; ratio ≈ scan.
+    "q67_pq_ann", "q68_arg_max", "q69_hash_sample",
+    // q70 rides the key-shifted event copies like q54-q56: user count
+    // ×10, per-user history (the window sort bound) constant.
+    "q70_moving_agg")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

@@ -2,9 +2,12 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** A/B of the HDFS-backed (default, state lives in executor heap) vs
-  * RocksDB (off-heap, the large-state scale path) state store providers
-  * on the Bench stream-intake workload shape. */
+/** A/B/C on the Bench stream-intake workload shape: the
+  * `flatMapGroupsWithState` first-seen gate on the HDFS-backed (default,
+  * state in executor heap) vs RocksDB (off-heap, the large-state scale
+  * path) state store providers, plus a third row benching the
+  * native-operator gate (`firstSeenExact` → `StreamingDeduplicateExec`)
+  * on the default provider. */
 object StateStoreBench {
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.builder("32").getOrCreate()
@@ -56,10 +59,10 @@ object StateStoreBench {
     run("rocksdb", Some(
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
       fmgws)
-    // back to the default provider for the native-operator row
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-    run("native", None, native)
+    // provider passed explicitly: the rocksdb row left the conf on RocksDB
+    run("native", Some(
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"),
+      native)
     spark.stop()
   }
 }

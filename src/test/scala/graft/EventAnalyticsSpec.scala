@@ -172,4 +172,50 @@ class EventAnalyticsSpec extends SparkSuite {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(got === Set((0L, 2L, 2L, 1.0), (2L, 1L, 2L, 0.5)))
   }
+
+  // --- movingAgg ------------------------------------------------------
+
+  test("movingAgg matches a sliding-window model on seeded random streams") {
+    val rnd = new scala.util.Random(29)
+    val events = (1L to 15L).flatMap { u =>
+      (0 until 1 + rnd.nextInt(20)).map { i =>
+        // duplicate times within a user force the (time, tie) order;
+        // 4-dp values keep the DECIMAL(18,4) route exact
+        (u, rnd.nextInt(8).toLong, i.toLong,
+          math.round(rnd.nextDouble() * 1e4) / 1e4)
+      }
+    }
+    val df = events.toDF("user_id", "__us", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("__us")))
+    val n = 5
+    val got = EventAnalytics
+      .movingAgg(df, "user_id", "ts", "event_id", "value", n)
+      .select("user_id", "event_id", "mv_sum", "mv_avg", "mv_n")
+      .as[(Long, Long, Double, Double, Long)].collect()
+      .map { case (u, e, s, a, c) => (u, e) -> ((s, a, c)) }.toMap
+    val byUser = events.groupBy(_._1)
+    for ((u, rows) <- byUser; sorted = rows.sortBy(r => (r._2, r._3));
+         (row, i) <- sorted.zipWithIndex) {
+      val frame = sorted.slice(math.max(0, i - n + 1), i + 1)
+      // model the decimal route: exact 4-dp integer arithmetic
+      val sumCents = frame.map(r => math.round(r._4 * 1e4)).sum
+      val expSum = sumCents / 1e4
+      val (gotSum, gotAvg, gotN) = got((u, row._3))
+      assert(gotN === frame.size.toLong, s"n at ($u,${row._3})")
+      assert(gotSum === expSum, s"sum at ($u,${row._3})")
+      val expAvg = math.round(expSum / frame.size * 1e6) / 1e6
+      assert(math.abs(gotAvg - expAvg) <= 1e-9, s"avg at ($u,${row._3})")
+    }
+  }
+
+  test("movingAgg head frames are shorter than n, never empty") {
+    val df = Seq((1L, 1L, 1L, 2.5), (1L, 2L, 2L, 1.5), (1L, 3L, 3L, 4.0))
+      .toDF("user_id", "__us", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("__us")))
+    val got = EventAnalytics.movingAgg(df, "user_id", "ts", "event_id",
+        "value", 2)
+      .select("event_id", "mv_sum", "mv_n")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2.5, 1L), (2L, 4.0, 2L), (3L, 5.5, 2L)))
+  }
 }
