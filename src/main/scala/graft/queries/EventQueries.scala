@@ -139,13 +139,33 @@ object EventQueries {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** q71: ClickHouse `uniqUpTo(64)(event_id)` per user — exact distinct
+    * count saturating at 65 ([[graft.functions.BoundedDistinct]]).
+    * Unlike `count(distinct)`, whose state is the full value set (an
+    * expand + re-shuffle in Spark's plan), the bounded buffer keeps
+    * ≤ 65 longs per (user × partition) and merges map-side. N=64 is
+    * chosen so BOTH branches populate in the test data (sf0.01: 85
+    * saturated / 65 exact users), so the gate discriminates saturation
+    * from plain counting. */
+  def q71UniqUpto(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{BoundedDistinct, ColumnBridge}
+    val e = Tables.parallel(s, dir, "events")
+    val uniq = ColumnBridge.col(
+      BoundedDistinct(ColumnBridge.expr(col("event_id")), 64)
+        .toAggregateExpression())
+    e.groupBy(col("user_id"))
+      .agg(uniq.as("u_events"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_sessionize" -> q54Sessionize _,
     "q55_funnel" -> q55Funnel _,
     "q56_retention" -> q56Retention _,
     "q60_sequence_match" -> q60SequenceMatch _,
     "q68_arg_max" -> q68ArgMax _,
-    "q70_moving_agg" -> q70MovingAgg _)
+    "q70_moving_agg" -> q70MovingAgg _,
+    "q71_uniq_upto" -> q71UniqUpto _)
 
   val oracles: Map[String, String] = Map(
     "q54_sessionize" ->
@@ -277,5 +297,10 @@ object EventQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, ts, event_id""".stripMargin)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q71_uniq_upto" ->
+      """SELECT user_id,
+        |  CAST(least(count(DISTINCT event_id), 65) AS BIGINT) AS u_events
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)
 }

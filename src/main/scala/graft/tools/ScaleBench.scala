@@ -92,8 +92,10 @@ object ScaleBench {
     // a per-source count — the cheapest possible shape; ratio ≈ scan.
     "q67_pq_ann", "q68_arg_max", "q69_hash_sample",
     // q70 rides the key-shifted event copies like q54-q56: user count
-    // ×10, per-user history (the window sort bound) constant.
-    "q70_moving_agg")
+    // ×10, per-user history (the window sort bound) constant. q71's
+    // shuffle is bounded summaries (≤ N+1 longs per key × partition)
+    // no matter how events scale.
+    "q70_moving_agg", "q71_uniq_upto")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")
@@ -177,6 +179,12 @@ object ScaleBench {
       val b = time(n, OUT)
       val r = b / a
       System.err.println(f"[scale] $n%-22s sf0.1 $a%6.2f s   sf1 $b%7.2f s   ratio ${r}%5.2f")
+      // fail loudly, not quietly in a JSON artifact: at 10x data, a
+      // ratio past the data ratio means the plan got super-linear
+      // (q29's exact global sort is the one documented exception)
+      if (r > 10.0 && n != "q29_quantiles")
+        System.err.println(
+          f"[scale] SUPER-LINEAR $n ratio $r%.2f exceeds the 10x data ratio - plan regression")
       n -> ((a, b, r))
     }
     // merge into the existing file: an args-restricted run refreshes its
