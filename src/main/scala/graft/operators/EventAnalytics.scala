@@ -135,8 +135,12 @@ object EventAnalytics {
     * n"), flattened from CH's array-per-group form to the equivalent
     * one-row-per-event stream: for each event in (`timeCol`, `tieCol`)
     * order within `keyCol`, the sum/avg of the last `n` values
-    * INCLUDING the current one (frame shorter than n at the head, like
-    * CH before the window fills). Appends `mv_sum`, `mv_avg`, `mv_n`.
+    * INCLUDING the current one. CH head-frame semantics: the sum covers
+    * only the values seen so far, but the avg STILL divides by the full
+    * window size n (docs example: `groupArrayMovingAvg(2)` over
+    * [1,2,4,7] → first element 1/2, not 1/1). Appends `mv_sum`,
+    * `mv_avg`, and `mv_n` (the filled frame count, so a filled-frame
+    * mean is one division away when that is what's wanted).
     *
     * Scale shape: one key-hash shuffle; the window sort is per-key and
     * bounded by that key's event count (the same property as
@@ -158,6 +162,6 @@ object EventAnalytics {
     events
       .withColumn("mv_sum", mvSum)
       .withColumn("mv_n", mvN)
-      .withColumn("mv_avg", round(col("mv_sum") / col("mv_n"), 6))
+      .withColumn("mv_avg", round(col("mv_sum") / lit(n), 6))
   }
 }

@@ -24,9 +24,10 @@ import graft.functions.ColumnBridge
   */
 object SourceQuota {
 
-  /** Knuth multiplicative hash of a non-negative id — deterministic,
-    * uniform-ish, and exactly expressible in portable SQL (`(id *
-    * 2654435761) % 1000000007`), which keeps quota selection
+  /** Knuth multiplicative hash of an id — deterministic, uniform-ish,
+    * non-negative for ANY id (pmod), and exactly expressible in
+    * portable SQL (`((id * 2654435761) % m + m) % m`, the
+    * sign-preserving-% spelling of pmod), which keeps quota selection
     * oracle-checkable without either side reimplementing xxhash. */
   def hashPriority(id: Column): Column =
     pmod(id * lit(2654435761L), lit(1000000007L))

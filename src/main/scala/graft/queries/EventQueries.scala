@@ -292,7 +292,7 @@ object EventQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
         |    AS mv_sum,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
-        |    / count(*) OVER w, 6) AS mv_avg,
+        |    / 7, 6) AS mv_avg,
         |  CAST(count(*) OVER w AS BIGINT) AS mv_n
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id

@@ -173,12 +173,17 @@ object PipelineExtras {
 
   val oracles: Map[String, String] = Map(
     "q61_source_quota" ->
+      // the double-% form is DuckDB's pmod: non-negative like the Spark
+      // side's pmod even if a future data generation ships negative ids
+      // (a multiply overflow errors loudly in DuckDB instead of wrapping)
       """SELECT source, CAST(rank AS INT) AS rank, doc_id,
-        |  (doc_id * 2654435761) % 1000000007 AS pri
+        |  ((doc_id * 2654435761) % 1000000007 + 1000000007) % 1000000007
+        |    AS pri
         |FROM (
         |  SELECT source, doc_id,
         |    row_number() OVER (PARTITION BY source
-        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rank
+        |      ORDER BY ((doc_id * 2654435761) % 1000000007 + 1000000007)
+        |        % 1000000007, doc_id) AS rank
         |  FROM documents) t
         |WHERE rank <= 15
         |ORDER BY source, rank""".stripMargin,
@@ -198,7 +203,8 @@ object PipelineExtras {
       """SELECT source, count(*) AS n_sampled,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 1000000007 < 100000000
+        |WHERE ((doc_id * 2654435761) % 1000000007 + 1000000007)
+        |  % 1000000007 < 100000000
         |GROUP BY source
         |ORDER BY source""".stripMargin,
     "q66_quality_topfrac" ->

@@ -203,7 +203,9 @@ class EventAnalyticsSpec extends SparkSuite {
       val (gotSum, gotAvg, gotN) = got((u, row._3))
       assert(gotN === frame.size.toLong, s"n at ($u,${row._3})")
       assert(gotSum === expSum, s"sum at ($u,${row._3})")
-      val expAvg = math.round(expSum / frame.size * 1e6) / 1e6
+      // CH semantics: avg divides by the window size n even on short
+      // head frames
+      val expAvg = math.round(expSum / n * 1e6) / 1e6
       assert(math.abs(gotAvg - expAvg) <= 1e-9, s"avg at ($u,${row._3})")
     }
   }
@@ -214,8 +216,10 @@ class EventAnalyticsSpec extends SparkSuite {
       .withColumn("ts", timestamp_micros(col("__us")))
     val got = EventAnalytics.movingAgg(df, "user_id", "ts", "event_id",
         "value", 2)
-      .select("event_id", "mv_sum", "mv_n")
-      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
-    assert(got === Seq((1L, 2.5, 1L), (2L, 4.0, 2L), (3L, 5.5, 2L)))
+      .select("event_id", "mv_sum", "mv_avg", "mv_n")
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    // head frame: sum covers the 1 value seen, avg still divides by n=2
+    assert(got === Seq((1L, 2.5, 1.25, 1L), (2L, 4.0, 2.0, 2L),
+      (3L, 5.5, 2.75, 2L)))
   }
 }
