@@ -130,6 +130,32 @@ object EventAnalytics {
   def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(18, 4))).cast("double")
 
+  /** ClickHouse `deltaSum(v)` — the counter-rate aggregate: sums the
+    * differences between consecutive values, IGNORING negative deltas
+    * (a counter reset contributes 0, not a huge negative swing). CH
+    * evaluates in insertion order; the well-defined batch equivalent
+    * orders by (`timeCol`, `tieCol`) within `keyCol`, which is what CH
+    * users get from `ORDER BY` tuples in a MergeTree anyway. One row
+    * per key: (key, delta_sum); delta_sum is NULL for keys that never
+    * produce a positive delta (single-event keys included) — the same
+    * as SQL `sum` over an empty set, mirrored by the oracle.
+    *
+    * Scale shape: the lag window and the final aggregate share one
+    * key-hash partitioning → a single shuffle, per-key-bounded sort.
+    * Deltas are DECIMAL(18,4) so the sum is exact and order-free. */
+  def deltaSum(
+      events: DataFrame, keyCol: String, timeCol: String, tieCol: String,
+      valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col(tieCol))
+    val v = col(valCol).cast(DecimalType(18, 4))
+    val d = v - lag(v, 1).over(w)
+    events
+      .withColumn("__d", when(d > 0, d))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__d")).cast("double").as("delta_sum"))
+  }
+
   /** ClickHouse `groupArrayMovingSum(n)` / `groupArrayMovingAvg(n)`
     * (docs: "moving sum/average of input values over a window of size
     * n"), flattened from CH's array-per-group form to the equivalent

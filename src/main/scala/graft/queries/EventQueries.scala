@@ -158,6 +158,16 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** q72: ClickHouse `deltaSum(value)` per user over the time-ordered
+    * event stream ([[EventAnalytics.deltaSum]]) — positive consecutive
+    * differences summed, counter resets ignored. Same one user-keyed
+    * shuffle as the rest of the family. */
+  def q72DeltaSum(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, dir, "events")
+    EventAnalytics.deltaSum(e, "user_id", "ts", "event_id", "value")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_sessionize" -> q54Sessionize _,
     "q55_funnel" -> q55Funnel _,
@@ -165,7 +175,8 @@ object EventQueries {
     "q60_sequence_match" -> q60SequenceMatch _,
     "q68_arg_max" -> q68ArgMax _,
     "q70_moving_agg" -> q70MovingAgg _,
-    "q71_uniq_upto" -> q71UniqUpto _)
+    "q71_uniq_upto" -> q71UniqUpto _,
+    "q72_delta_sum" -> q72DeltaSum _)
 
   val oracles: Map[String, String] = Map(
     "q54_sessionize" ->
@@ -302,5 +313,16 @@ object EventQueries {
       """SELECT user_id,
         |  CAST(least(count(DISTINCT event_id), 65) AS BIGINT) AS u_events
         |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q72_delta_sum" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    CAST(value AS DECIMAL(18,4))
+        |      - lag(CAST(value AS DECIMAL(18,4)))
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN dv > 0 THEN dv END) AS DOUBLE) AS delta_sum
+        |FROM d GROUP BY user_id
         |ORDER BY user_id""".stripMargin)
 }

@@ -95,7 +95,9 @@ object ScaleBench {
     // ×10, per-user history (the window sort bound) constant. q71's
     // shuffle is bounded summaries (≤ N+1 longs per key × partition)
     // no matter how events scale.
-    "q70_moving_agg", "q71_uniq_upto")
+    // q72 is the q54 shape: one user-keyed shuffle, per-user sort
+    // bounded by that user's history.
+    "q70_moving_agg", "q71_uniq_upto", "q72_delta_sum")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

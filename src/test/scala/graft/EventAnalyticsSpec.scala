@@ -210,6 +210,50 @@ class EventAnalyticsSpec extends SparkSuite {
     }
   }
 
+  // --- deltaSum -------------------------------------------------------
+
+  test("deltaSum ignores resets, NULL for keys with no positive delta") {
+    val df = Seq(
+      // counter 5 -> 3 (reset, ignored) -> 8 (+5): deltaSum 5
+      (1L, 1L, 1L, 5.0), (1L, 2L, 2L, 3.0), (1L, 3L, 3L, 8.0),
+      // strictly decreasing: no positive delta -> NULL
+      (2L, 1L, 4L, 9.0), (2L, 2L, 5L, 1.0),
+      // single event: no delta at all -> NULL
+      (3L, 1L, 6L, 7.0))
+      .toDF("user_id", "__us", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("__us")))
+    val got = EventAnalytics
+      .deltaSum(df, "user_id", "ts", "event_id", "value")
+      .select("user_id", "delta_sum")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L) === Some(5.0))
+    assert(got(2L) === None)
+    assert(got(3L) === None)
+  }
+
+  test("deltaSum matches a linear-scan model on seeded random counters") {
+    val rnd = new scala.util.Random(53)
+    val events = (1L to 20L).flatMap { u =>
+      (0 until 1 + rnd.nextInt(30)).map { i =>
+        (u, rnd.nextInt(6).toLong, i.toLong, // duplicate times force ties
+          math.round(rnd.nextDouble() * 1e4) / 1e4)
+      }
+    }
+    val df = events.toDF("user_id", "__us", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("__us")))
+    val got = EventAnalytics
+      .deltaSum(df.repartition(8), "user_id", "ts", "event_id", "value")
+      .select("user_id", "delta_sum")
+      .as[(Long, Option[Double])].collect().toMap
+    for ((u, rows) <- events.groupBy(_._1)) {
+      val vs = rows.sortBy(r => (r._2, r._3)).map(r => math.round(r._4 * 1e4))
+      val cents = vs.zip(vs.drop(1)).map { case (a, b) => b - a }
+        .filter(_ > 0)
+      val exp = if (cents.isEmpty) None else Some(cents.sum / 1e4)
+      assert(got(u) === exp, s"user $u")
+    }
+  }
+
   test("movingAgg head frames are shorter than n, never empty") {
     val df = Seq((1L, 1L, 1L, 2.5), (1L, 2L, 2L, 1.5), (1L, 3L, 3L, 4.0))
       .toDF("user_id", "__us", "event_id", "value")
