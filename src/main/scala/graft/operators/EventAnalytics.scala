@@ -136,9 +136,11 @@ object EventAnalytics {
     * evaluates in insertion order; the well-defined batch equivalent
     * orders by (`timeCol`, `tieCol`) within `keyCol`, which is what CH
     * users get from `ORDER BY` tuples in a MergeTree anyway. One row
-    * per key: (key, delta_sum); delta_sum is NULL for keys that never
-    * produce a positive delta (single-event keys included) — the same
-    * as SQL `sum` over an empty set, mirrored by the oracle.
+    * per key: (key, delta_sum). CH aggregate-function conventions both
+    * honored: NULL inputs are SKIPPED (the delta chain bridges across a
+    * null value via ignoreNulls lag, it does not break), and a
+    * non-empty group with no positive delta — single-event, constant,
+    * or strictly decreasing counters — yields 0, not NULL.
     *
     * Scale shape: the lag window and the final aggregate share one
     * key-hash partitioning → a single shuffle, per-key-bounded sort.
@@ -149,11 +151,13 @@ object EventAnalytics {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol), col(tieCol))
     val v = col(valCol).cast(DecimalType(18, 4))
-    val d = v - lag(v, 1).over(w)
+    // previous NON-NULL value: a null row contributes no delta and the
+    // chain continues around it (CH aggregates skip NULLs)
+    val d = v - lag(v, 1, null, ignoreNulls = true).over(w)
     events
       .withColumn("__d", when(d > 0, d))
       .groupBy(col(keyCol))
-      .agg(sum(col("__d")).cast("double").as("delta_sum"))
+      .agg(coalesce(sum(col("__d")), lit(0)).cast("double").as("delta_sum"))
   }
 
   /** ClickHouse `groupArrayMovingSum(n)` / `groupArrayMovingAvg(n)`

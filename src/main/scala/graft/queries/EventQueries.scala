@@ -318,11 +318,12 @@ object EventQueries {
       """WITH d AS (
         |  SELECT user_id,
         |    CAST(value AS DECIMAL(18,4))
-        |      - lag(CAST(value AS DECIMAL(18,4)))
+        |      - lag(CAST(value AS DECIMAL(18,4)) IGNORE NULLS)
         |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv
         |  FROM events)
         |SELECT user_id,
-        |  CAST(sum(CASE WHEN dv > 0 THEN dv END) AS DOUBLE) AS delta_sum
+        |  COALESCE(CAST(sum(CASE WHEN dv > 0 THEN dv END) AS DOUBLE), 0)
+        |    AS delta_sum
         |FROM d GROUP BY user_id
         |ORDER BY user_id""".stripMargin)
 }

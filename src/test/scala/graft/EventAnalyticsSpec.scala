@@ -212,23 +212,29 @@ class EventAnalyticsSpec extends SparkSuite {
 
   // --- deltaSum -------------------------------------------------------
 
-  test("deltaSum ignores resets, NULL for keys with no positive delta") {
-    val df = Seq(
+  test("deltaSum ignores resets; 0 (not NULL) when no positive delta; " +
+    "the delta chain bridges NULL values") {
+    val df = Seq[(Long, Long, Long, Option[Double])](
       // counter 5 -> 3 (reset, ignored) -> 8 (+5): deltaSum 5
-      (1L, 1L, 1L, 5.0), (1L, 2L, 2L, 3.0), (1L, 3L, 3L, 8.0),
-      // strictly decreasing: no positive delta -> NULL
-      (2L, 1L, 4L, 9.0), (2L, 2L, 5L, 1.0),
-      // single event: no delta at all -> NULL
-      (3L, 1L, 6L, 7.0))
+      (1L, 1L, 1L, Some(5.0)), (1L, 2L, 2L, Some(3.0)),
+      (1L, 3L, 3L, Some(8.0)),
+      // strictly decreasing: no positive delta -> 0, CH-style
+      (2L, 1L, 4L, Some(9.0)), (2L, 2L, 5L, Some(1.0)),
+      // single event: no delta at all -> 0
+      (3L, 1L, 6L, Some(7.0)),
+      // 5, NULL, 8: CH skips NULLs, so the (5, 8) pair still counts
+      (4L, 1L, 7L, Some(5.0)), (4L, 2L, 8L, None),
+      (4L, 3L, 9L, Some(8.0)))
       .toDF("user_id", "__us", "event_id", "value")
       .withColumn("ts", timestamp_micros(col("__us")))
     val got = EventAnalytics
       .deltaSum(df, "user_id", "ts", "event_id", "value")
       .select("user_id", "delta_sum")
-      .as[(Long, Option[Double])].collect().toMap
-    assert(got(1L) === Some(5.0))
-    assert(got(2L) === None)
-    assert(got(3L) === None)
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) === 5.0)
+    assert(got(2L) === 0.0)
+    assert(got(3L) === 0.0)
+    assert(got(4L) === 3.0)
   }
 
   test("deltaSum matches a linear-scan model on seeded random counters") {
@@ -244,12 +250,11 @@ class EventAnalyticsSpec extends SparkSuite {
     val got = EventAnalytics
       .deltaSum(df.repartition(8), "user_id", "ts", "event_id", "value")
       .select("user_id", "delta_sum")
-      .as[(Long, Option[Double])].collect().toMap
+      .as[(Long, Double)].collect().toMap
     for ((u, rows) <- events.groupBy(_._1)) {
       val vs = rows.sortBy(r => (r._2, r._3)).map(r => math.round(r._4 * 1e4))
-      val cents = vs.zip(vs.drop(1)).map { case (a, b) => b - a }
-        .filter(_ > 0)
-      val exp = if (cents.isEmpty) None else Some(cents.sum / 1e4)
+      val exp = vs.zip(vs.drop(1)).map { case (a, b) => b - a }
+        .filter(_ > 0).sum / 1e4
       assert(got(u) === exp, s"user $u")
     }
   }
