@@ -905,16 +905,19 @@ object LlmPipeline {
         |ng AS (SELECT greatest(CAST(8 AS BIGINT),
         |  (sum(n_tokens) + ${SeqPack.DefaultTokensPerGroup - 1}) //
         |    ${SeqPack.DefaultTokensPerGroup}) AS g FROM t0),
-        |t AS (SELECT doc_id, doc_id % (SELECT g FROM ng) AS pack_group,
+        |t AS (SELECT doc_id,
+        |  CAST(doc_id % (SELECT g FROM ng) AS BIGINT) AS pack_group,
         |  n_tokens FROM t0),
         |c AS (SELECT doc_id, pack_group, n_tokens,
-        |  sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
-        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS ts
+        |  CAST(sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS ts
         |FROM t)
         |SELECT doc_id, pack_group, n_tokens,
-        |  ts // 512 AS seq_id, ts % 512 AS tok_offset,
-        |  CASE WHEN n_tokens = 0 THEN 0
-        |       ELSE (ts + n_tokens - 1) // 512 - ts // 512 + 1 END AS n_seqs
+        |  CAST(ts // 512 AS BIGINT) AS seq_id,
+        |  CAST(ts % 512 AS BIGINT) AS tok_offset,
+        |  CAST(CASE WHEN n_tokens = 0 THEN 0
+        |       ELSE (ts + n_tokens - 1) // 512 - ts // 512 + 1 END
+        |    AS BIGINT) AS n_seqs
         |FROM c ORDER BY doc_id""".stripMargin,
     "q19_ann_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
@@ -1255,17 +1258,20 @@ object LlmPipeline {
         |  (sum(n_tokens) + ${SeqPack.DefaultTokensPerGroup - 1}) //
         |    ${SeqPack.DefaultTokensPerGroup}) AS g FROM packrows0),
         |packrows AS (
-        |  SELECT row_id, doc_id % (SELECT g FROM ng) AS pack_group, n_tokens
+        |  SELECT row_id,
+        |    CAST(doc_id % (SELECT g FROM ng) AS BIGINT) AS pack_group, n_tokens
         |  FROM packrows0),
         |cum AS (
         |  SELECT row_id, pack_group, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY row_id
-        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS ts
+        |    CAST(sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY row_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS ts
         |  FROM packrows)
         |SELECT row_id, pack_group, n_tokens,
-        |  ts // 512 AS seq_id, ts % 512 AS tok_offset,
-        |  CASE WHEN n_tokens = 0 THEN 0
-        |       ELSE (ts + n_tokens - 1) // 512 - ts // 512 + 1 END AS n_seqs
+        |  CAST(ts // 512 AS BIGINT) AS seq_id,
+        |  CAST(ts % 512 AS BIGINT) AS tok_offset,
+        |  CAST(CASE WHEN n_tokens = 0 THEN 0
+        |       ELSE (ts + n_tokens - 1) // 512 - ts // 512 + 1 END
+        |    AS BIGINT) AS n_seqs
         |FROM cum ORDER BY row_id""".stripMargin,
     "q47_semantic_dedup" ->
       s"""WITH RECURSIVE out AS (

@@ -17,19 +17,41 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
+def _num_kind(v):
+    """bool / int / float class of a scalar, for dtype-strict comparison.
+
+    The driver's hash is dtype-sensitive (int 5 vs float 5.0 hash apart even
+    though 5 == 5.0), so the local stand-in must reject cross-kind numeric
+    equality too — this is exactly what let the q44/q46 HUGEINT→float64
+    oracle drift pass locally while failing the driver two rounds running.
+    """
+    import numpy as np
+    if isinstance(v, (bool, np.bool_)):
+        return "b"
+    if isinstance(v, (int, np.integer)):
+        return "i"
+    if isinstance(v, (float, np.floating)):
+        return "f"
+    return None
+
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
+    ka, kb = _num_kind(a), _num_kind(b)
+    if ka is not None or kb is not None:
+        if ka != kb:
+            return False  # dtype-strict: int vs float vs bool never equal
+        if ka == "f":
+            if math.isnan(a) and math.isnan(b):
+                return True
         return a == b
     try:
         if pd.isna(a) and pd.isna(b):
             return True
     except (TypeError, ValueError):
         pass
-    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)) or \
+            type(a).__name__ == "ndarray" or type(b).__name__ == "ndarray":
         a = list(a) if a is not None else None
         b = list(b) if b is not None else None
         if a is None or b is None or len(a) != len(b):
@@ -92,6 +114,19 @@ def main():
             continue
         if not rec["rows_match"]:
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+            n_fail += 1
+            continue
+        # dtype-strict column check: the driver's hash distinguishes int64
+        # from float64 even when values are numerically identical, so a
+        # kind mismatch (e.g. DuckDB HUGEINT widening → float64) must fail
+        # here too, not just on the driver.
+        kind_bad = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
+                    if g[c].dtype.kind != e[c].dtype.kind]
+        if kind_bad:
+            c, gd, ed = kind_bad[0]
+            rec["err"] = f"dtype mismatch col {c}: spark={gd} duckdb={ed}"
+            print(f"FAIL {name}: dtype mismatch col {c}: "
+                  f"spark={gd} duckdb={ed}")
             n_fail += 1
             continue
         bad = None
