@@ -168,6 +168,30 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** q73: ClickHouse `groupBitmap` family ([[graft.functions.BitmapAgg]])
+    * as a TWO-LEVEL bitmap plan: per-(event_type, week) roaring user-id
+    * bitmaps built once (`groupBitmapState`), then re-aggregated three
+    * ways per event_type — `groupBitmapOr` (distinct users),
+    * `groupBitmapAnd` (users active EVERY week of that type) and
+    * `groupBitmapXor` (users active an odd number of weeks). The
+    * relational double-distinct formulation shuffles (type, week, user)
+    * triples twice; here the second exchange carries one compressed
+    * bitmap per (type, week) — the reference's own series-state shape
+    * (output/clickhouse.go:65,110-130 keeps roaring64 per shard).
+    * Week granularity chosen so all three combinators discriminate at
+    * sf0.01 (AND 70–83 of 150, XOR 83–96 — measured). */
+  def q73BitmapUsers(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BitmapAgg
+    val e = Tables.parallel(s, dir, "events")
+    e.groupBy(col("event_type"), date_trunc("week", col("ts")).as("wk"))
+      .agg(BitmapAgg.groupBitmapState(col("user_id")).as("ubm"))
+      .groupBy(col("event_type"))
+      .agg(BitmapAgg.groupBitmapOrCard(col("ubm")).as("n_users"),
+        BitmapAgg.groupBitmapAndCard(col("ubm")).as("n_users_every_week"),
+        BitmapAgg.groupBitmapXorCard(col("ubm")).as("n_users_odd_weeks"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_sessionize" -> q54Sessionize _,
     "q55_funnel" -> q55Funnel _,
@@ -176,7 +200,8 @@ object EventQueries {
     "q68_arg_max" -> q68ArgMax _,
     "q70_moving_agg" -> q70MovingAgg _,
     "q71_uniq_upto" -> q71UniqUpto _,
-    "q72_delta_sum" -> q72DeltaSum _)
+    "q72_delta_sum" -> q72DeltaSum _,
+    "q73_bitmap_users" -> q73BitmapUsers _)
 
   val oracles: Map[String, String] = Map(
     "q54_sessionize" ->
@@ -325,5 +350,20 @@ object EventQueries {
         |  COALESCE(CAST(sum(CASE WHEN dv > 0 THEN dv END) AS DOUBLE), 0)
         |    AS delta_sum
         |FROM d GROUP BY user_id
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    "q73_bitmap_users" ->
+      """WITH d AS (SELECT DISTINCT event_type,
+        |    date_trunc('week', ts) AS wk, user_id FROM events),
+        |nd AS (SELECT event_type, count(DISTINCT wk) AS n_wk
+        |       FROM d GROUP BY 1),
+        |uc AS (SELECT event_type, user_id, count(DISTINCT wk) AS uw
+        |       FROM d GROUP BY 1, 2)
+        |SELECT uc.event_type,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(count(*) FILTER (WHERE uw = n_wk) AS BIGINT)
+        |    AS n_users_every_week,
+        |  CAST(count(*) FILTER (WHERE uw % 2 = 1) AS BIGINT)
+        |    AS n_users_odd_weeks
+        |FROM uc JOIN nd USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
