@@ -83,8 +83,18 @@ object Quantiles {
   def approxWithRankCheck(
       df: DataFrame, keyCol: String, valCol: String,
       ps: Seq[(Double, String)], accuracy: Int = 10000,
-      tol: Double = 0.01): DataFrame = {
-    val a = approx(df, keyCol, valCol, ps, accuracy)
+      tol: Double = 0.01): DataFrame =
+    rankCheck(df, keyCol, valCol, approx(df, keyCol, valCol, ps, accuracy),
+      ps, tol)
+
+  /** Audit ANY per-group quantile table `a` (columns: keyCol + one DOUBLE
+    * per `ps` name) against the empirical CDF of the raw data — the
+    * shared back-end of [[approxWithRankCheck]] and the t-digest query
+    * (q74). See [[approxWithRankCheck]] for the two-sided-under-ties
+    * rationale. */
+  def rankCheck(
+      df: DataFrame, keyCol: String, valCol: String, a: DataFrame,
+      ps: Seq[(Double, String)], tol: Double): DataFrame = {
     val joined = df
       .select(col(keyCol), col(valCol).cast("double").as("__v"))
       .join(broadcast(a), Seq(keyCol))

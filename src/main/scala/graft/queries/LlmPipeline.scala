@@ -815,7 +815,7 @@ object LlmPipeline {
   val oracleInputCopies: Seq[String] =
     Seq("q24_simhash_neardup", "q28_ivf_ann", "q31_winnow_neardup",
       "q42_quantiles_approx", "q45_distinct_approx", "q47_semantic_dedup",
-      "q53_reshard", "q67_pq_ann")
+      "q53_reshard", "q67_pq_ann", "q74_tdigest_quantiles")
 
   private def readBack(name: String): String =
     s"read_parquet('$oracleInputDir/$name.parquet/*.parquet')"

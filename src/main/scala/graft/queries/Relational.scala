@@ -216,6 +216,31 @@ object Relational {
         accuracy = 10000, tol = 0.01)
       .orderBy("l_returnflag")
 
+  /** q74: grouped quantiles via the engine-native merging t-digest
+    * ([[graft.functions.TDigest]], ClickHouse `quantileTDigest` twin) at
+    * HIGH group cardinality — one digest per supplier, where q29's exact
+    * sort is the near-linear scale outlier and q42's Greenwald-Khanna
+    * sketch has uniform (not tail-weighted) error. Partial state is ≤ ~δ
+    * (mean, weight) pairs per (supplier × partition) — constant in data
+    * volume, mergeable map-side, and tightest at the p99 tail by the k1
+    * scale function. Audited like q42: each value is re-checked against
+    * its own group's empirical CDF within ±1% rank, and the oracle
+    * re-derives every `_ok` from the raw table at the read-back values,
+    * so a wrong digest fails loudly oracle-side. */
+  def q74TdigestQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    val digests = li.groupBy(col("l_suppkey"))
+      .agg(graft.functions.TDigest.quantiles(
+        col("l_extendedprice").cast("double"), ps.map(_._1), 300.0).as("__qs"))
+      .select(col("l_suppkey") +: ps.zipWithIndex.map { case ((_, n), i) =>
+        round(col("__qs")(i), 4).as(n)
+      }: _*)
+    graft.operators.Quantiles.rankCheck(
+        li, "l_suppkey", "l_extendedprice", digests, ps, tol = 0.01)
+      .orderBy("l_suppkey")
+  }
+
   /** q30: as-of join — each click event picks up the same user's most
     * recent prior (or simultaneous) purchase, point-in-time correct.
     * Executed as [[graft.operators.AsOfJoin]]'s union + single key
@@ -240,6 +265,7 @@ object Relational {
     "q01_agg_pushdown" -> q01AggPushdown _,
     "q29_quantiles" -> q29Quantiles _,
     "q42_quantiles_approx" -> q42QuantilesApprox _,
+    "q74_tdigest_quantiles" -> q74TdigestQuantiles _,
     "q30_asof_join" -> q30AsofJoin _,
     "q02_star_join" -> q02StarJoin _,
     "q03_range_join" -> q03RangeJoin _,
@@ -279,6 +305,28 @@ object Relational {
         |    CAST(sum(CASE WHEN v <= p99 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS le99
         |  FROM j GROUP BY 1, 2, 3, 4)
         |SELECT l_returnflag, p50, p90, p99,
+        |  (lt50 - 0.01 <= 0.5 AND le50 + 0.01 >= 0.5) AS p50_ok,
+        |  (lt90 - 0.01 <= 0.9 AND le90 + 0.01 >= 0.9) AS p90_ok,
+        |  (lt99 - 0.01 <= 0.99 AND le99 + 0.01 >= 0.99) AS p99_ok
+        |FROM c ORDER BY 1""".stripMargin,
+    "q74_tdigest_quantiles" ->
+      s"""WITH a AS (
+        |  SELECT l_suppkey, p50, p90, p99
+        |  FROM read_parquet('${graft.queries.LlmPipeline.oracleInputDir}/q74_tdigest_quantiles.parquet/*.parquet')),
+        |j AS (
+        |  SELECT a.l_suppkey, a.p50, a.p90, a.p99,
+        |    CAST(l.l_extendedprice AS DOUBLE) AS v
+        |  FROM a JOIN lineitem l USING (l_suppkey)),
+        |c AS (
+        |  SELECT l_suppkey, p50, p90, p99,
+        |    CAST(sum(CASE WHEN v < p50 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS lt50,
+        |    CAST(sum(CASE WHEN v <= p50 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS le50,
+        |    CAST(sum(CASE WHEN v < p90 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS lt90,
+        |    CAST(sum(CASE WHEN v <= p90 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS le90,
+        |    CAST(sum(CASE WHEN v < p99 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS lt99,
+        |    CAST(sum(CASE WHEN v <= p99 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS le99
+        |  FROM j GROUP BY 1, 2, 3, 4)
+        |SELECT l_suppkey, p50, p90, p99,
         |  (lt50 - 0.01 <= 0.5 AND le50 + 0.01 >= 0.5) AS p50_ok,
         |  (lt90 - 0.01 <= 0.9 AND le90 + 0.01 >= 0.9) AS p90_ok,
         |  (lt99 - 0.01 <= 0.99 AND le99 + 0.01 >= 0.99) AS p99_ok
