@@ -19,9 +19,11 @@ object Multimodal {
   /** Input record: one media object. */
   final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
 
-  /** Extracted metadata + features. `frame_offsets` shows the
-    * frame-sampling shape (every `frameStep` bytes stands in for every
-    * n-th frame). */
+  /** Extracted metadata + features. `status` is the decode disposition:
+    * "ok" (container parsed), "quarantined" (a recognized container magic
+    * whose structure is corrupt/truncated — the row SURVIVES with zeroed
+    * dimensions instead of failing the job; real crawls always carry
+    * these), or "opaque" (no recognized container → stub branch). */
   final case class MediaMeta(
       media_id: Long,
       kind: String,
@@ -29,17 +31,25 @@ object Multimodal {
       width: Int,
       height: Int,
       n_frames: Int,
-      first_frame_offset: Long)
+      first_frame_offset: Long,
+      status: String)
 
   object MediaDecoder {
 
-    /** Real container-header decode: returns (format, width, height) for
-      * payloads carrying a recognizable PNG / JPEG / GIF / BMP header,
-      * None otherwise. Header-only parsing (the industry-standard fast
-      * path for corpus metadata extraction — pixel data is never
-      * touched), so it is O(header bytes) per record regardless of
-      * payload size. */
-    def decodeHeader(p: Array[Byte]): Option[(String, Int, Int)] = {
+    /** Three-way probe result: magic + structure parsed / magic matched
+      * but structure broken / no known magic. */
+    sealed trait Probe
+    final case class Parsed(fmt: String, w: Int, h: Int) extends Probe
+    final case class Corrupt(fmt: String) extends Probe
+    case object Opaque extends Probe
+
+    /** Real container-header probe for PNG / JPEG / GIF / BMP / WEBP /
+      * TIFF. Magic sniffing uses only the signature prefix; a matched
+      * signature with a broken body is [[Corrupt]], never an exception —
+      * truncated files are a fact of crawl life and must quarantine, not
+      * kill the stage. Header-only parsing (pixel data is never touched),
+      * so it is O(header bytes) per record regardless of payload size. */
+    def probe(p: Array[Byte]): Probe = {
       def u8(i: Int): Int = p(i) & 0xff
       def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
       def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -47,18 +57,23 @@ object Multimodal {
         (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
       def le32(i: Int): Int =
         u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
-      if (p.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
+      def le24(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+
+      if (p.length >= 8 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
           u8(3) == 'G' && u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a &&
           u8(7) == 0x0a) {
         // PNG: first chunk must be IHDR; width/height are BE u32 at 16/20
-        if (u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R')
-          Some(("png", be32(16), be32(20)))
-        else None
-      } else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+        if (p.length >= 24 && u8(12) == 'I' && u8(13) == 'H' &&
+            u8(14) == 'D' && u8(15) == 'R')
+          Parsed("png", be32(16), be32(20))
+        else Corrupt("png")
+      } else if (p.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8) {
         // JPEG: walk marker segments to the first SOFn (C0-CF minus the
-        // non-frame C4/C8/CC); height/width are BE u16 after precision
+        // non-frame C4/C8/CC); height/width are BE u16 after precision.
+        // Running off the payload, a bad length, or EOI/SOS before any
+        // SOF all mean the frame header is unrecoverable → corrupt.
         var i = 2
-        var out: Option[(String, Int, Int)] = None
+        var out: Probe = Corrupt("jpeg")
         var done = false
         while (!done && i + 3 < p.length) {
           if (u8(i) != 0xff) { done = true }
@@ -75,33 +90,112 @@ object Multimodal {
               else if (marker >= 0xc0 && marker <= 0xcf &&
                   marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
                 if (len >= 7)
-                  out = Some(("jpeg", be16(i + 7), be16(i + 5)))
+                  out = Parsed("jpeg", be16(i + 7), be16(i + 5))
                 done = true
               } else i += 2 + len
             }
           }
         }
         out
-      } else if (p.length >= 13 && u8(0) == 'G' && u8(1) == 'I' &&
+      } else if (p.length >= 6 && u8(0) == 'G' && u8(1) == 'I' &&
           u8(2) == 'F' && u8(3) == '8' &&
           (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a') {
         // GIF: logical screen descriptor, LE u16 at 6/8
-        Some(("gif", le16(6), le16(8)))
-      } else if (p.length >= 26 && u8(0) == 'B' && u8(1) == 'M' &&
-          le32(14) >= 40) {
+        if (p.length >= 13) Parsed("gif", le16(6), le16(8))
+        else Corrupt("gif")
+      } else if (p.length >= 26 && u8(0) == 'B' && u8(1) == 'M') {
         // BMP with BITMAPINFOHEADER+: signed LE i32 at 18/22; negative
-        // height = top-down row order, dimension is the magnitude
-        Some(("bmp", le32(18), math.abs(le32(22))))
-      } else None
+        // height = top-down row order, dimension is the magnitude.
+        // (The 26-byte floor stays in the SNIFF: "BM" alone is a
+        // printable prefix ordinary text can carry, so two bytes are
+        // not evidence of a container.)
+        if (le32(14) >= 40) Parsed("bmp", le32(18), math.abs(le32(22)))
+        else Corrupt("bmp")
+      } else if (p.length >= 12 && u8(0) == 'R' && u8(1) == 'I' &&
+          u8(2) == 'F' && u8(3) == 'F' && u8(8) == 'W' && u8(9) == 'E' &&
+          u8(10) == 'B' && u8(11) == 'P') {
+        // WEBP: RIFF container; first chunk is VP8X (extended: 24-bit
+        // LE canvas-minus-one at +4/+7 into the chunk body), VP8L
+        // (lossless: 0x2F then two packed 14-bit minus-one fields), or
+        // "VP8 " (lossy: 3-byte frame tag, 0x9D012A sync, 14-bit LE dims)
+        if (p.length < 20) Corrupt("webp")
+        else {
+          val fourcc = new String(p, 12, 4, "US-ASCII")
+          fourcc match {
+            case "VP8X" =>
+              if (p.length >= 30) Parsed("webp", le24(24) + 1, le24(27) + 1)
+              else Corrupt("webp")
+            case "VP8L" =>
+              if (p.length >= 25 && u8(20) == 0x2f) {
+                val bits = le32(21)
+                Parsed("webp", (bits & 0x3fff) + 1, ((bits >>> 14) & 0x3fff) + 1)
+              } else Corrupt("webp")
+            case "VP8 " =>
+              if (p.length >= 30 && u8(23) == 0x9d && u8(24) == 0x01 &&
+                  u8(25) == 0x2a)
+                Parsed("webp", le16(26) & 0x3fff, le16(28) & 0x3fff)
+              else Corrupt("webp")
+            case _ => Corrupt("webp")
+          }
+        }
+      } else if (p.length >= 4 &&
+          ((u8(0) == 'I' && u8(1) == 'I' && u8(2) == 0x2a && u8(3) == 0) ||
+           (u8(0) == 'M' && u8(1) == 'M' && u8(2) == 0 && u8(3) == 0x2a))) {
+        // TIFF: walk the first IFD for tags 256 (ImageWidth) and 257
+        // (ImageLength); SHORT(3) and LONG(4) inline values supported.
+        // Any out-of-bounds offset or missing dimension tag → corrupt.
+        val le = u8(0) == 'I'
+        def rd16(i: Int): Int = if (le) le16(i) else be16(i)
+        def rd32(i: Int): Int = if (le) le32(i) else be32(i)
+        if (p.length < 8) Corrupt("tiff")
+        else {
+          val ifd = rd32(4)
+          if (ifd < 8 || ifd + 2 > p.length) Corrupt("tiff")
+          else {
+            val n = rd16(ifd)
+            if (ifd + 2 + n * 12 + 4 > p.length) Corrupt("tiff")
+            else {
+              var w = -1
+              var h = -1
+              var e = 0
+              while (e < n) {
+                val off = ifd + 2 + e * 12
+                val tag = rd16(off)
+                val typ = rd16(off + 2)
+                val v =
+                  if (typ == 3) rd16(off + 8)       // SHORT: left-justified
+                  else if (typ == 4) rd32(off + 8)  // LONG
+                  else -1
+                if (tag == 256) w = v
+                else if (tag == 257) h = v
+                e += 1
+              }
+              if (w > 0 && h > 0) Parsed("tiff", w, h) else Corrupt("tiff")
+            }
+          }
+        }
+      } else Opaque
     }
+
+    /** Back-compat Option view of [[probe]] (parsed containers only). */
+    def decodeHeader(p: Array[Byte]): Option[(String, Int, Int)] =
+      probe(p) match {
+        case Parsed(fmt, w, h) => Some((fmt, w, h))
+        case _ => None
+      }
 
     /** Decode one record: real header parse when the payload is a
       * recognized image container (kind = detected format, n_frames = 1,
-      * offset 0 — single-frame stills), deterministic stub otherwise. */
-    def decode(r: MediaRecord): MediaMeta = decodeHeader(r.payload) match {
-      case Some((fmt, w, h)) =>
-        MediaMeta(r.media_id, fmt, r.payload.length.toLong, w, h, 1, 0L)
-      case None => decodeStub(r)
+      * offset 0 — single-frame stills); recognized-but-broken containers
+      * quarantine with zeroed dimensions; anything else takes the
+      * deterministic stub branch. */
+    def decode(r: MediaRecord): MediaMeta = probe(r.payload) match {
+      case Parsed(fmt, w, h) =>
+        MediaMeta(r.media_id, fmt, r.payload.length.toLong, w, h, 1, 0L, "ok")
+      case Corrupt(fmt) =>
+        MediaMeta(r.media_id, fmt, r.payload.length.toLong, 0, 0, 0, 0L,
+          "quarantined")
+      case Opaque => decodeStub(r)
     }
 
     /** Fallback for payloads in no recognized container: deterministic
@@ -117,7 +211,8 @@ object Multimodal {
         width = (size % 640).toInt,
         height = (size % 480).toInt,
         n_frames = (size / 100).toInt + 1,
-        first_frame_offset = size % 100)
+        first_frame_offset = size % 100,
+        status = "opaque")
     }
   }
 
@@ -131,6 +226,11 @@ object Multimodal {
     val JpegBytes = 23L  // SOI + 19-byte SOF0 segment + EOI
     val GifBytes = 13L   // sig + logical screen descriptor
     val BmpBytes = 54L   // 14 file header + 40 BITMAPINFOHEADER
+    val WebpBytes = 30L  // 12 RIFF/WEBP + 8 chunk header + 10 VP8X body
+    val TiffBytes = 38L  // 8 header + 2 count + 2×12 IFD entries + 4 next
+
+    /** Format rotation order shared by the q26 plant and its oracle. */
+    val Formats = Vector("png", "jpeg", "gif", "bmp", "webp", "tiff")
 
     def png(w: Int, h: Int): Array[Byte] = {
       val out = java.nio.ByteBuffer.allocate(45) // big-endian default
@@ -179,6 +279,60 @@ object Multimodal {
       out.putInt(40).putInt(w).putInt(h).putShort(1.toShort)
         .putShort(24.toShort)
       out.array() // remaining 24 header bytes stay zero
+    }
+
+    def webp(w: Int, h: Int): Array[Byte] = {
+      require(w >= 1 && h >= 1 && w <= (1 << 24) && h <= (1 << 24))
+      val out = java.nio.ByteBuffer.allocate(30)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(22) // chunks after size
+      out.put("WEBP".getBytes("US-ASCII"))
+      out.put("VP8X".getBytes("US-ASCII")).putInt(10) // VP8X body size
+      out.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // flags+rsv
+      def le24(v: Int): Unit = {
+        out.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+          .put(((v >> 16) & 0xff).toByte)
+        ()
+      }
+      le24(w - 1); le24(h - 1) // canvas is stored minus-one
+      out.array()
+    }
+
+    def tiff(w: Int, h: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(38)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(8)
+      out.putShort(2.toShort) // two IFD entries
+      // tag 256 ImageWidth, LONG, count 1, value
+      out.putShort(256.toShort).putShort(4.toShort).putInt(1).putInt(w)
+      out.putShort(257.toShort).putShort(4.toShort).putInt(1).putInt(h)
+      out.putInt(0) // no next IFD
+      out.array()
+    }
+
+    /** Deterministic corrupt payloads: each carries a REAL container
+      * signature with a structurally broken body, so the decoder's
+      * quarantine branch (not the opaque stub) must field it. Fixed
+      * sizes, usable in an arithmetic oracle. */
+    val CorruptBytes: Map[String, Long] = Map(
+      "png" -> 12L, "jpeg" -> 6L, "gif" -> 8L,
+      "bmp" -> 26L, "webp" -> 12L, "tiff" -> 8L)
+
+    def corrupt(fmt: String): Array[Byte] = fmt match {
+      case "png" => // signature + 4 length bytes, no IHDR
+        Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 0, 0, 0, 13)
+          .map(_.toByte)
+      case "jpeg" => // SOI + SOF0 whose declared length runs off the file
+        Array(0xff, 0xd8, 0xff, 0xc0, 0xff, 0xff).map(_.toByte)
+      case "gif" => // signature, truncated logical screen descriptor
+        "GIF89a".getBytes("US-ASCII") ++ Array[Byte](1, 0)
+      case "bmp" => // "BM" + header-floor bytes but biSize = 0
+        "BM".getBytes("US-ASCII") ++ new Array[Byte](24)
+      case "webp" => // RIFF/WEBP with no chunk at all
+        "RIFF".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+          "WEBP".getBytes("US-ASCII")
+      case "tiff" => // valid byte order mark, IFD offset past the payload
+        Array('I', 'I', 0x2a, 0, 0xff, 0, 0, 0).map(_.toByte)
     }
   }
 

@@ -272,35 +272,47 @@ object LlmPipeline {
       .select("id_a", "id_b", "label", "cos")
   }
 
-  /** q26: multimodal plumbing + REAL image-header decode. Two payload
+  /** q26: multimodal plumbing + REAL image-header decode. Three payload
     * populations: the documents' text lifted into opaque binary (no
-    * recognizable container → deterministic stub branch), and planted
-    * single-frame stills (+1M ids) — genuine PNG/JPEG/GIF/BMP binary
-    * containers built at runtime with dimensions derived from doc_id
+    * recognizable container → deterministic stub branch, status
+    * 'opaque'); planted single-frame stills (+1M ids) — genuine
+    * PNG/JPEG/GIF/BMP/WEBP/TIFF binary containers built at runtime with
+    * dimensions derived from doc_id
     * ([[graft.operators.Multimodal.MediaBuild]]), which the decoder
     * must parse back from the actual bytes (magic, BE/LE dimension
-    * fields, JPEG marker walk). The oracle re-derives the planted dims
-    * arithmetically from doc_id, so any endianness/offset bug in the
-    * real parser fails the gate. */
+    * fields, JPEG marker walk, VP8X 24-bit canvas, TIFF IFD walk); and
+    * planted CORRUPT payloads (+2M ids) — real container signatures
+    * with broken bodies, which must land in the 'quarantined' status
+    * with zeroed dims, surviving the stage rather than throwing. The
+    * oracle re-derives everything arithmetically from doc_id, so any
+    * endianness/offset bug or a corrupt row killing the job fails the
+    * gate. */
   def q26MediaMeta(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
     val media = Multimodal.asMedia(docs, "doc_id", "text", "image")
+    val fmts = Multimodal.MediaBuild.Formats
     val planted = docs.select(col("doc_id")).as[Long].map { id =>
       val w = (id % 640L).toInt + 1
       val h = (id % 480L).toInt + 1
-      val payload = (id % 4L) match {
-        case 0L => Multimodal.MediaBuild.png(w, h)
-        case 1L => Multimodal.MediaBuild.jpeg(w, h)
-        case 2L => Multimodal.MediaBuild.gif(w, h)
-        case _ => Multimodal.MediaBuild.bmp(w, h)
+      val payload = fmts((id % 6L).toInt) match {
+        case "png" => Multimodal.MediaBuild.png(w, h)
+        case "jpeg" => Multimodal.MediaBuild.jpeg(w, h)
+        case "gif" => Multimodal.MediaBuild.gif(w, h)
+        case "bmp" => Multimodal.MediaBuild.bmp(w, h)
+        case "webp" => Multimodal.MediaBuild.webp(w, h)
+        case _ => Multimodal.MediaBuild.tiff(w, h)
       }
       Multimodal.MediaRecord(id + 1000000L, "image", payload)
     }
-    Multimodal.decodeMeta(media.union(planted)).toDF()
+    val corrupt = docs.select(col("doc_id")).as[Long].map { id =>
+      Multimodal.MediaRecord(id + 2000000L, "image",
+        Multimodal.MediaBuild.corrupt(fmts((id % 6L).toInt)))
+    }
+    Multimodal.decodeMeta(media.union(planted).union(corrupt)).toDF()
       .select("media_id", "kind", "size_bytes", "width", "height",
-        "n_frames", "first_frame_offset")
+        "n_frames", "first_frame_offset", "status")
   }
 
   /** q28: IVF approximate cosine top-k — coarse-quantizer training on a
@@ -1128,18 +1140,35 @@ object LlmPipeline {
         | CAST(strlen(text) % 640 AS INTEGER) AS width,
         | CAST(strlen(text) % 480 AS INTEGER) AS height,
         | CAST(strlen(text) // 100 + 1 AS INTEGER) AS n_frames,
-        | CAST(strlen(text) % 100 AS BIGINT) AS first_frame_offset
+        | CAST(strlen(text) % 100 AS BIGINT) AS first_frame_offset,
+        | 'opaque' AS status
         |FROM documents
         |UNION ALL
         |SELECT doc_id + 1000000 AS media_id,
-        | CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-        |   WHEN 2 THEN 'gif' ELSE 'bmp' END AS kind,
-        | CAST(CASE doc_id % 4 WHEN 0 THEN 45 WHEN 1 THEN 23
-        |   WHEN 2 THEN 13 ELSE 54 END AS BIGINT) AS size_bytes,
+        | CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |   WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' WHEN 4 THEN 'webp'
+        |   ELSE 'tiff' END AS kind,
+        | CAST(CASE doc_id % 6 WHEN 0 THEN 45 WHEN 1 THEN 23
+        |   WHEN 2 THEN 13 WHEN 3 THEN 54 WHEN 4 THEN 30
+        |   ELSE 38 END AS BIGINT) AS size_bytes,
         | CAST(doc_id % 640 + 1 AS INTEGER) AS width,
         | CAST(doc_id % 480 + 1 AS INTEGER) AS height,
         | CAST(1 AS INTEGER) AS n_frames,
-        | CAST(0 AS BIGINT) AS first_frame_offset
+        | CAST(0 AS BIGINT) AS first_frame_offset,
+        | 'ok' AS status
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 2000000 AS media_id,
+        | CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |   WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' WHEN 4 THEN 'webp'
+        |   ELSE 'tiff' END AS kind,
+        | CAST(CASE doc_id % 6 WHEN 0 THEN 12 WHEN 1 THEN 6
+        |   WHEN 2 THEN 8 WHEN 3 THEN 26 WHEN 4 THEN 12
+        |   ELSE 8 END AS BIGINT) AS size_bytes,
+        | CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+        | CAST(0 AS INTEGER) AS n_frames,
+        | CAST(0 AS BIGINT) AS first_frame_offset,
+        | 'quarantined' AS status
         |FROM documents ORDER BY media_id""".stripMargin,
     "q37_contamination" ->
       """WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -35,11 +35,67 @@ class MultimodalSpec extends SparkSuite {
         Some(("gif", w, h)))
       assert(MediaDecoder.decodeHeader(MediaBuild.bmp(w, h)) ===
         Some(("bmp", w, h)))
+      assert(MediaDecoder.decodeHeader(MediaBuild.webp(w, h)) ===
+        Some(("webp", w, h)))
+      assert(MediaDecoder.decodeHeader(MediaBuild.tiff(w, h)) ===
+        Some(("tiff", w, h)))
     }
     assert(MediaBuild.png(1, 1).length.toLong === MediaBuild.PngBytes)
     assert(MediaBuild.jpeg(1, 1).length.toLong === MediaBuild.JpegBytes)
     assert(MediaBuild.gif(1, 1).length.toLong === MediaBuild.GifBytes)
     assert(MediaBuild.bmp(1, 1).length.toLong === MediaBuild.BmpBytes)
+    assert(MediaBuild.webp(1, 1).length.toLong === MediaBuild.WebpBytes)
+    assert(MediaBuild.tiff(1, 1).length.toLong === MediaBuild.TiffBytes)
+  }
+
+  test("header decode: WEBP VP8L/VP8 variants and big-endian TIFF") {
+    import Multimodal.MediaDecoder
+    // VP8L: 0x2F then width-1 (14 bits) | height-1 (14 bits), LE-packed
+    def vp8l(w: Int, h: Int): Array[Byte] = {
+      val bits = (w - 1) | ((h - 1) << 14)
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](13, 0, 0, 0) ++
+        "WEBPVP8L".getBytes("US-ASCII") ++ Array[Byte](5, 0, 0, 0) ++
+        Array(0x2f, bits & 0xff, (bits >> 8) & 0xff, (bits >> 16) & 0xff,
+          (bits >> 24) & 0xff).map(_.toByte)
+    }
+    assert(MediaDecoder.decodeHeader(vp8l(257, 129)) === Some(("webp", 257, 129)))
+    // lossy "VP8 ": 3-byte frame tag, 9D 01 2A sync, 14-bit LE dims
+    def vp8(w: Int, h: Int): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](22, 0, 0, 0) ++
+        "WEBPVP8 ".getBytes("US-ASCII") ++ Array[Byte](10, 0, 0, 0) ++
+        Array[Byte](0, 0, 0) ++ Array(0x9d, 0x01, 0x2a).map(_.toByte) ++
+        Array(w & 0xff, (w >> 8) & 0x3f, h & 0xff, (h >> 8) & 0x3f)
+          .map(_.toByte)
+    assert(MediaDecoder.decodeHeader(vp8(640, 481)) === Some(("webp", 640, 481)))
+    // big-endian (MM) TIFF with SHORT-typed dims
+    val mm = java.nio.ByteBuffer.allocate(38) // BE default
+    mm.put('M'.toByte).put('M'.toByte).putShort(42.toShort).putInt(8)
+    mm.putShort(2.toShort)
+    // SHORT values are left-justified in the 4-byte slot (BE: hi half)
+    mm.putShort(256.toShort).putShort(3.toShort).putInt(1)
+      .putShort(517.toShort).putShort(0.toShort)
+    mm.putShort(257.toShort).putShort(3.toShort).putInt(1)
+      .putShort(263.toShort).putShort(0.toShort)
+    mm.putInt(0)
+    assert(MediaDecoder.decodeHeader(mm.array()) === Some(("tiff", 517, 263)))
+  }
+
+  test("corrupt containers quarantine with zeroed dims; opaque still stubs") {
+    import Multimodal.{MediaBuild, MediaDecoder}
+    for (fmt <- MediaBuild.Formats) {
+      val p = MediaBuild.corrupt(fmt)
+      assert(p.length.toLong === MediaBuild.CorruptBytes(fmt), fmt)
+      assert(MediaDecoder.probe(p) === MediaDecoder.Corrupt(fmt), fmt)
+      val m = MediaDecoder.decode(Multimodal.MediaRecord(9L, "image", p))
+      assert(m.status === "quarantined" && m.kind === fmt, fmt)
+      assert(m.width === 0 && m.height === 0 && m.n_frames === 0, fmt)
+      assert(m.size_bytes === p.length.toLong, fmt)
+    }
+    // a parsed and an opaque record carry the right statuses
+    assert(MediaDecoder.decode(Multimodal.MediaRecord(
+      1L, "image", MediaBuild.png(3, 4))).status === "ok")
+    assert(MediaDecoder.decode(Multimodal.MediaRecord(
+      2L, "blob", "free text".getBytes)).status === "opaque")
   }
 
   test("header decode: JPEG marker walk skips APP/COM segments and fills") {
