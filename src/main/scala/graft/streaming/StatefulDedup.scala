@@ -37,8 +37,33 @@ import graft.functions.ColumnBridge
   */
 object StatefulDedup {
 
+  /** Versioned state value. The schema bump from the pre-r8 bare Boolean
+    * is DELIBERATE: Spark's state-schema compatibility check
+    * (`spark.sql.streaming.stateStore.stateSchemaCheck`, on by default)
+    * compares this value schema against the checkpoint's, so a stream
+    * restarted from a checkpoint written by the old Boolean-state /
+    * unprefixed-key build now FAILS LOUDLY at start instead of silently
+    * treating every previously-seen key as unseen and re-admitting one
+    * duplicate per key (the r6 key-encoding change made old checkpoints
+    * semantically stale; this makes them *visibly* stale). The `ver`
+    * field also guards the next semantic change that doesn't alter the
+    * schema: a mismatched version raises immediately rather than
+    * half-applying old state. */
+  final case class SeenState(ver: Int)
+
+  /** Bump on any change to state semantics or the group-key encoding. */
+  val StateVersion = 2
+
+  private def checkVer(s: SeenState): Unit =
+    if (s.ver != StateVersion)
+      throw new IllegalStateException(
+        s"StatefulDedup state version ${s.ver} != expected $StateVersion: " +
+          "checkpoint was written by an incompatible build; drain and " +
+          "restart with a fresh checkpoint")
+
   /** Emit only the first row ever seen per value of `keyCol` (across all
-    * micro-batches). State: one boolean per key, partitioned by key.
+    * micro-batches). State: one versioned marker per key, partitioned by
+    * key.
     *
     * `stateTtlMs > 0` bounds state growth for unbounded key domains: a key
     * idle longer than the TTL is forgotten (and would be re-emitted if it
@@ -48,7 +73,7 @@ object StatefulDedup {
     */
   def firstSeen(df: DataFrame, keyCol: String, stateTtlMs: Long = 0L): DataFrame = {
     implicit val rowEnc: Encoder[Row] = Encoders.row(df.schema)
-    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    implicit val stEnc: Encoder[SeenState] = Encoders.product[SeenState]
     val keyIdx = df.schema.fieldIndex(keyCol)
     val timeout =
       if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
@@ -59,27 +84,30 @@ object StatefulDedup {
     // the two domains stay disjoint.
     // STATE-COMPAT: this "k"+v / "\u0000null" encoding (introduced after
     // the unprefixed String.valueOf encoding) changes every state-store
-    // group key — a job restarted from a checkpoint written by the old
-    // encoding sees all previously-seen keys as unseen and re-admits one
-    // duplicate per key, once, after the upgrade. Deliberate trade: the
-    // old encoding silently merged null-keyed rows with literal-"null"
-    // keys. Operators upgrading a long-lived stream should either drain
-    // + restart with a fresh checkpoint or accept the one-shot re-admit.
+    // group key. Restarting from a checkpoint written by the old build
+    // would silently re-admit one duplicate per key — which is why the
+    // state VALUE schema was bumped alongside ([[SeenState]]): the
+    // old-Boolean checkpoint now fails Spark's state-schema check at
+    // query start, instead of half-applying stale state. Upgrading a
+    // long-lived stream means drain + restart with a fresh checkpoint.
+    // (The old encoding also merged null-keyed rows with literal-"null"
+    // keys; this one keeps the domains disjoint.)
     df.groupByKey { r =>
       val v = r.get(keyIdx)
       if (v == null) "\u0000null" else "k" + v
     }(Encoders.STRING)
-      .flatMapGroupsWithState[Boolean, Row](
+      .flatMapGroupsWithState[SeenState, Row](
         OutputMode.Append(), timeout) {
-        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+        (_: String, rows: Iterator[Row], state: GroupState[SeenState]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else if (state.exists) {
+            checkVer(state.get)
             if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
             Iterator.empty
           } else {
-            state.update(true)
+            state.update(SeenState(StateVersion))
             if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
             rows.take(1)
           }
@@ -168,22 +196,23 @@ object StatefulDedup {
       StructField("__payload", exploded.schema("__payload").dataType)))
     val outEnc: Encoder[Row] = Encoders.row(outSchema)
     implicit val inEnc: Encoder[Row] = Encoders.row(exploded.schema)
-    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    implicit val stEnc: Encoder[SeenState] = Encoders.product[SeenState]
     val timeout =
       if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     exploded.groupByKey(_.getLong(0))(Encoders.scalaLong)
-      .flatMapGroupsWithState[Boolean, Row](OutputMode.Append(), timeout) ({
-        (_: Long, recs: Iterator[Row], state: GroupState[Boolean]) =>
+      .flatMapGroupsWithState[SeenState, Row](OutputMode.Append(), timeout) ({
+        (_: Long, recs: Iterator[Row], state: GroupState[SeenState]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             var seen = state.exists
+            if (seen) checkVer(state.get)
             if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
             recs.map { r =>
               val hit = if (seen) 1 else 0
-              if (!seen) { state.update(true); seen = true }
+              if (!seen) { state.update(SeenState(StateVersion)); seen = true }
               Row(r.getString(1), hit, r.get(2))
             }
           }

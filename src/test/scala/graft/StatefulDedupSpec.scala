@@ -245,4 +245,57 @@ class StatefulDedupSpec extends SparkSuite {
     val got = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
     assert(got.size === 1, s"exactly one of the identical pair survives, got $got")
   }
+
+  test("restart from a pre-versioned (Boolean-state) checkpoint fails loudly") {
+    import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQueryException}
+
+    val dir = Files.createTempDirectory("dedupver").toString
+    val srcDir = s"$dir/in"; val outDir = s"$dir/out"; val ckDir = s"$dir/ck"
+    Files.createDirectories(Paths.get(srcDir))
+    def write(file: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(srcDir, file), lines.mkString("\n").getBytes("UTF-8"))
+    def src(): DataFrame = spark.readStream.format("text").load(srcDir)
+      .select(split(col("value"), ",").getItem(0).as("k"),
+        split(col("value"), ",").getItem(1).as("v"))
+
+    // inline replica of the pre-r8 operator: BARE BOOLEAN state (and the
+    // old unprefixed key encoding) — writes a legacy-format checkpoint
+    def oldFirstSeen(df: DataFrame): DataFrame = {
+      implicit val rowEnc: Encoder[Row] = Encoders.row(df.schema)
+      implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+      df.groupByKey(r => String.valueOf(r.get(0)))(Encoders.STRING)
+        .flatMapGroupsWithState[Boolean, Row](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+            if (state.exists) Iterator.empty
+            else { state.update(true); rows.take(1) }
+        }
+    }
+    write("b1.csv", Seq("a,1", "b,2"))
+    oldFirstSeen(src())
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination(60000)
+    assert(spark.read.parquet(outDir).count() === 2)
+
+    // restart the SAME checkpoint with the current versioned operator:
+    // the state-schema check must refuse it at query start — a silent
+    // run here would re-admit key "a" (the r6/r7 failure mode)
+    write("b2.csv", Seq("a,9", "c,4"))
+    val ex = intercept[StreamingQueryException] {
+      StatefulDedup.firstSeen(src(), "k")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination(60000)
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.toString).getOrElse("")
+    assert(msg.toLowerCase.contains("schema"),
+      s"expected a state-schema incompatibility, got: $msg")
+    // and nothing was silently re-admitted
+    assert(spark.read.parquet(outDir).count() === 2)
+  }
 }
