@@ -274,10 +274,18 @@ object Bench {
         s""""stream_rows_per_sec":${(STREAM_ROWS / streamSec).toLong}"""
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // resolve against an explicit base (env override, else the JVM cwd
+    // made absolute) and SAY where it went — launched outside the repo
+    // root a bare relative path would silently land elsewhere while the
+    // stdout protocol line still claimed "in repo BENCH_FULL.json"
+    val fullPath = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "."), "BENCH_FULL.json")
+      .toAbsolutePath.normalize
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+      fullPath,
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
         s"""$rates,"protocol":"$protocol","sf":"$sfDir"}""")
+    System.err.println(s"[bench] full-precision record written to $fullPath")
     System.out.println(
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
         s""""queries":$shortQs,$rates,""" +

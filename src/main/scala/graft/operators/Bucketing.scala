@@ -64,7 +64,10 @@ object Bucketing {
         s"$right=${rs.numBuckets}): the exchange-free plan needs " +
         "identical bucketing — rewrite one side")
     Seq(left -> ls, right -> rs).foreach { case (t, s) =>
-      require(s.bucketColumnNames == Seq(key),
+      // Spark resolves columns case-insensitively by default, so the
+      // bucket-column match must too: a table bucketed on "K" joined on
+      // key "k" IS exchange-free and must not be rejected here
+      require(s.bucketColumnNames.map(_.toLowerCase) == Seq(key.toLowerCase),
         s"table $t is bucketed on ${s.bucketColumnNames.mkString(",")}, " +
           s"not on join key $key — the join would silently shuffle")
     }

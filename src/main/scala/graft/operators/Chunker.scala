@@ -22,9 +22,14 @@ import org.apache.spark.sql.functions._
   * Window geometry (all 1-based, mirroring the SQL oracle):
   * starts are `1, 1+stride, 1+2·stride, …` while `start ≤ n_tokens`;
   * each chunk is `tokens[start, start+window-1]` clamped at the document
-  * end. A trailing fragment shorter than `minTail` tokens is dropped —
-  * UNLESS it is the document's only chunk (`start == 1`), so no
-  * non-empty document vanishes from the output.
+  * end. The trailing fragment — with `minTail ≤ stride + 1` only the
+  * LAST chunk can ever be shorter than `minTail` (remaining length drops
+  * by `stride` per step, so the second-to-last chunk always has
+  * ≥ stride + 1 tokens) — is dropped when shorter than `minTail`, UNLESS
+  * it is the document's only chunk (`start == 1`), so no non-empty
+  * document vanishes from the output. `minTail` beyond that bound is
+  * rejected: it would silently drop a RUN of short clamped chunks, not
+  * the single tail fragment this contract names.
   */
 object Chunker {
 
@@ -37,10 +42,13 @@ object Chunker {
       window: Int = 50, stride: Int = 40, minTail: Int = 10): DataFrame = {
     require(window > 0 && stride > 0 && minTail >= 0,
       s"window/stride must be positive, got window=$window stride=$stride minTail=$minTail")
-    // minTail > window would silently drop FULL interior windows (every
-    // non-first chunk has n_tokens <= window), not just tails
-    require(minTail <= window,
-      s"minTail=$minTail > window=$window would drop interior windows")
+    // beyond stride+1 the filter stops meaning "drop the short tail":
+    // with stride < window, any minTail in (stride+1, window] drops a
+    // suffix RUN of short clamped chunks (and past window, full interior
+    // windows) — reject rather than silently widen the contract
+    require(minTail <= stride + 1,
+      s"minTail=$minTail > stride+1=${stride + 1} would drop interior " +
+        "chunks, not just the single trailing fragment")
     val toks: Column = split(col(textCol), " ")
     docs
       // null text: split→null, size→-1, and sequence(1,-1) THROWS; the

@@ -176,6 +176,7 @@ object ScaleBench {
     }
 
     val names = if (args.nonEmpty) args.toSeq else SCALE_QUERIES
+    var superLinear = List.empty[String]
     val rows = names.map { n =>
       val a = time(n, base)
       val b = time(n, OUT)
@@ -184,9 +185,11 @@ object ScaleBench {
       // fail loudly, not quietly in a JSON artifact: at 10x data, a
       // ratio past the data ratio means the plan got super-linear
       // (q29's exact global sort is the one documented exception)
-      if (r > 10.0 && n != "q29_quantiles")
+      if (r > 10.0 && n != "q29_quantiles") {
         System.err.println(
           f"[scale] SUPER-LINEAR $n ratio $r%.2f exceeds the 10x data ratio - plan regression")
+        superLinear ::= n
+      }
       n -> ((a, b, r))
     }
     // merge into the existing file: an args-restricted run refreshes its
@@ -220,5 +223,14 @@ object ScaleBench {
     java.nio.file.Files.writeString(out, json)
     System.out.println(json)
     spark.stop()
+    // loud means a non-zero exit, not a stderr line scrolled past: the
+    // artifact above is still written (the regressed ratio is evidence,
+    // and merging keeps the rest of the curve fresh), but the run fails
+    if (superLinear.nonEmpty) {
+      System.err.println(
+        s"[scale] FAILING: super-linear non-exempt queries: " +
+          superLinear.reverse.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

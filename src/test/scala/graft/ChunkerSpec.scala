@@ -50,14 +50,22 @@ class ChunkerSpec extends SparkSuite {
     assert(got === Set(1L))
   }
 
-  test("minTail > window is rejected (would drop interior windows)") {
+  test("minTail past stride+1 is rejected (would drop interior chunks)") {
     import spark.implicits._
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    // past window: full interior windows would vanish
     val e = intercept[IllegalArgumentException] {
       Chunker.slidingChunks(df, "doc_id", "text",
         window = 50, stride = 50, minTail = 60)
     }
     assert(e.getMessage.contains("interior"))
+    // in (stride+1, window]: a run of short clamped chunks would vanish,
+    // not just the single trailing fragment — also rejected
+    val e2 = intercept[IllegalArgumentException] {
+      Chunker.slidingChunks(df, "doc_id", "text",
+        window = 50, stride = 10, minTail = 20)
+    }
+    assert(e2.getMessage.contains("interior"))
   }
 
   test("plan is shuffle-free (narrow explode only)") {
