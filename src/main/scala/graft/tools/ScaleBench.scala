@@ -97,7 +97,16 @@ object ScaleBench {
     // no matter how events scale.
     // q72 is the q54 shape: one user-keyed shuffle, per-user sort
     // bounded by that user's history.
-    "q70_moving_agg", "q71_uniq_upto", "q72_delta_sum")
+    "q70_moving_agg", "q71_uniq_upto", "q72_delta_sum",
+    // r8: q73's second exchange carries one compressed roaring bitmap
+    // per (event_type, week) cell — cells stay constant while the
+    // (type, week, user) triple volume behind them grows 10×, so the
+    // ratio measures the first partial-aggregated scan. q74 keeps
+    // supplier cardinality constant (copies shift l_orderkey only);
+    // each digest absorbs 10× values into ≤ ~δ centroids, so the
+    // shuffle width is unchanged and the rank-check join rides the
+    // same supplier-keyed exchange.
+    "q73_bitmap_users", "q74_tdigest_quantiles")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")
