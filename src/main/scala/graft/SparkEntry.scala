@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.LlmPipeline.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.CorpusExtras.queries ++
-      graft.queries.PipelineExtras.queries
+      graft.queries.PipelineExtras.queries ++
+      graft.queries.Round8.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.LlmPipeline.oracles ++
       graft.queries.EventQueries.oracles ++
       graft.queries.CorpusExtras.oracles ++
-      graft.queries.PipelineExtras.oracles
+      graft.queries.PipelineExtras.oracles ++
+      graft.queries.Round8.oracles
 }

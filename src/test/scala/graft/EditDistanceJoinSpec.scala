@@ -1,0 +1,102 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.EditDistanceJoin
+
+/** Pass-Join pigeonhole blocking must be COMPLETE (recall 1.0), so the
+  * operator is pinned against a brute-force all-pairs Levenshtein scan
+  * over corpora with planted substitution/insertion/deletion edits at
+  * varying string lengths, plus boundary cases (identical strings,
+  * length-band edges, sub-threshold strings). */
+class EditDistanceJoinSpec extends SparkSuite {
+
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(b.length)
+  }
+
+  private def bruteForce(rows: Seq[(Long, String)], d: Int): Set[(Long, Long, Long)] =
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && sa.length > d && sb.length > d
+      dist = lev(sa, sb) if dist <= d
+    } yield (ia, ib, dist.toLong)).toSet
+
+  private def run(rows: Seq[(Long, String)], d: Int): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    EditDistanceJoin.selfJoin(rows.toDF("id", "s"), "id", "s", d)
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  test("planted edits across lengths: exact parity with brute force") {
+    val rnd = new Random(42)
+    val vocab = "abcdefgh"
+    def randStr(n: Int) = (1 to n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      for (_ <- 1 to edits) {
+        val p = rnd.nextInt(math.max(cur.length, 1))
+        cur = rnd.nextInt(3) match {
+          case 0 if cur.nonEmpty => cur.updated(p, vocab(rnd.nextInt(vocab.length)))
+          case 1 => cur.take(p) + vocab(rnd.nextInt(vocab.length)) + cur.drop(p)
+          case _ if cur.length > 5 => cur.take(p) + cur.drop(p + 1)
+          case _ => cur
+        }
+      }
+      cur
+    }
+    val originals = (0L until 30L).map(i => i -> randStr(20 + rnd.nextInt(40)))
+    val mutated = originals.take(15).map { case (i, s) =>
+      (i + 1000L) -> mutate(s, 1 + rnd.nextInt(4))
+    }
+    val rows = originals ++ mutated
+    val d = 3
+    val expected = bruteForce(rows, d)
+    assert(expected.nonEmpty, "test corpus must contain in-threshold pairs")
+    assert(run(rows, d) === expected)
+  }
+
+  test("identical strings report distance 0; disjoint strings are absent") {
+    val rows = Seq(1L -> "hello world hello", 2L -> "hello world hello",
+      3L -> "zzzzzzzzzzzzzzzzz")
+    assert(run(rows, 2) === Set((1L, 2L, 0L)))
+  }
+
+  test("length-band edge: |len difference| = d is kept, d+1 dropped") {
+    // base "aaaaaaaaaa" (10), +3 pure insertions (13) -> dist 3 kept at
+    // d=3; the 14-char string is dist 4 from the base (dropped) and
+    // dist 1 from the 13-char one (kept)
+    val rows = Seq(1L -> "aaaaaaaaaa", 2L -> "aaaaaaaaaaaaa",
+      3L -> "aaaaaaaaaaaaaa")
+    assert(run(rows, 3) === Set((1L, 2L, 3L), (2L, 3L, 1L)))
+  }
+
+  test("strings of length <= maxDist are excluded by contract") {
+    val rows = Seq(1L -> "ab", 2L -> "ab", 3L -> "abcdef", 4L -> "abcdef")
+    assert(run(rows, 3) === Set((3L, 4L, 0L)))
+  }
+
+  test("variable-length corpus, higher threshold") {
+    val rnd = new Random(7)
+    def words(n: Int) = (1 to n).map(_ => Seq("key", "agg", "row", "scan",
+      "slow", "fast")(rnd.nextInt(6))).mkString(" ")
+    val base = (0L until 20L).map(i => i -> words(8 + rnd.nextInt(6)))
+    // swap one word in half of them
+    val near = base.take(10).map { case (i, s) =>
+      (i + 100L) -> s.replaceFirst("key|agg|row", "xyz")
+    }
+    val rows = base ++ near
+    val d = 6
+    assert(run(rows, d) === bruteForce(rows, d))
+  }
+}
