@@ -37,8 +37,41 @@ object Round8 {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q76: ClickHouse `sumMap`/`maxMap` ([[graft.functions.MapCombine]])
+    * as a TWO-LEVEL map plan — the `-State`/`-Merge` combinator shape:
+    * per-(user, week) revenue maps built once from rows, then merged
+    * per user by feeding level-1 maps back in via
+    * (`map_keys`, `map_values`) — the second exchange carries one
+    * bounded map per (user, week), never re-touching event rows.
+    * `sumMap` gives lifetime totals per event type, `maxMap` over the
+    * same weekly maps gives each type's best week. DECIMAL(18,4)
+    * accumulation keeps both sides order-independent (`dsum`
+    * discipline). */
+  def q76SumMap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MapCombine
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.parallel(s, dir, "events")
+    val wk = e
+      .groupBy(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .agg(MapCombine.sumMap(
+        array(col("event_type")),
+        array(col("value").cast(DecimalType(18, 4)))).as("m"))
+    wk.groupBy(col("user_id"))
+      .agg(
+        MapCombine.sumMap(map_keys(col("m")), map_values(col("m"))).as("tm"),
+        MapCombine.maxMap(map_keys(col("m")), map_values(col("m"))).as("xm"))
+      .select(col("user_id"), explode(col("tm")).as(Seq("event_type", "t")),
+        col("xm"))
+      .select(col("user_id"), col("event_type"),
+        col("t").cast("double").as("total"),
+        element_at(col("xm"), col("event_type")).cast("double")
+          .as("weekly_max"))
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q75_edit_dist_join" -> q75EditDistJoin _)
+    "q75_edit_dist_join" -> q75EditDistJoin _,
+    "q76_sum_map" -> q76SumMap _)
 
   val oracles: Map[String, String] = Map(
     "q75_edit_dist_join" ->
@@ -48,5 +81,15 @@ object Round8 {
         |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.head, b.head) <= $editDistMax
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q76_sum_map" ->
+      """WITH wk AS (
+        |  SELECT user_id, date_trunc('week', ts) AS wk, event_type,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS s
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type,
+        |  CAST(CAST(sum(s) AS DECIMAL(18,4)) AS DOUBLE) AS total,
+        |  CAST(max(s) AS DOUBLE) AS weekly_max
+        |FROM wk GROUP BY 1, 2
+        |ORDER BY user_id, event_type""".stripMargin)
 }
