@@ -69,9 +69,29 @@ object Round8 {
       .orderBy("user_id", "event_type")
   }
 
+  /** q77: ClickHouse `histogram(bins)(x)`
+    * ([[graft.functions.AdaptiveHistogram]], Ben-Haim/Tom-Toub) per
+    * return flag over l_quantity. The oracle leans on the algorithm's
+    * exactness property — distinct values (50) under the bin budget
+    * (64) make the adaptive histogram collapse to the exact frequency
+    * table at ANY partitioning — so a plain GROUP-BY-value count pins
+    * it. The over-budget approximate regime is spec-pinned
+    * (AdaptiveHistogramSpec) by its order-invariant envelope. */
+  def q77Histogram(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AdaptiveHistogram
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(AdaptiveHistogram.histogram(
+        col("l_quantity").cast("double"), 64).as("h"))
+      .select(col("l_returnflag"), explode(col("h")).as("e"))
+      .select(col("l_returnflag"), col("e.x").as("q"), col("e.w").as("cnt"))
+      .orderBy("l_returnflag", "q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_edit_dist_join" -> q75EditDistJoin _,
-    "q76_sum_map" -> q76SumMap _)
+    "q76_sum_map" -> q76SumMap _,
+    "q77_histogram" -> q77Histogram _)
 
   val oracles: Map[String, String] = Map(
     "q75_edit_dist_join" ->
@@ -91,5 +111,10 @@ object Round8 {
         |  CAST(CAST(sum(s) AS DECIMAL(18,4)) AS DOUBLE) AS total,
         |  CAST(max(s) AS DOUBLE) AS weekly_max
         |FROM wk GROUP BY 1, 2
-        |ORDER BY user_id, event_type""".stripMargin)
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q77_histogram" ->
+      """SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY l_returnflag, q""".stripMargin)
 }
