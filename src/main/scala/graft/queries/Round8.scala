@@ -88,10 +88,68 @@ object Round8 {
       .orderBy("l_returnflag", "q")
   }
 
+  /** q78: ClickHouse moment/regression battery — `simpleLinearRegression
+    * (hour, value)`, `corr`, `stddevSamp`, `skewPop`, `kurtPop` and the
+    * `-If` combinators (`countIf`/`avgIf`) per event type. All
+    * statistics are rational functions of the power sums (n, Σx, Σx²,
+    * Σxy, Σy, Σy², Σy³, Σy⁴); the sums are accumulated EXACTLY (value
+    * has 2 decimals, so its DECIMAL powers up to y³ are exact; y⁴ is
+    * one deterministic IEEE product) and the double-precision formula
+    * trees are written token-identically on both sides — so the oracle
+    * comparison is bit-tight, with no dependence on either engine's
+    * internal streaming-moment order. The sums are plain map-side
+    * combinable aggregates: the shuffle carries 8 numbers per group,
+    * the ClickHouse-aggregate scale shape. */
+  def q78StatsBattery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables(s, dir, "events")
+    val h = hour(col("ts")).cast(DecimalType(18, 4))
+    val v = col("value").cast(DecimalType(18, 4))
+    val sums = e.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(h).cast("double").as("sx"),
+      sum(h * h).cast("double").as("sxx"),
+      sum(h * v).cast("double").as("sxy"),
+      sum(v).cast("double").as("sy"),
+      sum(v * v).cast("double").as("syy"),
+      sum((col("value") * col("value") * col("value"))
+        .cast(DecimalType(38, 6))).cast("double").as("sy3"),
+      sum(((col("value") * col("value")) * (col("value") * col("value")))
+        .cast(DecimalType(38, 8))).cast("double").as("sy4"),
+      count(when(col("value") > 100.0d, 1)).cast("double").as("nhi"),
+      sum(when(col("value") > 100.0d, v)).cast("double").as("shi"))
+    val n = col("n"); val sx = col("sx"); val sxx = col("sxx")
+    val sxy = col("sxy"); val sy = col("sy"); val syy = col("syy")
+    val sy3 = col("sy3"); val sy4 = col("sy4")
+    // named intermediates mirror the oracle's `derived` CTE so both
+    // engines evaluate token-identical double expression trees
+    val derived = sums
+      .withColumn("mu", sy / n)
+      .withColumn("varp", syy / n - col("mu") * col("mu"))
+      .withColumn("slope_raw",
+        (n * sxy - sx * sy) / (n * sxx - sx * sx))
+    val mu = col("mu"); val varp = col("varp"); val slope = col("slope_raw")
+    derived.select(col("event_type"),
+      round(slope, 6).as("slope"),
+      round((sy - slope * sx) / n, 6).as("intercept"),
+      round((n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("corr"),
+      round(sqrt((syy - sy * sy / n) / (n - lit(1.0d))), 6).as("stddev_samp"),
+      round((sy3 / n - lit(3.0d) * mu * (syy / n) + lit(2.0d) * mu * mu * mu) /
+        (sqrt(varp) * sqrt(varp) * sqrt(varp)), 6).as("skew_pop"),
+      round((sy4 / n - lit(4.0d) * mu * (sy3 / n) +
+        lit(6.0d) * mu * mu * (syy / n) - lit(3.0d) * mu * mu * mu * mu) /
+        (varp * varp) - lit(3.0d), 6).as("kurt_pop"),
+      col("nhi").cast("long").as("cnt_hi"),
+      round(col("shi") / col("nhi"), 6).as("avg_hi"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_edit_dist_join" -> q75EditDistJoin _,
     "q76_sum_map" -> q76SumMap _,
-    "q77_histogram" -> q77Histogram _)
+    "q77_histogram" -> q77Histogram _,
+    "q78_stats_battery" -> q78StatsBattery _)
 
   val oracles: Map[String, String] = Map(
     "q75_edit_dist_join" ->
@@ -116,5 +174,43 @@ object Round8 {
       """SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q,
         |  CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY 1, 2
-        |ORDER BY l_returnflag, q""".stripMargin)
+        |ORDER BY l_returnflag, q""".stripMargin,
+    "q78_stats_battery" ->
+      """WITH sums AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(hour(ts) AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(hour(ts) AS DECIMAL(18,4)) *
+        |             CAST(hour(ts) AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(hour(ts) AS DECIMAL(18,4)) *
+        |             CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4)) *
+        |             CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(value * value * value AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS sy3,
+        |    CAST(sum(CAST((value * value) * (value * value) AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS sy4,
+        |    CAST(count(CASE WHEN value > 100.0 THEN 1 END) AS DOUBLE) AS nhi,
+        |    CAST(sum(CASE WHEN value > 100.0
+        |             THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS shi
+        |  FROM events GROUP BY event_type),
+        |derived AS (
+        |  SELECT *, sy / n AS mu,
+        |    syy / n - (sy / n) * (sy / n) AS varp,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw
+        |  FROM sums)
+        |SELECT event_type,
+        |  round(slope_raw, 6) AS slope,
+        |  round((sy - slope_raw * sx) / n, 6) AS intercept,
+        |  round((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr,
+        |  round(sqrt((syy - sy * sy / n) / (n - 1.0)), 6) AS stddev_samp,
+        |  round((sy3 / n - 3.0 * mu * (syy / n) + 2.0 * mu * mu * mu) /
+        |    (sqrt(varp) * sqrt(varp) * sqrt(varp)), 6) AS skew_pop,
+        |  round((sy4 / n - 4.0 * mu * (sy3 / n) + 6.0 * mu * mu * (syy / n)
+        |    - 3.0 * mu * mu * mu * mu) / (varp * varp) - 3.0, 6) AS kurt_pop,
+        |  CAST(nhi AS BIGINT) AS cnt_hi,
+        |  round(shi / nhi, 6) AS avg_hi
+        |FROM derived ORDER BY event_type""".stripMargin)
 }
