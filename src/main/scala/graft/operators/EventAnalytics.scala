@@ -194,4 +194,77 @@ object EventAnalytics {
       .withColumn("mv_n", mvN)
       .withColumn("mv_avg", round(col("mv_sum") / lit(n), 6))
   }
+
+  /** ClickHouse `exponentialTimeDecayedAvg(halflife)(v, t)` evaluated
+    * at each key's LAST event — the "current smoothed value" reading a
+    * monitoring pipeline wants: every observation weighted by
+    * 2^(−Δt/halflife) against the key's latest timestamp, then the
+    * weighted mean. One row per key: (key, n_events, ema).
+    *
+    * The closed form Σ v·w / Σ w (w = 2^(−(t_last−t)/h)) needs no
+    * sequential scan — unlike the stateful recurrence it is
+    * order-free, so it distributes as a plain aggregate. The window
+    * max and the two sums share ONE key-hash exchange. Each weighted
+    * term is rounded into DECIMAL(28,12) before summation so both the
+    * sum and the quotient are bit-deterministic under any partitioning
+    * (the dsum discipline; a raw double Σ would be order-dependent).
+    *
+    * `halflifeUs` is in microseconds of `timeCol` (epoch-µs both here
+    * and in the oracle). */
+  def timeDecayedAvg(
+      events: DataFrame, keyCol: String, timeCol: String, valCol: String,
+      halflifeUs: Long): DataFrame = {
+    require(halflifeUs > 0, s"halflife must be positive, got $halflifeUs")
+    val w = Window.partitionBy(col(keyCol))
+    val t = unix_micros(col(timeCol))
+    val tLast = max(t).over(w)
+    // pow of a double exponent is identical IEEE on both engines; the
+    // order-sensitive step is the SUM, which the decimal cast removes
+    // (cast, not round: CAST decimalizes the exact binary expansion on
+    // both engines — the q50 discipline)
+    val wt = pow(lit(0.5d),
+      (tLast - t).cast("double") / lit(halflifeUs.toDouble))
+    events
+      .withColumn("__w", wt.cast(DecimalType(28, 12)))
+      .withColumn("__wv", (wt * col(valCol)).cast(DecimalType(28, 12)))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("__wv")).cast("double") /
+          sum(col("__w")).cast("double"), 6).as("ema"))
+  }
+
+  /** ClickHouse `sequenceNextNode('forward', 'first_match')(t, node,
+    * base_cond, cond1..)`: per key, scan events in (`timeCol`,
+    * `tieCol`) order, find the FIRST position where the chain
+    * `steps(0), steps(1), …` matches consecutively, and return the
+    * node value immediately after the matched chain (NULL when the
+    * chain never matches or ends the sequence). Output one row per key:
+    * (key, next_node).
+    *
+    * Shape: `steps.size` lead() columns over one key-hash window — the
+    * chain test is a row-local conjunction, no self-join, no state
+    * beyond the per-key sort. */
+  def sequenceNextNode(
+      events: DataFrame, keyCol: String, timeCol: String, tieCol: String,
+      nodeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "sequenceNextNode needs at least one step")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col(tieCol))
+    val matched = steps.zipWithIndex.map { case (s, i) =>
+      (if (i == 0) col(nodeCol) else lead(col(nodeCol), i).over(w)) === lit(s)
+    }.reduce(_ && _)
+    val nxt = lead(col(nodeCol), steps.size).over(w)
+    events
+      .withColumn("__m", matched)
+      .withColumn("__nxt", nxt)
+      .withColumn("__t", unix_micros(col(timeCol)))
+      .filter(col("__m"))
+      .groupBy(col(keyCol))
+      // struct-min, not min_by: the carried value may be NULL (chain at
+      // end of sequence) and must survive as NULL; the (t, tie) prefix
+      // is unique so __nxt never participates in the comparison
+      .agg(min(struct(col("__t"), col(tieCol).as("__tie"), col("__nxt")))
+        .getField("__nxt").as("next_node"))
+  }
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** ClickHouse two-sample statistical tests — `welchTTest`,
+  * `mannWhitneyUTest` and `kolmogorovSmirnovTest` — as one battery over
+  * a numeric column split by a binary group label.
+  *
+  * Scale shape: the raw rows are touched exactly twice, both times by
+  * combinable aggregates — (a) per-group power sums (Welch), (b) a
+  * groupBy on the VALUE (rank/ECDF table). Every window below runs over
+  * the distinct-value table, not the rows; for fixed-precision metrics
+  * (2-decimal doubles in a bounded range) that table is
+  * scale-invariant, so the single-partition window is a deliberate,
+  * bounded driver-side-sized step — the same justification as the
+  * stop-gram tables in [[JaccardJoin]].
+  *
+  * Determinism: Welch runs on DECIMAL-exact power sums (values carry 2
+  * decimals); Mann–Whitney average ranks are carried in integer HALVES
+  * (2·rank is always whole) so the rank-sum is exact BIGINT; the KS
+  * statistic is a max of |a/n₁ − b/n₂| cleared to integers — all
+  * order-free, oracle-mirrorable bit-for-bit.
+  */
+object StatTests {
+
+  /** Run the battery on `df(valCol)` split by boolean `isA`. Output one
+    * row: (n_a, n_b, mean_a, mean_b, t_stat, welch_df, mw_u, ks_d) with
+    * doubles µ-rounded (6).
+    */
+  def battery(df: DataFrame, valCol: String, isA: Column): DataFrame = {
+    val v = col(valCol).cast(DecimalType(18, 4))
+    val src = df.select(col(valCol), isA.as("__a"))
+      .filter(col(valCol).isNotNull)
+
+    // ---- Welch t from per-group exact power sums -------------------
+    val sums = src.groupBy().agg(
+      count(when(col("__a"), 1)).as("na"),
+      count(when(!col("__a"), 1)).as("nb"),
+      sum(when(col("__a"), v)).cast("double").as("sa"),
+      sum(when(!col("__a"), v)).cast("double").as("sb"),
+      sum(when(col("__a"), v * v)).cast("double").as("qa"),
+      sum(when(!col("__a"), v * v)).cast("double").as("qb"))
+
+    // ---- rank/ECDF table: one row per distinct value ---------------
+    val byVal = src.groupBy(col(valCol).as("__v"))
+      .agg(count(when(col("__a"), 1)).as("__ca"),
+        count(when(!col("__a"), 1)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byVal
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      // DOUBLED average rank of the tie-block ending here:
+      // 2·prevTotal + (cnt+1) — keeping ranks in integer halves makes
+      // the whole Mann–Whitney reduction exact BIGINT arithmetic
+      .withColumn("__r2",
+        (col("__cuma") + col("__cumb") - col("__ca") - col("__cb")) * 2 +
+          col("__ca") + col("__cb") + 1)
+    // ks numerator in exact integers too: |F_a − F_b| =
+    // |cuma·nb − cumb·na| / (na·nb) — the max is over integers, order-free
+    val rankStats = ranked
+      .crossJoin(broadcast(sums.select(col("na").as("__na"),
+        col("nb").as("__nb"))))
+      .groupBy().agg(
+        sum(col("__r2") * col("__ca")).as("__r1x2"),
+        max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
+          .as("__ksnum"),
+        max(col("__na") * col("__nb")).as("__ksden"))
+
+    sums.crossJoin(rankStats).select(
+      col("na").as("n_a"), col("nb").as("n_b"),
+      round(col("sa") / col("na"), 6).as("mean_a"),
+      round(col("sb") / col("nb"), 6).as("mean_b"),
+      round((col("sa") / col("na") - col("sb") / col("nb")) /
+        sqrt(varTerm("a") / col("na") + varTerm("b") / col("nb")), 6)
+        .as("t_stat"),
+      round(pow(varTerm("a") / col("na") + varTerm("b") / col("nb"), 2.0) /
+        (pow(varTerm("a") / col("na"), 2.0) / (col("na") - 1) +
+          pow(varTerm("b") / col("nb"), 2.0) / (col("nb") - 1)), 6)
+        .as("welch_df"),
+      // U₁ = R₁ − na(na+1)/2, with R₁ carried in exact halves:
+      // (r1x2 − na(na+1))/2 — integer-or-half, exact in double
+      round((col("__r1x2") - col("na") * (col("na") + 1)).cast("double") /
+        lit(2.0d), 6).as("mw_u"),
+      round(col("__ksnum").cast("double") / col("__ksden").cast("double"), 6)
+        .as("ks_d"))
+  }
+
+  /** Sample variance s² of group g from its power sums:
+    * (q − s²/n)/(n−1), written with this exact operand order on both
+    * sides. */
+  private def varTerm(g: String): Column =
+    (col(s"q$g") - col(s"s$g") * col(s"s$g") / col(s"n$g")) /
+      (col(s"n$g") - 1)
+}

@@ -145,13 +145,359 @@ object Round8 {
       .orderBy("event_type")
   }
 
+  /** q79/q80's interval fixture: each event opens an interval of
+    * `value` seconds starting at its timestamp — the "session /
+    * request-in-flight" reading of a (ts, duration) event log. The
+    * round() lands exactly on the integer the 2-decimal value encodes
+    * (fp error never reaches ±0.5), so both engines cast identically. */
+  private def intervals(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, dir, "events")
+    e.select(col("user_id"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) +
+          round(col("value") * lit(1000000.0d), 0).cast("long")).as("e"))
+      .filter(col("e") > col("s"))
+  }
+
+  /** q79: ClickHouse `intervalLengthSum` per user
+    * ([[graft.operators.IntervalAnalytics.intervalLengthSum]]) — total
+    * busy time with overlaps merged. One key-hash shuffle. */
+  def q79IntervalUnion(s: SparkSession, dir: String): DataFrame =
+    graft.operators.IntervalAnalytics
+      .intervalLengthSum(intervals(s, dir), "user_id", "s", "e")
+      .orderBy("user_id")
+
+  /** q80: ClickHouse `maxIntersections`/`maxIntersectionsPosition` per
+    * user over the same intervals — peak concurrency and where it
+    * first occurs. Explode + one key-hash sweep window. */
+  def q80MaxOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.IntervalAnalytics
+      .maxIntersections(intervals(s, dir), "user_id", "s", "e")
+      .orderBy("user_id")
+
+  /** q81's halflife: 7 days in µs — the monitoring-decay scale for a
+    * ~90-day event table (weights span ~2⁻¹³..1, all well inside
+    * DECIMAL(28,12)). */
+  val emaHalflifeUs = 604800000000L
+
+  /** q81: ClickHouse `exponentialTimeDecayedAvg` at each user's last
+    * event ([[graft.operators.EventAnalytics.timeDecayedAvg]]) — the
+    * closed-form, order-free reading; one key-hash exchange shared by
+    * the window max and the two decimal-exact sums. */
+  def q81TimeDecayedAvg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.timeDecayedAvg(
+        Tables.parallel(s, dir, "events"), "user_id", "ts", "value",
+        emaHalflifeUs)
+      .orderBy("user_id")
+
+  /** q82: ClickHouse `entropy` — per-source Shannon entropy (nats) of
+    * the language mix ([[graft.operators.CategoricalStats.entropy]]).
+    * The raw table is touched once by a combinable count; everything
+    * downstream is contingency-sized. */
+  def q82Entropy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CategoricalStats
+      .entropy(Tables.parallel(s, dir, "documents"), "source", "lang")
+      .orderBy("source")
+
+  /** q83: ClickHouse `cramersV`/`theilsU` between lang and source
+    * ([[graft.operators.CategoricalStats.association]]) — one
+    * contingency pass, broadcast margins, single-row output. */
+  def q83Association(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CategoricalStats
+      .association(Tables.parallel(s, dir, "documents"), "lang", "source")
+
+  /** q84: two-sample test battery click-vs-view over `value`
+    * ([[graft.operators.StatTests.battery]]): Welch t, Mann–Whitney U
+    * (tie-averaged ranks, exact integer halves), Kolmogorov–Smirnov D
+    * (integer-cleared ECDF gap). */
+  def q84StatTests(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+    graft.operators.StatTests
+      .battery(e, "value", col("event_type") === "click")
+  }
+
+  /** q85's fixture: seed docs for more-like-this, spanning the id
+    * range; pool 50 candidates per ranker, fuse to top 10. */
+  val rrfSeeds = Seq(0L, 7L, 42L)
+  val rrfPoolK = 50
+  val rrfK = 10
+
+  /** q85: hybrid retrieval ([[graft.operators.HybridRetrieval]]) —
+    * dense exact-cosine ranking over `embeddings` fused with sparse
+    * word-set-Jaccard ranking over `documents` by Reciprocal Rank
+    * Fusion (k₀=60). Rank-only fusion: the fused score is a sum of
+    * exact small-integer rationals, so determinism needs no float
+    * discipline beyond the rankers' own µ-rounding. */
+  def q85HybridRrf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HybridRetrieval.moreLikeThis(
+        Tables.parallel(s, dir, "documents"), "doc_id", "text",
+        Tables.parallel(s, dir, "embeddings"), "vec_id", "embedding",
+        rrfSeeds, k = rrfK, poolK = rrfPoolK)
+      .orderBy("q_id", "rank")
+
+  /** q86: ClickHouse `sequenceNextNode('forward','first_match')` — the
+    * event type immediately after each user's first consecutive
+    * signup→view chain
+    * ([[graft.operators.EventAnalytics.sequenceNextNode]]). */
+  def q86NextNode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.sequenceNextNode(
+        Tables.parallel(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type", Seq("signup", "view"))
+      .orderBy("user_id")
+
+  /** q87's bucket: 7-day pixels over the ~90-day table → ~13 buckets
+    * per series. */
+  val m4BucketUs = 604800000000L
+
+  /** q87: M4 downsampling per event-type series
+    * ([[graft.operators.Downsample.m4]]) — the error-free
+    * min/max/first/last-per-bucket aggregation; a plain combinable
+    * aggregate, the 100 TB-safe face of chart downsampling (its
+    * sequential sibling LTTB is [[graft.operators.Downsample.lttb]],
+    * spec-pinned). */
+  def q87M4Downsample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Downsample.m4(
+        Tables.parallel(s, dir, "events"), "event_type", "ts", "event_id",
+        "value", m4BucketUs)
+      .orderBy("event_type", "bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_edit_dist_join" -> q75EditDistJoin _,
     "q76_sum_map" -> q76SumMap _,
     "q77_histogram" -> q77Histogram _,
-    "q78_stats_battery" -> q78StatsBattery _)
+    "q78_stats_battery" -> q78StatsBattery _,
+    "q79_interval_union" -> q79IntervalUnion _,
+    "q80_max_overlap" -> q80MaxOverlap _,
+    "q81_time_decayed_avg" -> q81TimeDecayedAvg _,
+    "q82_entropy" -> q82Entropy _,
+    "q83_association" -> q83Association _,
+    "q84_stat_tests" -> q84StatTests _,
+    "q85_hybrid_rrf" -> q85HybridRrf _,
+    "q86_next_node" -> q86NextNode _,
+    "q87_m4_downsample" -> q87M4Downsample _)
+
+  /** Shared interval CTE for the q79/q80 oracles — mirrors
+    * [[intervals]] literally. */
+  private val intervalCte =
+    """iv AS (SELECT user_id, epoch_us(ts) AS s,
+      |         epoch_us(ts) + CAST(round(value * 1000000.0) AS BIGINT) AS e
+      |       FROM events
+      |       WHERE epoch_us(ts) + CAST(round(value * 1000000.0) AS BIGINT)
+      |             > epoch_us(ts))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q79_interval_union" ->
+      s"""WITH $intervalCte,
+        |m AS (SELECT user_id, s, e,
+        |        max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM iv),
+        |isl AS (SELECT user_id, s, e,
+        |          sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |        FROM m),
+        |sp AS (SELECT user_id, g, min(s) AS s0, max(e) AS e0
+        |       FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(e0 - s0) AS BIGINT) AS interval_length_sum
+        |FROM sp GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q80_max_overlap" ->
+      s"""WITH $intervalCte,
+        |d AS (SELECT user_id, s AS p, 1 AS dl FROM iv
+        |      UNION ALL SELECT user_id, e AS p, -1 AS dl FROM iv),
+        |r AS (SELECT user_id, p, dl,
+        |        sum(dl) OVER (PARTITION BY user_id ORDER BY p, dl
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |      FROM d),
+        |r2 AS (SELECT user_id, p, open,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY open DESC, p, dl) AS rn
+        |       FROM r)
+        |SELECT user_id, CAST(max(open) AS BIGINT) AS max_intersections,
+        |  CAST(max(CASE WHEN rn = 1 THEN p END) AS BIGINT) AS position
+        |FROM r2 GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q81_time_decayed_avg" ->
+      s"""WITH m AS (SELECT user_id, epoch_us(ts) AS t, value,
+        |             max(epoch_us(ts)) OVER (PARTITION BY user_id) AS tmax
+        |           FROM events),
+        |w AS (SELECT user_id,
+        |        CAST(pow(0.5, CAST(tmax - t AS DOUBLE) / $emaHalflifeUs.0)
+        |          AS DECIMAL(28,12)) AS w,
+        |        CAST(pow(0.5, CAST(tmax - t AS DOUBLE) / $emaHalflifeUs.0)
+        |          * value AS DECIMAL(28,12)) AS wv
+        |      FROM m)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(wv) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS ema
+        |FROM w GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q82_entropy" ->
+      """WITH c AS (SELECT source, lang, count(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, c,
+        |        CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |          AS DECIMAL(28,12)) AS clnc
+        |      FROM c)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |  round(ln(CAST(sum(c) AS DOUBLE)) -
+        |    CAST(sum(clnc) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS entropy
+        |FROM t GROUP BY 1 ORDER BY source""".stripMargin,
+    "q83_association" ->
+      """WITH cells AS (SELECT lang AS x, source AS y, count(*) AS o
+        |               FROM documents GROUP BY 1, 2),
+        |rows_ AS (SELECT x, sum(o) AS r FROM cells GROUP BY 1),
+        |cols_ AS (SELECT y, sum(o) AS cj FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(o) AS n, count(DISTINCT x) AS nx,
+        |          count(DISTINCT y) AS ny FROM cells),
+        |terms AS (SELECT o,
+        |    CAST(CAST(o AS DOUBLE) * CAST(o AS DOUBLE) /
+        |      (CAST(r AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS DECIMAL(28,12)) AS chi,
+        |    CAST(CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE))
+        |      AS DECIMAL(28,12)) AS olno
+        |  FROM cells JOIN rows_ USING (x) JOIN cols_ USING (y)
+        |  CROSS JOIN tot),
+        |rsum AS (SELECT CAST(sum(CAST(CAST(r AS DOUBLE) *
+        |    ln(CAST(r AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS rlnr
+        |  FROM rows_),
+        |csum AS (SELECT CAST(sum(CAST(CAST(cj AS DOUBLE) *
+        |    ln(CAST(cj AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS clnc
+        |  FROM cols_),
+        |agg AS (SELECT CAST(max(n) AS BIGINT) AS n,
+        |          CAST(max(nx) AS BIGINT) AS n_x,
+        |          CAST(max(ny) AS BIGINT) AS n_y,
+        |          greatest(CAST(sum(chi) AS DOUBLE) -
+        |            CAST(max(n) AS DOUBLE), 0.0) AS chi2,
+        |          CAST(sum(olno) AS DOUBLE) AS so
+        |        FROM terms CROSS JOIN tot)
+        |SELECT n, n_x, n_y, round(chi2, 6) AS chi2,
+        |  round(sqrt(chi2 / (CAST(n AS DOUBLE) *
+        |    CAST(least(n_x - 1, n_y - 1) AS DOUBLE))), 6) AS cramers_v,
+        |  round((ln(CAST(n AS DOUBLE)) - rlnr / CAST(n AS DOUBLE) -
+        |         (clnc - so) / CAST(n AS DOUBLE)) /
+        |        (ln(CAST(n AS DOUBLE)) - rlnr / CAST(n AS DOUBLE)), 6)
+        |    AS theils_u
+        |FROM agg CROSS JOIN rsum CROSS JOIN csum""".stripMargin,
+    "q84_stat_tests" ->
+      """WITH src AS (SELECT value, event_type = 'click' AS a FROM events
+        |             WHERE event_type IN ('click', 'view')
+        |               AND value IS NOT NULL),
+        |sums AS (SELECT
+        |    count(CASE WHEN a THEN 1 END) AS na,
+        |    count(CASE WHEN NOT a THEN 1 END) AS nb,
+        |    CAST(sum(CASE WHEN a THEN CAST(value AS DECIMAL(18,4)) END)
+        |      AS DOUBLE) AS sa,
+        |    CAST(sum(CASE WHEN NOT a THEN CAST(value AS DECIMAL(18,4)) END)
+        |      AS DOUBLE) AS sb,
+        |    CAST(sum(CASE WHEN a THEN CAST(value AS DECIMAL(18,4)) *
+        |      CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS qa,
+        |    CAST(sum(CASE WHEN NOT a THEN CAST(value AS DECIMAL(18,4)) *
+        |      CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS qb
+        |  FROM src),
+        |byval AS (SELECT value AS v,
+        |    count(CASE WHEN a THEN 1 END) AS ca,
+        |    count(CASE WHEN NOT a THEN 1 END) AS cb
+        |  FROM src GROUP BY 1),
+        |ranked AS (SELECT v, ca, cb,
+        |    sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+        |    (sum(ca) OVER w + sum(cb) OVER w - ca - cb) * 2 + ca + cb + 1
+        |      AS r2
+        |  FROM byval
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |rk AS (SELECT sum(r2 * ca) AS r1x2,
+        |         max(abs(cuma * (SELECT nb FROM sums) -
+        |                 cumb * (SELECT na FROM sums))) AS ksnum,
+        |         (SELECT na FROM sums) * (SELECT nb FROM sums) AS ksden
+        |       FROM ranked)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(sa / na, 6) AS mean_a,
+        |  round(sb / nb, 6) AS mean_b,
+        |  round((sa / na - sb / nb) /
+        |    sqrt(((qa - sa * sa / na) / (na - 1)) / na +
+        |         ((qb - sb * sb / nb) / (nb - 1)) / nb), 6) AS t_stat,
+        |  round(pow(((qa - sa * sa / na) / (na - 1)) / na +
+        |            ((qb - sb * sb / nb) / (nb - 1)) / nb, 2.0) /
+        |    (pow(((qa - sa * sa / na) / (na - 1)) / na, 2.0) / (na - 1) +
+        |     pow(((qb - sb * sb / nb) / (nb - 1)) / nb, 2.0) / (nb - 1)), 6)
+        |    AS welch_df,
+        |  round(CAST(r1x2 - na * (na + 1) AS DOUBLE) / 2.0, 6) AS mw_u,
+        |  round(CAST(ksnum AS DOUBLE) / CAST(ksden AS DOUBLE), 6) AS ks_d
+        |FROM sums CROSS JOIN rk""".stripMargin,
+    "q85_hybrid_rrf" -> {
+      val seedList = rrfSeeds.mkString(", ")
+      s"""WITH qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        |            FROM embeddings WHERE vec_id IN ($seedList)),
+        |c AS (SELECT vec_id AS nn_id, embedding::DOUBLE[] AS cv
+        |      FROM embeddings),
+        |dsc AS (SELECT q_id, nn_id AS doc_id,
+        |          round(list_cosine_similarity(qv, cv), 6) AS cos
+        |        FROM qv CROSS JOIN c WHERE nn_id != q_id),
+        |dpool AS (SELECT q_id, doc_id, r FROM (
+        |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, doc_id) AS r FROM dsc)
+        |  WHERE r <= $rrfPoolK),
+        |tok AS (SELECT doc_id,
+        |          unnest(list_distinct(string_split(text, ' '))) AS w
+        |        FROM documents),
+        |tn AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |inter AS (SELECT s.doc_id AS q_id, t.doc_id, count(*) AS i
+        |          FROM tok s JOIN tok t USING (w)
+        |          WHERE s.doc_id IN ($seedList) AND t.doc_id != s.doc_id
+        |          GROUP BY 1, 2),
+        |jsc AS (SELECT qn.doc_id AS q_id, d.doc_id,
+        |          round(CAST(coalesce(i.i, 0) AS DOUBLE) /
+        |            CAST(qn.n + d.n - coalesce(i.i, 0) AS DOUBLE), 6) AS jac
+        |        FROM tn qn CROSS JOIN tn d
+        |        LEFT JOIN inter i ON i.q_id = qn.doc_id
+        |          AND i.doc_id = d.doc_id
+        |        WHERE qn.doc_id IN ($seedList) AND d.doc_id != qn.doc_id),
+        |jpool AS (SELECT q_id, doc_id, r FROM (
+        |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY jac DESC, doc_id) AS r FROM jsc)
+        |  WHERE r <= $rrfPoolK),
+        |fused AS (SELECT coalesce(d.q_id, j.q_id) AS q_id,
+        |    coalesce(d.doc_id, j.doc_id) AS doc_id,
+        |    round(coalesce(1.0 / (60.0 + CAST(d.r AS DOUBLE)), 0.0) +
+        |          coalesce(1.0 / (60.0 + CAST(j.r AS DOUBLE)), 0.0), 9)
+        |      AS rrf_score
+        |  FROM dpool d FULL OUTER JOIN jpool j
+        |    ON d.q_id = j.q_id AND d.doc_id = j.doc_id)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, doc_id, rrf_score
+        |FROM (SELECT q_id, doc_id, rrf_score,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY rrf_score DESC, doc_id) AS rank
+        |      FROM fused)
+        |WHERE rank <= $rrfK ORDER BY q_id, rank""".stripMargin
+    },
+    "q86_next_node" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+        |           FROM events),
+        |l AS (SELECT user_id, t, event_id, event_type,
+        |        lead(event_type, 1) OVER w AS n1,
+        |        lead(event_type, 2) OVER w AS n2
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |m AS (SELECT user_id, t, event_id, n2 AS nxt,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY t, event_id) AS rn
+        |      FROM l WHERE event_type = 'signup' AND n1 = 'view')
+        |SELECT user_id, nxt AS next_node FROM m
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q87_m4_downsample" ->
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS t, event_id, value,
+        |             epoch_us(ts) // $m4BucketUs AS bucket
+        |           FROM events),
+        |r AS (SELECT event_type, bucket, value,
+        |        row_number() OVER (PARTITION BY event_type, bucket
+        |          ORDER BY t, event_id) AS rf,
+        |        row_number() OVER (PARTITION BY event_type, bucket
+        |          ORDER BY t DESC, event_id DESC) AS rl
+        |      FROM e)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  max(CASE WHEN rf = 1 THEN value END) AS v_first,
+        |  min(value) AS v_min, max(value) AS v_max,
+        |  max(CASE WHEN rl = 1 THEN value END) AS v_last
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
     "q75_edit_dist_join" ->
       s"""WITH d AS (SELECT doc_id, substr(text, 1, $editHeadChars) AS head
         |           FROM documents WHERE n_chars >= $editHeadChars)

@@ -106,7 +106,28 @@ object ScaleBench {
     // each digest absorbs 10× values into ≤ ~δ centroids, so the
     // shuffle width is unchanged and the rank-check join rides the
     // same supplier-keyed exchange.
-    "q73_bitmap_users", "q74_tdigest_quantiles")
+    "q73_bitmap_users", "q74_tdigest_quantiles",
+    // r8 tail: q75's c<i>-salted heads share no Pass-Join segment
+    // across copies, so candidate pairs scale linearly like q43. q76's
+    // level-1 maps are (user, week)-bounded — users ×10, map width
+    // constant. q77/q78 keep group cardinality constant (returnflag /
+    // event_type) while values ×10 — pure combinable partials. q79-q81
+    // ride the key-shifted event copies: per-user interval counts and
+    // window sorts constant, user count ×10. q82/q83 reduce to a
+    // contingency table whose cells are (source × lang)-bounded — the
+    // only scaling term is the first count scan. q84's distinct-value
+    // table is bounded by the 2-decimal value domain, so the
+    // single-partition rank window stays constant-size as rows ×10.
+    // q85 is the q48 shape: fixed seed queries over a growing corpus —
+    // the dense scan is linear, the sparse probe's salted copies never
+    // intersect the seeds. q86 is one lead()-window pass per user-key.
+    // q87's (event_type × week) cells are constant — the M4 aggregate
+    // is the canonical combinable shape.
+    "q75_edit_dist_join", "q76_sum_map", "q77_histogram",
+    "q78_stats_battery", "q79_interval_union", "q80_max_overlap",
+    "q81_time_decayed_avg", "q82_entropy", "q83_association",
+    "q84_stat_tests", "q85_hybrid_rrf", "q86_next_node",
+    "q87_m4_downsample")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

@@ -271,4 +271,76 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got === Seq((1L, 2.5, 1.25, 1L), (2L, 4.0, 2.0, 2L),
       (3L, 5.5, 2.75, 2L)))
   }
+
+  // --- timeDecayedAvg -------------------------------------------------
+
+  test("timeDecayedAvg: single event → ema = value; weight of the last") {
+    val h = 100L
+    val df = Seq((1L, 0L, 10.0), (2L, 0L, 4.0), (2L, h, 8.0))
+      .toDF("user_id", "__us", "value")
+      .withColumn("ts", timestamp_micros(col("__us")))
+    val got = EventAnalytics.timeDecayedAvg(df, "user_id", "ts", "value", h)
+      .select("user_id", "n_events", "ema")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(1L) === ((1L, 10.0)))
+    // user 2: weights 0.5 (one halflife back) and 1 → (2 + 8) / 1.5
+    assert(math.abs(got(2L)._2 - (0.5 * 4.0 + 8.0) / 1.5) < 1e-6)
+  }
+
+  test("timeDecayedAvg matches the closed form under repartitioning") {
+    val rnd = new scala.util.Random(23)
+    val h = 1000L
+    val events = (1L to 12L).flatMap { u =>
+      Seq.fill(1 + rnd.nextInt(30))(
+        (u, rnd.nextInt(5000).toLong,
+          math.rint(rnd.nextDouble() * 1e4) / 100.0))
+    }
+    val df = events.toDF("user_id", "__us", "value")
+      .withColumn("ts", timestamp_micros(col("__us")))
+    val got = EventAnalytics
+      .timeDecayedAvg(df.repartition(7), "user_id", "ts", "value", h)
+      .select("user_id", "ema").as[(Long, Double)].collect().toMap
+    for ((u, rows) <- events.groupBy(_._1)) {
+      val tMax = rows.map(_._2).max
+      val ws = rows.map { case (_, t, v) =>
+        val w = math.pow(0.5, (tMax - t).toDouble / h); (w, w * v) }
+      val want = ws.map(_._2).sum / ws.map(_._1).sum
+      assert(math.abs(got(u) - want) < 1e-5, s"user $u")
+    }
+  }
+
+  // --- sequenceNextNode ----------------------------------------------
+
+  test("sequenceNextNode: first consecutive match wins; end-of-seq → null") {
+    val df = Seq(
+      // user 1: noise, then signup→view→click — next is click
+      (1L, 0L, 1L, "error"), (1L, 1L, 2L, "signup"), (1L, 2L, 3L, "view"),
+      (1L, 3L, 4L, "click"), (1L, 4L, 5L, "signup"), (1L, 5L, 6L, "view"),
+      (1L, 6L, 7L, "purchase"),
+      // user 2: signup→view at the very end — next is NULL
+      (2L, 0L, 8L, "signup"), (2L, 1L, 9L, "view"),
+      // user 3: signup then click (not view) — no match at all
+      (3L, 0L, 10L, "signup"), (3L, 1L, 11L, "click"))
+      .toDF("user_id", "__us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("__us")))
+    val got = EventAnalytics.sequenceNextNode(df, "user_id", "ts",
+        "event_id", "event_type", Seq("signup", "view"))
+      .select("user_id", "next_node").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got(1L) === Some("click"))
+    assert(got(2L) === None)
+    assert(!got.contains(3L))
+  }
+
+  test("sequenceNextNode: interleaved events break adjacency") {
+    val df = Seq(
+      (1L, 0L, 1L, "signup"), (1L, 1L, 2L, "error"), (1L, 2L, 3L, "view"))
+      .toDF("user_id", "__us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("__us")))
+    val got = EventAnalytics.sequenceNextNode(df, "user_id", "ts",
+        "event_id", "event_type", Seq("signup", "view"))
+      .count()
+    assert(got === 0L)
+  }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.StatTests
+
+class StatTestsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def run(a: Seq[Double], b: Seq[Double]) = {
+    val df = (a.map((_, true)) ++ b.map((_, false))).toDF("v", "a")
+    StatTests.battery(df, "v", col("a"))
+      .select("n_a", "n_b", "mean_a", "mean_b", "t_stat", "welch_df",
+        "mw_u", "ks_d")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().head
+  }
+
+  /** Naive reference: direct formulas over in-memory samples. */
+  private def model(a: Seq[Double], b: Seq[Double]) = {
+    def mean(x: Seq[Double]) = x.sum / x.size
+    def varS(x: Seq[Double]) = {
+      val m = mean(x); x.map(v => (v - m) * (v - m)).sum / (x.size - 1)
+    }
+    val (na, nb) = (a.size.toDouble, b.size.toDouble)
+    val t = (mean(a) - mean(b)) / math.sqrt(varS(a) / na + varS(b) / nb)
+    val df = math.pow(varS(a) / na + varS(b) / nb, 2) /
+      (math.pow(varS(a) / na, 2) / (na - 1) +
+        math.pow(varS(b) / nb, 2) / (nb - 1))
+    // U via tie-averaged ranks of the pooled sample
+    val pooled = (a.map((_, 'a')) ++ b.map((_, 'b'))).sortBy(_._1)
+    val byVal = pooled.zipWithIndex.groupBy(_._1._1)
+    val r1 = byVal.toSeq.flatMap { case (_, grp) =>
+      val avg = grp.map(_._2 + 1).sum.toDouble / grp.size
+      grp.filter(_._1._2 == 'a').map(_ => avg)
+    }.sum
+    val u = r1 - na * (na + 1) / 2
+    // KS over the pooled distinct values
+    val pts = (a ++ b).distinct.sorted
+    val d = pts.map { p =>
+      math.abs(a.count(_ <= p) / na - b.count(_ <= p) / nb)
+    }.max
+    (mean(a), mean(b), t, df, u, d)
+  }
+
+  private def r6(x: Double) = math.rint(x * 1e6) / 1e6
+
+  test("battery matches direct formulas on distinct-valued samples") {
+    val a = Seq(1.0, 3.5, 2.25, 7.75, 5.0)
+    val b = Seq(2.0, 4.5, 6.25, 8.0)
+    val (ma, mb, t, df, u, d) = model(a, b)
+    val got = run(a, b)
+    assert(got._1 === 5L); assert(got._2 === 4L)
+    assert(math.abs(got._3 - ma) < 1e-6)
+    assert(math.abs(got._4 - mb) < 1e-6)
+    assert(math.abs(got._5 - r6(t)) < 1e-6)
+    assert(math.abs(got._6 - r6(df)) < 1e-6)
+    assert(math.abs(got._7 - u) < 1e-9)
+    assert(math.abs(got._8 - r6(d)) < 1e-6)
+  }
+
+  test("battery handles ties across and within groups (averaged ranks)") {
+    val a = Seq(1.0, 2.0, 2.0, 3.0)
+    val b = Seq(2.0, 2.0, 4.0)
+    val (_, _, _, _, u, d) = model(a, b)
+    val got = run(a, b)
+    assert(math.abs(got._7 - u) < 1e-9)
+    assert(math.abs(got._8 - r6(d)) < 1e-6)
+  }
+
+  test("identical samples: U = n²/2, KS = 0") {
+    val s = Seq(1.0, 2.0, 3.0, 4.0)
+    val got = run(s, s)
+    assert(got._7 === s.size * s.size / 2.0)
+    assert(got._8 === 0.0)
+  }
+
+  test("disjoint samples: U = n_a·n_b (all a above b), KS = 1") {
+    val a = Seq(10.0, 11.0, 12.0)
+    val b = Seq(1.0, 2.0)
+    val got = run(a, b)
+    assert(got._7 === 6.0)
+    assert(got._8 === 1.0)
+  }
+
+  test("random samples match the model (seeded, with ties)") {
+    val rnd = new scala.util.Random(3)
+    // 2-decimal values in a narrow range force many ties
+    def sample(n: Int, shift: Double) =
+      Seq.fill(n)(math.rint(rnd.nextDouble() * 500) / 100.0 + shift)
+    val a = sample(120, 0.0)
+    val b = sample(150, 0.4)
+    val (ma, mb, t, df, u, d) = model(a, b)
+    val got = run(a, b)
+    assert(math.abs(got._3 - ma) < 1e-6)
+    assert(math.abs(got._4 - mb) < 1e-6)
+    assert(math.abs(got._5 - t) < 1e-5)
+    assert(math.abs(got._6 - df) < 1e-4)
+    assert(math.abs(got._7 - u) < 1e-6)
+    assert(math.abs(got._8 - d) < 1e-6)
+  }
+}
