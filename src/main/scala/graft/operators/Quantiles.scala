@@ -114,4 +114,35 @@ object Quantiles {
     joined.groupBy(col(keyCol)).agg(aggAll.head, aggAll.tail: _*)
       .select(col(keyCol) +: (ps.map(p => col(p._2)) ++ oks): _*)
   }
+
+  /** ClickHouse `quantileExactWeighted(q)(v, w)` for quarter quantiles
+    * (q in {k/4}): the smallest value whose cumulative weight reaches
+    * q·total — the "lower" exact reading, entirely in integer
+    * arithmetic (`4·cumw ≥ k·tot`, no q·n rounding ambiguity), so the
+    * result is reproducible bit-for-bit on any engine.
+    *
+    * Shape: rows collapse to a (key, value)-grouped weight table first
+    * (combinable count — for fixed-precision values that table, not the
+    * data, bounds everything downstream), then one key-hash window pass
+    * and a min-filter aggregate on the same partitioning.
+    *
+    * `quarters` maps output column name → k (1=p25, 2=median, 3=p75).
+    */
+  def exactWeighted(
+      df: DataFrame, keyCol: String, valCol: String, weightCol: String,
+      quarters: Seq[(String, Int)]): DataFrame = {
+    val byVal = df
+      .groupBy(col(keyCol), col(valCol).as("__v"))
+      .agg(sum(col(weightCol)).as("__w"))
+    val wCum = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(keyCol))
+    val ranked = byVal
+      .withColumn("__cumw", sum(col("__w")).over(wCum))
+      .withColumn("__tot", sum(col("__w")).over(wAll))
+    val aggs = quarters.map { case (name, k) =>
+      min(when(col("__cumw") * 4 >= col("__tot") * k, col("__v"))).as(name)
+    } :+ max(col("__tot")).as("total_weight")
+    ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

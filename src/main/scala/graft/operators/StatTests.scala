@@ -95,4 +95,40 @@ object StatTests {
   private def varTerm(g: String): Column =
     (col(s"q$g") - col(s"s$g") * col(s"s$g") / col(s"n$g")) /
       (col(s"n$g") - 1)
+
+  /** ClickHouse `rankCorr(x, y)` — Spearman rank correlation per group,
+    * with tie-averaged ranks. Ranks are carried DOUBLED (2·rank is
+    * always whole: `2·rank() + ties − 1`), making every power sum exact
+    * DECIMAL(38,0) integer arithmetic; the doubling cancels in the
+    * correlation, so the result equals Spearman on true average ranks.
+    * Output: (group, n, rank_corr) with rank_corr µ-rounded (6).
+    *
+    * Shape: the two rank windows and the final aggregate share one
+    * group-hash exchange (two in-partition sorts, one per variable). */
+  def rankCorr(
+      df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def r2(c: String): Column = {
+      val w = Window.partitionBy(col(groupCol)).orderBy(col(c))
+      val ties = Window.partitionBy(col(groupCol), col(c))
+      (rank().over(w).cast("long") * 2 + count(lit(1)).over(ties) - 1)
+        .cast(DecimalType(38, 0))
+    }
+    val ranked = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .withColumn("__rx", r2(xCol))
+      .withColumn("__ry", r2(yCol))
+    val sums = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__rx")).cast("double").as("sx"),
+      sum(col("__rx") * col("__rx")).cast("double").as("sxx"),
+      sum(col("__rx") * col("__ry")).cast("double").as("sxy"),
+      sum(col("__ry")).cast("double").as("sy"),
+      sum(col("__ry") * col("__ry")).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    sums.select(col(groupCol), col("n"),
+      round((n * col("sxy") - col("sx") * col("sy")) /
+        sqrt((n * col("sxx") - col("sx") * col("sx")) *
+          (n * col("syy") - col("sy") * col("sy"))), 6).as("rank_corr"))
+  }
 }

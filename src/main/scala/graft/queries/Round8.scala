@@ -261,7 +261,44 @@ object Round8 {
         "value", m4BucketUs)
       .orderBy("event_type", "bucket")
 
+  /** q88: ClickHouse array-function battery
+    * ([[graft.operators.ArrayAnalytics.seriesProfile]]) — per-user
+    * `arrayDifference`/`arrayCompact`/`arraySum`/`boundingRatio` over
+    * the collected (groupArray) event series, computed with Spark's
+    * native higher-order functions. */
+  def q88ArrayProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ArrayAnalytics.seriesProfile(
+        Tables.parallel(s, dir, "events"), "user_id", "ts", "event_id",
+        "value", "event_type")
+      .orderBy("user_id")
+
+  /** q89: ClickHouse `rankCorr` — Spearman correlation of hour-of-day
+    * vs value per event type ([[graft.operators.StatTests.rankCorr]]),
+    * tie-averaged ranks in exact integer halves. */
+  def q89RankCorr(s: SparkSession, dir: String): DataFrame =
+    graft.operators.StatTests.rankCorr(
+        Tables.parallel(s, dir, "events")
+          .withColumn("__hr", hour(col("ts"))),
+        "event_type", "__hr", "value")
+      .orderBy("event_type")
+
+  /** q90: ClickHouse `quantileExactWeighted` — quarter quantiles of
+    * l_extendedprice weighted by quantity per return flag
+    * ([[graft.operators.Quantiles.exactWeighted]]); all-integer rank
+    * arithmetic, value-grouped before the window so the sort sees the
+    * (flag × price)-distinct table, not the rows. */
+  def q90WeightedQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.exactWeighted(
+        Tables(s, dir, "lineitem")
+          .withColumn("__wt", round(col("l_quantity"), 0).cast("long")),
+        "l_returnflag", "l_extendedprice", "__wt",
+        Seq("w_p25" -> 1, "w_median" -> 2, "w_p75" -> 3))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_array_profile" -> q88ArrayProfile _,
+    "q89_rank_corr" -> q89RankCorr _,
+    "q90_weighted_quantiles" -> q90WeightedQuantiles _,
     "q75_edit_dist_join" -> q75EditDistJoin _,
     "q76_sum_map" -> q76SumMap _,
     "q77_histogram" -> q77Histogram _,
@@ -286,6 +323,68 @@ object Round8 {
       |             > epoch_us(ts))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q88_array_profile" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |             CAST(value AS DECIMAL(18,4)) AS v, event_type
+        |           FROM events),
+        |o AS (SELECT user_id, t, v, event_type,
+        |        lag(v) OVER w AS pv, lag(event_type) OVER w AS pn,
+        |        row_number() OVER w AS rf,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY t DESC, event_id DESC) AS rl
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(v - pv) AS DOUBLE) AS max_jump,
+        |  CAST(count(CASE WHEN v - pv < 0 THEN 1 END) AS BIGINT) AS n_drops,
+        |  CAST(1 + count(CASE WHEN pn IS NOT NULL AND event_type != pn
+        |       THEN 1 END) AS BIGINT) AS n_runs,
+        |  CAST(CAST(sum(v) AS DECIMAL(28,4)) AS DOUBLE) AS total,
+        |  CASE WHEN max(t) > min(t) THEN
+        |    round(CAST(max(CASE WHEN rl = 1 THEN v END) -
+        |               max(CASE WHEN rf = 1 THEN v END) AS DOUBLE) /
+        |          (CAST(max(t) - min(t) AS DOUBLE) / 1000000.0), 9)
+        |  END AS bounding_ratio
+        |FROM o GROUP BY user_id HAVING count(*) >= 2
+        |ORDER BY user_id""".stripMargin,
+    "q89_rank_corr" ->
+      """WITH e AS (SELECT event_type, hour(ts) AS x, value AS y
+        |           FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type,
+        |        CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY x) +
+        |          count(*) OVER (PARTITION BY event_type, x) - 1
+        |          AS DECIMAL(38,0)) AS rx,
+        |        CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY y) +
+        |          count(*) OVER (PARTITION BY event_type, y) - 1
+        |          AS DECIMAL(38,0)) AS ry
+        |      FROM e),
+        |sums AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(rx) AS DOUBLE) AS sx,
+        |    CAST(sum(rx * rx) AS DOUBLE) AS sxx,
+        |    CAST(sum(rx * ry) AS DOUBLE) AS sxy,
+        |    CAST(sum(ry) AS DOUBLE) AS sy,
+        |    CAST(sum(ry * ry) AS DOUBLE) AS syy
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |         (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS rank_corr
+        |FROM sums ORDER BY event_type""".stripMargin,
+    "q90_weighted_quantiles" ->
+      """WITH b AS (SELECT l_returnflag, l_extendedprice AS v,
+        |             sum(CAST(round(l_quantity) AS BIGINT)) AS w
+        |           FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, v, w,
+        |        sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |        sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |      FROM b)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cumw * 4 >= tot * 1 THEN v END) AS w_p25,
+        |  min(CASE WHEN cumw * 4 >= tot * 2 THEN v END) AS w_median,
+        |  min(CASE WHEN cumw * 4 >= tot * 3 THEN v END) AS w_p75,
+        |  CAST(max(tot) AS BIGINT) AS total_weight
+        |FROM r GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q79_interval_union" ->
       s"""WITH $intervalCte,
         |m AS (SELECT user_id, s, e,

@@ -127,7 +127,14 @@ object ScaleBench {
     "q78_stats_battery", "q79_interval_union", "q80_max_overlap",
     "q81_time_decayed_avg", "q82_entropy", "q83_association",
     "q84_stat_tests", "q85_hybrid_rrf", "q86_next_node",
-    "q87_m4_downsample")
+    "q87_m4_downsample",
+    // q88's per-key collected array is bounded by that user's history
+    // (constant under the key-shifted copies — the groupArray
+    // contract); q89 is two rank windows on one group-hash exchange,
+    // group count fixed at the event-type cardinality; q90's window
+    // runs over the (flag × price)-distinct table, which the value
+    // grouping keeps far below row count.
+    "q88_array_profile", "q89_rank_corr", "q90_weighted_quantiles")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

@@ -86,4 +86,53 @@ class QuantilesSpec extends SparkSuite {
     assert(!plan.contains("ObjectHashAggregate"),
       s"quantiles must stay sort-based:\n$plan")
   }
+
+  // --- exactWeighted --------------------------------------------------
+
+  import spark.implicits._
+
+  private def weighted(rows: Seq[(String, Double, Long)]) =
+    Quantiles.exactWeighted(rows.toDF("k", "v", "w"), "k", "v", "w",
+        Seq("p25" -> 1, "p50" -> 2, "p75" -> 3))
+      .select("k", "p25", "p50", "p75", "total_weight")
+      .as[(String, Double, Double, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+
+  test("exactWeighted: weight-expansion equivalence on a hand case") {
+    // expanding weights: 1×1, 2×3, 5×2, 9×4 → sorted multiset of 10 —
+    // p25 at cumw≥2.5 → 2; median at ≥5 → 5 (cumw hits 4 then 6);
+    // p75 at ≥7.5 → 9
+    val got = weighted(Seq(("a", 1.0, 1L), ("a", 2.0, 3L), ("a", 5.0, 2L),
+      ("a", 9.0, 4L)))
+    val (_, p25, p50, p75, tot) = got("a")
+    assert((p25, p50, p75, tot) === ((2.0, 5.0, 9.0, 10L)))
+  }
+
+  test("exactWeighted: all-equal weights reduce to unweighted lower quantile") {
+    val got = weighted((1 to 8).map(i => ("a", i.toDouble, 1L)))
+    val (_, p25, p50, p75, _) = got("a")
+    // lower reading: smallest v with cum/8 ≥ q
+    assert((p25, p50, p75) === ((2.0, 4.0, 6.0)))
+  }
+
+  test("exactWeighted matches a weight-expanded sort model on random data") {
+    val rnd = new scala.util.Random(53)
+    val rows = (1 to 5).flatMap { g =>
+      Seq.fill(30)((s"g$g", rnd.nextInt(100).toDouble,
+        (1 + rnd.nextInt(9)).toLong))
+    }
+    val got = weighted(rows)
+    for ((k, rs) <- rows.groupBy(_._1)) {
+      val expanded = rs.flatMap { case (_, v, w) =>
+        Seq.fill(w.toInt)(v) }.sorted
+      val n = expanded.size
+      def q(num: Int): Double =
+        expanded(math.ceil(n.toDouble * num / 4).toInt - 1)
+      val (_, p25, p50, p75, tot) = got(k)
+      assert(tot === n.toLong)
+      assert(p25 === q(1), s"$k p25")
+      assert(p50 === q(2), s"$k p50")
+      assert(p75 === q(3), s"$k p75")
+    }
+  }
 }

@@ -83,6 +83,47 @@ class StatTestsSpec extends SparkSuite {
     assert(got._8 === 1.0)
   }
 
+  // --- rankCorr -------------------------------------------------------
+
+  private def spearman(xy: Seq[(Double, Double)]): Double = {
+    def avgRanks(v: Seq[Double]): Seq[Double] = {
+      val sorted = v.sorted
+      v.map { x =>
+        val lo = sorted.indexOf(x) + 1
+        val hi = sorted.lastIndexOf(x) + 1
+        (lo + hi) / 2.0
+      }
+    }
+    val rx = avgRanks(xy.map(_._1)); val ry = avgRanks(xy.map(_._2))
+    val n = xy.size.toDouble
+    val (sx, sy) = (rx.sum, ry.sum)
+    val sxx = rx.map(r => r * r).sum
+    val syy = ry.map(r => r * r).sum
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+  }
+
+  private def runCorr(xy: Seq[(Double, Double)]) =
+    graft.operators.StatTests
+      .rankCorr(xy.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y"),
+        "g", "x", "y")
+      .select("rank_corr").as[Double].collect().head
+
+  test("rankCorr: monotone → 1, reversed → −1, regardless of scale") {
+    val xs = Seq(1.0, 2.0, 5.0, 9.0, 12.0)
+    assert(runCorr(xs.map(x => (x, x * x))) === 1.0)
+    assert(runCorr(xs.map(x => (x, -x * x * x))) === -1.0)
+  }
+
+  test("rankCorr matches tie-averaged Spearman on seeded data") {
+    val rnd = new scala.util.Random(41)
+    // coarse grid forces heavy ties in both variables
+    val xy = Seq.fill(300)(
+      (rnd.nextInt(8).toDouble, rnd.nextInt(20).toDouble))
+    assert(math.abs(runCorr(xy) - r6(spearman(xy))) < 1e-6)
+  }
+
   test("random samples match the model (seeded, with ties)") {
     val rnd = new scala.util.Random(3)
     // 2-decimal values in a narrow range force many ties
