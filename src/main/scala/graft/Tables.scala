@@ -18,6 +18,9 @@ object Sessions {
       // parquet reader rejects outright; read nanos as long (converted to
       // micros in Tables).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // SQL surface for the custom Catalyst functions (graft_topk,
+      // graft_uniq_upto, ... — see graft.GraftExtensions)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // explicit AQE posture for the 100 TB plan shape: runtime partition
       // coalescing and skew-join splitting on every shuffle
       .config("spark.sql.adaptive.enabled", "true")

@@ -295,7 +295,28 @@ object Round8 {
         Seq("w_p25" -> 1, "w_median" -> 2, "w_p75" -> 3))
       .orderBy("l_returnflag")
 
+  /** q91: the SQL surface end-to-end ([[graft.GraftExtensions]]) — the
+    * same spec-pinned custom aggregates the DataFrame queries use,
+    * reached through `spark.sql` names injected via
+    * `SparkSessionExtensions` (`graft_uniq_upto`,
+    * `graft_bitmap_distinct`, `graft_topk`): per user, capped and
+    * exact distinct active days plus the modal event type. The 26-day
+    * cap sits inside the observed 21–30 distinct-day range at both
+    * SFs, so BOTH uniqUpTo branches are populated. topK's capacity (8)
+    * exceeds the 5-type vocabulary, so counts are exact and the modal
+    * pick (est desc, term asc) is fully deterministic. */
+  def q91SqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.parallel(s, dir, "events").createOrReplaceTempView("graft_events")
+    s.sql("""
+      SELECT user_id,
+        graft_uniq_upto(unix_micros(ts) DIV 86400000000, 26) AS days_capped,
+        graft_bitmap_distinct(unix_micros(ts) DIV 86400000000) AS days_exact,
+        graft_topk(event_type, 8)[0].term AS top_type
+      FROM graft_events GROUP BY user_id ORDER BY user_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_sql_surface" -> q91SqlSurface _,
     "q88_array_profile" -> q88ArrayProfile _,
     "q89_rank_corr" -> q89RankCorr _,
     "q90_weighted_quantiles" -> q90WeightedQuantiles _,
@@ -323,6 +344,23 @@ object Round8 {
       |             > epoch_us(ts))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q91_sql_surface" ->
+      """WITH d AS (SELECT user_id,
+        |             count(DISTINCT epoch_us(ts) // 86400000000) AS days
+        |           FROM events GROUP BY 1),
+        |m AS (SELECT user_id, event_type, count(*) AS c
+        |      FROM events GROUP BY 1, 2),
+        |top AS (SELECT user_id, event_type AS top_type,
+        |          row_number() OVER (PARTITION BY user_id
+        |            ORDER BY c DESC, event_type) AS rn
+        |        FROM m)
+        |SELECT d.user_id,
+        |  CAST(CASE WHEN d.days <= 26 THEN d.days ELSE 27 END AS BIGINT)
+        |    AS days_capped,
+        |  CAST(d.days AS BIGINT) AS days_exact,
+        |  top.top_type
+        |FROM d JOIN top ON top.user_id = d.user_id AND top.rn = 1
+        |ORDER BY d.user_id""".stripMargin,
     "q88_array_profile" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
         |             CAST(value AS DECIMAL(18,4)) AS v, event_type

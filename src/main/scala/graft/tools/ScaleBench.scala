@@ -134,7 +134,11 @@ object ScaleBench {
     // group count fixed at the event-type cardinality; q90's window
     // runs over the (flag × price)-distinct table, which the value
     // grouping keeps far below row count.
-    "q88_array_profile", "q89_rank_corr", "q90_weighted_quantiles")
+    "q88_array_profile", "q89_rank_corr", "q90_weighted_quantiles",
+    // q91 is q73's bitmap shape plus a capped-distinct and an exact
+    // SpaceSaving summary, all reached through the SQL names — three
+    // bounded-state aggregates on one user-hash exchange.
+    "q91_sql_surface")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")
