@@ -315,7 +315,35 @@ object Round8 {
       FROM graft_events GROUP BY user_id ORDER BY user_id""")
   }
 
+  /** q92's fixture: epoch base (2024-01-01, below the data's Jan-2024
+    * range) and the pixel budget. Subtracting the base keeps every
+    * per-bucket time SUM below 2⁵³ — with value×100 likewise
+    * integer-valued, every sum/average/area both engines compute is
+    * EXACT (or one correctly-rounded division of exact integers), so
+    * the greedy picks match bit-for-bit with no decimal plumbing. */
+  val lttbBaseUs = 1704067200000000L
+  val lttbThreshold = 20
+
+  /** q92: ClickHouse `largestTriangleThreeBuckets(n)(t, v)` per user
+    * ([[graft.operators.Downsample.lttb]]) — the sequential greedy
+    * downsampler, oracle-gated: the DuckDB oracle replays the greedy
+    * selection itself with a recursive CTE (state = the previously
+    * selected point; the argmax-by-area step is a NOT-EXISTS
+    * anti-join, ties to the earliest (t, v)), over the same
+    * floor-division bucket boundaries and the same area expression
+    * token-for-token. */
+  def q92Lttb(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, dir, "events")
+      .select(col("user_id"),
+        timestamp_micros(unix_micros(col("ts")) - lit(lttbBaseUs)).as("ts"),
+        round(col("value") * 100, 0).as("v100"))
+    graft.operators.Downsample.lttb(e, "user_id", "ts", "v100", lttbThreshold)
+      .select(col("user_id"), col("t"), col("v").cast("long").as("v100"))
+      .orderBy("user_id", "t", "v100")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_lttb" -> q92Lttb _,
     "q91_sql_surface" -> q91SqlSurface _,
     "q88_array_profile" -> q88ArrayProfile _,
     "q89_rank_corr" -> q89RankCorr _,
@@ -344,6 +372,66 @@ object Round8 {
       |             > epoch_us(ts))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q92_lttb" -> {
+      val nB = lttbThreshold - 2
+      // area×2 of triangle (prev s, candidate X, anchor a) — operand
+      // order mirrors Downsample.select verbatim
+      def area(x: String) =
+        s"abs((s.t - a.ax) * ($x.v - s.v) - (s.t - $x.t) * (a.ay - s.v))"
+      s"""WITH RECURSIVE pts AS (
+        |  SELECT user_id AS k, epoch_us(ts) - $lttbBaseUs AS t,
+        |    round(value * 100) AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) - $lttbBaseUs, round(value * 100)) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |small AS (SELECT k, t, v FROM pts WHERE n <= $lttbThreshold),
+        |big AS (SELECT * FROM pts WHERE n > $lttbThreshold),
+        |meta AS (SELECT k, max(n) AS n FROM big GROUP BY 1),
+        |buckets AS (
+        |  SELECT m.k, bb.b,
+        |    1 + ((m.n - 2) * bb.b) // $nB AS lo,
+        |    1 + ((m.n - 2) * (bb.b + 1)) // $nB AS hi
+        |  FROM meta m, (SELECT unnest(range($nB)) AS b) bb),
+        |bpts AS (
+        |  SELECT p.k, bu.b, p.t, p.v
+        |  FROM big p JOIN buckets bu ON bu.k = p.k
+        |    AND p.rn - 1 >= bu.lo AND p.rn - 1 < bu.hi),
+        |ends AS (SELECT k,
+        |    max(CASE WHEN rn = 1 THEN t END) AS t1,
+        |    max(CASE WHEN rn = 1 THEN v END) AS v1,
+        |    max(CASE WHEN rn = n THEN t END) AS tn,
+        |    max(CASE WHEN rn = n THEN v END) AS vn
+        |  FROM big GROUP BY k),
+        |bavg AS (SELECT k, b - 1 AS b, sum(t) / count(*) AS ax,
+        |           sum(v) / count(*) AS ay
+        |         FROM bpts GROUP BY k, b),
+        |anch AS (
+        |  SELECT bu.k, bu.b,
+        |    CASE WHEN bu.b = ${nB - 1} THEN e.tn * 1.0 ELSE av.ax END AS ax,
+        |    CASE WHEN bu.b = ${nB - 1} THEN e.vn * 1.0 ELSE av.ay END AS ay
+        |  FROM buckets bu JOIN ends e USING (k)
+        |  LEFT JOIN bavg av ON av.k = bu.k AND av.b = bu.b),
+        |r AS (
+        |  SELECT k, -1 AS b, t1 AS t, v1 AS v FROM ends
+        |  UNION ALL
+        |  SELECT DISTINCT c.k, s.b + 1 AS b, c.t, c.v
+        |  FROM r s
+        |  JOIN bpts c ON c.k = s.k AND c.b = s.b + 1
+        |  JOIN anch a ON a.k = s.k AND a.b = s.b + 1
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM bpts c2
+        |    WHERE c2.k = c.k AND c2.b = c.b AND
+        |      (${area("c2")} > ${area("c")}
+        |       OR (${area("c2")} = ${area("c")}
+        |           AND (c2.t, c2.v) < (c.t, c.v))))),
+        |allpts AS (
+        |  SELECT k, t, v FROM small
+        |  UNION ALL SELECT k, t, v FROM r
+        |  UNION ALL SELECT k, tn, vn FROM ends)
+        |SELECT k AS user_id, t, CAST(v AS BIGINT) AS v100
+        |FROM allpts ORDER BY user_id, t, v100""".stripMargin
+    },
     "q91_sql_surface" ->
       """WITH d AS (SELECT user_id,
         |             count(DISTINCT epoch_us(ts) // 86400000000) AS days

@@ -138,7 +138,10 @@ object ScaleBench {
     // q91 is q73's bitmap shape plus a capped-distinct and an exact
     // SpaceSaving summary, all reached through the SQL names — three
     // bounded-state aggregates on one user-hash exchange.
-    "q91_sql_surface")
+    "q91_sql_surface",
+    // q92's per-key greedy runs on the gathered series (same contract
+    // as q88's groupArray); user count ×10, series length constant.
+    "q92_lttb")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")
