@@ -14,7 +14,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val copies = (graft.queries.LlmPipeline.oracleInputCopies ++
-      graft.queries.CorpusExtras.oracleInputCopies).toSet
+      graft.queries.CorpusExtras.oracleInputCopies ++
+      graft.queries.Round8.oracleInputCopies).toSet
     val copyDir = graft.queries.LlmPipeline.oracleInputDir
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

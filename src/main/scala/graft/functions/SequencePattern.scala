@@ -264,3 +264,79 @@ case class SequenceCountExpr(child: Expression, pattern: String)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** ClickHouse `windowFunnel(window, [modes])(t, c1..cn)` over a sorted
+  * per-user (t, mask) array — the mode-bearing sibling of
+  * [[graft.operators.EventAnalytics.funnelLevels]]'s window DP (the
+  * two implementations cross-validate each other in
+  * EventAnalyticsSpec). Mask bit i = event matches step i; mask 0 rows
+  * are "other" events (present only when the caller collects them for
+  * `strict_order`).
+  *
+  * Recurrence (ClickHouse's AggregateFunctionWindowFunnel chain
+  * update, over events ascending by (t, mask) — single-bit masks make
+  * that ClickHouse's (t, step-index) order):
+  *  - step 0 match: record (t, t) as the CURRENT chain start
+  *    (later starts replace earlier — the latest feasible start is the
+  *    most permissive for the window bound);
+  *  - step i>0 match: if step i−1 is reached with chain start `first`
+  *    and last-hop time `last`, extend when `t ≤ first + window` and
+  *    (`strict_increase` off or `last < t`);
+  *  - `strict_dedup`: a step whose slot is ALREADY reached interrupts
+  *    processing — the level so far is final;
+  *  - `strict_order`: a mask-0 event after the first step-0 match
+  *    interrupts processing (the A→B→D→C example stops at D);
+  *    mask-0 events before any chain start are ignored.
+  * An event matching several (duplicated) step types processes its set
+  * bits ascending, so it can serve consecutive steps at one timestamp
+  * unless `strict_increase` forbids it.
+  */
+case class WindowFunnelExpr(
+    child: Expression, windowUs: Long, nSteps: Int,
+    strictDedup: Boolean, strictOrder: Boolean, strictIncrease: Boolean)
+    extends SequenceExprBase {
+  require(nSteps >= 1 && nSteps <= 62, s"1..62 steps, got $nSteps")
+  // pattern is unused by this expression; the base class wants one
+  override def pattern: String = ""
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = {
+    val (ts, masks) = unpack(input)
+    val first = new Array[Long](nSteps)
+    val last = new Array[Long](nSteps)
+    val set = new Array[Boolean](nSteps)
+    var firstEvent = false
+    var i = 0
+    var interrupted = false
+    while (i < ts.length && !interrupted) {
+      val t = ts(i)
+      val m = masks(i)
+      if (m == 0L) {
+        if (strictOrder && firstEvent) interrupted = true
+      } else {
+        var idx = 0
+        while (idx < nSteps && !interrupted) {
+          if ((m & (1L << idx)) != 0L) {
+            if (idx == 0) {
+              first(0) = t; last(0) = t; set(0) = true
+              firstEvent = true
+            } else if (strictDedup && set(idx)) {
+              interrupted = true
+            } else if (set(idx - 1) && t <= first(idx - 1) + windowUs &&
+                (!strictIncrease || last(idx - 1) < t)) {
+              first(idx) = first(idx - 1); last(idx) = t; set(idx) = true
+            }
+          }
+          idx += 1
+        }
+      }
+      i += 1
+    }
+    var lvl = nSteps - 1
+    while (lvl >= 0 && !set(lvl)) lvl -= 1
+    java.lang.Integer.valueOf(lvl + 1)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

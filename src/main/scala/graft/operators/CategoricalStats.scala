@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -41,6 +41,38 @@ object CategoricalStats {
         round(log(col("n").cast("double")) -
           col("__s").cast("double") / col("n").cast("double"), 6)
           .as("entropy"))
+  }
+
+  /** ClickHouse `categoricalInformationValue(x, label)` expanded to the
+    * per-category Weight-of-Evidence table the IV sum is built from:
+    * one row per category — (x, n_good, n_bad, woe, iv_term) with
+    * WoE = ln((g/G)/(b/B)) written as ln(g·B / (b·G)) (one division,
+    * exact-integer operands) and iv_term = (g/G − b/B)·WoE, both
+    * µ-rounded (6). `IV = Σ iv_term` is left to the consumer so the
+    * output itself has no cross-row float reduction at all.
+    *
+    * Same scale shape as [[entropy]]: one combinable count over the
+    * raw rows; everything after is category-sized. Categories where
+    * either class is absent get NULL woe/iv_term (the CH aggregate is
+    * likewise undefined there) rather than ±Inf.
+    */
+  def informationValue(
+      df: DataFrame, xCol: String, label: Column): DataFrame = {
+    val cells = df.groupBy(col(xCol))
+      .agg(count(when(label, 1)).as("n_good"),
+        count(when(!label, 1)).as("n_bad"))
+    val tot = cells.agg(sum(col("n_good")).as("__g"),
+      sum(col("n_bad")).as("__b"))
+    val g = col("n_good").cast("double"); val b = col("n_bad").cast("double")
+    val woeRaw = log((g * col("__b").cast("double")) /
+      (b * col("__g").cast("double")))
+    cells.crossJoin(broadcast(tot))
+      .select(col(xCol), col("n_good"), col("n_bad"),
+        when(col("n_good") > 0 && col("n_bad") > 0,
+          round(woeRaw, 6)).as("woe"),
+        when(col("n_good") > 0 && col("n_bad") > 0,
+          round((g / col("__g").cast("double") -
+            b / col("__b").cast("double")) * woeRaw, 6)).as("iv_term"))
   }
 
   /** Association battery between two categorical columns from ONE

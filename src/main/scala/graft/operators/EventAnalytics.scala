@@ -84,6 +84,37 @@ object EventAnalytics {
       .agg(max(lvl).cast("int").as("funnel_level"))
   }
 
+  /** [[funnelLevels]] with ClickHouse's mode flags (`strict_dedup`,
+    * `strict_order`, `strict_increase`) — evaluated per user by the
+    * array-scan recurrence
+    * ([[graft.functions.WindowFunnelExpr]]) over ONE collected
+    * (t, step-mask) array, the [[SequenceMatch.collectSequences]]
+    * shape: 16 bytes per matching event on the wire, "other" events
+    * collected ONLY when `strictOrder` needs to see them (projected to
+    * mask 0, still 16 bytes, payload never moves). With all flags off
+    * and distinct timestamps this equals [[funnelLevels]] — the spec
+    * cross-validates the two implementations. */
+  def funnelLevelsModes(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String], windowUs: Long,
+      strictDedup: Boolean = false, strictOrder: Boolean = false,
+      strictIncrease: Boolean = false): DataFrame = {
+    require(steps.size >= 2, s"need >= 2 funnel steps, got ${steps.size}")
+    val mask = steps.zipWithIndex
+      .map { case (s, i) => when(col(typeCol) === s, lit(1L << i)).otherwise(0L) }
+      .reduce(_.bitwiseOR(_))
+    val base = events.select(col(userCol),
+      unix_micros(col(tsCol)).as("__t"), mask.as("__mask"))
+    val kept = if (strictOrder) base else base.filter(col("__mask") =!= 0L)
+    import graft.functions.{ColumnBridge, WindowFunnelExpr}
+    kept.groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col("__t"), col("__mask"))))
+        .as("__ev"))
+      .select(col(userCol), ColumnBridge.col(WindowFunnelExpr(
+        ColumnBridge.expr(col("__ev")), windowUs, steps.size,
+        strictDedup, strictOrder, strictIncrease)).as("funnel_level"))
+  }
+
   /** Cohort retention matrix (ClickHouse `retention` generalized to a
     * cohort table): cohort = ISO week of each user's first `cohortType`
     * event; a user is retained at offset o if active (ANY event) in

@@ -342,7 +342,59 @@ object Round8 {
       .orderBy("user_id", "t", "v100")
   }
 
+  /** q93: ClickHouse `categoricalInformationValue` — hour-of-day WoE
+    * against the purchase outcome
+    * ([[graft.operators.CategoricalStats.informationValue]]); the IV
+    * decomposition stays per-category, so the query output has zero
+    * cross-row float reductions. */
+  def q93InformationValue(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CategoricalStats.informationValue(
+        Tables.parallel(s, dir, "events").withColumn("hr", hour(col("ts"))),
+        "hr", col("event_type") === "purchase")
+      .orderBy("hr")
+
+  /** q94's funnel fixture — q55's steps and 24 h window, so the two
+    * queries' shared semantics are pinned by the same literals. */
+  val funnelSteps = Seq("signup", "view", "click", "purchase")
+  val funnelWindowUs = 24L * 3600L * 1000000L
+
+  /** q94: ClickHouse `windowFunnel` MODE flags
+    * ([[graft.operators.EventAnalytics.funnelLevelsModes]], the
+    * array-scan recurrence): per user, the level under default,
+    * `strict_dedup`, `strict_order` and `strict_increase`. Oracle
+    * shape: the events table is tie-free at µs precision (verified
+    * both SFs), where default and strict_increase both equal the
+    * chained-window DP — so the oracle re-derives BOTH exactly via
+    * q55's window SQL and reads back the two non-SQL-expressible
+    * strict columns (the q24/q28 read-back pattern; their exact
+    * semantics are spec-pinned incl. the ClickHouse doc examples). */
+  def q94FunnelModes(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, dir, "events")
+    def variant(name: String, dd: Boolean = false, oo: Boolean = false,
+        ii: Boolean = false): DataFrame =
+      graft.operators.EventAnalytics.funnelLevelsModes(
+          e, "user_id", "ts", "event_type", funnelSteps, funnelWindowUs,
+          strictDedup = dd, strictOrder = oo, strictIncrease = ii)
+        .withColumnRenamed("funnel_level", name)
+    variant("lvl_default")
+      .join(variant("lvl_dedup", dd = true), Seq("user_id"), "full_outer")
+      .join(variant("lvl_order", oo = true), Seq("user_id"), "full_outer")
+      .join(variant("lvl_increase", ii = true), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("lvl_default"), lit(0)).as("lvl_default"),
+        coalesce(col("lvl_dedup"), lit(0)).as("lvl_dedup"),
+        coalesce(col("lvl_order"), lit(0)).as("lvl_order"),
+        coalesce(col("lvl_increase"), lit(0)).as("lvl_increase"))
+      .orderBy("user_id")
+  }
+
+  /** Read-back oracles of this module (see
+    * [[LlmPipeline.oracleInputCopies]] for the mechanism). */
+  val oracleInputCopies: Seq[String] = Seq("q94_funnel_modes")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_funnel_modes" -> q94FunnelModes _,
+    "q93_information_value" -> q93InformationValue _,
     "q92_lttb" -> q92Lttb _,
     "q91_sql_surface" -> q91SqlSurface _,
     "q88_array_profile" -> q88ArrayProfile _,
@@ -372,6 +424,56 @@ object Round8 {
       |             > epoch_us(ts))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q94_funnel_modes" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+        |           FROM events),
+        |s1 AS (SELECT *, max(CASE WHEN event_type = 'signup' THEN t END)
+        |         OVER w AS b1 FROM e
+        |       WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s2 AS (SELECT *, max(CASE WHEN event_type = 'view' THEN b1 END)
+        |         OVER w AS b2 FROM s1
+        |       WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s3 AS (SELECT *, max(CASE WHEN event_type = 'click' THEN b2 END)
+        |         OVER w AS b3 FROM s2
+        |       WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |dp AS (SELECT user_id, CAST(max(CASE
+        |    WHEN event_type = 'purchase' AND b3 IS NOT NULL
+        |      AND t - b3 <= $funnelWindowUs THEN 4
+        |    WHEN event_type = 'click' AND b2 IS NOT NULL
+        |      AND t - b2 <= $funnelWindowUs THEN 3
+        |    WHEN event_type = 'view' AND b1 IS NOT NULL
+        |      AND t - b1 <= $funnelWindowUs THEN 2
+        |    WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS INTEGER)
+        |  AS lvl FROM s3 GROUP BY user_id),
+        |rb AS (SELECT user_id, lvl_dedup, lvl_order
+        |       FROM read_parquet(
+        |         '${LlmPipeline.oracleInputDir}/q94_funnel_modes.parquet/*.parquet'))
+        |SELECT dp.user_id, dp.lvl AS lvl_default, rb.lvl_dedup,
+        |  rb.lvl_order, dp.lvl AS lvl_increase
+        |FROM dp JOIN rb ON rb.user_id = dp.user_id
+        |ORDER BY dp.user_id""".stripMargin,
+    "q93_information_value" ->
+      """WITH c AS (SELECT hour(ts) AS hr,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_good,
+        |    count(CASE WHEN event_type != 'purchase' THEN 1 END) AS n_bad
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT sum(n_good) AS g, sum(n_bad) AS b FROM c)
+        |SELECT hr, CAST(n_good AS BIGINT) AS n_good,
+        |  CAST(n_bad AS BIGINT) AS n_bad,
+        |  CASE WHEN n_good > 0 AND n_bad > 0 THEN
+        |    round(ln((CAST(n_good AS DOUBLE) * CAST(b AS DOUBLE)) /
+        |             (CAST(n_bad AS DOUBLE) * CAST(g AS DOUBLE))), 6)
+        |  END AS woe,
+        |  CASE WHEN n_good > 0 AND n_bad > 0 THEN
+        |    round((CAST(n_good AS DOUBLE) / CAST(g AS DOUBLE) -
+        |           CAST(n_bad AS DOUBLE) / CAST(b AS DOUBLE)) *
+        |          ln((CAST(n_good AS DOUBLE) * CAST(b AS DOUBLE)) /
+        |             (CAST(n_bad AS DOUBLE) * CAST(g AS DOUBLE))), 6)
+        |  END AS iv_term
+        |FROM c CROSS JOIN tot ORDER BY hr""".stripMargin,
     "q92_lttb" -> {
       val nB = lttbThreshold - 2
       // area×2 of triangle (prev s, candidate X, anchor a) — operand

@@ -141,7 +141,11 @@ object ScaleBench {
     "q91_sql_surface",
     // q92's per-key greedy runs on the gathered series (same contract
     // as q88's groupArray); user count ×10, series length constant.
-    "q92_lttb")
+    "q92_lttb",
+    // q93 is q82's contingency shape over (hour × outcome) cells;
+    // q94 runs four 16-byte-per-event collect+scan passes, each the
+    // q60 shape — per-user state bounded by that user's history.
+    "q93_information_value", "q94_funnel_modes")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

@@ -58,6 +58,34 @@ class CategoricalStatsSpec extends SparkSuite {
     assert(got._3 === 0.0)
   }
 
+  test("informationValue: WoE table matches the direct formula") {
+    // a: 6 good / 2 bad; b: 2 good / 6 bad → G = B = 8
+    val df = (
+      Seq.fill(6)(("a", true)) ++ Seq.fill(2)(("a", false)) ++
+        Seq.fill(2)(("b", true)) ++ Seq.fill(6)(("b", false)))
+      .toDF("x", "y")
+    val got = CategoricalStats.informationValue(df, "x", col("y"))
+      .select("x", "n_good", "n_bad", "woe", "iv_term")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val woeA = math.log((6.0 * 8.0) / (2.0 * 8.0))
+    assert(got("a")._2 === 6L); assert(got("a")._3 === 2L)
+    assert(math.abs(got("a")._4.get - r6(woeA)) < 1e-9)
+    assert(math.abs(got("a")._5.get - r6((6.0 / 8 - 2.0 / 8) * woeA)) < 1e-6)
+    // symmetry: b's WoE is −a's, iv terms equal
+    assert(got("b")._4.get === -got("a")._4.get)
+    assert(got("b")._5.get === got("a")._5.get)
+  }
+
+  test("informationValue: single-class categories yield NULL, not ±Inf") {
+    val df = (Seq.fill(3)(("pure", true)) ++ Seq.fill(2)(("mix", true)) ++
+      Seq.fill(2)(("mix", false))).toDF("x", "y")
+    val got = CategoricalStats.informationValue(df, "x", col("y"))
+      .select("x", "woe").as[(String, Option[Double])].collect().toMap
+    assert(got("pure") === None)
+    assert(got("mix").isDefined)
+  }
+
   test("association: chi2 matches the direct formula on a 3×2 table") {
     val cells = Map(
       ("a", "p") -> 5, ("a", "q") -> 1,

@@ -272,6 +272,78 @@ class EventAnalyticsSpec extends SparkSuite {
       (3L, 5.5, 2.75, 2L)))
   }
 
+  // --- funnelLevelsModes ----------------------------------------------
+
+  private def modesLvl(
+      evs: Seq[(Long, Long, String)], steps: Seq[String], w: Long,
+      dedup: Boolean = false, order: Boolean = false,
+      increase: Boolean = false): Map[Long, Int] =
+    EventAnalytics.funnelLevelsModes(
+        evs.toDF("user_id", "__us", "event_type")
+          .withColumn("ts", timestamp_micros(col("__us"))),
+        "user_id", "ts", "event_type", steps, w,
+        strictDedup = dedup, strictOrder = order, strictIncrease = increase)
+      .select("user_id", "funnel_level").as[(Long, Int)].collect().toMap
+
+  test("funnel modes: strict_order stops at an intervening other event") {
+    // the ClickHouse doc example: A→B→D→C finds 3 by default, 2 strict
+    val evs = Seq((1L, 0L, "A"), (1L, 1L, "B"), (1L, 2L, "D"), (1L, 3L, "C"))
+    val steps = Seq("A", "B", "C")
+    assert(modesLvl(evs, steps, 100L)(1L) === 3)
+    assert(modesLvl(evs, steps, 100L, order = true)(1L) === 2)
+    // others BEFORE the chain start are ignored
+    val pre = Seq((1L, 0L, "D"), (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "C"))
+    assert(modesLvl(pre, steps, 100L, order = true)(1L) === 3)
+  }
+
+  test("funnel modes: strict_dedup interrupts on a repeated reached step") {
+    val evs = Seq((1L, 0L, "A"), (1L, 1L, "B"), (1L, 2L, "B"), (1L, 3L, "C"))
+    val steps = Seq("A", "B", "C")
+    assert(modesLvl(evs, steps, 100L)(1L) === 3)
+    assert(modesLvl(evs, steps, 100L, dedup = true)(1L) === 2)
+  }
+
+  test("funnel modes: strict_increase blocks same-timestamp hops") {
+    val evs = Seq((1L, 5L, "A"), (1L, 5L, "B"), (1L, 5L, "C"),
+      (2L, 0L, "A"), (2L, 1L, "B"), (2L, 2L, "C"))
+    val steps = Seq("A", "B", "C")
+    assert(modesLvl(evs, steps, 100L)(1L) === 3)
+    assert(modesLvl(evs, steps, 100L, increase = true)(1L) === 1)
+    assert(modesLvl(evs, steps, 100L, increase = true)(2L) === 3)
+  }
+
+  test("funnel modes: window binds against the chain start") {
+    val steps = Seq("A", "B", "C")
+    // B inside, C outside the window from A
+    val evs = Seq((1L, 0L, "A"), (1L, 5L, "B"), (1L, 20L, "C"))
+    assert(modesLvl(evs, steps, 10L)(1L) === 2)
+    // a later A re-opens the window
+    val evs2 = Seq((1L, 0L, "A"), (1L, 12L, "A"), (1L, 15L, "B"),
+      (1L, 20L, "C"))
+    assert(modesLvl(evs2, steps, 10L)(1L) === 3)
+  }
+
+  test("funnel modes (all off) cross-validate funnelLevels on random streams") {
+    val rnd = new scala.util.Random(61)
+    val types = Array("A", "B", "C", "D", "x")
+    val evs = (1L to 40L).flatMap { u =>
+      // distinct timestamps per user: the two implementations pin the
+      // same semantics only when no peer rows tie
+      rnd.shuffle((0 until 30).toList).take(5 + rnd.nextInt(20)).map(t =>
+        (u, t.toLong, types(rnd.nextInt(types.length))))
+    }
+    val steps = Seq("A", "B", "C", "D")
+    val w = 12L
+    val viaDp = EventAnalytics.funnelLevels(
+        evs.toDF("user_id", "__us", "event_type")
+          .withColumn("ts", timestamp_micros(col("__us"))),
+        "user_id", "ts", "event_type", steps, w)
+      .select("user_id", "funnel_level").as[(Long, Int)].collect().toMap
+    val viaScan = modesLvl(evs, steps, w, increase = true)
+    // funnelLevels' RANGE(-inf,-1] frame is strictly-increasing chains
+    assert(viaScan === viaDp)
+  }
+
   // --- timeDecayedAvg -------------------------------------------------
 
   test("timeDecayedAvg: single event → ema = value; weight of the last") {
