@@ -265,37 +265,66 @@ object EventAnalytics {
           sum(col("__w")).cast("double"), 6).as("ema"))
   }
 
-  /** ClickHouse `sequenceNextNode('forward', 'first_match')(t, node,
-    * base_cond, cond1..)`: per key, scan events in (`timeCol`,
-    * `tieCol`) order, find the FIRST position where the chain
-    * `steps(0), steps(1), …` matches consecutively, and return the
-    * node value immediately after the matched chain (NULL when the
-    * chain never matches or ends the sequence). Output one row per key:
-    * (key, next_node).
+  /** ClickHouse `sequenceNextNode(direction, base)(t, node, conds…)`:
+    * per key, find where the chain `steps(0), steps(1), …` matches
+    * consecutively in scan order and return the node value immediately
+    * after the matched chain in that same scan order (NULL when the
+    * chain ends the sequence; no output row when it never matches).
+    * Output one row per key: (key, next_node).
+    *
+    *  - `direction = "forward"`: scan ascending (t, tie); "next" is
+    *    later in time. `direction = "backward"`: scan descending;
+    *    the chain is matched from the future toward the past and
+    *    "next" is EARLIER in time.
+    *  - `base = "head"`: the chain must start at the scan's first
+    *    event (ClickHouse `head` forward / `tail` backward — pass
+    *    "head" for both; it means scan-start). `base = "first_match"`
+    *    / `"last_match"`: the first / last chain occurrence in scan
+    *    order.
     *
     * Shape: `steps.size` lead() columns over one key-hash window — the
     * chain test is a row-local conjunction, no self-join, no state
     * beyond the per-key sort. */
   def sequenceNextNode(
       events: DataFrame, keyCol: String, timeCol: String, tieCol: String,
-      nodeCol: String, steps: Seq[String]): DataFrame = {
+      nodeCol: String, steps: Seq[String],
+      direction: String = "forward",
+      base: String = "first_match"): DataFrame = {
     require(steps.nonEmpty, "sequenceNextNode needs at least one step")
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(timeCol), col(tieCol))
+    require(Seq("forward", "backward").contains(direction),
+      s"direction must be forward|backward, got $direction")
+    require(Seq("head", "first_match", "last_match").contains(base),
+      s"base must be head|first_match|last_match, got $base")
+    val w =
+      if (direction == "forward")
+        Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieCol))
+      else
+        Window.partitionBy(col(keyCol))
+          .orderBy(col(timeCol).desc, col(tieCol).desc)
     val matched = steps.zipWithIndex.map { case (s, i) =>
       (if (i == 0) col(nodeCol) else lead(col(nodeCol), i).over(w)) === lit(s)
     }.reduce(_ && _)
     val nxt = lead(col(nodeCol), steps.size).over(w)
-    events
+    val ranked = events
       .withColumn("__m", matched)
       .withColumn("__nxt", nxt)
-      .withColumn("__t", unix_micros(col(timeCol)))
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__m"))
-      .groupBy(col(keyCol))
-      // struct-min, not min_by: the carried value may be NULL (chain at
-      // end of sequence) and must survive as NULL; the (t, tie) prefix
-      // is unique so __nxt never participates in the comparison
-      .agg(min(struct(col("__t"), col(tieCol).as("__tie"), col("__nxt")))
-        .getField("__nxt").as("next_node"))
+    base match {
+      case "head" =>
+        ranked.filter(col("__rn") === 1)
+          .select(col(keyCol), col("__nxt").as("next_node"))
+      case "first_match" =>
+        // struct-min, not min_by: the carried value may be NULL (chain
+        // at the scan's end) and must survive as NULL; __rn is unique
+        // so __nxt never participates in the comparison
+        ranked.groupBy(col(keyCol))
+          .agg(min(struct(col("__rn"), col("__nxt")))
+            .getField("__nxt").as("next_node"))
+      case "last_match" =>
+        ranked.groupBy(col(keyCol))
+          .agg(max(struct(col("__rn"), col("__nxt")))
+            .getField("__nxt").as("next_node"))
+    }
   }
 }

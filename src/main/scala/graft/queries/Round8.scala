@@ -392,7 +392,33 @@ object Round8 {
     * [[LlmPipeline.oracleInputCopies]] for the mechanism). */
   val oracleInputCopies: Seq[String] = Seq("q94_funnel_modes")
 
+  /** q95: the full `sequenceNextNode` direction/base surface over the
+    * signup→view chain ([[graft.operators.EventAnalytics
+    * .sequenceNextNode]]): first/last forward matches, the head-gated
+    * form, and the backward scan (node immediately BEFORE the latest
+    * chain). One row per user appearing in any variant; every column
+    * re-derived exactly by window SQL. */
+  def q95NextNodeModes(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, dir, "events")
+    def v(name: String, direction: String, base: String,
+        steps: Seq[String]): DataFrame =
+      graft.operators.EventAnalytics.sequenceNextNode(
+          e, "user_id", "ts", "event_id", "event_type", steps,
+          direction, base)
+        .withColumnRenamed("next_node", name)
+    v("nn_first", "forward", "first_match", Seq("signup", "view"))
+      .join(v("nn_last", "forward", "last_match", Seq("signup", "view")),
+        Seq("user_id"), "full_outer")
+      .join(v("nn_head", "forward", "head", Seq("signup", "view")),
+        Seq("user_id"), "full_outer")
+      .join(v("prev_of_last", "backward", "first_match",
+          Seq("view", "signup")),
+        Seq("user_id"), "full_outer")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_next_node_modes" -> q95NextNodeModes _,
     "q94_funnel_modes" -> q94FunnelModes _,
     "q93_information_value" -> q93InformationValue _,
     "q92_lttb" -> q92Lttb _,
@@ -424,6 +450,46 @@ object Round8 {
       |             > epoch_us(ts))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q95_next_node_modes" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+        |           FROM events),
+        |f AS (SELECT user_id, event_type,
+        |        lead(event_type, 1) OVER w AS n1,
+        |        lead(event_type, 2) OVER w AS n2,
+        |        row_number() OVER w AS rn
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |fm AS (SELECT user_id, n2, rn FROM f
+        |       WHERE event_type = 'signup' AND n1 = 'view'),
+        |bw AS (SELECT user_id, event_type,
+        |        lead(event_type, 1) OVER w AS n1,
+        |        lead(event_type, 2) OVER w AS n2,
+        |        row_number() OVER w AS rn
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id
+        |        ORDER BY t DESC, event_id DESC)),
+        |bm AS (SELECT user_id, n2, rn FROM bw
+        |       WHERE event_type = 'view' AND n1 = 'signup'),
+        |firstm AS (SELECT user_id, n2 AS nn_first FROM (
+        |    SELECT user_id, n2, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY rn) AS r2 FROM fm) WHERE r2 = 1),
+        |lastm AS (SELECT user_id, n2 AS nn_last FROM (
+        |    SELECT user_id, n2, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY rn DESC) AS r2 FROM fm) WHERE r2 = 1),
+        |headm AS (SELECT user_id, n2 AS nn_head FROM fm WHERE rn = 1),
+        |backm AS (SELECT user_id, n2 AS prev_of_last FROM (
+        |    SELECT user_id, n2, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY rn) AS r2 FROM bm) WHERE r2 = 1),
+        |u AS (SELECT DISTINCT user_id FROM fm
+        |      UNION SELECT DISTINCT user_id FROM bm)
+        |SELECT u.user_id, firstm.nn_first, lastm.nn_last, headm.nn_head,
+        |  backm.prev_of_last
+        |FROM u
+        |LEFT JOIN firstm ON firstm.user_id = u.user_id
+        |LEFT JOIN lastm ON lastm.user_id = u.user_id
+        |LEFT JOIN headm ON headm.user_id = u.user_id
+        |LEFT JOIN backm ON backm.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin,
     "q94_funnel_modes" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
         |           FROM events),

@@ -145,7 +145,10 @@ object ScaleBench {
     // q93 is q82's contingency shape over (hour × outcome) cells;
     // q94 runs four 16-byte-per-event collect+scan passes, each the
     // q60 shape — per-user state bounded by that user's history.
-    "q93_information_value", "q94_funnel_modes")
+    "q93_information_value", "q94_funnel_modes",
+    // q95: four lead()-window passes over the same user-hash exchange
+    // family as q86.
+    "q95_next_node_modes")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

@@ -405,6 +405,37 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(!got.contains(3L))
   }
 
+  test("sequenceNextNode: head / last_match / backward variants") {
+    val df = Seq(
+      // user 1: signup,view,click,signup,view,purchase — two chains
+      (1L, 0L, 1L, "signup"), (1L, 1L, 2L, "view"), (1L, 2L, 3L, "click"),
+      (1L, 3L, 4L, "signup"), (1L, 4L, 5L, "view"), (1L, 5L, 6L, "purchase"),
+      // user 2: error first → head never matches
+      (2L, 0L, 7L, "error"), (2L, 1L, 8L, "signup"), (2L, 2L, 9L, "view"),
+      (2L, 3L, 10L, "click"))
+      .toDF("user_id", "__us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("__us")))
+    def run(direction: String, base: String, steps: Seq[String]) =
+      EventAnalytics.sequenceNextNode(df, "user_id", "ts", "event_id",
+          "event_type", steps, direction, base)
+        .select("user_id", "next_node").as[(Long, Option[String])]
+        .collect().toMap
+    val fwd = Seq("signup", "view")
+    assert(run("forward", "first_match", fwd) ===
+      Map(1L -> Some("click"), 2L -> Some("click")))
+    assert(run("forward", "last_match", fwd) ===
+      Map(1L -> Some("purchase"), 2L -> Some("click")))
+    // head: chain must open the sequence
+    assert(run("forward", "head", fwd) === Map(1L -> Some("click")))
+    // backward with reversed steps: the node right BEFORE a chain;
+    // first_match in the descending scan is the LATEST chain
+    assert(run("backward", "first_match", Seq("view", "signup")) ===
+      Map(1L -> Some("click"), 2L -> Some("error")))
+    // backward head: the chain must CLOSE the sequence
+    assert(run("backward", "head", Seq("purchase", "view", "signup")) ===
+      Map(1L -> Some("click")))
+  }
+
   test("sequenceNextNode: interleaved events break adjacency") {
     val df = Seq(
       (1L, 0L, 1L, "signup"), (1L, 1L, 2L, "error"), (1L, 2L, 3L, "view"))
