@@ -302,29 +302,61 @@ case class WindowFunnelExpr(
 
   override def nullSafeEval(input: Any): Any = {
     val (ts, masks) = unpack(input)
-    val first = new Array[Long](nSteps)
-    val last = new Array[Long](nSteps)
-    val set = new Array[Boolean](nSteps)
-    var firstEvent = false
+    val st = FunnelScan.State.fresh(nSteps)
+    FunnelScan.advance(st, ts, masks, windowUs,
+      strictDedup, strictOrder, strictIncrease)
+    java.lang.Integer.valueOf(FunnelScan.level(st))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The windowFunnel chain-update recurrence shared between the batch
+  * expression ([[WindowFunnelExpr]], fresh state per array) and the
+  * streaming operator ([[graft.streaming.StreamingFunnel]], state
+  * persisted per key across micro-batches). Mutating `advance` keeps
+  * the batch hot path allocation-free; streaming copies in/out of its
+  * encoder-friendly state row. */
+object FunnelScan {
+
+  final class State(
+      val first: Array[Long], val last: Array[Long],
+      val set: Array[Boolean], var firstEvent: Boolean,
+      var interrupted: Boolean)
+
+  object State {
+    def fresh(nSteps: Int): State = new State(
+      new Array[Long](nSteps), new Array[Long](nSteps),
+      new Array[Boolean](nSteps), firstEvent = false, interrupted = false)
+  }
+
+  /** Fold the (t, mask) events — ascending (t, mask) — into `st`. */
+  def advance(
+      st: State, ts: Array[Long], masks: Array[Long], windowUs: Long,
+      strictDedup: Boolean, strictOrder: Boolean,
+      strictIncrease: Boolean): Unit = {
+    val nSteps = st.set.length
     var i = 0
-    var interrupted = false
-    while (i < ts.length && !interrupted) {
+    while (i < ts.length && !st.interrupted) {
       val t = ts(i)
       val m = masks(i)
       if (m == 0L) {
-        if (strictOrder && firstEvent) interrupted = true
+        if (strictOrder && st.firstEvent) st.interrupted = true
       } else {
         var idx = 0
-        while (idx < nSteps && !interrupted) {
+        while (idx < nSteps && !st.interrupted) {
           if ((m & (1L << idx)) != 0L) {
             if (idx == 0) {
-              first(0) = t; last(0) = t; set(0) = true
-              firstEvent = true
-            } else if (strictDedup && set(idx)) {
-              interrupted = true
-            } else if (set(idx - 1) && t <= first(idx - 1) + windowUs &&
-                (!strictIncrease || last(idx - 1) < t)) {
-              first(idx) = first(idx - 1); last(idx) = t; set(idx) = true
+              st.first(0) = t; st.last(0) = t; st.set(0) = true
+              st.firstEvent = true
+            } else if (strictDedup && st.set(idx)) {
+              st.interrupted = true
+            } else if (st.set(idx - 1) && t <= st.first(idx - 1) + windowUs &&
+                (!strictIncrease || st.last(idx - 1) < t)) {
+              st.first(idx) = st.first(idx - 1)
+              st.last(idx) = t
+              st.set(idx) = true
             }
           }
           idx += 1
@@ -332,11 +364,11 @@ case class WindowFunnelExpr(
       }
       i += 1
     }
-    var lvl = nSteps - 1
-    while (lvl >= 0 && !set(lvl)) lvl -= 1
-    java.lang.Integer.valueOf(lvl + 1)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+  def level(st: State): Int = {
+    var lvl = st.set.length - 1
+    while (lvl >= 0 && !st.set(lvl)) lvl -= 1
+    lvl + 1
+  }
 }
