@@ -50,6 +50,32 @@ object Ann {
       .select("q_id", "rank", "nn_id", "cos")
   }
 
+  /** Hard-negative mining for contrastive training: per query/anchor,
+    * the top-`k` most-similar corpus vectors whose µ-rounded cosine is
+    * STRICTLY BELOW `maxCos` — similar enough to be informative,
+    * excluded when so close they are near-duplicates/positives (the
+    * standard "semi-hard" band's upper cut; compose with a near-dup
+    * verdict table for id-level exclusions). Same scan shape as
+    * [[bruteForceTopK]]: queries broadcast, corpus streamed once; swap
+    * in the IVF/PQ probe for the 100 TB path. */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, maxCos: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("neg_id"),
+      toDoubleArray(col(vecCol)).as("__v"))
+    val q = queries.select(col(idCol).as("q_id"), toDoubleArray(col(vecCol)).as("__q"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neg_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("__q"), col("__v")), 6))
+      .filter(col("cos") < maxCos)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neg_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "neg_id", "cos")
+  }
+
   /** Sign-bit signature of a double-array column under `nPlanes`
     * deterministic pseudo-random hyperplanes — one native fused pass
     * ([[graft.functions.HyperplaneSignature]]; plane p's weight for

@@ -26,6 +26,32 @@ import org.apache.spark.sql.functions._
   */
 object CorpusMix {
 
+  /** Temperature (α) sampling weights derived from the corpus itself —
+    * the multilingual-balancing rule (sampled share p_i ∝ (n_i/N)^α;
+    * α=1 keeps natural proportions, α→0 approaches uniform): per
+    * stratum, weight w_i = (q_i^α / Σ_j q_j^α) · N / n_i, sized so the
+    * mixed corpus stays ≈N docs. Output: (stratumCol, weight) — feed
+    * straight into [[mix]].
+    *
+    * Determinism: the only cross-row reduction is Σ q_j^α, carried as
+    * CAST-to-DECIMAL(28,12) terms (strata are few, pow is identical
+    * IEEE both engines), so the weights — and hence every downstream
+    * copy decision — are bit-reproducible and oracle-mirrorable. */
+  def temperatureWeights(
+      docs: DataFrame, stratumCol: String, alpha: Double): DataFrame = {
+    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("__cnt"))
+    val tot = counts.agg(sum(col("__cnt")).as("__N"))
+    val nd = col("__cnt").cast("double"); val bigN = col("__N").cast("double")
+    val term = pow(nd / bigN, alpha)
+    val s = counts.crossJoin(broadcast(tot))
+      .agg(sum(term.cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        .cast("double").as("__S"))
+    counts.crossJoin(broadcast(tot)).crossJoin(broadcast(s))
+      // left-assoc operand order mirrored verbatim in the oracle SQL
+      .select(col(stratumCol),
+        (term / col("__S") * bigN / nd).as("weight"))
+  }
+
   /** `docs` joined to `weights` (stratumCol, weight) and fanned out to
     * one row per (doc, copy), copy = 1..n_copies. Docs in strata with
     * weight 0 (or absent from `weights`) emit nothing. */

@@ -417,7 +417,52 @@ object Round8 {
       .orderBy("user_id")
   }
 
+  /** q96's temperature: α=0.5 — strong rebalancing toward uniform
+    * while keeping the natural ordering of source sizes. */
+  val mixAlpha = 0.5
+
+  /** q96: temperature-balanced corpus mixing
+    * ([[graft.operators.CorpusMix.temperatureWeights]] → `mix`) — the
+    * multilingual/source-balancing flow: α-sampling weights derived
+    * from the corpus's own source counts, fanned out by q39's
+    * deterministic bucket rule. Output: per source, the original and
+    * realized doc counts plus the derived weight. */
+  def q96TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusMix
+    val docs = Tables.parallel(s, dir, "documents")
+    val weights = CorpusMix.temperatureWeights(docs, "source", mixAlpha)
+    val mixed = CorpusMix.mix(docs, weights, "source",
+      bucket = col("doc_id") % 1000, buckets = 1000)
+    val orig = docs.groupBy(col("source")).agg(count(lit(1)).as("n_orig"))
+    mixed.groupBy(col("source")).agg(count(lit(1)).as("n_mixed"))
+      .join(orig, "source")
+      .join(weights.select(col("source"),
+        round(col("weight"), 6).as("weight")), "source")
+      .select("source", "n_orig", "n_mixed", "weight")
+      .orderBy("source")
+  }
+
+  /** q97's band: exclude µ-rounded cosine ≥ 0.98 (the planted near-dup
+    * pairs sit ≥ 0.999; a margin below keeps the cut decisive), top-5
+    * negatives for the 10 q19 anchor vectors. */
+  val negMaxCos = 0.98
+  val negK = 5
+
+  /** q97: hard-negative mining ([[graft.operators.Ann.hardNegatives]])
+    * — per anchor, the most-similar vectors BELOW the near-duplicate
+    * band: the contrastive-training sampler (semi-hard upper cut).
+    * Exhaustive q19-style oracle with the same strict-< filter. */
+  def q97HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.parallel(s, dir, "embeddings")
+    graft.operators.Ann.hardNegatives(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = negK, maxCos = negMaxCos)
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_hard_negatives" -> q97HardNegatives _,
+    "q96_temperature_mix" -> q96TemperatureMix _,
     "q95_next_node_modes" -> q95NextNodeModes _,
     "q94_funnel_modes" -> q94FunnelModes _,
     "q93_information_value" -> q93InformationValue _,
@@ -450,6 +495,46 @@ object Round8 {
       |             > epoch_us(ts))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q97_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neg_id, embedding::DOUBLE[] AS cv
+        |      FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, neg_id,
+        |    round(list_cosine_similarity(qv, cv), 6) AS cos
+        |  FROM q CROSS JOIN c WHERE neg_id != q_id),
+        |banded AS (SELECT * FROM scored WHERE cos < $negMaxCos),
+        |ranked AS (
+        |  SELECT q_id, neg_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, neg_id ASC) AS INTEGER) AS rank
+        |  FROM banded)
+        |SELECT q_id, rank, neg_id, cos FROM ranked
+        |WHERE rank <= $negK ORDER BY q_id, rank""".stripMargin,
+    "q96_temperature_mix" ->
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n) AS bign FROM c),
+        |sp AS (SELECT CAST(sum(CAST(
+        |    pow(CAST(n AS DOUBLE) / CAST(bign AS DOUBLE), $mixAlpha)
+        |    AS DECIMAL(28,12))) AS DOUBLE) AS s
+        |  FROM c CROSS JOIN tot),
+        |w AS (SELECT source, n,
+        |    pow(CAST(n AS DOUBLE) / CAST(bign AS DOUBLE), $mixAlpha) / s
+        |      * CAST(bign AS DOUBLE) / CAST(n AS DOUBLE) AS w
+        |  FROM c CROSS JOIN tot CROSS JOIN sp),
+        |m AS (SELECT d.source,
+        |    CAST(floor(w.w) AS BIGINT) +
+        |      CASE WHEN d.doc_id % 1000 < (w.w - floor(w.w)) * 1000
+        |        THEN 1 ELSE 0 END AS nc
+        |  FROM documents d JOIN w ON w.source = d.source)
+        |SELECT w.source, CAST(w.n AS BIGINT) AS n_orig,
+        |  CAST(mm.n_mixed AS BIGINT) AS n_mixed,
+        |  round(w.w, 6) AS weight
+        |FROM w JOIN (SELECT source, sum(nc) AS n_mixed FROM m GROUP BY 1) mm
+        |  ON mm.source = w.source
+        |WHERE mm.n_mixed > 0
+        |ORDER BY w.source""".stripMargin,
     "q95_next_node_modes" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
         |           FROM events),

@@ -148,7 +148,11 @@ object ScaleBench {
     "q93_information_value", "q94_funnel_modes",
     // q95: four lead()-window passes over the same user-hash exchange
     // family as q86.
-    "q95_next_node_modes")
+    "q95_next_node_modes",
+    // q96: the weight table is strata-sized; the fan-out is q39's
+    // map-side explode — the scan is the whole cost. q97 is the q19
+    // broadcast-scan with an extra band filter before the top-k.
+    "q96_temperature_mix", "q97_hard_negatives")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

@@ -145,4 +145,24 @@ class AnnSpec extends SparkSuite {
         .findFirstIn(plan).isDefined,
       s"no non-empty __cell partition filter in:\n$plan")
   }
+
+  test("hardNegatives: near-duplicate band excluded, then exact top-k") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),          // anchor
+      (1L, Seq(1.0f, 0.001f)),        // near-dup (cos ≈ 1) — excluded
+      (2L, Seq(0.9f, 0.4f)),          // hard negative
+      (3L, Seq(0.5f, 0.8f)),          // medium
+      (4L, Seq(-1.0f, 0.0f)))         // easy
+      .toDF("vec_id", "embedding")
+    val got = Ann.hardNegatives(vecs, vecs.filter($"vec_id" === 0L),
+        "vec_id", "embedding", k = 2, maxCos = 0.99)
+      .select("rank", "neg_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq === Seq(2L, 3L))
+    // the band is a strict upper cut on the µ-rounded cosine
+    val all = Ann.hardNegatives(vecs, vecs.filter($"vec_id" === 0L),
+        "vec_id", "embedding", k = 10, maxCos = 1.1)
+      .select("neg_id").as[Long].collect().toSet
+    assert(all === Set(1L, 2L, 3L, 4L))
+  }
 }

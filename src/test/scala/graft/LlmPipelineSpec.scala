@@ -123,4 +123,28 @@ class LlmPipelineSpec extends SparkSuite {
       0L -> ((3L, 3L)), 1L -> ((3L, 3L)), 2L -> ((2L, 2L)), 3L -> ((2L, 2L))))
     // stratum b (w=0) emits nothing — not even copy 0
   }
+
+  test("temperatureWeights: alpha=1 is identity, alpha<1 rebalances to ~N") {
+    import spark.implicits._
+    // sources sized 60 / 30 / 10
+    val docs = (Seq.fill(60)("big") ++ Seq.fill(30)("mid") ++
+      Seq.fill(10)("small")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "src")
+    def w(alpha: Double): Map[String, Double] =
+      graft.operators.CorpusMix.temperatureWeights(docs, "src", alpha)
+        .as[(String, Double)].collect().toMap
+    // alpha = 1: p_i = q_i → w_i = 1 for every stratum
+    w(1.0).values.foreach(v => assert(math.abs(v - 1.0) < 1e-12))
+    // alpha = 0.5: small sources upweighted, big downweighted,
+    // expected total Σ w_i n_i stays N
+    val w5 = w(0.5)
+    assert(w5("small") > 1.0 && w5("big") < 1.0)
+    assert(w5("small") > w5("mid") && w5("mid") > w5("big"))
+    val total = w5("big") * 60 + w5("mid") * 30 + w5("small") * 10
+    assert(math.abs(total - 100.0) < 1e-9)
+    // alpha = 0: exactly uniform shares → w_i = N / (k · n_i)
+    val w0 = w(0.0)
+    assert(math.abs(w0("small") - 100.0 / (3 * 10)) < 1e-12)
+    assert(math.abs(w0("big") - 100.0 / (3 * 60)) < 1e-12)
+  }
 }
