@@ -145,4 +145,44 @@ object Quantiles {
     } :+ max(col("__tot")).as("total_weight")
     ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Tukey-fence outlier summary per key (the grouped form of
+    * ClickHouse `seriesOutliersDetectTukey`): quartiles via [[exact]]
+    * (percentile_cont interpolation, scale-4 rounded — the q29-proven
+    * parity surface), fences q1 ∓ k·IQR, and the outlier census.
+    * Output: (key, n, q1, q3, lo_fence, hi_fence, n_outliers,
+    * min_outlier, max_outlier) — the min/max are NULL when no point
+    * falls outside the fences.
+    *
+    * Shape: the quartile pass is [[exact]]'s one sorted key-hash
+    * shuffle; the census re-scans the raw rows once against the
+    * BROADCAST per-key fence table (rows = keys). */
+  def tukeyOutliers(
+      df: DataFrame, keyCol: String, valCol: String,
+      k: Double = 1.5): DataFrame = {
+    val q = exact(df, keyCol, valCol, Seq(0.25 -> "q1", 0.75 -> "q3"))
+      .withColumn("lo_fence", col("q1") - lit(k) * (col("q3") - col("q1")))
+      .withColumn("hi_fence", col("q3") + lit(k) * (col("q3") - col("q1")))
+    val v = col(valCol).cast("double")
+    df.select(col(keyCol), v.as("__v"))
+      .filter(col("__v").isNotNull)
+      .join(broadcast(q), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("q1")).as("q1"), first(col("q3")).as("q3"),
+        // NO rounding on the fences: they end in an exact 5th-decimal 5
+        // (4-decimal quartiles × 1.5), so any round-4 is a guaranteed
+        // half-case where the engines' half-rules diverge on the binary
+        // vs shortest-decimal reading; the raw double is bit-identical
+        // on both sides because the inputs and expression are
+        first(col("lo_fence")).as("lo_fence"),
+        first(col("hi_fence")).as("hi_fence"),
+        count(when(col("__v") < col("lo_fence") ||
+          col("__v") > col("hi_fence"), 1)).as("n_outliers"),
+        min(when(col("__v") < col("lo_fence") ||
+          col("__v") > col("hi_fence"), col("__v"))).as("min_outlier"),
+        max(when(col("__v") < col("lo_fence") ||
+          col("__v") > col("hi_fence"), col("__v"))).as("max_outlier"))
+  }
 }

@@ -96,6 +96,62 @@ object StatTests {
     (col(s"q$g") - col(s"s$g") * col(s"s$g") / col(s"n$g")) /
       (col(s"n$g") - 1)
 
+  /** Exact two-feature OLS per group — the closed-form (normal
+    * equations, Cramer's rule) counterpart of ClickHouse's
+    * `stochasticLinearRegression`: y = b0 + b1·x1 + b2·x2 fitted from
+    * nine DECIMAL-exact power sums, so unlike SGD the fit is
+    * deterministic, order-free, and one combinable aggregate pass.
+    * Output: (group, n, b0, b1, b2, r2), µ-rounded (6). Degenerate
+    * groups (singular X'X — a constant feature) yield NULL
+    * coefficients via the det ≈ 0 guard.
+    *
+    * `x1`/`x2` must be integer-valued expressions and `yCol` a
+    * fixed-decimal metric so every sum is exact; the double formula
+    * trees are mirrored token-identically in the oracle SQL. */
+  def ols2(
+      df: DataFrame, groupCol: String, x1: Column, x2: Column,
+      yCol: String): DataFrame = {
+    val y = col(yCol).cast(DecimalType(18, 4))
+    val x1d = x1.cast(DecimalType(18, 4)); val x2d = x2.cast(DecimalType(18, 4))
+    val sums = df
+      .filter(col(yCol).isNotNull)
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x1d).cast("double").as("s1"),
+        sum(x2d).cast("double").as("s2"),
+        sum(x1d * x1d).cast("double").as("s11"),
+        sum(x2d * x2d).cast("double").as("s22"),
+        sum(x1d * x2d).cast("double").as("s12"),
+        sum(y).cast("double").as("sy"),
+        sum((x1d * y).cast(DecimalType(38, 8))).cast("double").as("s1y"),
+        sum((x2d * y).cast(DecimalType(38, 8))).cast("double").as("s2y"),
+        sum((y * y).cast(DecimalType(38, 8))).cast("double").as("syy"))
+    val n = col("n"); val s1 = col("s1"); val s2 = col("s2")
+    val s11 = col("s11"); val s22 = col("s22"); val s12 = col("s12")
+    val sy = col("sy"); val s1y = col("s1y"); val s2y = col("s2y")
+    val syy = col("syy")
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val b0r = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)) / det
+    val b1r = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)) / det
+    val b2r = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)) / det
+    val guard = abs(det) > lit(1e-6d)
+    val derived = sums
+      .withColumn("b0r", when(guard, b0r))
+      .withColumn("b1r", when(guard, b1r))
+      .withColumn("b2r", when(guard, b2r))
+    derived.select(col(groupCol), col("n").cast("long").as("n"),
+      round(col("b0r"), 6).as("b0"),
+      round(col("b1r"), 6).as("b1"),
+      round(col("b2r"), 6).as("b2"),
+      round(lit(1.0d) -
+        (syy - col("b0r") * sy - col("b1r") * s1y - col("b2r") * s2y) /
+        (syy - sy * sy / n), 6).as("r2"))
+  }
+
   /** ClickHouse `rankCorr(x, y)` — Spearman rank correlation per group,
     * with tie-averaged ranks. Ranks are carried DOUBLED (2·rank is
     * always whole: `2·rank() + ties − 1`), making every power sum exact

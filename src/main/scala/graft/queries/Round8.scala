@@ -460,7 +460,29 @@ object Round8 {
       .orderBy("q_id", "rank")
   }
 
+  /** q98: Tukey-fence outlier census per event type over `value`
+    * ([[graft.operators.Quantiles.tukeyOutliers]]) — the grouped form
+    * of ClickHouse `seriesOutliersDetectTukey`; quartiles ride q29's
+    * proven percentile_cont parity surface. */
+  def q98TukeyOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.tukeyOutliers(
+        Tables.parallel(s, dir, "events"), "event_type", "value")
+      .orderBy("event_type")
+
+  /** q99: exact two-feature OLS `value ~ hour + dow` per event type
+    * ([[graft.operators.StatTests.ols2]]) — the closed-form
+    * deterministic counterpart of ClickHouse
+    * `stochasticLinearRegression`, from nine decimal-exact power sums.
+    * `dow` is Spark `dayofweek − 1` ≡ DuckDB `dow` (Sunday = 0). */
+  def q99Ols(s: SparkSession, dir: String): DataFrame =
+    graft.operators.StatTests.ols2(
+        Tables.parallel(s, dir, "events"), "event_type",
+        hour(col("ts")), dayofweek(col("ts")) - 1, "value")
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_tukey_outliers" -> q98TukeyOutliers _,
+    "q99_ols" -> q99Ols _,
     "q97_hard_negatives" -> q97HardNegatives _,
     "q96_temperature_mix" -> q96TemperatureMix _,
     "q95_next_node_modes" -> q95NextNodeModes _,
@@ -495,6 +517,68 @@ object Round8 {
       |             > epoch_us(ts))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q98_tukey_outliers" ->
+      """WITH q AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.25), 4) AS q1,
+        |    round(quantile_cont(value, 0.75), 4) AS q3
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |f AS (SELECT event_type, q1, q3,
+        |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM q)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  max(f.q1) AS q1, max(f.q3) AS q3,
+        |  max(f.lo) AS lo_fence, max(f.hi) AS hi_fence,
+        |  CAST(count(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 END)
+        |    AS BIGINT) AS n_outliers,
+        |  min(CASE WHEN e.value < f.lo OR e.value > f.hi THEN e.value END)
+        |    AS min_outlier,
+        |  max(CASE WHEN e.value < f.lo OR e.value > f.hi THEN e.value END)
+        |    AS max_outlier
+        |FROM events e JOIN f ON f.event_type = e.event_type
+        |WHERE e.value IS NOT NULL
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q99_ols" ->
+      """WITH s AS (SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(hour(ts) AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(dayofweek(ts) AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(hour(ts) AS DECIMAL(18,4)) *
+        |      CAST(hour(ts) AS DECIMAL(18,4))) AS DOUBLE) AS s11,
+        |    CAST(sum(CAST(dayofweek(ts) AS DECIMAL(18,4)) *
+        |      CAST(dayofweek(ts) AS DECIMAL(18,4))) AS DOUBLE) AS s22,
+        |    CAST(sum(CAST(hour(ts) AS DECIMAL(18,4)) *
+        |      CAST(dayofweek(ts) AS DECIMAL(18,4))) AS DOUBLE) AS s12,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(hour(ts) AS DECIMAL(18,4)) *
+        |      CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS s1y,
+        |    CAST(sum(CAST(CAST(dayofweek(ts) AS DECIMAL(18,4)) *
+        |      CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS s2y,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) *
+        |      CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS syy
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        |d AS (SELECT *,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+        |      s2 * (s1 * s12 - s11 * s2) AS det
+        |  FROM s),
+        |b AS (SELECT *,
+        |    CASE WHEN abs(det) > 1e-6 THEN
+        |      (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+        |       s2 * (s1y * s12 - s11 * s2y)) / det END AS b0r,
+        |    CASE WHEN abs(det) > 1e-6 THEN
+        |      (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+        |       s2 * (s1 * s2y - s1y * s2)) / det END AS b1r,
+        |    CASE WHEN abs(det) > 1e-6 THEN
+        |      (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+        |       sy * (s1 * s12 - s11 * s2)) / det END AS b2r
+        |  FROM d)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(b0r, 6) AS b0, round(b1r, 6) AS b1, round(b2r, 6) AS b2,
+        |  round(1.0 - (syy - b0r * sy - b1r * s1y - b2r * s2y) /
+        |    (syy - sy * sy / n), 6) AS r2
+        |FROM b ORDER BY event_type""".stripMargin,
     "q97_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 10),

@@ -152,7 +152,11 @@ object ScaleBench {
     // q96: the weight table is strata-sized; the fan-out is q39's
     // map-side explode — the scan is the whole cost. q97 is the q19
     // broadcast-scan with an extra band filter before the top-k.
-    "q96_temperature_mix", "q97_hard_negatives")
+    "q96_temperature_mix", "q97_hard_negatives",
+    // q98 is q29's sorted quartile exchange plus one broadcast-fence
+    // re-scan; q99 is ten combinable decimal sums per group — the q78
+    // shape with a Cramer solve on the 10-number summaries.
+    "q98_tukey_outliers", "q99_ols")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

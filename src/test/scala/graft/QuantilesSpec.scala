@@ -115,6 +115,27 @@ class QuantilesSpec extends SparkSuite {
     assert((p25, p50, p75) === ((2.0, 4.0, 6.0)))
   }
 
+  test("tukeyOutliers: fences, census, and the no-outlier NULLs") {
+    // 1..11 plus two planted outliers: q1=3.5, q3=9.5 (n=13 incl.
+    // outliers shifts quartiles — use a hand-solved set instead)
+    val rows = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0) ++ Seq(100.0, -50.0))
+      .map(("k", _)).toDF("k", "v")
+    // sorted: -50,1,2,3,4,5,6,7,100 (n=9): q1 at idx 2 → 2, q3 at idx 6 → 6
+    // iqr 4 → fences -4 / 12 → outliers -50 and 100
+    val got = Quantiles.tukeyOutliers(rows, "k", "v")
+      .select("n", "q1", "q3", "lo_fence", "hi_fence", "n_outliers",
+        "min_outlier", "max_outlier")
+      .as[(Long, Double, Double, Double, Double, Long, Option[Double],
+        Option[Double])].collect().head
+    assert(got === ((9L, 2.0, 6.0, -4.0, 12.0, 2L, Some(-50.0),
+      Some(100.0))))
+    val clean = (1 to 8).map(i => ("k", i.toDouble)).toDF("k", "v")
+    val none = Quantiles.tukeyOutliers(clean, "k", "v")
+      .select("n_outliers", "min_outlier", "max_outlier")
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    assert(none === ((0L, None, None)))
+  }
+
   test("exactWeighted matches a weight-expanded sort model on random data") {
     val rnd = new scala.util.Random(53)
     val rows = (1 to 5).flatMap { g =>

@@ -83,6 +83,61 @@ class StatTestsSpec extends SparkSuite {
     assert(got._8 === 1.0)
   }
 
+  // --- ols2 -----------------------------------------------------------
+
+  test("ols2 recovers exact planted coefficients with r2 = 1") {
+    // y = 3 + 2*x1 - 0.5*x2 over a full small grid (x1 0..5, x2 0..3)
+    val rows = for (a <- 0 to 5; b <- 0 to 3)
+      yield ("g", a, b, 3.0 + 2.0 * a - 0.5 * b)
+    val got = graft.operators.StatTests.ols2(
+        rows.toDF("g", "x1", "x2", "y"), "g", col("x1"), col("x2"), "y")
+      .select("n", "b0", "b1", "b2", "r2")
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    assert(got._1 === 24L)
+    assert(math.abs(got._2 - 3.0) < 1e-6)
+    assert(math.abs(got._3 - 2.0) < 1e-6)
+    assert(math.abs(got._4 + 0.5) < 1e-6)
+    assert(got._5 === 1.0)
+  }
+
+  test("ols2 matches a normal-equations model on noisy seeded data") {
+    val rnd = new scala.util.Random(71)
+    val rows = Seq.fill(400)(("g", rnd.nextInt(24), rnd.nextInt(7),
+      math.rint((1.0 + 0.3 * rnd.nextInt(24) + rnd.nextGaussian()) * 100)
+        / 100.0))
+    val got = graft.operators.StatTests.ols2(
+        rows.toDF("g", "x1", "x2", "y"), "g", col("x1"), col("x2"), "y")
+      .select("b0", "b1", "b2").as[(Double, Double, Double)].collect().head
+    // reference fit via direct normal equations on the same sums
+    val n = rows.size.toDouble
+    val (s1, s2) = (rows.map(_._2).sum.toDouble, rows.map(_._3).sum.toDouble)
+    val s11 = rows.map(r => r._2.toDouble * r._2).sum
+    val s22 = rows.map(r => r._3.toDouble * r._3).sum
+    val s12 = rows.map(r => r._2.toDouble * r._3).sum
+    val sy = rows.map(_._4).sum
+    val s1y = rows.map(r => r._2 * r._4).sum
+    val s2y = rows.map(r => r._3 * r._4).sum
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val b0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)) / det
+    val b1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)) / det
+    val b2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)) / det
+    assert(math.abs(got._1 - b0) < 1e-5)
+    assert(math.abs(got._2 - b1) < 1e-5)
+    assert(math.abs(got._3 - b2) < 1e-5)
+  }
+
+  test("ols2: a constant feature makes X'X singular → NULL coefficients") {
+    val rows = Seq.tabulate(10)(i => ("g", i, 5, i.toDouble))
+    val got = graft.operators.StatTests.ols2(
+        rows.toDF("g", "x1", "x2", "y"), "g", col("x1"), col("x2"), "y")
+      .select("b0").as[Option[Double]].collect().head
+    assert(got === None)
+  }
+
   // --- rankCorr -------------------------------------------------------
 
   private def spearman(xy: Seq[(Double, Double)]): Double = {
