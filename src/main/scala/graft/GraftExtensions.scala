@@ -68,6 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.toAggregateExpression(isDistinct = false)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in plan rewrite: count(DISTINCT bigint) → roaring bitmap
+    // (see graft.plans.RewriteExactDistinct for the flag + rationale)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteExactDistinct)
+
     ext.injectFunction((FunctionIdentifier("graft_xxhash64"),
       info("graft_xxhash64", "xxhash64 with seed 0 (ClickHouse parity)"),
       (args: Seq[Expression]) => XxHash64(args, 0L)))
