@@ -480,7 +480,38 @@ object Round8 {
         hour(col("ts")), dayofweek(col("ts")) - 1, "value")
       .orderBy("event_type")
 
+  /** q100: the [[graft.plans.RewriteExactDistinct]] optimizer rule
+    * driven through the GATE, not just the spec — a plain
+    * `count(DISTINCT user_id)` SQL query executed with the rewrite
+    * flag on, so the rows the driver hash-compares are produced by the
+    * bitmap plan (the plan flip itself is asserted in
+    * GraftExtensionsSpec; here the rewritten plan must reproduce the
+    * oracle's exact distinct counts). The flag is restored around the
+    * query so the rest of the suite keeps Spark's stock plans. */
+  def q100RewrittenDistinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.parallel(s, dir, "events").createOrReplaceTempView("graft_ev100")
+    val flag = graft.plans.RewriteExactDistinct.FlagKey
+    val prior = s.conf.getOption(flag)
+    s.conf.set(flag, "true")
+    try
+      // EAGER localCheckpoint: the frame a caller later writes would
+      // re-optimize lazily AFTER the finally restores the flag — the
+      // checkpoint forces execution (hence the bitmap plan) inside the
+      // flagged scope, and the returned frame reads the materialized
+      // blocks
+      s.sql("""
+        SELECT event_type, date_trunc('week', ts) AS wk,
+          count(DISTINCT user_id) AS u
+        FROM graft_ev100 GROUP BY 1, 2 ORDER BY 1, 2""")
+        .localCheckpoint(eager = true)
+    finally prior match {
+      case Some(v) => s.conf.set(flag, v)
+      case None => s.conf.unset(flag)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_rewritten_distinct" -> q100RewrittenDistinct _,
     "q98_tukey_outliers" -> q98TukeyOutliers _,
     "q99_ols" -> q99Ols _,
     "q97_hard_negatives" -> q97HardNegatives _,
@@ -517,6 +548,10 @@ object Round8 {
       |             > epoch_us(ts))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q100_rewritten_distinct" ->
+      """SELECT event_type, date_trunc('week', ts) AS wk,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS u
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q98_tukey_outliers" ->
       """WITH q AS (SELECT event_type,
         |    round(quantile_cont(value, 0.25), 4) AS q1,

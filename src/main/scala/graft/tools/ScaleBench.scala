@@ -156,7 +156,10 @@ object ScaleBench {
     // q98 is q29's sorted quartile exchange plus one broadcast-fence
     // re-scan; q99 is ten combinable decimal sums per group — the q78
     // shape with a Cramer solve on the 10-number summaries.
-    "q98_tukey_outliers", "q99_ols")
+    "q98_tukey_outliers", "q99_ols",
+    // q100 runs count(DISTINCT) through the bitmap rewrite — the ratio
+    // measures the one-exchange bitmap plan (q73's shape) vs data ×10.
+    "q100_rewritten_distinct")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")
