@@ -47,7 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intLit(e: Expression, what: String): Int = lit(e, what) match {
     case i: Int => i
-    case l: Long => l.toInt
+    // exact, not truncating: a BIGINT literal like 2^32+1 must fail
+    // loudly, not silently become 1
+    case l: Long => java.lang.Math.toIntExact(l)
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }

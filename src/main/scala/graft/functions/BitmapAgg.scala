@@ -31,7 +31,20 @@ import org.apache.spark.sql.types._
   * ClickHouse uniq-family / bitmap convention.
   */
 abstract class RoaringAggBase extends TypedImperativeAggregate[Roaring64] {
+  /** The single BIGINT input (value or fingerprint). */
+  def child: Expression
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"input must be BIGINT (value or fingerprint), got ${child.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
   override def createAggregationBuffer(): Roaring64 = new Roaring64()
+  override def update(buf: Roaring64, input: InternalRow): Roaring64 = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long]) // NULLs skipped, like count(distinct)
+    buf
+  }
   override def merge(buf: Roaring64, other: Roaring64): Roaring64 = {
     buf.or(other)
     buf
@@ -47,19 +60,7 @@ case class GroupBitmap(
     child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends RoaringAggBase {
-  override def children: Seq[Expression] = Seq(child)
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType != LongType)
-      TypeCheckResult.TypeCheckFailure(
-        s"input must be BIGINT (value or fingerprint), got ${child.dataType.catalogString}")
-    else TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = LongType
-
-  override def update(buf: Roaring64, input: InternalRow): Roaring64 = {
-    val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[Long])
-    buf
-  }
   override def eval(buf: Roaring64): Any = buf.cardinality
 
   override def withNewMutableAggBufferOffset(newOffset: Int): GroupBitmap =
@@ -77,19 +78,7 @@ case class GroupBitmapState(
     child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends RoaringAggBase {
-  override def children: Seq[Expression] = Seq(child)
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType != LongType)
-      TypeCheckResult.TypeCheckFailure(
-        s"input must be BIGINT (value or fingerprint), got ${child.dataType.catalogString}")
-    else TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = BinaryType
-
-  override def update(buf: Roaring64, input: InternalRow): Roaring64 = {
-    val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[Long])
-    buf
-  }
   override def eval(buf: Roaring64): Any = buf.serialize()
 
   override def withNewMutableAggBufferOffset(newOffset: Int): GroupBitmapState =

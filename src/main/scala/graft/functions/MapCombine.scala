@@ -81,21 +81,31 @@ case class MapCombineAgg(
   require(op == MapCombine.Sum || op == MapCombine.Min || op == MapCombine.Max,
     s"unknown op $op")
 
-  private val valueType = DecimalType(18, 4)
+  /** Input rows are DECIMAL(<=38,4); the OUTPUT is DECIMAL(38,4) —
+    * per-key sums are unbounded by row count, so emitting the input's
+    * narrow type would overflow exactly when the aggregate is doing its
+    * job (~10^15 accumulated at 18,4). 38,4 holds ~10^34 — beyond any
+    * realistic accumulation — and the level-2 `-Merge` feed-back (q76)
+    * type-checks because inputs up to precision 38 are accepted. */
+  private val outType = DecimalType(38, 4)
+  private lazy val inType: DecimalType = values.dataType match {
+    case ArrayType(d: DecimalType, _) => d
+    case _ => DecimalType(18, 4) // unreachable past checkInputDataTypes
+  }
 
   override def children: Seq[Expression] = Seq(keys, values)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (keys.dataType, values.dataType) match {
       case (ArrayType(StringType, _), ArrayType(d: DecimalType, _))
-          if d.precision <= 18 && d.scale == 4 => TypeCheckResult.TypeCheckSuccess
+          if d.precision <= 38 && d.scale == 4 => TypeCheckResult.TypeCheckSuccess
       case (kt, vt) => TypeCheckResult.TypeCheckFailure(
-        s"expected (ARRAY<STRING>, ARRAY<DECIMAL(<=18,4)>), got " +
+        s"expected (ARRAY<STRING>, ARRAY<DECIMAL(<=38,4)>), got " +
           s"(${kt.catalogString}, ${vt.catalogString})")
     }
 
   override def nullable: Boolean = false
-  override def dataType: DataType = MapType(StringType, valueType, false)
+  override def dataType: DataType = MapType(StringType, outType, false)
 
   override def createAggregationBuffer(): MapCombineBuffer = new MapCombineBuffer
 
@@ -109,7 +119,7 @@ case class MapCombineAgg(
       while (i < ks.numElements()) {
         if (!ks.isNullAt(i) && !vs.isNullAt(i)) {
           val k = ks.getUTF8String(i).toString
-          val v = vs.getDecimal(i, valueType.precision, valueType.scale)
+          val v = vs.getDecimal(i, inType.precision, inType.scale)
             .toJavaBigDecimal
           buf.put(op, k, v)
         }
@@ -133,7 +143,7 @@ case class MapCombineAgg(
     val ks = new GenericArrayData(
       sorted.map(k => UTF8String.fromString(k): Any))
     val vs = new GenericArrayData(sorted.map { k =>
-      Decimal(buf.m.get(k), valueType.precision, valueType.scale): Any
+      Decimal(buf.m.get(k), outType.precision, outType.scale): Any
     })
     new ArrayBasedMapData(ks, vs)
   }
@@ -146,8 +156,12 @@ case class MapCombineAgg(
     while (it.hasNext) {
       val e = it.next()
       out.writeUTF(e.getKey)
-      // fixed scale 4: ship the unscaled long, exact and compact
-      out.writeLong(e.getValue.setScale(4).unscaledValue().longValueExact())
+      // fixed scale 4: ship the unscaled value as length-prefixed bytes
+      // (NOT longValueExact — an accumulated sum past ~10^15 at scale 4
+      // would throw mid-shuffle; BigInteger bytes are exact at any size)
+      val unscaled = e.getValue.setScale(4).unscaledValue().toByteArray
+      out.writeInt(unscaled.length)
+      out.write(unscaled)
     }
     out.flush()
     bos.toByteArray
@@ -160,7 +174,10 @@ case class MapCombineAgg(
     var i = 0
     while (i < n) {
       val k = in.readUTF()
-      val v = java.math.BigDecimal.valueOf(in.readLong(), 4)
+      val len = in.readInt()
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      val v = new java.math.BigDecimal(new java.math.BigInteger(bytes), 4)
       buf.put(op, k, v)
       i += 1
     }

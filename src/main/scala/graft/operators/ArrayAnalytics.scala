@@ -38,6 +38,10 @@ object ArrayAnalytics {
       valCol: String, nodeCol: String): DataFrame = {
     val v = col(valCol).cast(DecimalType(18, 4))
     val evs = df
+      // CH groupArray skips NULLs; without this filter a single NULL
+      // value would null-poison the aggregate() fold while a SQL
+      // oracle's sum() skips it
+      .filter(col(valCol).isNotNull && col(nodeCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(
         unix_micros(col(timeCol)).as("t"), col(tieCol).as("tie"),

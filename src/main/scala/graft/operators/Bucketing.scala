@@ -63,11 +63,16 @@ object Bucketing {
       s"bucket counts differ ($left=${ls.numBuckets}, " +
         s"$right=${rs.numBuckets}): the exchange-free plan needs " +
         "identical bucketing — rewrite one side")
+    // the SESSION's resolver, not a hardcoded case rule: by default
+    // Spark resolves columns case-insensitively (bucket col "K" vs key
+    // "k" IS exchange-free and must not be rejected), but under
+    // spark.sql.caseSensitive=true the same pair resolves as DISTINCT
+    // columns and the join would silently shuffle — exactly what this
+    // guard exists to reject
+    val resolver = spark.sessionState.conf.resolver
     Seq(left -> ls, right -> rs).foreach { case (t, s) =>
-      // Spark resolves columns case-insensitively by default, so the
-      // bucket-column match must too: a table bucketed on "K" joined on
-      // key "k" IS exchange-free and must not be rejected here
-      require(s.bucketColumnNames.map(_.toLowerCase) == Seq(key.toLowerCase),
+      require(s.bucketColumnNames.length == 1 &&
+          resolver(s.bucketColumnNames.head, key),
         s"table $t is bucketed on ${s.bucketColumnNames.mkString(",")}, " +
           s"not on join key $key — the join would silently shuffle")
     }

@@ -256,6 +256,10 @@ object EventAnalytics {
     val wt = pow(lit(0.5d),
       (tLast - t).cast("double") / lit(halflifeUs.toDouble))
     events
+      // CH aggregates skip NULL values; without the filter a NULL row
+      // would still contribute its weight to the denominator (and be
+      // counted), biasing the mean low
+      .filter(col(valCol).isNotNull)
       .withColumn("__w", wt.cast(DecimalType(28, 12)))
       .withColumn("__wv", (wt * col(valCol)).cast(DecimalType(28, 12)))
       .groupBy(col(keyCol))

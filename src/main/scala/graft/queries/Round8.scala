@@ -89,7 +89,8 @@ object Round8 {
   }
 
   /** q78: ClickHouse moment/regression battery — `simpleLinearRegression
-    * (hour, value)`, `corr`, `stddevSamp`, `skewPop`, `kurtPop` and the
+    * (hour, value)`, `corr`, `stddevSamp`, `skewPop`, `kurtPop` (CH parity: m4/sigma^4, NOT
+    * excess kurtosis — no −3) and the
     * `-If` combinators (`countIf`/`avgIf`) per event type. All
     * statistics are rational functions of the power sums (n, Σx, Σx²,
     * Σxy, Σy, Σy², Σy³, Σy⁴); the sums are accumulated EXACTLY (value
@@ -139,7 +140,7 @@ object Round8 {
         (sqrt(varp) * sqrt(varp) * sqrt(varp)), 6).as("skew_pop"),
       round((sy4 / n - lit(4.0d) * mu * (sy3 / n) +
         lit(6.0d) * mu * mu * (syy / n) - lit(3.0d) * mu * mu * mu * mu) /
-        (varp * varp) - lit(3.0d), 6).as("kurt_pop"),
+        (varp * varp), 6).as("kurt_pop"),
       col("nhi").cast("long").as("cnt_hi"),
       round(col("shi") / col("nhi"), 6).as("avg_hi"))
       .orderBy("event_type")
@@ -824,7 +825,8 @@ object Round8 {
     "q88_array_profile" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
         |             CAST(value AS DECIMAL(18,4)) AS v, event_type
-        |           FROM events),
+        |           FROM events
+        |           WHERE value IS NOT NULL AND event_type IS NOT NULL),
         |o AS (SELECT user_id, t, v, event_type,
         |        lag(v) OVER w AS pv, lag(event_type) OVER w AS pn,
         |        row_number() OVER w AS rf,
@@ -916,7 +918,7 @@ object Round8 {
     "q81_time_decayed_avg" ->
       s"""WITH m AS (SELECT user_id, epoch_us(ts) AS t, value,
         |             max(epoch_us(ts)) OVER (PARTITION BY user_id) AS tmax
-        |           FROM events),
+        |           FROM events WHERE value IS NOT NULL),
         |w AS (SELECT user_id,
         |        CAST(pow(0.5, CAST(tmax - t AS DOUBLE) / $emaHalflifeUs.0)
         |          AS DECIMAL(28,12)) AS w,
@@ -1152,7 +1154,7 @@ object Round8 {
         |  round((sy3 / n - 3.0 * mu * (syy / n) + 2.0 * mu * mu * mu) /
         |    (sqrt(varp) * sqrt(varp) * sqrt(varp)), 6) AS skew_pop,
         |  round((sy4 / n - 4.0 * mu * (sy3 / n) + 6.0 * mu * mu * (syy / n)
-        |    - 3.0 * mu * mu * mu * mu) / (varp * varp) - 3.0, 6) AS kurt_pop,
+        |    - 3.0 * mu * mu * mu * mu) / (varp * varp), 6) AS kurt_pop,
         |  CAST(nhi AS BIGINT) AS cnt_hi,
         |  round(shi / nhi, 6) AS avg_hi
         |FROM derived ORDER BY event_type""".stripMargin)

@@ -36,7 +36,6 @@ object StreamingFunnel {
   /** Bump on any change to state semantics or layout. */
   val StateVersion = 1
 
-  private[streaming] final case class Ev(key: Long, t: Long, mask: Long)
   private[streaming] final case class Out(key: Long, funnel_level: Int)
 
   /** `events` is a STREAMING DataFrame; output (key, funnel_level) in

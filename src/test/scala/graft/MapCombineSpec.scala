@@ -90,4 +90,22 @@ class MapCombineSpec extends SparkSuite {
       .select(to_json(col("m"))).collect().head.getString(0)
     assert(out === """{"a":1.0000}""")
   }
+
+  test("sums past DECIMAL(18,4) survive the shuffle (wide accumulation)") {
+    import spark.implicits._
+    // 40 rows near the 18,4 max: the per-key sum (~4×10^15) overflows
+    // the input type and the old unscaled-long serialization; the wide
+    // path must carry it exactly through partial serialization + merge
+    val rows = Seq.tabulate(40)(i =>
+      (i.toLong, Seq("k"), Seq(BigDecimal("99999999999999.9999"))))
+      .toDF("g", "ks", "vs")
+      .select(lit(1L).as("g"), col("ks"),
+        transform(col("vs"), v => dec(v)).as("vs"))
+      .repartition(8) // force real partial buffers + merges
+    val out = rows.groupBy("g")
+      .agg(MapCombine.sumMap(col("ks"), col("vs")).as("m"))
+      .select(element_at(col("m"), "k").cast("string"))
+      .collect().head.getString(0)
+    assert(out === "3999999999999999.9960")
+  }
 }
