@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -113,6 +113,34 @@ object EventAnalytics {
       .select(col(userCol), ColumnBridge.col(WindowFunnelExpr(
         ColumnBridge.expr(col("__ev")), windowUs, steps.size,
         strictDedup, strictOrder, strictIncrease)).as("funnel_level"))
+  }
+
+  /** ClickHouse `retention(cond1, …, condN)` in its LITERAL aggregate
+    * form (the cohort matrix generalization is [[cohortRetention]]):
+    * per key, flag r_i = (cond_1 held) AND (cond_i held); the query
+    * layer then sums each slot across keys — exactly how CH users
+    * consume it (`sum(r[1]) / sum(r[0])`). Output: one row —
+    * (n_keys, r_0, r_1, …) with r_i the count of keys where both the
+    * anchor and condition i held.
+    *
+    * Shape: one key-hash combinable aggregate (a bitmask per key), then
+    * a single global sum of ≤N counters — nothing wider than N longs
+    * ever crosses the second exchange. */
+  def retentionConditions(
+      events: DataFrame, keyCol: String, conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty && conds.size <= 32,
+      s"1..32 retention conditions, got ${conds.size}")
+    val flags = events.groupBy(col(keyCol)).agg(
+      max(when(conds.head, 1L).otherwise(0L)).as("__c0"),
+      conds.tail.zipWithIndex.map { case (c, i) =>
+        max(when(c, 1L).otherwise(0L)).as(s"__c${i + 1}")
+      }: _*)
+    val outs = count(lit(1)).as("n_keys") +:
+      conds.indices.map { i =>
+        sum(when(col("__c0") === 1L && col(s"__c$i") === 1L, 1L)
+          .otherwise(0L)).as(s"r_$i")
+      }
+    flags.agg(outs.head, outs.tail: _*)
   }
 
   /** Cohort retention matrix (ClickHouse `retention` generalized to a

@@ -511,7 +511,36 @@ object Round8 {
     }
   }
 
+  /** q101's calendar anchors: the table's four January-2024 weeks
+    * (Monday-start, matching date_trunc('week')). Shared literals. */
+  val retWeeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22")
+
+  /** q101's value floor: bare weekly activity saturates every slot on
+    * this dense table (141/141/…); a big-purchase condition spreads the
+    * counts (measured 141/22/…/18 at sf0.01) so each slot genuinely
+    * discriminates. */
+  val retValueFloor = 150.0
+
+  /** q101: ClickHouse `retention(cond1..condN)` in its literal
+    * aggregate form ([[graft.operators.EventAnalytics
+    * .retentionConditions]]): anchor = signed up in week 1, conditions
+    * = made a big purchase in each calendar week; the output row is
+    * the summed per-slot counts CH users divide to get retention
+    * curves. */
+  def q101RetentionConditions(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, dir, "events")
+      .withColumn("__wk", date_trunc("week", col("ts")))
+    val conds = (col("event_type") === "signup" &&
+        col("__wk") === to_timestamp(lit(retWeeks.head))) +:
+      retWeeks.map(w => col("event_type") === "purchase" &&
+        col("value") > retValueFloor &&
+        col("__wk") === to_timestamp(lit(w)))
+    graft.operators.EventAnalytics
+      .retentionConditions(e, "user_id", conds)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_retention_conditions" -> q101RetentionConditions _,
     "q100_rewritten_distinct" -> q100RewrittenDistinct _,
     "q98_tukey_outliers" -> q98TukeyOutliers _,
     "q99_ols" -> q99Ols _,
@@ -549,6 +578,26 @@ object Round8 {
       |             > epoch_us(ts))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q101_retention_conditions" -> {
+      val wks = retWeeks.map(w => s"TIMESTAMP '$w 00:00:00'")
+      s"""WITH e AS (SELECT user_id, event_type, value,
+        |             date_trunc('week', ts) AS wk FROM events),
+        |f AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'signup' AND wk = ${wks.head}
+        |        THEN 1 ELSE 0 END) AS c0,
+        |${retWeeks.indices.map(i =>
+            s"    max(CASE WHEN event_type = 'purchase' AND value > " +
+              s"$retValueFloor AND wk = ${wks(i)} THEN 1 ELSE 0 END) " +
+              s"AS c${i + 1}").mkString(",\n")}
+        |  FROM e GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN c0 = 1 AND c0 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS r_0,
+        |${retWeeks.indices.map(i =>
+            s"  CAST(sum(CASE WHEN c0 = 1 AND c${i + 1} = 1 THEN 1 ELSE 0 END)" +
+              s" AS BIGINT) AS r_${i + 1}").mkString(",\n")}
+        |FROM f""".stripMargin
+    },
     "q100_rewritten_distinct" ->
       """SELECT event_type, date_trunc('week', ts) AS wk,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS u

@@ -159,7 +159,9 @@ object ScaleBench {
     "q98_tukey_outliers", "q99_ols",
     // q100 runs count(DISTINCT) through the bitmap rewrite — the ratio
     // measures the one-exchange bitmap plan (q73's shape) vs data ×10.
-    "q100_rewritten_distinct")
+    "q100_rewritten_distinct",
+    // q101 is a per-key bitmask aggregate + a global sum of N counters.
+    "q101_retention_conditions")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

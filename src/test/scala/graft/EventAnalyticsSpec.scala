@@ -382,6 +382,25 @@ class EventAnalyticsSpec extends SparkSuite {
     }
   }
 
+  // --- retentionConditions ---------------------------------------------
+
+  test("retentionConditions: anchored AND-flags, summed per slot") {
+    val df = Seq(
+      // user 1: anchor + c1; user 2: anchor + c1 + c2;
+      // user 3: c1/c2 WITHOUT the anchor → contributes nothing;
+      // user 4: anchor only
+      (1L, "s"), (1L, "a"),
+      (2L, "s"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"),
+      (4L, "s"))
+      .toDF("user_id", "tag")
+    val got = EventAnalytics.retentionConditions(df, "user_id", Seq(
+        col("tag") === "s", col("tag") === "a", col("tag") === "b"))
+      .select("n_keys", "r_0", "r_1", "r_2")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got === ((4L, 3L, 2L, 1L)))
+  }
+
   // --- sequenceNextNode ----------------------------------------------
 
   test("sequenceNextNode: first consecutive match wins; end-of-seq → null") {
