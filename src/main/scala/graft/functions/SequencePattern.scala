@@ -283,13 +283,24 @@ case class SequenceCountExpr(child: Expression, pattern: String)
   *    and last-hop time `last`, extend when `t ≤ first + window` and
   *    (`strict_increase` off or `last < t`);
   *  - `strict_dedup`: a step whose slot is ALREADY reached interrupts
-  *    processing — the level so far is final;
-  *  - `strict_order`: a mask-0 event after the first step-0 match
-  *    interrupts processing (the A→B→D→C example stops at D);
-  *    mask-0 events before any chain start are ignored.
+  *    processing and the result is that step's 1-based number (NOT the
+  *    max level reached — A,B,C then a second B over 4 steps yields 2,
+  *    mirroring ClickHouse's `return events_list[i].second`);
+  *  - `strict_order`: after the first step-0 match, BOTH a mask-0
+  *    event AND a step event whose predecessor slot is unreached
+  *    interrupt (A,C,B over steps A,B,C yields 1 — the C interrupts
+  *    because slot B is unreached, so the later B never lands);
+  *    mask-0 events before any chain start are ignored;
+  *  - completing the LAST step finalizes the level immediately (the
+  *    ClickHouse early `return events_timestamp.size()`), so a later
+  *    `strict_dedup` duplicate cannot lower a completed funnel.
   * An event matching several (duplicated) step types processes its set
   * bits ascending, so it can serve consecutive steps at one timestamp
-  * unless `strict_increase` forbids it.
+  * unless `strict_increase` forbids it. The else-if chain below is
+  * check-for-check the one in ClickHouse
+  * AggregateFunctionWindowFunnel.h::getEventLevel (notably: a repeated
+  * step-0 event re-anchors and is never a `strict_dedup` duplicate,
+  * because the step-0 branch precedes the dedup check).
   */
 case class WindowFunnelExpr(
     child: Expression, windowUs: Long, nSteps: Int,
@@ -320,15 +331,21 @@ case class WindowFunnelExpr(
   * encoder-friendly state row. */
 object FunnelScan {
 
+  /** `forced` is the level pinned by an interrupting event (−1 = none):
+    * the duplicated step's 1-based number under `strict_dedup`, the
+    * contiguous level under a `strict_order` predecessor-gap interrupt,
+    * or `nSteps` on last-step completion. Once set it overrides the
+    * slot scan in [[level]]. */
   final class State(
       val first: Array[Long], val last: Array[Long],
       val set: Array[Boolean], var firstEvent: Boolean,
-      var interrupted: Boolean)
+      var interrupted: Boolean, var forced: Int)
 
   object State {
     def fresh(nSteps: Int): State = new State(
       new Array[Long](nSteps), new Array[Long](nSteps),
-      new Array[Boolean](nSteps), firstEvent = false, interrupted = false)
+      new Array[Boolean](nSteps), firstEvent = false, interrupted = false,
+      forced = -1)
   }
 
   /** Fold the (t, mask) events — ascending (t, mask) — into `st`. */
@@ -351,12 +368,27 @@ object FunnelScan {
               st.first(0) = t; st.last(0) = t; st.set(0) = true
               st.firstEvent = true
             } else if (strictDedup && st.set(idx)) {
+              // CH returns the duplicated condition's 1-based number
               st.interrupted = true
+              st.forced = idx + 1
+            } else if (strictOrder && st.firstEvent && !st.set(idx - 1)) {
+              // CH returns the first unreached slot (the contiguous
+              // level so far) when a step skips its predecessor
+              st.interrupted = true
+              var lvl = 0
+              while (lvl < nSteps && st.set(lvl)) lvl += 1
+              st.forced = lvl
             } else if (st.set(idx - 1) && t <= st.first(idx - 1) + windowUs &&
                 (!strictIncrease || st.last(idx - 1) < t)) {
               st.first(idx) = st.first(idx - 1)
               st.last(idx) = t
               st.set(idx) = true
+              if (idx == nSteps - 1) {
+                // CH early-returns size on last-step completion; pin it
+                // so a later strict_dedup duplicate cannot lower it
+                st.interrupted = true
+                st.forced = nSteps
+              }
             }
           }
           idx += 1
@@ -367,6 +399,7 @@ object FunnelScan {
   }
 
   def level(st: State): Int = {
+    if (st.forced >= 0) return st.forced
     var lvl = st.set.length - 1
     while (lvl >= 0 && !st.set(lvl)) lvl -= 1
     lvl + 1

@@ -20,13 +20,16 @@ import org.apache.spark.sql.types.DecimalType
   */
 object CategoricalStats {
 
-  /** Per-key Shannon entropy of `valCol` in nats (ClickHouse
-    * `entropy`). Output: (key, n, entropy) with entropy µ-rounded (6).
+  /** Per-key Shannon entropy of `valCol` in BITS (base 2), matching
+    * ClickHouse `entropy` (AggregateFunctionEntropy.h divides the
+    * nat-form sum by log 2). Output: (key, n, entropy), µ-rounded (6).
     *
-    * Identity used: H = ln n − (Σ c·ln c)/n — each term depends only
-    * on its own cell count, so the inner reduction is a plain
-    * decimal-exact sum (the p·ln p form would tie every term to the
-    * group total and force a second pass).
+    * Identity used: H = (ln n − (Σ c·ln c)/n) / ln 2 — each term
+    * depends only on its own cell count, so the inner reduction is a
+    * plain decimal-exact sum (the p·log p form would tie every term to
+    * the group total and force a second pass). The ln 2 divisor is the
+    * hardcoded correctly-rounded double (not `log2()` calls) so the
+    * engine and the SQL oracle share one IEEE expression tree.
     */
   def entropy(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
     val cells = df.groupBy(col(keyCol), col(valCol))
@@ -38,8 +41,9 @@ object CategoricalStats {
       .groupBy(col(keyCol))
       .agg(sum(col("__c")).as("n"), sum(col("__clnc")).as("__s"))
       .select(col(keyCol), col("n"),
-        round(log(col("n").cast("double")) -
-          col("__s").cast("double") / col("n").cast("double"), 6)
+        round((log(col("n").cast("double")) -
+          col("__s").cast("double") / col("n").cast("double")) /
+          lit(0.6931471805599453), 6)
           .as("entropy"))
   }
 

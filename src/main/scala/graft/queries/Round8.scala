@@ -190,7 +190,7 @@ object Round8 {
         emaHalflifeUs)
       .orderBy("user_id")
 
-  /** q82: ClickHouse `entropy` — per-source Shannon entropy (nats) of
+  /** q82: ClickHouse `entropy` — per-source Shannon entropy (bits) of
     * the language mix ([[graft.operators.CategoricalStats.entropy]]).
     * The raw table is touched once by a combinable count; everything
     * downstream is contingency-sized. */
@@ -365,10 +365,12 @@ object Round8 {
     * `strict_dedup`, `strict_order` and `strict_increase`. Oracle
     * shape: the events table is tie-free at µs precision (verified
     * both SFs), where default and strict_increase both equal the
-    * chained-window DP — so the oracle re-derives BOTH exactly via
-    * q55's window SQL and reads back the two non-SQL-expressible
-    * strict columns (the q24/q28 read-back pattern; their exact
-    * semantics are spec-pinned incl. the ClickHouse doc examples). */
+    * chained-window DP — the oracle re-derives BOTH exactly via q55's
+    * window SQL, and re-derives the two strict columns INDEPENDENTLY
+    * with a recursive-CTE fold of the ClickHouse getEventLevel
+    * recurrence (no read-back: every column is oracle-pinned; the
+    * engine-side semantics are additionally spec-pinned against a
+    * second transcription of the CH loop on randomized streams). */
   def q94FunnelModes(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.parallel(s, dir, "events")
     def variant(name: String, dd: Boolean = false, oo: Boolean = false,
@@ -391,7 +393,7 @@ object Round8 {
 
   /** Read-back oracles of this module (see
     * [[LlmPipeline.oracleInputCopies]] for the mechanism). */
-  val oracleInputCopies: Seq[String] = Seq("q94_funnel_modes")
+  val oracleInputCopies: Seq[String] = Seq.empty
 
   /** q95: the full `sequenceNextNode` direction/base surface over the
     * signup→view chain ([[graft.operators.EventAnalytics
@@ -745,19 +747,19 @@ object Round8 {
         |LEFT JOIN backm ON backm.user_id = u.user_id
         |ORDER BY u.user_id""".stripMargin,
     "q94_funnel_modes" ->
-      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+      s"""WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS t, event_type
         |           FROM events),
         |s1 AS (SELECT *, max(CASE WHEN event_type = 'signup' THEN t END)
-        |         OVER w AS b1 FROM e
-        |       WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |         OVER w1 AS b1 FROM e
+        |       WINDOW w1 AS (PARTITION BY user_id ORDER BY t
         |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
         |s2 AS (SELECT *, max(CASE WHEN event_type = 'view' THEN b1 END)
-        |         OVER w AS b2 FROM s1
-        |       WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |         OVER w2 AS b2 FROM s1
+        |       WINDOW w2 AS (PARTITION BY user_id ORDER BY t
         |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
         |s3 AS (SELECT *, max(CASE WHEN event_type = 'click' THEN b2 END)
-        |         OVER w AS b3 FROM s2
-        |       WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |         OVER w3 AS b3 FROM s2
+        |       WINDOW w3 AS (PARTITION BY user_id ORDER BY t
         |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
         |dp AS (SELECT user_id, CAST(max(CASE
         |    WHEN event_type = 'purchase' AND b3 IS NOT NULL
@@ -768,12 +770,87 @@ object Round8 {
         |      AND t - b1 <= $funnelWindowUs THEN 2
         |    WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS INTEGER)
         |  AS lvl FROM s3 GROUP BY user_id),
-        |rb AS (SELECT user_id, lvl_dedup, lvl_order
-        |       FROM read_parquet(
-        |         '${LlmPipeline.oracleInputDir}/q94_funnel_modes.parquet/*.parquet'))
-        |SELECT dp.user_id, dp.lvl AS lvl_default, rb.lvl_dedup,
-        |  rb.lvl_order, dp.lvl AS lvl_increase
-        |FROM dp JOIN rb ON rb.user_id = dp.user_id
+        |ev AS (SELECT user_id, t,
+        |    CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+        |      WHEN 'click' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END AS c,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t,
+        |      CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+        |        WHEN 'click' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END) AS rn
+        |  FROM e),
+        |nev AS (SELECT user_id, count(*) AS n_ev FROM ev GROUP BY 1),
+        |-- one pass of the ClickHouse getEventLevel recurrence per user,
+        |-- folding BOTH strict-variant states (d* = strict_dedup,
+        |-- o* = strict_order); dK/oK hold slot K's chain-start time,
+        |-- df/oof the forced (interrupt) level once processing stops
+        |fold AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS rn,
+        |    CAST(NULL AS BIGINT) AS d1, CAST(NULL AS BIGINT) AS d2,
+        |    CAST(NULL AS BIGINT) AS d3, CAST(NULL AS BIGINT) AS d4,
+        |    CAST(NULL AS INTEGER) AS df,
+        |    CAST(NULL AS BIGINT) AS o1, CAST(NULL AS BIGINT) AS o2,
+        |    CAST(NULL AS BIGINT) AS o3, CAST(NULL AS BIGINT) AS o4,
+        |    FALSE AS fe, CAST(NULL AS INTEGER) AS oof
+        |  FROM nev
+        |  UNION ALL
+        |  SELECT f.user_id, v.rn,
+        |    CASE WHEN f.df IS NOT NULL OR v.c <> 1 THEN f.d1
+        |         ELSE v.t END,
+        |    CASE WHEN f.df IS NOT NULL OR v.c <> 2 OR f.d2 IS NOT NULL
+        |           OR f.d1 IS NULL OR v.t - f.d1 > $funnelWindowUs
+        |         THEN f.d2 ELSE f.d1 END,
+        |    CASE WHEN f.df IS NOT NULL OR v.c <> 3 OR f.d3 IS NOT NULL
+        |           OR f.d2 IS NULL OR v.t - f.d2 > $funnelWindowUs
+        |         THEN f.d3 ELSE f.d2 END,
+        |    CASE WHEN f.df IS NOT NULL OR v.c <> 4 OR f.d4 IS NOT NULL
+        |           OR f.d3 IS NULL OR v.t - f.d3 > $funnelWindowUs
+        |         THEN f.d4 ELSE f.d3 END,
+        |    CASE WHEN f.df IS NOT NULL THEN f.df
+        |         WHEN v.c = 2 AND f.d2 IS NOT NULL THEN 2
+        |         WHEN v.c = 3 AND f.d3 IS NOT NULL THEN 3
+        |         WHEN v.c = 4 AND f.d4 IS NOT NULL THEN 4
+        |         WHEN v.c = 4 AND f.d3 IS NOT NULL
+        |           AND v.t - f.d3 <= $funnelWindowUs THEN 4
+        |         ELSE NULL END,
+        |    CASE WHEN f.oof IS NOT NULL OR v.c <> 1 THEN f.o1
+        |         ELSE v.t END,
+        |    CASE WHEN f.oof IS NOT NULL OR v.c <> 2
+        |           OR f.o1 IS NULL OR v.t - f.o1 > $funnelWindowUs
+        |         THEN f.o2 ELSE f.o1 END,
+        |    CASE WHEN f.oof IS NOT NULL OR v.c <> 3
+        |           OR f.o2 IS NULL OR v.t - f.o2 > $funnelWindowUs
+        |         THEN f.o3 ELSE f.o2 END,
+        |    CASE WHEN f.oof IS NOT NULL OR v.c <> 4
+        |           OR f.o3 IS NULL OR v.t - f.o3 > $funnelWindowUs
+        |         THEN f.o4 ELSE f.o3 END,
+        |    CASE WHEN f.oof IS NULL AND v.c = 1 THEN TRUE ELSE f.fe END,
+        |    CASE WHEN f.oof IS NOT NULL THEN f.oof
+        |         WHEN (v.c = 0 AND f.fe)
+        |           OR (v.c >= 2 AND f.fe AND (CASE v.c WHEN 2 THEN f.o1
+        |               WHEN 3 THEN f.o2 ELSE f.o3 END) IS NULL) THEN
+        |           CASE WHEN f.o4 IS NOT NULL THEN 4
+        |                WHEN f.o3 IS NOT NULL THEN 3
+        |                WHEN f.o2 IS NOT NULL THEN 2
+        |                WHEN f.o1 IS NOT NULL THEN 1 ELSE 0 END
+        |         WHEN v.c = 4 AND f.o3 IS NOT NULL
+        |           AND v.t - f.o3 <= $funnelWindowUs THEN 4
+        |         ELSE NULL END
+        |  FROM fold f JOIN ev v
+        |    ON v.user_id = f.user_id AND v.rn = f.rn + 1),
+        |fin AS (
+        |  SELECT fo.user_id,
+        |    CAST(coalesce(fo.df, CASE WHEN fo.d4 IS NOT NULL THEN 4
+        |      WHEN fo.d3 IS NOT NULL THEN 3 WHEN fo.d2 IS NOT NULL THEN 2
+        |      WHEN fo.d1 IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+        |      AS lvl_dedup,
+        |    CAST(coalesce(fo.oof, CASE WHEN fo.o4 IS NOT NULL THEN 4
+        |      WHEN fo.o3 IS NOT NULL THEN 3 WHEN fo.o2 IS NOT NULL THEN 2
+        |      WHEN fo.o1 IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+        |      AS lvl_order
+        |  FROM fold fo JOIN nev ON nev.user_id = fo.user_id
+        |    AND fo.rn = nev.n_ev)
+        |SELECT dp.user_id, dp.lvl AS lvl_default, fin.lvl_dedup,
+        |  fin.lvl_order, dp.lvl AS lvl_increase
+        |FROM dp JOIN fin ON fin.user_id = dp.user_id
         |ORDER BY dp.user_id""".stripMargin,
     "q93_information_value" ->
       """WITH c AS (SELECT hour(ts) AS hr,
@@ -985,8 +1062,9 @@ object Round8 {
         |          AS DECIMAL(28,12)) AS clnc
         |      FROM c)
         |SELECT source, CAST(sum(c) AS BIGINT) AS n,
-        |  round(ln(CAST(sum(c) AS DOUBLE)) -
-        |    CAST(sum(clnc) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS entropy
+        |  round((ln(CAST(sum(c) AS DOUBLE)) -
+        |    CAST(sum(clnc) AS DOUBLE) / CAST(sum(c) AS DOUBLE))
+        |    / 0.6931471805599453, 6) AS entropy
         |FROM t GROUP BY 1 ORDER BY source""".stripMargin,
     "q83_association" ->
       """WITH cells AS (SELECT lang AS x, source AS y, count(*) AS o

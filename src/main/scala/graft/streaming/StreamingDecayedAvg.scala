@@ -22,10 +22,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   */
 object StreamingDecayedAvg {
 
+  /** `halflifeUs` is stored so a restart with a different halflife
+    * fails loudly instead of silently mixing decay rates (the sums are
+    * only meaningful under the halflife they were folded with). */
   final case class DecayState(
-      ver: Int, sumW: Double, sumWV: Double, tLast: Long, n: Long)
+      ver: Int, halflifeUs: Long, sumW: Double, sumWV: Double,
+      tLast: Long, n: Long)
 
-  val StateVersion = 1
+  /** v2: added the halflife parameter fingerprint. */
+  val StateVersion = 2
 
   private[streaming] final case class Out(
       key: Long, n_events: Long, ema: Double)
@@ -48,11 +53,17 @@ object StreamingDecayedAvg {
         (key, it, state: GroupState[DecayState]) =>
           val evs = it.toArray.sortBy(e => (e._2, e._3))
           var s = state.getOption.getOrElse(
-            DecayState(StateVersion, 0.0, 0.0, Long.MinValue, 0L))
+            DecayState(StateVersion, halflifeUs, 0.0, 0.0, Long.MinValue, 0L))
           if (s.ver != StateVersion)
             throw new IllegalStateException(
               s"StreamingDecayedAvg state version ${s.ver} != expected " +
                 s"$StateVersion: restart from an incompatible checkpoint")
+          if (s.halflifeUs != halflifeUs)
+            throw new IllegalStateException(
+              s"StreamingDecayedAvg restarted with halflife $halflifeUs " +
+                s"but the checkpointed state was folded under " +
+                s"${s.halflifeUs} — restate from a fresh checkpoint " +
+                "directory")
           evs.foreach { case (_, t, _, v) =>
             if (s.n == 0L) {
               s = s.copy(sumW = 1.0, sumWV = v, tLast = t, n = 1L)

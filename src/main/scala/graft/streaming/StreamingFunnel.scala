@@ -28,13 +28,29 @@ import graft.functions.FunnelScan
   */
 object StreamingFunnel {
 
-  /** Versioned, encoder-friendly mirror of [[FunnelScan.State]]. */
+  /** Versioned, encoder-friendly mirror of [[FunnelScan.State]].
+    * `paramFp` fingerprints the query parameters the state is only
+    * valid under (steps, window, strict flags): a restart that changes
+    * any of them fails loudly instead of silently folding incompatible
+    * per-key state — same discipline as [[StreamingTopK]] capacity. */
   final case class FunnelState(
-      ver: Int, first: Seq[Long], last: Seq[Long], set: Seq[Boolean],
-      firstEvent: Boolean, interrupted: Boolean)
+      ver: Int, paramFp: Long, first: Seq[Long], last: Seq[Long],
+      set: Seq[Boolean], firstEvent: Boolean, interrupted: Boolean,
+      forced: Int)
 
-  /** Bump on any change to state semantics or layout. */
-  val StateVersion = 1
+  /** Bump on any change to state semantics or layout.
+    * v2: added `forced` (ClickHouse strict-mode interrupt levels) and
+    * `paramFp`. */
+  val StateVersion = 2
+
+  private[streaming] def paramFingerprint(
+      steps: Seq[String], windowUs: Long, strictDedup: Boolean,
+      strictOrder: Boolean, strictIncrease: Boolean): Long = {
+    val repr = steps.mkString("\u0000") + "\u0001" +
+      s"$windowUs/$strictDedup/$strictOrder/$strictIncrease"
+    scala.util.hashing.MurmurHash3.stringHash(repr).toLong * 1000003L +
+      steps.size
+  }
 
   private[streaming] final case class Out(key: Long, funnel_level: Int)
 
@@ -59,29 +75,35 @@ object StreamingFunnel {
       // recurrence itself never sees it
       col(tieCol).cast("long").as("tie"))
     val n = steps.size
+    val fp = paramFingerprint(steps, windowUs, strictDedup, strictOrder,
+      strictIncrease)
     base.as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[FunnelState, Out](GroupStateTimeout.NoTimeout) {
         (key, it, state: GroupState[FunnelState]) =>
           val evs = it.toArray.sortBy(e => (e._2, e._3, e._4))
           val prev = state.getOption.getOrElse(
-            FunnelState(StateVersion, Seq.fill(n)(0L), Seq.fill(n)(0L),
-              Seq.fill(n)(false), firstEvent = false, interrupted = false))
+            FunnelState(StateVersion, fp, Seq.fill(n)(0L), Seq.fill(n)(0L),
+              Seq.fill(n)(false), firstEvent = false, interrupted = false,
+              forced = -1))
           if (prev.ver != StateVersion)
             throw new IllegalStateException(
               s"StreamingFunnel state version ${prev.ver} != expected " +
                 s"$StateVersion: restart from an incompatible checkpoint — " +
                 "restate from a fresh checkpoint directory")
-          require(prev.set.size == n,
-            s"state tracks ${prev.set.size} steps, query asks $n — " +
-              "restate from a fresh checkpoint directory")
+          if (prev.paramFp != fp)
+            throw new IllegalStateException(
+              "StreamingFunnel restarted with different parameters " +
+                "(steps/window/strict flags) than the checkpointed state " +
+                "was built under — restate from a fresh checkpoint directory")
           val st = new FunnelScan.State(
             prev.first.toArray, prev.last.toArray, prev.set.toArray,
-            prev.firstEvent, prev.interrupted)
+            prev.firstEvent, prev.interrupted, prev.forced)
           FunnelScan.advance(st, evs.map(_._2), evs.map(_._3), windowUs,
             strictDedup, strictOrder, strictIncrease)
-          state.update(FunnelState(StateVersion, st.first.toSeq,
-            st.last.toSeq, st.set.toSeq, st.firstEvent, st.interrupted))
+          state.update(FunnelState(StateVersion, fp, st.first.toSeq,
+            st.last.toSeq, st.set.toSeq, st.firstEvent, st.interrupted,
+            st.forced))
           Out(key, FunnelScan.level(st))
       }
       .toDF("key", "funnel_level")

@@ -9,7 +9,7 @@ class CategoricalStatsSpec extends SparkSuite {
 
   private def r6(x: Double) = math.rint(x * 1e6) / 1e6
 
-  test("entropy: uniform k categories → ln k; single category → 0") {
+  test("entropy: uniform k categories → log2 k; single category → 0") {
     val df = Seq(
       ("u", "a"), ("u", "b"), ("u", "c"), ("u", "d"),
       ("s", "only"), ("s", "only"), ("s", "only"))
@@ -17,7 +17,8 @@ class CategoricalStatsSpec extends SparkSuite {
     val got = CategoricalStats.entropy(df, "k", "v")
       .select("k", "n", "entropy").as[(String, Long, Double)]
       .collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(got("u") === ((4L, r6(math.log(4.0)))))
+    // ClickHouse entropy is in bits: uniform over 4 → exactly 2 bits
+    assert(got("u") === ((4L, 2.0)))
     assert(got("s") === ((3L, 0.0)))
   }
 
@@ -25,7 +26,7 @@ class CategoricalStatsSpec extends SparkSuite {
     val df = (Seq.fill(8)("x") ++ Seq.fill(2)("y") ++ Seq.fill(10)("z"))
       .map(("k", _)).toDF("k", "v")
     val want = Seq(8, 2, 10).map { c =>
-      val p = c / 20.0; -p * math.log(p)
+      val p = c / 20.0; -p * (math.log(p) / math.log(2.0))
     }.sum
     val got = CategoricalStats.entropy(df, "k", "v")
       .select("entropy").as[Double].collect().head

@@ -303,6 +303,96 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(modesLvl(evs, steps, 100L, dedup = true)(1L) === 2)
   }
 
+  test("funnel modes: strict_dedup returns the DUPLICATED step's number") {
+    // ClickHouse returns events_list[i].second at the interrupt — the
+    // duplicated condition's 1-based number, NOT the max level reached:
+    // A,B,C then a second B over 4 steps → 2, even though level 3 was hit
+    val evs = Seq((1L, 0L, "A"), (1L, 1L, "B"), (1L, 2L, "C"), (1L, 3L, "B"))
+    assert(modesLvl(evs, Seq("A", "B", "C", "D"), 100L, dedup = true)(1L)
+      === 2)
+    // but a COMPLETED funnel early-returns before the duplicate is seen
+    val done = Seq((2L, 0L, "A"), (2L, 1L, "B"), (2L, 2L, "B"))
+    assert(modesLvl(done, Seq("A", "B"), 100L, dedup = true)(2L) === 2)
+    // a repeated step-0 event re-anchors; it is never a dedup duplicate
+    val rea = Seq((3L, 0L, "A"), (3L, 1L, "A"), (3L, 2L, "B"))
+    assert(modesLvl(rea, Seq("A", "B", "C"), 100L, dedup = true)(3L) === 2)
+  }
+
+  test("funnel modes: strict_order interrupts on an unreached predecessor") {
+    // CH: a step-i event while step i-1 is unreached returns the first
+    // unreached slot — A,C,B over A,B,C → 1 (the later B never lands)
+    val evs = Seq((1L, 0L, "A"), (1L, 1L, "C"), (1L, 2L, "B"))
+    val steps = Seq("A", "B", "C")
+    assert(modesLvl(evs, steps, 100L)(1L) === 2)
+    assert(modesLvl(evs, steps, 100L, order = true)(1L) === 1)
+    // before any chain start the gap check is inert (first_event gate)
+    val pre = Seq((2L, 0L, "C"), (2L, 1L, "A"), (2L, 2L, "B"), (2L, 3L, "C"))
+    assert(modesLvl(pre, steps, 100L, order = true)(2L) === 3)
+  }
+
+  /** Independent reference: a direct transcription of the ClickHouse
+    * getEventLevel loop (AggregateFunctionWindowFunnel.h) over a
+    * (t, 1-based cond) event list — one entry per matching condition,
+    * sorted by (t, cond); cond-0 entries only exist under strict_order.
+    * Shares NOTHING with [[graft.functions.FunnelScan]]. */
+  private def chFunnelRef(
+      evs: Seq[(Long, Int)], n: Int, window: Long, strictDedup: Boolean,
+      strictOrder: Boolean, strictIncrease: Boolean): Int = {
+    val slots = Array.fill[Option[(Long, Long)]](n)(None)
+    var firstEvent = false
+    val it = evs.iterator
+    while (it.hasNext) {
+      val (t, cond) = it.next()
+      val idx = cond - 1
+      if (strictOrder && idx == -1) {
+        if (firstEvent) return slots.segmentLength(_.isDefined)
+      } else if (idx == 0) {
+        slots(0) = Some((t, t)); firstEvent = true
+      } else if (idx >= 1 && strictDedup && slots(idx).isDefined) {
+        return cond
+      } else if (idx >= 1 && strictOrder && firstEvent &&
+          slots(idx - 1).isEmpty) {
+        return slots.indexWhere(_.isEmpty) match {
+          case -1 => n
+          case k => k
+        }
+      } else if (idx >= 1 && slots(idx - 1).isDefined) {
+        val (f, l) = slots(idx - 1).get
+        val ok = t <= f + window && (!strictIncrease || l < t)
+        if (ok) {
+          slots(idx) = Some((f, t))
+          if (idx == n - 1) return n
+        }
+      }
+    }
+    slots.segmentLength(_.isDefined)
+  }
+
+  test("funnel modes cross-validate the CH reference loop on random streams") {
+    val rnd = new scala.util.Random(94)
+    val types = Array("A", "B", "C", "D", "x", "y")
+    val steps = Seq("A", "B", "C", "D")
+    val w = 9L
+    val evs = (1L to 120L).flatMap { u =>
+      rnd.shuffle((0 until 40).toList).take(6 + rnd.nextInt(25)).map(t =>
+        (u, t.toLong, types(rnd.nextInt(types.length))))
+    }
+    val byUser = evs.groupBy(_._1)
+    for (dd <- Seq(false, true); oo <- Seq(false, true);
+         ii <- Seq(false, true)) {
+      val got = modesLvl(evs, steps, w, dedup = dd, order = oo,
+        increase = ii)
+      for ((u, rows) <- byUser) {
+        val lst = rows.sortBy(_._2).flatMap { case (_, t, ty) =>
+          val c = steps.indexOf(ty) + 1
+          if (c > 0) Seq((t, c)) else if (oo) Seq((t, 0)) else Nil
+        }
+        val want = chFunnelRef(lst, steps.size, w, dd, oo, ii)
+        assert(got(u) === want, s"user $u dd=$dd oo=$oo ii=$ii")
+      }
+    }
+  }
+
   test("funnel modes: strict_increase blocks same-timestamp hops") {
     val evs = Seq((1L, 5L, "A"), (1L, 5L, "B"), (1L, 5L, "C"),
       (2L, 0L, "A"), (2L, 1L, "B"), (2L, 2L, "C"))
