@@ -9,42 +9,52 @@ import org.apache.spark.sql.functions._
   * similarity joins at all, see SURVEY.md §2.6 note on near-dup ops).
   *
   * Pigeonhole lemma: split string `a` into `d+1` contiguous segments.
-  * Any `b` with `ed(a, b) <= d` can touch at most `d` of them, so at
-  * least one segment of `a` survives UNEDITED in `b` — i.e. appears in
-  * `b` as an exact substring, and (because the shift of any unedited
-  * character is bounded by the net insertions/deletions before it,
-  * itself <= d) it appears within `±d` of its position in `a`. Blocking
-  * on (segment, ±d position window, ±d length window) is therefore
-  * COMPLETE: recall 1.0 up to 64-bit segment-hash collisions, which can
-  * only ADD candidates (the exact verify rejects them), never drop a
-  * true pair.
+  * Any `b` with `ed(a, b) <= d` leaves at least one segment of `a`
+  * UNEDITED — it appears in `b` as an exact substring. Pass-Join's
+  * multi-match-aware selection (Lemma 3) sharpens WHERE: there exists
+  * a surviving segment `i` (0-based, start `p_c` in `a`) whose match
+  * start `p` in `b` satisfies BOTH `|p − p_c| <= i` AND
+  * `|p − p_c − Δ| <= d − i` (`Δ = len_b − len_a`) — a single integer
+  * interval `[p_c + max(−i, Δ−(d−i)), p_c + min(i, Δ+(d−i))]` of
+  * width `min(2i+1, 2(d−i)+1)`, summing to ~`(d+1)²/2` positions per
+  * partner length instead of every start. Blocking on (exact segment
+  * hash, segment index, segment length, that interval) is therefore
+  * COMPLETE: recall 1.0 up to 64-bit hash collisions, which can only
+  * ADD candidates (the exact verify rejects them), never drop a true
+  * pair.
   *
-  * Shape — two linear explodes, one hash-join on 8-byte keys, verify
+  * Shape — two bounded explodes, one hash-join on narrow keys, verify
   * on candidates only:
   *
   *  1. Segment side: each string emits its `d+1` segments as
-  *     `(xxhash64(seg), id, len, expected_start)` — O(d·N) rows of
-  *     ~28 bytes, never the strings.
-  *  2. Window side: each string emits every substring whose length any
-  *     in-band partner's segments could take (`floor((L-d)/(d+1)) ..
-  *     floor((L+d)/(d+1)) + 1` — two or three lengths), at every start
-  *     position, again as 8-byte hashes — O(L·N) rows. This side is
-  *     bigger but map-generated and projection-narrow; it exists so the
-  *     JOIN KEY is an exact segment, not a cruder length bucket.
-  *  3. Join on the hash with the length-band and position-window
-  *     predicates inline, `id_a < id_b` (the lemma holds with either
-  *     pair member as the segment side, so one direction suffices),
-  *     then `distinct` candidate pairs — all BEFORE any string moves.
+  *     `(xxhash64(seg), seg_index, seg_len, id, len, start)` —
+  *     O(d·N) rows of ~32 bytes, never the strings.
+  *  2. Window side: for each partner length `La ∈ [L−d, L+d]` and each
+  *     segment index `i`, the segment length `l_i(La)` and expected
+  *     start `p_c(La, i)` are KNOWN, so only the Lemma-3 interval is
+  *     emitted — `O(d²)` distinct (index, length, start) triples per
+  *     string after `array_distinct` (duplicates across nearby `La`
+  *     collapse), independent of L, vs the O(L·d) of hashing every
+  *     start (measured at sf1: 100 window rows/string vs 247).
+  *  3. Join on `(hash, seg_index, seg_len)` — NOT the bare hash: a
+  *     Zipf-common gram splits across `(d+1) × |lengths|` buckets, so
+  *     the in-bucket cross-product (the superlinear term at scale)
+  *     shrinks by that factor — with the length-band and per-index
+  *     Lemma-3 position predicates inline, `id_a < id_b` (the lemma
+  *     holds with either member as the segment side, so one direction
+  *     suffices), then `distinct` candidate pairs — all BEFORE any
+  *     string moves.
   *  4. Verify: candidates re-join the (id, string) base — two id-keyed
   *     hash joins, candidate-proportional — and run Spark's native
   *     banded `levenshtein(a, b, threshold)` (O(d·L) per pair, -1 past
   *     the band).
   *
-  * Skew note for 100 TB: a segment shared by k strings expands to
-  * O(k·d) candidate rows in step 3. Natural-language segment frequency
-  * is Zipfian but the position window already cuts each bucket by
-  * ~(2d+1)/L; for adversarial corpora (all-identical strings) the
-  * output itself is Θ(k²) and no blocking can beat its own result size.
+  * Skew note for 100 TB: a segment shared by k strings at the SAME
+  * index/length/±d position expands to O(k²) candidate pairs in step 3
+  * — but that is the adversarial all-identical-strings case, where the
+  * output itself is Θ(k²) and no blocking can beat its own result
+  * size; Zipf-common grams at scattered positions split across the
+  * composite key.
   *
   * Strings with `length <= maxDist` are dropped (their `d+1`-way split
   * has empty segments, which match everywhere): at that length the
@@ -77,30 +87,68 @@ object EditDistanceJoin {
       explode(transform(sequence(lit(0), lit(d)), i => {
         val start = (i * k + least(i, r) + lit(1)).cast("int")
         val slen = (k + when(i < r, 1).otherwise(0)).cast("int")
-        struct(start.as("p"), xxhash64(col("__s").substr(start, slen)).as("h"))
+        struct(i.cast("int").as("i"), slen.as("l"), start.as("p"),
+          xxhash64(col("__s").substr(start, slen)).as("h"))
       })).as("e"))
       .select(col("__id").as("id_a"), col("__len").as("len_a"),
-        col("e.p").as("p_a"), col("e.h").as("h"))
+        col("e.i").as("i"), col("e.l").as("l"), col("e.p").as("p_a"),
+        col("e.h").as("h"))
 
-    // Window side: substrings at every start, for every segment length
-    // an in-band partner could produce. The length set is the contiguous
-    // integer range [floor((L-d)/parts), floor((L+d)/parts) + 1] ∩ [1, L].
-    val loLen = greatest(floor((col("__len") - d) / parts).cast("int"), lit(1))
-    val hiLen = least(floor((col("__len") + d) / parts).cast("int") + 1,
-      col("__len"))
+    // Window side: for each in-band partner length La (> d, or its
+    // segments would be empty) and segment index i, emit ONLY the
+    // width-(d+1) L1-ball start interval around the expected position.
+    // Triples are packed into one long (i << 40 | l << 20 | p) so
+    // array_distinct collapses the heavy overlap between adjacent La
+    // through its fast atomic-type path (struct dedupe is quadratic),
+    // and the substring is hashed once per DISTINCT triple.
+    val winCodes = array_distinct(flatten(flatten(
+      transform(
+        filter(sequence(col("__len") - d, col("__len") + d), la => la > d),
+        la => {
+          val kA = floor(la / parts).cast("int")
+          val rA = (la % parts).cast("int")
+          val delta = (col("__len") - la).cast("int")
+          transform(sequence(lit(0), lit(d)), i => {
+            val pc = (i * kA + least(i, rA) + lit(1)).cast("int")
+            val l = (kA + when(i < rA, 1).otherwise(0)).cast("int")
+            // multi-match-aware selection (Pass-Join Lemma 3): the
+            // pair is caught at a segment i whose match ALSO satisfies
+            // |p - p_c| <= i and |p - p_c - delta| <= d - i, so the
+            // window narrows from width d+1 to min(2i+1, 2(d-i)+1)
+            val ii = i.cast("int")
+            val lo = greatest(
+              pc + greatest(-ii, delta - (lit(d) - ii)), lit(1))
+            val hi = least(
+              pc + least(ii, delta + (lit(d) - ii)),
+              col("__len") - l + 1)
+            // sequence() descends when lo > hi — clamp, then drop the
+            // clamped sentinel with the p <= hi filter
+            transform(
+              filter(sequence(lo, greatest(hi, lo)), p => p <= hi),
+              p => i.cast("long") * lit(1L << 40) +
+                l.cast("long") * lit(1L << 20) + p.cast("long"))
+          })
+        }))))
+    val code = col("__c")
     val wins = base.select(
-      col("__id"), col("__len"),
-      explode(flatten(transform(sequence(loLen, hiLen), l =>
-        transform(sequence(lit(1), col("__len") - l + 1), p =>
-          struct(p.cast("int").as("p"),
-            xxhash64(col("__s").substr(p, l)).as("h")))))).as("e"))
+      col("__id"), col("__len"), col("__s"),
+      explode(winCodes).as("__c"))
       .select(col("__id").as("id_b"), col("__len").as("len_b"),
-        col("e.p").as("p_b"), col("e.h").as("h"))
+        shiftright(code, 40).cast("int").as("i"),
+        shiftright(code, 20).bitwiseAND(lit((1L << 20) - 1))
+          .cast("int").as("l"),
+        code.bitwiseAND(lit((1L << 20) - 1)).cast("int").as("p_b"),
+        xxhash64(col("__s").substr(
+          code.bitwiseAND(lit((1L << 20) - 1)).cast("int"),
+          shiftright(code, 20).bitwiseAND(lit((1L << 20) - 1)).cast("int")))
+          .as("h"))
 
-    val candidates = segs.join(wins, "h")
+    val candidates = segs.join(wins, Seq("h", "i", "l"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= d &&
-        abs(col("p_a") - col("p_b")) <= d)
+        abs(col("p_b") - col("p_a")) <= col("i") &&
+        abs(col("p_b") - col("p_a") - (col("len_b") - col("len_a"))) <=
+          lit(d) - col("i"))
       .select("id_a", "id_b").distinct()
 
     candidates
