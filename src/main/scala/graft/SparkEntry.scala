@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.EventQueries.queries ++
       graft.queries.CorpusExtras.queries ++
       graft.queries.PipelineExtras.queries ++
-      graft.queries.Round8.queries
+      graft.queries.Round8.queries ++
+      graft.queries.Round9.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.EventQueries.oracles ++
       graft.queries.CorpusExtras.oracles ++
       graft.queries.PipelineExtras.oracles ++
-      graft.queries.Round8.oracles
+      graft.queries.Round8.oracles ++
+      graft.queries.Round9.oracles
 }

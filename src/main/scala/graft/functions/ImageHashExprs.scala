@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+import graft.operators.ImageDedup.ImagePixels
+
+/** 64-bit perceptual difference-hash (dHash) of a binary image payload:
+  * decode pixels → box-average to a 9×8 grid → 64 horizontal gradient
+  * sign bits. NULL (not an error) when the payload has no pixel path —
+  * see [[graft.operators.ImageDedup.ImagePixels.decodeGray]] for the
+  * decode scope. Decode + hash fuse into one map-side pass over the
+  * payload bytes inside whole-stage codegen ([[UnaryEvalCodegen]]);
+  * only the 8-byte result ever leaves the projection. */
+case class ImageDHash(child: Expression)
+    extends UnaryExpression with UnaryEvalCodegen {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def castResult(x: String): String =
+    s"((java.lang.Long) $x).longValue()"
+
+  override def nullSafeEval(input: Any): Any =
+    ImagePixels.dhashOf(input.asInstanceOf[Array[Byte]])
+      .map(java.lang.Long.valueOf).orNull
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit perceptual average-hash (aHash): 8×8 grid, bit = cell above
+  * the integer grid mean. Same decode scope and NULL contract as
+  * [[ImageDHash]]. */
+case class ImageAHash(child: Expression)
+    extends UnaryExpression with UnaryEvalCodegen {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def castResult(x: String): String =
+    s"((java.lang.Long) $x).longValue()"
+
+  override def nullSafeEval(input: Any): Any =
+    ImagePixels.ahashOf(input.asInstanceOf[Array[Byte]])
+      .map(java.lang.Long.valueOf).orNull
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

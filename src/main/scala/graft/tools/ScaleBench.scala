@@ -161,7 +161,12 @@ object ScaleBench {
     // measures the one-exchange bitmap plan (q73's shape) vs data ×10.
     "q100_rewritten_distinct",
     // q101 is a per-key bitmask aggregate + a global sum of N counters.
-    "q101_retention_conditions")
+    "q101_retention_conditions",
+    // r9: q102 plants 3 BMPs + 1 opaque payload per doc from doc_id
+    // (copy offsets < 1M keep the +1M/+2M/+3M populations disjoint and
+    // per-copy patterns independent), so images, band rows and the
+    // in-trio pair set all scale linearly; only (id, sig) rows shuffle.
+    "q102_image_neardup")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ImageDedup
+import graft.operators.ImageDedup.{ImageBuild, ImagePixels}
+
+class ImageDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def randImg(rnd: scala.util.Random, w: Int = 18, h: Int = 16)
+      : Array[Array[Int]] =
+    Array.fill(h, w)(1 + rnd.nextInt(200))
+
+  private def bmpOf(img: Array[Array[Int]], topDown: Boolean = false)
+      : Array[Byte] =
+    ImageBuild.bmp24Gray(img.head.length, img.length, topDown)(
+      (x, y) => img(y)(x))
+
+  // --- decode ---------------------------------------------------------
+
+  test("BMP decode: exact pixels, both row orders, padded strides") {
+    // w=3 → 9-byte rows padded to 12: the padding path must be exact
+    val img = Array(Array(10, 20, 30), Array(40, 50, 60))
+    for (topDown <- Seq(false, true)) {
+      val Some((w, h, pix)) = ImagePixels.decodeGray(bmpOf(img, topDown))
+      assert((w, h) === ((3, 2)))
+      assert(pix.toSeq === Seq(10, 20, 30, 40, 50, 60),
+        s"topDown=$topDown")
+    }
+  }
+
+  test("BMP decode: luma is exact for gray and BT.601 for color") {
+    // hand-build one 1x1 color BMP: b=10 g=20 r=30 → (77*30+150*20+29*10)>>8
+    val p = ImageBuild.bmp24Gray(1, 1)((_, _) => 0)
+    p(54) = 10.toByte; p(55) = 20.toByte; p(56) = 30.toByte
+    val Some((_, _, pix)) = ImagePixels.decodeGray(p)
+    assert(pix(0) === ((77 * 30 + 150 * 20 + 29 * 10) >> 8))
+  }
+
+  test("BMP decode rejects non-BMP, truncated, compressed, non-24bpp") {
+    val good = bmpOf(randImg(new scala.util.Random(1)))
+    assert(ImagePixels.decodeGray("not an image".getBytes).isEmpty)
+    assert(ImagePixels.decodeGray(good.take(40)).isEmpty)
+    assert(ImagePixels.decodeGray(good.take(100)).isEmpty) // pixel rows cut
+    val comp = good.clone; comp(30) = 1 // biCompression = BI_RLE8
+    assert(ImagePixels.decodeGray(comp).isEmpty)
+    val bpp = good.clone; bpp(28) = 8 // 8-bit palette
+    assert(ImagePixels.decodeGray(bpp).isEmpty)
+    val magic = good.clone; magic(0) = 'X'.toByte
+    assert(ImagePixels.decodeGray(magic).isEmpty)
+  }
+
+  // --- hashes ---------------------------------------------------------
+
+  private def dhashDirect(img: Array[Array[Int]]): Long = {
+    val Some((w, h, pix)) = ImagePixels.decodeGray(bmpOf(img))
+    ImagePixels.dhash64(ImagePixels.grid(pix, w, h, 9, 8))
+  }
+
+  test("dHash/aHash: invariant to pixel-replication scaling (2x, 3x)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      // 72 = lcm(9, 8): BOTH hash grids align, so scaling is exact for
+      // dHash (9x8) and aHash (8x8) alike
+      val img = randImg(rnd, w = 72, h = 16)
+      def scaled(k: Int): Array[Array[Int]] =
+        Array.tabulate(16 * k, 72 * k)((y, x) => img(y / k)(x / k))
+      for (k <- Seq(2, 3)) {
+        assert(ImagePixels.dhashOf(bmpOf(scaled(k))).get ===
+          ImagePixels.dhashOf(bmpOf(img)).get, s"dhash k=$k")
+        assert(ImagePixels.ahashOf(bmpOf(scaled(k))).get ===
+          ImagePixels.ahashOf(bmpOf(img)).get, s"ahash k=$k")
+      }
+    }
+  }
+
+  test("dHash/aHash: invariant to uniform brightness shift (no clamp)") {
+    val rnd = new scala.util.Random(8)
+    for (shift <- Seq(-1, 16, 40)) {
+      val img = randImg(rnd).map(_.map(v => math.min(v, 200)))
+      val shifted = img.map(_.map(_ + shift + 1)) // keep >= 1
+      assert(ImagePixels.dhashOf(bmpOf(shifted)).get ===
+        ImagePixels.dhashOf(bmpOf(img.map(_.map(_ + 1)))).get)
+      assert(ImagePixels.ahashOf(bmpOf(shifted)).get ===
+        ImagePixels.ahashOf(bmpOf(img.map(_.map(_ + 1)))).get)
+    }
+  }
+
+  test("dHash: top-down and bottom-up encodings of one image agree") {
+    val img = randImg(new scala.util.Random(9))
+    assert(ImagePixels.dhashOf(bmpOf(img, topDown = true)).get ===
+      ImagePixels.dhashOf(bmpOf(img, topDown = false)).get)
+  }
+
+  test("dHash: one perturbed grid cell flips at most 2 bits") {
+    val rnd = new scala.util.Random(10)
+    val img = randImg(rnd)
+    val h0 = dhashDirect(img)
+    // flip cell (3, 4): pixels y in [6,8), x in [8,10)
+    val pert = img.map(_.clone)
+    for (y <- 6 until 8; x <- 8 until 10) pert(y)(x) = 201 - pert(y)(x)
+    val h1 = dhashDirect(pert)
+    val d = java.lang.Long.bitCount(h0 ^ h1)
+    assert(d >= 1 && d <= 2, s"hamming $d")
+  }
+
+  test("dHash: non-grid-aligned sizes still decode and hash (w < 9)") {
+    // degenerate tiny image: grid blocks clamp to >= 1 px, no crash
+    val img = Array.fill(3, 4)(5)
+    assert(ImagePixels.dhashOf(bmpOf(img)).isDefined)
+  }
+
+  // --- nearDupPairs ---------------------------------------------------
+
+  test("nearDupPairs: exact parity with brute force at maxHamming < bands") {
+    val rnd = new scala.util.Random(11)
+    // 60 random bases + perturbed copies at various distances + exact
+    // dups: the band join must find EXACTLY the brute-force <= 3 set
+    val imgs = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+    for (i <- 0 until 60) {
+      val img = randImg(rnd)
+      imgs += ((i.toLong, bmpOf(img)))
+      if (i % 3 == 0) { // cell-perturbed copy (small, maybe >3, hamming)
+        val pert = img.map(_.clone)
+        val nCells = 1 + rnd.nextInt(3)
+        for (_ <- 0 until nCells) {
+          val (r, c) = (rnd.nextInt(8), rnd.nextInt(9))
+          for (y <- 2 * r until 2 * r + 2; x <- 2 * c until 2 * c + 2)
+            pert(y)(x) = 201 - pert(y)(x)
+        }
+        imgs += ((1000L + i, bmpOf(pert)))
+      }
+      if (i % 5 == 0) imgs += ((2000L + i, bmpOf(img))) // exact dup
+    }
+    val hashes = imgs.map { case (id, p) =>
+      id -> ImagePixels.dhashOf(p).get }.toMap
+    val want = (for {
+      Seq((a, ha), (b, hb)) <- hashes.toSeq.sortBy(_._1).combinations(2)
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    val got = ImageDedup.nearDupPairs(
+        imgs.toSeq.toDF("id", "payload").repartition(8), "id", "payload",
+        maxHamming = 3, bands = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === want)
+    assert(want.exists(_._3 > 0), "fixture should contain nonzero-distance pairs")
+  }
+
+  test("nearDupPairs: undecodable payloads are skipped, not thrown") {
+    val img = randImg(new scala.util.Random(12))
+    val rows = Seq(
+      (1L, bmpOf(img)), (2L, bmpOf(img)),
+      (3L, "plain text bytes".getBytes),
+      (4L, Array[Byte](0x42, 0x4d, 1, 2))) // BM magic, truncated
+    val got = ImageDedup.nearDupPairs(
+        rows.toDF("id", "payload"), "id", "payload")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 0)))
+  }
+
+  test("nearDupPairs enforces the pigeonhole contract") {
+    intercept[IllegalArgumentException] {
+      ImageDedup.nearDupPairs(Seq((1L, Array[Byte](1)))
+        .toDF("id", "payload"), "id", "payload", maxHamming = 4, bands = 4)
+    }
+  }
+}
