@@ -54,6 +54,112 @@ object Quantiles {
       .select(col(keyCol) +: outs: _*)
   }
 
+  /** Exact grouped quantiles WITHOUT the per-group global sort — the
+    * [[exact]] scale path. Three combinable passes:
+    *
+    *  1. (min, max, n) per key — a plain combinable aggregate;
+    *  2. linear-bin histogram: count per (key, bucket) over
+    *     `nBuckets` equal-width bins of [min, max] — again combinable,
+    *     so the full data crosses the shuffle only as partial counts;
+    *     a window over the BUCKET TABLE (≤ groups × nBuckets rows, not
+    *     data rows) turns counts into per-bucket base ranks;
+    *  3. each target rank (the percentile_cont lower/upper neighbor
+    *     ranks) lands in exactly one bucket; only THOSE buckets' rows
+    *     are re-scanned (broadcast semi-join on (key, bucket)), sorted
+    *     within (key, bucket) — expected n/nBuckets rows each — and the
+    *     rows at the exact global ranks are kept and interpolated with
+    *     the same (n−1)·p arithmetic as [[exact]], so the two forms are
+    *     value-identical.
+    *
+    * No stage sorts more than the straddled buckets (expected
+    * 2·|ps|·groups·n/nBuckets rows), and stage-3 parallelism is the
+    * straddled-bucket count, not the group count — the two reasons
+    * [[exact]] goes near-linear at low group cardinality. Worst case
+    * (all values equal, or pathological skew into one bin) degrades to
+    * sorting that bin — i.e. to [[exact]]'s behavior, never worse.
+    * Group stats and the needed-bucket list are broadcast: the contract
+    * is group cardinality small enough for a groups-sized broadcast
+    * (the [[exact]] contract already was "low group cardinality"; for
+    * high cardinality use [[approx]]/t-digest). */
+  def exactBucketed(
+      df: DataFrame, keyCol: String, valCol: String,
+      ps: Seq[(Double, String)], scale: Int = 4,
+      nBuckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val vals = df
+      .select(col(keyCol).as("__k"), col(valCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val stats = vals.groupBy(col("__k")).agg(
+      min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+      count(lit(1)).as("__n"))
+
+    val bucket = when(col("__mx") === col("__mn"), lit(0)).otherwise(
+      least(lit(nBuckets - 1), greatest(lit(0),
+        floor((col("__v") - col("__mn")) / (col("__mx") - col("__mn"))
+          * nBuckets).cast("int"))))
+    val withB = vals.join(broadcast(stats), "__k")
+      .select(col("__k"), col("__v"), bucket.as("__b"))
+
+    val bCounts = withB.groupBy(col("__k"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val wb = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bCounts.withColumn("__base",
+      coalesce(sum(col("__c")).over(wb), lit(0L)))
+
+    // the percentile_cont neighbor ranks per (key, quantile)
+    val rankRows = ps.map { case (p, name) =>
+      val idx = (col("__n") - 1) * lit(p)
+      struct(lit(name).as("q"),
+        (floor(idx).cast("long") + 1L).as("rlo"),
+        least(floor(idx).cast("long") + 2L, col("__n")).as("rhi"),
+        (idx - floor(idx)).as("frac"))
+    }
+    val need = stats
+      .select(col("__k"), explode(array(rankRows: _*)).as("t"))
+      .select(col("__k"), col("t.q"), col("t.frac"),
+        explode(array(
+          struct(lit("lo").as("side"), col("t.rlo").as("r")),
+          struct(lit("hi").as("side"), col("t.rhi").as("r")))).as("s"))
+      .select(col("__k"), col("q"), col("frac"),
+        col("s.side").as("side"), col("s.r").as("r"))
+    val needB = need.join(cum, Seq("__k"))
+      .filter(col("r") > col("__base") && col("r") <= col("__base") + col("__c"))
+      .select(col("__k"), col("__b"), col("q"), col("frac"),
+        col("side"), col("r"))
+
+    // stage 3: sort ONLY the straddled buckets, pick the exact ranks
+    val buckets = needB.select(col("__k"), col("__b")).distinct()
+      .join(cum.select(col("__k"), col("__b"), col("__base")),
+        Seq("__k", "__b"))
+    val wS = Window.partitionBy(col("__k"), col("__b")).orderBy(col("__v"))
+    val rankedC = withB
+      .join(broadcast(buckets), Seq("__k", "__b"))
+      .withColumn("__rg", row_number().over(wS) + col("__base"))
+    // fresh column names break the shared lineage with rankedC (both
+    // descend from `stats`), which otherwise trips the ambiguous
+    // self-join check
+    val needSel = needB.select(col("__k").as("__nk"), col("__b").as("__nb"),
+      col("q"), col("frac"), col("side"), col("r"))
+    val picked = rankedC
+      .join(broadcast(needSel), col("__k") === col("__nk") &&
+        col("__b") === col("__nb") && col("__rg") === col("r"))
+      .select(col("__k"), col("q"), col("frac"), col("side"), col("__v"))
+
+    val perQ = picked.groupBy(col("__k"), col("q"))
+      .agg(max(when(col("side") === "lo", col("__v"))).as("__vlo"),
+        max(when(col("side") === "hi", col("__v"))).as("__vhi"),
+        max(col("frac")).as("__f"))
+      .select(col("__k"), col("q"),
+        round(col("__vlo") + col("__f") * (col("__vhi") - col("__vlo")),
+          scale).as("__qv"))
+    val outs = ps.map { case (_, name) =>
+      max(when(col("q") === name, col("__qv"))).as(name)
+    }
+    perQ.groupBy(col("__k")).agg(outs.head, outs.tail: _*)
+      .withColumnRenamed("__k", keyCol)
+  }
+
   /** Approximate grouped quantiles via `percentile_approx` — Spark's
     * built-in quantile sketch (ApproximatePercentile over
     * QuantileSummaries, the Greenwald-Khanna family t-digest-style

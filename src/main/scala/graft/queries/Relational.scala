@@ -188,14 +188,18 @@ object Relational {
   }
 
   /** q29: exact grouped quantiles (median/p90/p99 of extended price per
-    * return flag) via [[graft.operators.Quantiles]] — sort-based ranks,
-    * NOT the built-in `percentile` aggregate (whose partial buffers hold
-    * every value, so nothing reduces map-side; 3× slower at sf0.1 and
-    * unbounded memory at scale). Rounded to 4 decimals on both sides:
-    * Spark and DuckDB share the (n-1)p interpolation definition but not
-    * float summation order. */
+    * return flag) via [[graft.operators.Quantiles.exactBucketed]] — the
+    * two-pass bucketed selection (histogram ranks, then sort ONLY the
+    * rank-straddling buckets), value-identical to the sort form
+    * ([[graft.operators.Quantiles.exact]], spec-pinned parity) but
+    * with no per-group global sort: after three rounds as the curve's
+    * near-linear outlier (sf1 ratio 8.30 in r8), the sort is gone.
+    * NOT the built-in `percentile` aggregate (whose partial buffers
+    * hold every value, so nothing reduces map-side). Rounded to 4
+    * decimals on both sides: Spark and DuckDB share the (n-1)p
+    * interpolation definition but not float summation order. */
   def q29Quantiles(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Quantiles.exact(
+    graft.operators.Quantiles.exactBucketed(
         Tables(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
         Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
       .orderBy("l_returnflag")

@@ -253,8 +253,9 @@ object ScaleBench {
       System.err.println(f"[scale] $n%-22s sf0.1 $a%6.2f s   sf1 $b%7.2f s   ratio ${r}%5.2f")
       // fail loudly, not quietly in a JSON artifact: at 10x data, a
       // ratio past the data ratio means the plan got super-linear
-      // (q29's exact global sort is the one documented exception)
-      if (r > 10.0 && n != "q29_quantiles") {
+      // (r9: q29's bucketed selection killed its global sort — the
+      // exemption it held for three rounds is gone; no query is exempt)
+      if (r > 10.0) {
         System.err.println(
           f"[scale] SUPER-LINEAR $n ratio $r%.2f exceeds the 10x data ratio - plan regression")
         superLinear ::= n

@@ -26,6 +26,38 @@ class QuantilesSpec extends SparkSuite {
       ("b", 7.0, 7.0, 7.0, 7.0)))
   }
 
+  test("exactBucketed: value-identical to the sort form on edges and randoms") {
+    import spark.implicits._
+    // known edges (exact-index, interpolated, p=0/1, single value)
+    val edges = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 40.0),
+      ("b", 7.0)).toDF("k", "v")
+    val ps = Seq(0.0 -> "p0", 0.25 -> "p25", 0.5 -> "p50", 1.0 -> "p100")
+    assert(Quantiles.exactBucketed(edges, "k", "v", ps, nBuckets = 8)
+      .orderBy("k").collect().toSeq ===
+      Quantiles.exact(edges, "k", "v", ps).orderBy("k").collect().toSeq)
+    // randoms incl. ties, skew into one bin, and a tiny bucket count
+    // (forces multi-rank buckets); parity must be exact row-for-row
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 4000).map { _ =>
+      val k = "g" + rnd.nextInt(4)
+      val v = if (rnd.nextBoolean()) rnd.nextInt(20).toDouble // heavy ties
+              else math.pow(10, rnd.nextDouble() * 4) // skewed tail
+      (k, v)
+    } ++ Seq(("solo", 42.0)) // n = 1 group
+    val df = rows.toDF("k", "v").repartition(16)
+    val qs = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    for (nb <- Seq(4, 4096)) {
+      assert(Quantiles.exactBucketed(df, "k", "v", qs, nBuckets = nb)
+        .orderBy("k").collect().toSeq ===
+        Quantiles.exact(df, "k", "v", qs).orderBy("k").collect().toSeq,
+        s"nBuckets=$nb")
+    }
+    // all-equal values: every bin collapses to bucket 0
+    val flat = Seq.fill(100)(("x", 5.0)).toDF("k", "v")
+    assert(Quantiles.exactBucketed(flat, "k", "v", qs).collect().head
+      .toSeq.drop(1) === Seq(5.0, 5.0, 5.0))
+  }
+
   test("agrees with Spark's exact percentile on real data") {
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
     val mine = Quantiles.exact(li, "l_returnflag", "l_extendedprice",
