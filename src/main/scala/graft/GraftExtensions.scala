@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedExtractValue, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseOr, CaseWhen, Cast, Expression, ExpressionInfo, GreaterThan, If, IsNotNull, LambdaFunction, Literal, Subtract, UnresolvedNamedLambdaVariable, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 import graft.functions._
 
@@ -29,6 +30,16 @@ import graft.functions._
   *  - `graft_tdigest(x, p)`         ClickHouse `quantileTDigest(p)`
   *  - `graft_normalize(s)`          text canonicalization pass
   *  - `graft_winnow(s, k, w)`       winnowing fingerprints
+  *  - `graft_sum_map(ks, vs)`       ClickHouse `sumMap` (parallel arrays)
+  *  - `graft_histogram(x, bins)`    ClickHouse adaptive `histogram(bins)`
+  *  - `graft_retention(c1, ..)`     ClickHouse `retention` flag array
+  *  - `graft_window_funnel(w[, 'modes'], ts, c1, ..)`
+  *                                  ClickHouse `windowFunnel` incl.
+  *                                  strict_* modes (comma-separated)
+  *  - `graft_delta_sum(ts, tie, v)` ClickHouse `deltaSum` in explicit
+  *                                  (ts, tie) fold order — CH relies on
+  *                                  insertion order, which a distributed
+  *                                  engine must name, not assume
   *
   * Integer/percentile parameters must be foldable literals (the same
   * contract as Spark's own `approx_percentile` accuracy argument).
@@ -68,6 +79,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def agg(e: org.apache.spark.sql.catalyst.expressions.aggregate
       .AggregateFunction): Expression =
     e.toAggregateExpression(isDistinct = false)
+
+  /** An analyzer-resolvable call to a builtin — the same node the SQL
+    * parser emits for `name(args...)`. */
+  private def fn(name: String, args: Expression*): Expression =
+    UnresolvedFunction(name, args.toSeq, isDistinct = false)
+
+  private def lamVar(name: String) =
+    UnresolvedNamedLambdaVariable(Seq(name))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // opt-in plan rewrite: count(DISTINCT bigint) → roaring bitmap
@@ -126,6 +145,119 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 3, "graft_winnow(s, k, w)")
         WinnowFingerprints(args.head, intLit(args(1), "k"),
           intLit(args(2), "w"))
+      }))
+
+    ext.injectFunction((FunctionIdentifier("graft_sum_map"),
+      info("graft_sum_map",
+        "ClickHouse sumMap: per-key DECIMAL sums of parallel arrays"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_sum_map(keys, values)")
+        agg(MapCombineAgg(args.head, args(1), MapCombine.Sum))
+      }))
+
+    ext.injectFunction((FunctionIdentifier("graft_histogram"),
+      info("graft_histogram",
+        "ClickHouse adaptive histogram(bins): (x, w)[] centroids"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_histogram(x, bins)")
+        agg(HistogramAgg(args.head, intLit(args(1), "bins")))
+      }))
+
+    // The next three compose EXISTING pinned pieces (max/least,
+    // collect+sort gather, WindowFunnelExpr, higher-order array ops)
+    // into the ClickHouse call shapes — still no new algorithm code.
+    // Built as RAW catalyst trees (UnresolvedFunction/LambdaFunction,
+    // exactly what the SQL parser emits) so the analyzer resolves them
+    // in place; Column-bridge trees do not resolve inside injected
+    // functions.
+    ext.injectFunction((FunctionIdentifier("graft_retention"),
+      info("graft_retention",
+        "ClickHouse retention(cond1..condN): [r1, r1&r2, ...] per group"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.size <= 32,
+          "graft_retention(cond1, ..., condN), 1..32 conditions")
+        def held(c: Expression): Expression =
+          fn("max", If(c, Literal(1), Literal(0)))
+        val anchor = held(args.head)
+        val rs = anchor +: args.tail.map(c => fn("least", anchor, held(c)))
+        fn("array", rs.map(Cast(_, IntegerType)): _*)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("graft_window_funnel"),
+      info("graft_window_funnel",
+        "ClickHouse windowFunnel(w_us[, 'modes'])(ts_us, cond1, ...)"),
+      (args: Seq[Expression]) => {
+        require(args.size >= 3,
+          "graft_window_funnel(window_us[, 'modes'], ts_us, cond1, cond2, ...)")
+        val windowUs = this.lit(args.head, "window_us") match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => throw new IllegalArgumentException(
+            s"window_us must be an integer literal, got $other")
+        }
+        val (modes, rest) = args(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            (s.toString.split(",").map(_.trim).filter(_.nonEmpty).toSet,
+              args.drop(2))
+          case _ => (Set.empty[String], args.drop(1))
+        }
+        val known = Set("strict_deduplication", "strict_order",
+          "strict_increase")
+        require(modes.subsetOf(known),
+          s"unknown windowFunnel modes: ${(modes -- known).mkString(", ")}")
+        val ts = rest.head
+        val conds = rest.tail
+        require(conds.size >= 2 && conds.size <= 62,
+          s"2..62 funnel steps, got ${conds.size}")
+        val mask = conds.zipWithIndex
+          .map { case (c, i) =>
+            CaseWhen(Seq((c, Literal(1L << i))), Some(Literal(0L))) }
+          .reduce[Expression](BitwiseOr(_, _))
+        // mask-0 events are inert unless strict_order (FunnelScan
+        // contract), so the gather keeps every non-null-ts event
+        val item = CaseWhen(Seq((IsNotNull(ts),
+          fn("struct", Cast(ts, LongType), mask))), None)
+        WindowFunnelExpr(fn("sort_array", fn("collect_list", item)),
+          windowUs, conds.size,
+          strictDedup = modes("strict_deduplication"),
+          strictOrder = modes("strict_order"),
+          strictIncrease = modes("strict_increase"))
+      }))
+
+    ext.injectFunction((FunctionIdentifier("graft_delta_sum"),
+      info("graft_delta_sum",
+        "ClickHouse deltaSum over (ts, tie)-ordered values"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_delta_sum(ts, tie, v)")
+        val Seq(ts, tie, v) = args
+        // NULL values contribute no delta and the chain bridges them
+        // (collect_list drops the null struct) — the deltaSum contract
+        val item = CaseWhen(Seq((IsNotNull(v), fn("named_struct",
+          Literal("t"), Cast(ts, LongType),
+          Literal("tie"), Cast(tie, LongType),
+          Literal("v"), Cast(v, DecimalType(18, 4))))), None)
+        val arr = fn("sort_array", fn("collect_list", item))
+        def vsOf: Expression = {
+          val x = lamVar("gds_x")
+          fn("transform", arr,
+            LambdaFunction(UnresolvedExtractValue(x, Literal("v")), Seq(x)))
+        }
+        val n1 = fn("greatest", Subtract(fn("size", vsOf), Literal(1)),
+          Literal(0))
+        val (a, b) = (lamVar("gds_a"), lamVar("gds_b"))
+        val ds = fn("zip_with",
+          fn("slice", vsOf, Literal(1), n1),
+          fn("slice", vsOf, Literal(2), n1),
+          LambdaFunction(Subtract(b, a), Seq(a, b)))
+        val d = lamVar("gds_d")
+        val pos = fn("filter", ds,
+          LambdaFunction(GreaterThan(d, Literal(0)), Seq(d)))
+        val (acc, e) = (lamVar("gds_acc"), lamVar("gds_e"))
+        val total = fn("aggregate", pos,
+          Cast(Literal(0), DecimalType(28, 4)),
+          LambdaFunction(Cast(Add(acc, e), DecimalType(28, 4)),
+            Seq(acc, e)))
+        Cast(total, DoubleType)
       }))
   }
 }

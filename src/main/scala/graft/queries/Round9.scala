@@ -69,8 +69,50 @@ object Round9 {
       .orderBy("id_a", "id_b")
   }
 
+  /** q103: the round-9 SQL-surface widening (r8 judge directive #7) —
+    * every remaining aggregate family reached through its injected SQL
+    * name in ONE statement over the events view: `graft_delta_sum`
+    * (explicit (ts, tie) fold order), `graft_retention` (flag slots
+    * flattened to columns), `graft_window_funnel` in BOTH default and
+    * 'strict_increase' modes (equal to the chained-window DP on the
+    * tie-free events table — the q94 oracle argument), `graft_sum_map`
+    * (the purchase slot of the per-type value map), and
+    * `graft_histogram` under capacity (hours-of-day ≤ 24 < 32 bins, so
+    * centroids are exactly the distinct values and both the bin count
+    * and the peak weight are oracle-exact). */
+  def q103SqlSurface2(s: SparkSession, dir: String): DataFrame = {
+    Tables.parallel(s, dir, "events")
+      .createOrReplaceTempView("graft_events_r9")
+    s.sql("""
+      SELECT user_id,
+        graft_delta_sum(unix_micros(ts), event_id, value) AS dsum,
+        graft_retention(event_type = 'signup', event_type = 'view',
+          event_type = 'purchase')[0] AS r1,
+        graft_retention(event_type = 'signup', event_type = 'view',
+          event_type = 'purchase')[1] AS r2,
+        graft_retention(event_type = 'signup', event_type = 'view',
+          event_type = 'purchase')[2] AS r3,
+        graft_window_funnel(86400000000L, unix_micros(ts),
+          event_type = 'signup', event_type = 'view',
+          event_type = 'click', event_type = 'purchase') AS lvl,
+        graft_window_funnel(86400000000L, 'strict_increase',
+          unix_micros(ts),
+          event_type = 'signup', event_type = 'view',
+          event_type = 'click', event_type = 'purchase') AS lvl_si,
+        CAST(element_at(
+          graft_sum_map(array(event_type),
+            array(CAST(value AS DECIMAL(18,4)))), 'purchase')
+          AS DOUBLE) AS purchase_total,
+        size(graft_histogram(CAST(hour(ts) AS DOUBLE), 32)) AS hist_bins,
+        CAST(array_max(transform(
+          graft_histogram(CAST(hour(ts) AS DOUBLE), 32), x -> x.w))
+          AS BIGINT) AS hist_peak
+      FROM graft_events_r9 GROUP BY user_id ORDER BY user_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q102_image_neardup" -> q102ImageNearDup _)
+    "q102_image_neardup" -> q102ImageNearDup _,
+    "q103_sql_surface2" -> q103SqlSurface2 _)
 
   val oracles: Map[String, String] = Map(
     "q102_image_neardup" ->
@@ -81,5 +123,69 @@ object Round9 {
         |SELECT id, id + 2000000, CAST(0 AS INTEGER) FROM t
         |UNION ALL
         |SELECT id + 1000000, id + 2000000, CAST(0 AS INTEGER) FROM t
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q103_sql_surface2" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |              event_type, value, hour(ts) AS hr FROM events),
+        |dd AS (SELECT user_id,
+        |         CAST(value AS DECIMAL(18,4))
+        |           - lag(CAST(value AS DECIMAL(18,4)))
+        |             OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |           AS dv
+        |       FROM ev WHERE value IS NOT NULL),
+        |ds AS (SELECT user_id,
+        |         CAST(coalesce(sum(CASE WHEN dv > 0 THEN dv END),
+        |           0) AS DOUBLE) AS dsum
+        |       FROM dd GROUP BY user_id),
+        |ret AS (SELECT user_id,
+        |         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |           AS a1,
+        |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |           AS a2,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS a3
+        |       FROM ev GROUP BY user_id),
+        |s1 AS (SELECT *, max(CASE WHEN event_type = 'signup' THEN t END)
+        |         OVER w1 AS b1 FROM ev
+        |       WINDOW w1 AS (PARTITION BY user_id ORDER BY t
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s2 AS (SELECT *, max(CASE WHEN event_type = 'view' THEN b1 END)
+        |         OVER w2 AS b2 FROM s1
+        |       WINDOW w2 AS (PARTITION BY user_id ORDER BY t
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s3 AS (SELECT *, max(CASE WHEN event_type = 'click' THEN b2 END)
+        |         OVER w3 AS b3 FROM s2
+        |       WINDOW w3 AS (PARTITION BY user_id ORDER BY t
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |dp AS (SELECT user_id, CAST(max(CASE
+        |    WHEN event_type = 'purchase' AND b3 IS NOT NULL
+        |      AND t - b3 <= 86400000000 THEN 4
+        |    WHEN event_type = 'click' AND b2 IS NOT NULL
+        |      AND t - b2 <= 86400000000 THEN 3
+        |    WHEN event_type = 'view' AND b1 IS NOT NULL
+        |      AND t - b1 <= 86400000000 THEN 2
+        |    WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS INTEGER)
+        |  AS lvl FROM s3 GROUP BY user_id),
+        |pt AS (SELECT user_id,
+        |         CAST(CAST(sum(CASE WHEN event_type = 'purchase'
+        |           THEN CAST(value AS DECIMAL(18,4)) END)
+        |           AS DECIMAL(38,4)) AS DOUBLE) AS purchase_total
+        |       FROM ev GROUP BY user_id),
+        |hh AS (SELECT user_id, hr, count(*) AS c FROM ev GROUP BY 1, 2),
+        |hs AS (SELECT user_id, CAST(count(*) AS INTEGER) AS hist_bins,
+        |         CAST(max(c) AS BIGINT) AS hist_peak
+        |       FROM hh GROUP BY user_id)
+        |SELECT ret.user_id,
+        |  CAST(coalesce(ds.dsum, 0) AS DOUBLE) AS dsum,
+        |  CAST(ret.a1 AS INTEGER) AS r1,
+        |  CAST(least(ret.a1, ret.a2) AS INTEGER) AS r2,
+        |  CAST(least(ret.a1, ret.a3) AS INTEGER) AS r3,
+        |  dp.lvl, dp.lvl AS lvl_si, pt.purchase_total,
+        |  hs.hist_bins, hs.hist_peak
+        |FROM ret
+        |LEFT JOIN ds ON ds.user_id = ret.user_id
+        |JOIN dp ON dp.user_id = ret.user_id
+        |JOIN pt ON pt.user_id = ret.user_id
+        |JOIN hs ON hs.user_id = ret.user_id
+        |ORDER BY ret.user_id""".stripMargin)
 }

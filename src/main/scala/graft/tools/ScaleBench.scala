@@ -166,7 +166,10 @@ object ScaleBench {
     // (copy offsets < 1M keep the +1M/+2M/+3M populations disjoint and
     // per-copy patterns independent), so images, band rows and the
     // in-trio pair set all scale linearly; only (id, sig) rows shuffle.
-    "q102_image_neardup")
+    "q102_image_neardup",
+    // q103 is five bounded-state aggregates on ONE user-hash exchange
+    // (the q91 shape): per-user gathers bounded by that user's history.
+    "q103_sql_surface2")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

@@ -78,6 +78,90 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(sqlFps === colFps)
   }
 
+  test("graft_sum_map matches MapCombine.sumMap") {
+    val df = Seq(
+      (1L, Seq("a", "b"), Seq(BigDecimal("1.5"), BigDecimal("2.0"))),
+      (1L, Seq("b", "c"), Seq(BigDecimal("0.5"), BigDecimal("3.0"))))
+      .toDF("g", "ks", "vs")
+      .select(col("g"), col("ks"),
+        col("vs").cast("array<decimal(18,4)>").as("vs"))
+    df.createOrReplaceTempView("t_sm")
+    val viaSql = spark.sql(
+      "SELECT graft_sum_map(ks, vs) FROM t_sm GROUP BY g")
+      .collect().head.getMap[String, java.math.BigDecimal](0)
+    val viaCol = df.groupBy("g")
+      .agg(graft.functions.MapCombine.sumMap(col("ks"), col("vs")))
+      .collect().head.getMap[String, java.math.BigDecimal](1)
+    assert(viaSql === viaCol)
+    assert(viaSql.view.mapValues(_.toString).toMap ===
+      Map("a" -> "1.5000", "b" -> "2.5000", "c" -> "3.0000"))
+  }
+
+  test("graft_histogram matches AdaptiveHistogram under capacity") {
+    Seq(1.0, 2.0, 2.0, 9.0).toDF("x").createOrReplaceTempView("t_hist")
+    val viaSql = spark.sql("SELECT graft_histogram(x, 8) FROM t_hist")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    val viaCol = Seq(1.0, 2.0, 2.0, 9.0).toDF("x")
+      .agg(graft.functions.AdaptiveHistogram.histogram(col("x"), 8))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(viaSql === viaCol)
+    // under capacity the centroids are the exact distinct values
+    assert(viaSql.map(r => (r.getDouble(0), r.getLong(1))) ===
+      Seq((1.0, 1L), (2.0, 2L), (9.0, 1L)))
+  }
+
+  test("graft_retention: anchored AND-flags per group") {
+    Seq((1L, "signup"), (1L, "view"), (2L, "view"), (3L, "signup"))
+      .toDF("u", "e").createOrReplaceTempView("t_ret")
+    val rows = spark.sql(
+      """SELECT u, graft_retention(e = 'signup', e = 'view') AS r
+        |FROM t_ret GROUP BY u ORDER BY u""".stripMargin)
+      .as[(Long, Seq[Int])].collect().toSeq
+    // u1: anchor + view → [1,1]; u2: no anchor → [0,0]; u3: anchor only
+    assert(rows === Seq((1L, Seq(1, 1)), (2L, Seq(0, 0)),
+      (3L, Seq(1, 0))))
+  }
+
+  test("graft_window_funnel matches funnelLevelsModes incl. strict modes") {
+    val evs = Seq(
+      (1L, 0L, "A"), (1L, 1L, "B"), (1L, 2L, "D"), (1L, 3L, "C"),
+      (2L, 0L, "A"), (2L, 1L, "C"), (2L, 2L, "B"),
+      (3L, 0L, "A"), (3L, 1L, "B"), (3L, 2L, "B"), (3L, 4L, "C"))
+    evs.toDF("u", "t", "e").createOrReplaceTempView("t_wf")
+    def run(modes: String): Map[Long, Int] = {
+      val m = if (modes.isEmpty) "" else s"'$modes', "
+      spark.sql(
+        s"""SELECT u, graft_window_funnel(100L, ${m}t,
+           |  e = 'A', e = 'B', e = 'C') AS lvl
+           |FROM t_wf GROUP BY u""".stripMargin)
+        .as[(Long, Int)].collect().toMap
+    }
+    assert(run("") === Map(1L -> 3, 2L -> 2, 3L -> 3))
+    assert(run("strict_order") === Map(1L -> 2, 2L -> 1, 3L -> 3))
+    assert(run("strict_deduplication") === Map(1L -> 3, 2L -> 2, 3L -> 2))
+    intercept[Exception] { run("strict_bogus") }
+  }
+
+  test("graft_delta_sum matches EventAnalytics.deltaSum semantics") {
+    // resets ignored, NULL bridged, 0 when no positive delta
+    val df = Seq(
+      (1L, 1L, Some(1.0)), (1L, 2L, Some(3.5)), (1L, 3L, None),
+      (1L, 4L, Some(2.0)), (1L, 5L, Some(4.25)),
+      (2L, 1L, Some(9.0)), (2L, 2L, Some(4.0)))
+      .toDF("u", "t", "v")
+    df.createOrReplaceTempView("t_ds")
+    val viaSql = spark.sql(
+      "SELECT u, graft_delta_sum(t, t, v) FROM t_ds GROUP BY u")
+      .as[(Long, Double)].collect().toMap
+    assert(viaSql === Map(1L -> 4.75, 2L -> 0.0))
+    val viaOp = graft.operators.EventAnalytics.deltaSum(
+        df.withColumn("ts", timestamp_micros(col("t")))
+          .withColumn("event_id", col("t")),
+        "u", "ts", "event_id", "v")
+      .select("u", "delta_sum").as[(Long, Double)].collect().toMap
+    assert(viaSql === viaOp)
+  }
+
   test("RewriteExactDistinct: opt-in bitmap plan, identical results") {
     val flag = graft.plans.RewriteExactDistinct.FlagKey
     val df = Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 10L), (2L, 1L << 40))
