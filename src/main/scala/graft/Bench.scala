@@ -87,11 +87,18 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.sharedState.cacheManager.clearCache()
     }
-    val queryResults = names.map { n =>
+    // BOTH timed passes are kept and recorded (BENCH_FULL "passes"):
+    // r8's driver-vs-builder 2x disagreements on q31/q49/q59/q64 were
+    // only resolvable by a judge re-run because the artifact held only
+    // the min — the spread must be visible in the artifact itself.
+    val queryPasses = names.map { n =>
       releaseLeftovers()
       System.gc()
-      val a = runOnce(n); val b = runOnce(n)
-      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      n -> Seq(runOnce(n), runOnce(n))
+    }
+    val queryResults = queryPasses.map { case (n, ps) =>
+      val ok = ps.filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     releaseLeftovers()
     // Ingest runs LAST: its 2M-row working set churns the heap, and GC
@@ -274,6 +281,9 @@ object Bench {
         s""""stream_rows_per_sec":${(STREAM_ROWS / streamSec).toLong}"""
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fullPasses = queryPasses
+      .map { case (k, ps) => "\"" + k + "\":[" + ps.mkString(",") + "]" }
+      .mkString("{", ",", "}")
     // resolve against an explicit base (env override, else the JVM cwd
     // made absolute) and SAY where it went — launched outside the repo
     // root a bare relative path would silently land elsewhere while the
@@ -284,6 +294,7 @@ object Bench {
     java.nio.file.Files.writeString(
       fullPath,
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
+        s""""passes":$fullPasses,""" +
         s"""$rates,"protocol":"$protocol","sf":"$sfDir"}""")
     System.err.println(s"[bench] full-precision record written to $fullPath")
     System.out.println(

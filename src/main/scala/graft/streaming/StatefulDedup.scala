@@ -128,7 +128,18 @@ object StatefulDedup {
     * the state callback; use this when you need throughput on the
     * forever-exact gate. In-batch ties: `dropDuplicates` keeps an
     * arbitrary row of a key's first batch (vs [[firstSeen]]'s
-    * iterator-order first) — both admit exactly one. */
+    * iterator-order first) — both admit exactly one.
+    *
+    * SIZING the state partitioning (r9 measurement): the state store
+    * pays a FIXED per-(micro-batch × partition) commit cost (open +
+    * delta write + fsync, ~15–25 ms each on this host's
+    * HDFSBackedStateStoreProvider; RocksDB is worse for tiny states).
+    * Partition count is pinned by `spark.sql.shuffle.partitions` at the
+    * checkpoint's FIRST batch — size it to rows-per-trigger, not
+    * cluster width: the 500 K-row bench gate spends 9.2 s at 32
+    * partitions (8 triggers × 32 = 256 commit cycles ≈ 5.6 s of pure
+    * commit overhead) vs 4.8 s at 8, while the same 32 partitions are
+    * right when triggers carry tens of millions of rows. */
   def firstSeenExact(df: DataFrame, keyCol: String): DataFrame =
     df.dropDuplicates(Seq(keyCol))
 

@@ -8,11 +8,21 @@ import org.apache.spark.sql.functions._
   * the graft SQL extensions — isolates whether extension injection
   * costs anything on the per-micro-batch planning path. */
 object StreamGateProbe {
+  /** args: [withExtensions] [mode]; mode ∈ gate (default) | nodedup
+    * (drop the stateful dedup stage) | p8 (8 shuffle/state partitions)
+    * | rocksdb (RocksDB provider) — decomposes the gate time into
+    * state-store vs sink vs planning. */
   def main(args: Array[String]): Unit = {
     val withExt = args.headOption.forall(_.toBoolean)
+    val mode = args.drop(1).headOption.getOrElse("gate")
     val b = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", if (mode == "p8") "8" else "32")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        if (mode == "rocksdb")
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -44,7 +54,10 @@ object StreamGateProbe {
         .withColumn("fp",
           graft.functions.Hashes.xxhash64Seed0(lower(trim(col("text")))))
       val t0 = System.nanoTime()
-      graft.streaming.StatefulDedup.firstSeenExact(admitted, "fp")
+      val gated =
+        if (mode == "nodedup") admitted
+        else graft.streaming.StatefulDedup.firstSeenExact(admitted, "fp")
+      gated
         .writeStream.format("parquet")
         .option("path", s"$base/out$pass")
         .option("checkpointLocation", s"$base/ck$pass")
@@ -54,7 +67,7 @@ object StreamGateProbe {
     }
     once(0)
     val t = (1 to 2).map { p => System.gc(); once(p) }.min
-    println(f"[probe] extensions=$withExt stream gate: $t%.2f s")
+    println(f"[probe] extensions=$withExt mode=$mode stream gate: $t%.2f s")
     spark.stop()
   }
 }
