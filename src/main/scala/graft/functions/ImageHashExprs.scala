@@ -44,3 +44,22 @@ case class ImageAHash(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** 64-bit audio energy-envelope hash (65-frame RMS contour gradient
+  * signs) of a binary WAV/PCM16 payload. Same NULL contract and
+  * codegen shape as [[ImageDHash]] — see
+  * [[graft.operators.AudioDedup.WavPcm]] for the decode scope. */
+case class AudioEnergyHash(child: Expression)
+    extends UnaryExpression with UnaryEvalCodegen {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def castResult(x: String): String =
+    s"((java.lang.Long) $x).longValue()"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.AudioDedup.WavPcm.hashOf(input.asInstanceOf[Array[Byte]])
+      .map(java.lang.Long.valueOf).orNull
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

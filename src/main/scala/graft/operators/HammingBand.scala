@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnBridge
+
+/** Shared Hamming-band blocking over 64-bit fingerprints — the one
+  * join shape behind SimHash text near-dup (q24), perceptual image
+  * near-dup ([[ImageDedup]], q102) and audio energy-hash near-dup
+  * ([[AudioDedup]], q104): explode each signature into `bands` slices,
+  * bucket on (band index, slice bits), and verify the EXACT Hamming
+  * distance in-bucket with the lazy [[graft.functions.HammingPairs]]
+  * generator. For `maxHamming < bands` the result is EXACT by
+  * pigeonhole: a pair within distance h < bands has at least one
+  * untouched slice, so it meets in that band's bucket; HammingPairs
+  * rejects everything farther, so nothing is invented either.
+  *
+  * Scale shape: one shuffle of (band, key, id, sig) rows — 8-byte
+  * signatures, never payloads. Bucket population is ~N/2^(64/bands)
+  * per band; in-bucket work is pair-quadratic only within a bucket
+  * (mega-bucket guidance in NearDup's scaladoc applies unchanged).
+  */
+object HammingBand {
+
+  /** All pairs (id_a < id_b, hamming ≤ maxHamming) among rows whose
+    * `sig` is non-null. `sig` must be a 64-bit fingerprint column. */
+  def pairs(
+      df: DataFrame, idCol: String, sig: Column,
+      maxHamming: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64: $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"exactness needs maxHamming < bands, got $maxHamming/$bands")
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val sigs = df
+      .select(col(idCol).cast("long").as("__id"), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask))
+          .as("key"))
+    }
+    val bucketed = sigs.select(col("__id"), col("__sig"),
+      explode(array(bandCols: _*)).as("__bb"))
+    val pairGen = ColumnBridge.col(graft.functions.HammingPairs(
+      ColumnBridge.expr(col("__members")), maxHamming = maxHamming))
+    bucketed
+      .groupBy(col("__bb"))
+      .agg(collect_list(struct(col("__id"), col("__sig"))).as("__members"))
+      .filter(size(col("__members")) > 1)
+      .select(pairGen.as(Seq("id_a", "id_b", "hamming")))
+      .dropDuplicates("id_a", "id_b")
+  }
+}

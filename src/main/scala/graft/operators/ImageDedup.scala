@@ -225,35 +225,11 @@ object ImageDedup {
 
   /** All image pairs (id_a < id_b, hamming) whose dHash fingerprints
     * are within `maxHamming` — EXACT over decodable payloads when
-    * `maxHamming < bands` (pigeonhole over the band slices; undecodable
-    * payloads have no fingerprint and are skipped). One shuffle of
-    * (band, key, id, sig) rows; pixels never move. */
+    * `maxHamming < bands` ([[HammingBand.pairs]]'s pigeonhole;
+    * undecodable payloads have no fingerprint and are skipped). One
+    * shuffle of (band, key, id, sig) rows; pixels never move. */
   def nearDupPairs(
       df: DataFrame, idCol: String, payloadCol: String,
-      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64: $bands")
-    require(maxHamming >= 0 && maxHamming < bands,
-      s"exactness needs maxHamming < bands, got $maxHamming/$bands")
-    val bandBits = 64 / bands
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val sigs = df
-      .select(col(idCol).cast("long").as("__id"),
-        dhash(col(payloadCol)).as("__sig"))
-      .filter(col("__sig").isNotNull)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask))
-          .as("key"))
-    }
-    val bucketed = sigs.select(col("__id"), col("__sig"),
-      explode(array(bandCols: _*)).as("__bb"))
-    val pairs = ColumnBridge.col(graft.functions.HammingPairs(
-      ColumnBridge.expr(col("__members")), maxHamming = maxHamming))
-    bucketed
-      .groupBy(col("__bb"))
-      .agg(collect_list(struct(col("__id"), col("__sig"))).as("__members"))
-      .filter(size(col("__members")) > 1)
-      .select(pairs.as(Seq("id_a", "id_b", "hamming")))
-      .dropDuplicates("id_a", "id_b")
-  }
+      maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    HammingBand.pairs(df, idCol, dhash(col(payloadCol)), maxHamming, bands)
 }

@@ -110,12 +110,76 @@ object Round9 {
       FROM graft_events_r9 GROUP BY user_id ORDER BY user_id""")
   }
 
+  /** q104 plant geometry: 65 frames × 8 samples — the stretch copy
+    * repeats each sample ×2 (1040 samples), so the proportional frame
+    * boundaries cover the same content and every RMS is bit-equal. */
+  val audioFrameSamples = 8
+
+  /** Per-(doc, frame) amplitude in [1, 10000] (splitmix64, q102's
+    * discipline with a different salt): independent gradient-sign
+    * patterns across docs, and ×2 volume stays below int16 range. */
+  private[queries] def frameAmp(id: Long, frame: Int): Int = {
+    var z = id * 131L + frame + 0x6a09e667f3bcc909L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= z >>> 31
+    1 + java.lang.Math.floorMod(z, 10000L).toInt
+  }
+
+  /** q104: content-level AUDIO near-dup via the energy-envelope
+    * difference hash over DECODED WAV/PCM16 samples + the shared
+    * Hamming-band blocking ([[graft.operators.AudioDedup]]) — the
+    * audio twin of q102, same four populations per doc_id: base clip;
+    * ×2 volume (+1M); ×2 duration by sample repetition (+2M) — both
+    * transforms leave the envelope gradient signs bit-identical BY
+    * CONSTRUCTION (RMS scales uniformly / is unchanged per aligned
+    * frame), so the oracle is the same arithmetic in-trio pair set at
+    * hamming 0; and the doc's text as an opaque payload (+3M), which
+    * must be skipped, not paired or thrown on. */
+  def q104AudioNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.parallel(s, dir, "documents")
+    val media = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        def clip(gain: Int, stretch: Int): Array[Byte] = {
+          val samples = new Array[Int](65 * audioFrameSamples * stretch)
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = gain * frameAmp(id, i / (audioFrameSamples * stretch))
+            i += 1
+          }
+          graft.operators.AudioDedup.WavBuild.pcm16(samples)
+        }
+        Seq(
+          Multimodal.MediaRecord(id, "audio", clip(1, 1)),
+          Multimodal.MediaRecord(id + 1000000L, "audio", clip(2, 1)),
+          Multimodal.MediaRecord(id + 2000000L, "audio", clip(1, 2)),
+          Multimodal.MediaRecord(id + 3000000L, "audio",
+            text.getBytes("UTF-8")))
+      }
+      .toDF("media_id", "kind", "payload")
+    graft.operators.AudioDedup.nearDupPairs(media, "media_id", "payload",
+        maxHamming = 3, bands = 4)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_image_neardup" -> q102ImageNearDup _,
-    "q103_sql_surface2" -> q103SqlSurface2 _)
+    "q103_sql_surface2" -> q103SqlSurface2 _,
+    "q104_audio_neardup" -> q104AudioNearDup _)
 
   val oracles: Map[String, String] = Map(
     "q102_image_neardup" ->
+      """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)
+        |SELECT id AS id_a, id + 1000000 AS id_b,
+        |  CAST(0 AS INTEGER) AS hamming FROM t
+        |UNION ALL
+        |SELECT id, id + 2000000, CAST(0 AS INTEGER) FROM t
+        |UNION ALL
+        |SELECT id + 1000000, id + 2000000, CAST(0 AS INTEGER) FROM t
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q104_audio_neardup" ->
       """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)
         |SELECT id AS id_a, id + 1000000 AS id_b,
         |  CAST(0 AS INTEGER) AS hamming FROM t

@@ -169,7 +169,10 @@ object ScaleBench {
     "q102_image_neardup",
     // q103 is five bounded-state aggregates on ONE user-hash exchange
     // (the q91 shape): per-user gathers bounded by that user's history.
-    "q103_sql_surface2")
+    "q103_sql_surface2",
+    // q104 is q102's shape over audio payloads: 4 clips per doc from
+    // doc_id, linear plant + map-side decode/hash, (id, sig) shuffle.
+    "q104_audio_neardup")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")
