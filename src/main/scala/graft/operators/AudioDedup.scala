@@ -64,7 +64,9 @@ object AudioDedup {
       while (i + 8 <= p.length && (data.isEmpty || !fmtOk)) {
         val id = tag(i)
         val sz = le32(i + 4)
-        if (sz < 0 || i + 8 + sz > p.length) return None
+        // Long arithmetic: a crafted sz near Int.MaxValue must fail the
+        // bounds check, not wrap it (the q104 never-throw contract)
+        if (sz < 0 || i.toLong + 8L + sz > p.length) return None
         if (id == "fmt " && sz >= 16) {
           fmtOk = le16(i + 8) == 1 // PCM only
           channels = le16(i + 10)

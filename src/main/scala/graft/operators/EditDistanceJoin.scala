@@ -63,6 +63,11 @@ import org.apache.spark.sql.functions._
   */
 object EditDistanceJoin {
 
+  /** Longest supported string: the packed window codes carry segment
+    * length and start in 24-bit fields. Longer inputs raise (loudly)
+    * rather than silently corrupting codes and losing recall. */
+  val MaxStrLen: Int = (1 << 24) - 1
+
   /** All pairs `(id_a < id_b, dist)` with
     * `levenshtein(str_a, str_b) <= maxDist`. */
   def selfJoin(
@@ -75,6 +80,13 @@ object EditDistanceJoin {
       .select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
       .filter(col("__s").isNotNull && length(col("__s")) > d)
       .withColumn("__len", length(col("__s")))
+      // the packed (i, l, p) window codes below carry l and p in 24-bit
+      // fields; a string past 2^24-1 chars would silently corrupt codes
+      // and drop true pairs — fail LOUDLY instead (assert_true throws
+      // per offending row; coalesce turns its null success into `keep`)
+      .filter(coalesce(assert_true(col("__len") <= lit(MaxStrLen),
+        lit(s"EditDistanceJoin supports strings up to $MaxStrLen chars " +
+          "(packed window-code bound)")), lit(true)))
 
     // Segment i of a length-L string under the balanced split:
     // k = L div parts, r = L % parts; segments 0..r-1 have length k+1,
@@ -97,7 +109,7 @@ object EditDistanceJoin {
     // Window side: for each in-band partner length La (> d, or its
     // segments would be empty) and segment index i, emit ONLY the
     // width-(d+1) L1-ball start interval around the expected position.
-    // Triples are packed into one long (i << 40 | l << 20 | p) so
+    // Triples are packed into one long (i << 48 | l << 24 | p) so
     // array_distinct collapses the heavy overlap between adjacent La
     // through its fast atomic-type path (struct dedupe is quadratic),
     // and the substring is hashed once per DISTINCT triple.
@@ -125,8 +137,8 @@ object EditDistanceJoin {
             // clamped sentinel with the p <= hi filter
             transform(
               filter(sequence(lo, greatest(hi, lo)), p => p <= hi),
-              p => i.cast("long") * lit(1L << 40) +
-                l.cast("long") * lit(1L << 20) + p.cast("long"))
+              p => i.cast("long") * lit(1L << 48) +
+                l.cast("long") * lit(1L << 24) + p.cast("long"))
           })
         }))))
     val code = col("__c")
@@ -134,13 +146,13 @@ object EditDistanceJoin {
       col("__id"), col("__len"), col("__s"),
       explode(winCodes).as("__c"))
       .select(col("__id").as("id_b"), col("__len").as("len_b"),
-        shiftright(code, 40).cast("int").as("i"),
-        shiftright(code, 20).bitwiseAND(lit((1L << 20) - 1))
+        shiftright(code, 48).cast("int").as("i"),
+        shiftright(code, 24).bitwiseAND(lit((1L << 24) - 1))
           .cast("int").as("l"),
-        code.bitwiseAND(lit((1L << 20) - 1)).cast("int").as("p_b"),
+        code.bitwiseAND(lit((1L << 24) - 1)).cast("int").as("p_b"),
         xxhash64(col("__s").substr(
-          code.bitwiseAND(lit((1L << 20) - 1)).cast("int"),
-          shiftright(code, 20).bitwiseAND(lit((1L << 20) - 1)).cast("int")))
+          code.bitwiseAND(lit((1L << 24) - 1)).cast("int"),
+          shiftright(code, 24).bitwiseAND(lit((1L << 24) - 1)).cast("int")))
           .as("h"))
 
     val candidates = segs.join(wins, Seq("h", "i", "l"))

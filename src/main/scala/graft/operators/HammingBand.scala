@@ -24,25 +24,39 @@ import graft.functions.ColumnBridge
 object HammingBand {
 
   /** All pairs (id_a < id_b, hamming ≤ maxHamming) among rows whose
-    * `sig` is non-null. `sig` must be a 64-bit fingerprint column. */
+    * `sig` is non-null. `sig` must be a 64-bit fingerprint column;
+    * `idCol` must be an integral column (a silent long-cast of string
+    * ids would null them all and collapse every member to id 0 inside
+    * the in-bucket generator — fail loudly instead). */
   def pairs(
       df: DataFrame, idCol: String, sig: Column,
       maxHamming: Int, bands: Int): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, s"bands must divide 64: $bands")
     require(maxHamming >= 0 && maxHamming < bands,
       s"exactness needs maxHamming < bands, got $maxHamming/$bands")
+    df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"$idCol must be an integral id column, got ${t.catalogString}")
+    }
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val sigs = df
-      .select(col(idCol).cast("long").as("__id"), sig.as("__sig"))
-      .filter(col("__sig").isNotNull)
+    // signature once per row, in its own projection (multi-referenced
+    // non-cheap alias → CollapseProject leaves it); null signatures die
+    // at the explode (null array → no rows) instead of a Filter on the
+    // alias, which predicate-pushdown would rewrite into a SECOND
+    // evaluation of the decode+hash below the projection
+    val sigs = df.select(col(idCol).cast("long").as("__id"), sig.as("__sig"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask))
           .as("key"))
     }
     val bucketed = sigs.select(col("__id"), col("__sig"),
-      explode(array(bandCols: _*)).as("__bb"))
+      explode(when(col("__sig").isNotNull, array(bandCols: _*))).as("__bb"))
     val pairGen = ColumnBridge.col(graft.functions.HammingPairs(
       ColumnBridge.expr(col("__members")), maxHamming = maxHamming))
     bucketed

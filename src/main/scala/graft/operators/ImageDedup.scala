@@ -71,21 +71,31 @@ object ImageDedup {
       val w = le32(18)
       val hRaw = le32(22)
       val topDown = hRaw < 0
+      // abs(Int.MinValue) is still negative — reject before it can slip
+      // through as a "positive" height
+      if (hRaw == Int.MinValue) return None
       val h = math.abs(hRaw)
       val planes = le16(26)
       val bpp = le16(28)
       val compression = le32(30)
-      if (w <= 0 || h == 0 || planes != 1 || bpp != 24 || compression != 0)
+      // dimension caps keep EVERY later product in Long range (and a
+      // crafted 2^30-wide header from wrapping `3*w+3` into a negative
+      // stride that defeats the bounds check below) — corrupt headers
+      // must land in None, never in an exception (the q102 contract)
+      if (w <= 0 || w > (1 << 20) || h == 0 || h > (1 << 20) ||
+          planes != 1 || bpp != 24 || compression != 0)
         return None
-      val stride = ((3 * w + 3) / 4) * 4
-      if (off < 14 + hdrSize || off.toLong + stride.toLong * h > p.length)
+      val stride = ((3L * w + 3) / 4) * 4
+      if (off < 0 || off.toLong < 14L + hdrSize ||
+          off.toLong + stride * h > p.length)
         return None
       val out = new Array[Int](w * h)
       var y = 0
       while (y < h) {
         val srcRow = if (topDown) y else h - 1 - y
         var x = 0
-        val rowOff = off + srcRow * stride
+        // bounds-checked above: off + stride*h <= p.length <= Int.Max
+        val rowOff = off + srcRow * stride.toInt
         while (x < w) {
           val b = u8(rowOff + 3 * x)
           val g = u8(rowOff + 3 * x + 1)

@@ -86,8 +86,13 @@ object Quantiles {
       ps: Seq[(Double, String)], scale: Int = 4,
       nBuckets: Int = 4096): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
+    // the key rides inside a single-field struct: struct equality
+    // treats null fields as equal (row semantics), so the equi-joins
+    // below keep a NULL-key group exactly like [[exact]]'s window
+    // partitioning does — a bare-column join would silently drop it
     val vals = df
-      .select(col(keyCol).as("__k"), col(valCol).cast("double").as("__v"))
+      .select(struct(col(keyCol)).as("__k"),
+        col(valCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
     val stats = vals.groupBy(col("__k")).agg(
       min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
@@ -157,7 +162,8 @@ object Quantiles {
       max(when(col("q") === name, col("__qv"))).as(name)
     }
     perQ.groupBy(col("__k")).agg(outs.head, outs.tail: _*)
-      .withColumnRenamed("__k", keyCol)
+      .withColumn(keyCol, col("__k").getField(keyCol))
+      .select(col(keyCol) +: ps.map { case (_, n) => col(n) }: _*)
   }
 
   /** Approximate grouped quantiles via `percentile_approx` — Spark's

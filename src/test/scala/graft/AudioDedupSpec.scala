@@ -42,6 +42,16 @@ class AudioDedupSpec extends SparkSuite {
     assert(WavPcm.decodeSamples(bits8).isEmpty)
   }
 
+  test("WAV decode: crafted near-MaxInt chunk size lands in None, never throws") {
+    val good = WavBuild.pcm16(Array.fill(130)(5))
+    val evil = good.clone
+    // declare the data chunk as ~2GB: i+8+sz must not wrap past length
+    val v = 0x7ffffff0
+    evil(40) = (v & 0xff).toByte; evil(41) = ((v >> 8) & 0xff).toByte
+    evil(42) = ((v >> 16) & 0xff).toByte; evil(43) = ((v >> 24) & 0xff).toByte
+    assert(WavPcm.decodeSamples(evil).isEmpty)
+  }
+
   test("WAV decode: skips unknown chunks incl. odd-size padding") {
     // hand-splice a 3-byte junk chunk (padded to 4) before data
     val base = WavBuild.pcm16(Array.tabulate(130)(_ % 7))

@@ -99,4 +99,16 @@ class EditDistanceJoinSpec extends SparkSuite {
     val d = 6
     assert(run(rows, d) === bruteForce(rows, d))
   }
+
+  test("strings past the packed-code bound fail loudly, not silently") {
+    import spark.implicits._
+    val huge = "a" * (EditDistanceJoin.MaxStrLen + 1)
+    val df = Seq((1L, huge), (2L, "short string")).toDF("id", "s")
+    val ex = intercept[Exception] {
+      EditDistanceJoin.selfJoin(df, "id", "s", 2).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("packed window-code bound")))
+  }
 }

@@ -38,6 +38,34 @@ class ImageDedupSpec extends SparkSuite {
     assert(pix(0) === ((77 * 30 + 150 * 20 + 29 * 10) >> 8))
   }
 
+  test("BMP decode: crafted overflow headers land in None, never throw") {
+    def le32(arr: Array[Byte], i: Int, v: Int): Unit = {
+      arr(i) = (v & 0xff).toByte; arr(i + 1) = ((v >> 8) & 0xff).toByte
+      arr(i + 2) = ((v >> 16) & 0xff).toByte
+      arr(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    val base = bmpOf(Array(Array(1, 2), Array(3, 4)))
+    val hugeW = base.clone; le32(hugeW, 18, 0x40000000) // 3*w+3 wraps
+    assert(ImagePixels.decodeGray(hugeW).isEmpty)
+    val minH = base.clone; le32(minH, 22, Int.MinValue) // abs stays < 0
+    assert(ImagePixels.decodeGray(minH).isEmpty)
+    val hugeHdr = base.clone; le32(hugeHdr, 14, Int.MaxValue - 2)
+    assert(ImagePixels.decodeGray(hugeHdr).isEmpty)
+    val negOff = base.clone; le32(negOff, 10, -8)
+    assert(ImagePixels.decodeGray(negOff).isEmpty)
+    val bigWH = base.clone // plausible w,h whose pixel data can't fit
+    le32(bigWH, 18, 1 << 19); le32(bigWH, 22, 1 << 19)
+    assert(ImagePixels.decodeGray(bigWH).isEmpty)
+  }
+
+  test("nearDupPairs rejects non-integral id columns loudly") {
+    intercept[IllegalArgumentException] {
+      ImageDedup.nearDupPairs(
+        Seq(("uuid-1", Array[Byte](1))).toDF("id", "payload"),
+        "id", "payload")
+    }
+  }
+
   test("BMP decode rejects non-BMP, truncated, compressed, non-24bpp") {
     val good = bmpOf(randImg(new scala.util.Random(1)))
     assert(ImagePixels.decodeGray("not an image".getBytes).isEmpty)

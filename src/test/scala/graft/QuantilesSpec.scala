@@ -56,6 +56,15 @@ class QuantilesSpec extends SparkSuite {
     val flat = Seq.fill(100)(("x", 5.0)).toDF("k", "v")
     assert(Quantiles.exactBucketed(flat, "k", "v", qs).collect().head
       .toSeq.drop(1) === Seq(5.0, 5.0, 5.0))
+    // NULL-key group survives (struct-wrapped join keys), like exact()
+    val withNull = Seq((Some("a"), 1.0), (Some("a"), 3.0), (None, 10.0),
+      (None, 30.0), (None, 50.0)).toDF("k", "v")
+    val viaB = Quantiles.exactBucketed(withNull, "k", "v", qs)
+      .collect().map(r => Option(r.getString(0)) -> r.toSeq.drop(1)).toMap
+    val viaS = Quantiles.exact(withNull, "k", "v", qs)
+      .collect().map(r => Option(r.getString(0)) -> r.toSeq.drop(1)).toMap
+    assert(viaB === viaS)
+    assert(viaB.contains(None) && viaB(None).head === 30.0)
   }
 
   test("agrees with Spark's exact percentile on real data") {
