@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Cluster-level dedup over verified near-dup pairs: assign every
@@ -163,6 +163,38 @@ object ClusterDedup {
     val losers = clusterReps(pairs)
       .filter(col("doc_id") =!= col("rep_id"))
       .select(col("doc_id").as(s"__loser"))
+    docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
+  }
+
+  /** QUALITY-AWARE representative selection: keep, per near-dup
+    * cluster, the member with the highest `priority` (ties broken by
+    * smallest id — fully deterministic), instead of [[dedupKeepReps]]'s
+    * arbitrary min-id pick. This is the curation-correct form of
+    * cluster dedup for training corpora: when a crawl holds a truncated
+    * and a complete copy of the same page, min-id keeps whichever was
+    * crawled first; keep-best keeps the longer / higher-quality one.
+    * Docs in no pair always survive.
+    *
+    * Shape: [[clusterReps]]'s component labels (pair-graph-sized, never
+    * corpus-sized) pick up each member's priority through one id-keyed
+    * join against `docs`; the per-cluster argmax is a window over the
+    * MEMBER table partitioned by cluster (bounded by cluster size, the
+    * same bound every per-cluster scan here already has), and the
+    * survivors come back via one anti-join — `docs` itself is scanned
+    * twice and never shuffled on anything but the id. */
+  def dedupKeepBest(
+      docs: DataFrame, pairs: DataFrame, idCol: String,
+      priority: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = clusterReps(pairs)
+      .join(docs.select(col(idCol).cast("long").as("doc_id"),
+        priority.as("__pri")), "doc_id")
+    val w = Window.partitionBy(col("rep_id"))
+      .orderBy(col("__pri").desc, col("doc_id"))
+    val losers = members
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .select(col("doc_id").as("__loser"))
     docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
   }
 }

@@ -20,7 +20,7 @@ import graft.operators.{Ann, Bm25, Contamination, CorpusMix, DedupPipeline, DupS
 object LlmPipeline {
 
   /** documents ∪ first-word-dropped copies of the longer docs. */
-  private def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallel(s, dir, "documents")
     val perturbed = docs
       .filter(col("n_chars") >= 100)
@@ -30,7 +30,7 @@ object LlmPipeline {
     docs.select("doc_id", "text").unionByName(perturbed)
   }
 
-  private val augmentedSql =
+  private[queries] val augmentedSql =
     """aug AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL

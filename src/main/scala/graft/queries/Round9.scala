@@ -164,10 +164,33 @@ object Round9 {
       .orderBy("id_a", "id_b")
   }
 
+  /** q105: quality-aware cluster dedup — keep, per q18/q32 near-dup
+    * component, the LONGEST member (priority = strlen(text), ties to
+    * the smallest id) instead of q32's min-id representative
+    * ([[graft.operators.ClusterDedup.dedupKeepBest]]). The oracle
+    * recomputes the exhaustive pair graph, the exact transitive
+    * closure (q32's recursive CTE), and the per-component argmax —
+    * a fully independent check that the right member of every cluster
+    * survives. Output: the surviving docs (id, n_chars). Gate note:
+    * the exhaustive all-pairs + closure oracle is DuckDB-expensive —
+    * compare runs at the driver's sf0.01 (green); at sf0.1 the engine
+    * side is sanity-pinned by the survivor ratio (4756 of ~9.9 K aug
+    * docs, matching sf0.01's 476 of ~990) — the q32 oracle class. */
+  def q105KeepBestDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = LlmPipeline.augmentedDocs(s, dir)
+      .select(col("doc_id"), length(col("text")).as("n"))
+    val pairs = LlmPipeline.q18MinhashNearDup(s, dir).select("id_a", "id_b")
+    graft.operators.ClusterDedup.dedupKeepBest(docs, pairs, "doc_id",
+        col("n"))
+      .select(col("doc_id"), col("n").cast("long").as("n"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_image_neardup" -> q102ImageNearDup _,
     "q103_sql_surface2" -> q103SqlSurface2 _,
-    "q104_audio_neardup" -> q104AudioNearDup _)
+    "q104_audio_neardup" -> q104AudioNearDup _,
+    "q105_keepbest_dedup" -> q105KeepBestDedup _)
 
   val oracles: Map[String, String] = Map(
     "q102_image_neardup" ->
@@ -179,6 +202,43 @@ object Round9 {
         |UNION ALL
         |SELECT id + 1000000, id + 2000000, CAST(0 AS INTEGER) FROM t
         |ORDER BY id_a, id_b""".stripMargin,
+    "q105_keepbest_dedup" ->
+      s"""WITH RECURSIVE ${LlmPipeline.augmentedSql},
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2])) AS s
+        |  FROM aug),
+        |sh2 AS (SELECT * FROM sh WHERE len(s) > 0),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s),
+        |comp AS (SELECT s AS doc_id, least(s, min(d)) AS rep
+        |         FROM reach GROUP BY s),
+        |mem AS (SELECT c.doc_id, c.rep, strlen(a.text) AS n
+        |        FROM comp c JOIN aug a ON a.doc_id = c.doc_id),
+        |rk AS (SELECT doc_id,
+        |         row_number() OVER (PARTITION BY rep
+        |           ORDER BY n DESC, doc_id) AS r
+        |       FROM mem),
+        |losers AS (SELECT doc_id FROM rk WHERE r > 1)
+        |SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+        |  CAST(strlen(a.text) AS BIGINT) AS n
+        |FROM aug a
+        |WHERE NOT EXISTS (SELECT 1 FROM losers l
+        |                  WHERE l.doc_id = a.doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q104_audio_neardup" ->
       """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)
         |SELECT id AS id_a, id + 1000000 AS id_b,

@@ -121,9 +121,12 @@ object StatefulDedup {
     * `groupByKey` object shuffle, no Row-encoder round trip, no Scala
     * closure per group. (`StreamingDeduplicateExec` itself is outside
     * whole-stage codegen, as all stateful operators are; the win is the
-    * avoided object churn, not codegen.) Measured on the 500 K-doc bench intake
-    * (`tools/StateStoreBench`, r7): 6.9 s vs 9.3 s — 34% faster, 72 K
-    * rows/s. Use [[firstSeen]]
+    * avoided object churn, not codegen.) Measured on the 500 K-doc
+    * bench intake (`tools/StateStoreBench`): r7 band 6.9 s vs 9.3 s
+    * (34% faster); r9 band 9.65 s vs 10.31 s (7%) — in a slower-IO
+    * band the shared per-(batch × partition) store-commit cost
+    * dominates both paths and compresses the relative win (see the
+    * sizing note below). Use [[firstSeen]]
     * when you need the TTL dial or duplicate-count observability from
     * the state callback; use this when you need throughput on the
     * forever-exact gate. In-batch ties: `dropDuplicates` keeps an

@@ -172,7 +172,11 @@ object ScaleBench {
     "q103_sql_surface2",
     // q104 is q102's shape over audio payloads: 4 clips per doc from
     // doc_id, linear plant + map-side decode/hash, (id, sig) shuffle.
-    "q104_audio_neardup")
+    "q104_audio_neardup",
+    // q105 rides q18's pair graph (linear under the salted copies);
+    // the keep-best window partitions by cluster, bounded by cluster
+    // size like q32's label propagation.
+    "q105_keepbest_dedup")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

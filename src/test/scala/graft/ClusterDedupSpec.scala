@@ -79,4 +79,52 @@ class ClusterDedupSpec extends SparkSuite {
     // 2,3 fold into 1; 6 folds into 5; 4 and 7 were never paired
     assert(kept === Seq(1L, 4L, 5L, 7L))
   }
+
+  test("dedupKeepBest keeps the highest-priority member, ties to min id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // cluster {1,2,3}: 2 has the best quality; cluster {5,6}: tie on
+    // quality → 5 (smaller id) wins; 4 and 7 unpaired survive
+    val docs = Seq((1L, 10), (2L, 99), (3L, 50), (4L, 1), (5L, 7),
+      (6L, 7), (7L, 2)).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = ClusterDedup.dedupKeepBest(docs, pairs, "doc_id", col("q"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 4L, 5L, 7L))
+  }
+
+  test("dedupKeepBest matches a union-find keep-best model on random graphs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(105)
+    for (trial <- 1 to 5) {
+      val n = 50
+      val pri = (0L until n).map(i => i -> rnd.nextInt(20)).toMap
+      val edges = (0 until 60)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver model: union-find, then per-root argmax (pri desc, id asc)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val losers = members.groupBy(find)
+        .values.flatMap { ms =>
+          val best = ms.minBy(m => (-pri(m), m))
+          ms.filterNot(_ == best)
+        }.toSet
+      val want = (0L until n).filterNot(losers).sorted
+      val got = ClusterDedup.dedupKeepBest(
+          (0L until n).map(i => (i, pri(i))).toDF("doc_id", "q"),
+          edges.toDF("id_a", "id_b"), "doc_id", col("q"))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got === want, s"trial=$trial")
+    }
+  }
 }
