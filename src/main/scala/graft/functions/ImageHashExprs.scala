@@ -63,3 +63,23 @@ case class AudioEnergyHash(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** 64-bit temporal-mean video dHash (per-pixel mean of all decoded GIF
+  * frames → 9×8 dHash). Same NULL contract and codegen shape as
+  * [[ImageDHash]] — see [[graft.operators.VideoDedup.GifPixels]] for
+  * the decode scope. */
+case class VideoAvgHash(child: Expression)
+    extends UnaryExpression with UnaryEvalCodegen {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def castResult(x: String): String =
+    s"((java.lang.Long) $x).longValue()"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.VideoDedup.GifPixels
+      .avgHashOf(input.asInstanceOf[Array[Byte]])
+      .map(java.lang.Long.valueOf).orNull
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

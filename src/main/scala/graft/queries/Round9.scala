@@ -186,11 +186,59 @@ object Round9 {
       .orderBy("doc_id")
   }
 
+  /** Per-(doc, frame, cell) gray value in [1, 200] (the q102/q104
+    * splitmix64 discipline, third salt): independent per-frame
+    * patterns, +16 brightness never clamps at 8-bit. */
+  private[queries] def videoCell(id: Long, f: Int, cell: Int): Int = {
+    var z = id * 977L + f * 72L + cell + 0x2545f4914f6cdd1dL
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= z >>> 31
+    1 + java.lang.Math.floorMod(z, 200L).toInt
+  }
+
+  /** q106: content-level VIDEO near-dup — animated GIFs decoded
+    * frame-by-frame through a real LZW decoder, fingerprinted by the
+    * temporal-mean-image dHash, blocked by the shared Hamming bands
+    * ([[graft.operators.VideoDedup]]). Four populations per doc_id:
+    * a 5-frame base clip; the same frames each repeated twice (+1M —
+    * time stretch, identical integer mean); +16 brightness on every
+    * frame (+2M — the mean shifts uniformly, gradient signs survive);
+    * and opaque text (+3M — no video path, skipped). Both transforms
+    * are EXACT, so the oracle is the same arithmetic in-trio pair set
+    * at hamming 0 as q102/q104. */
+  def q106VideoNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.parallel(s, dir, "documents")
+    val media = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        def frame(f: Int, shift: Int)(x: Int, y: Int): Int =
+          videoCell(id, f, (y / 2) * 9 + x / 2) + shift
+        def gif(frameIds: Seq[Int], shift: Int): Array[Byte] =
+          graft.operators.VideoDedup.GifBuild.animatedGray(imgW, imgH,
+            frameIds.map(f => frame(f, shift) _))
+        Seq(
+          Multimodal.MediaRecord(id, "video", gif(0 until 5, 0)),
+          Multimodal.MediaRecord(id + 1000000L, "video",
+            gif((0 until 5).flatMap(f => Seq(f, f)), 0)),
+          Multimodal.MediaRecord(id + 2000000L, "video",
+            gif(0 until 5, 16)),
+          Multimodal.MediaRecord(id + 3000000L, "video",
+            text.getBytes("UTF-8")))
+      }
+      .toDF("media_id", "kind", "payload")
+    graft.operators.VideoDedup.nearDupPairs(media, "media_id", "payload",
+        maxHamming = 3, bands = 4)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_image_neardup" -> q102ImageNearDup _,
     "q103_sql_surface2" -> q103SqlSurface2 _,
     "q104_audio_neardup" -> q104AudioNearDup _,
-    "q105_keepbest_dedup" -> q105KeepBestDedup _)
+    "q105_keepbest_dedup" -> q105KeepBestDedup _,
+    "q106_video_neardup" -> q106VideoNearDup _)
 
   val oracles: Map[String, String] = Map(
     "q102_image_neardup" ->
@@ -240,6 +288,15 @@ object Round9 {
         |                  WHERE l.doc_id = a.doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q104_audio_neardup" ->
+      """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)
+        |SELECT id AS id_a, id + 1000000 AS id_b,
+        |  CAST(0 AS INTEGER) AS hamming FROM t
+        |UNION ALL
+        |SELECT id, id + 2000000, CAST(0 AS INTEGER) FROM t
+        |UNION ALL
+        |SELECT id + 1000000, id + 2000000, CAST(0 AS INTEGER) FROM t
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q106_video_neardup" ->
       """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)
         |SELECT id AS id_a, id + 1000000 AS id_b,
         |  CAST(0 AS INTEGER) AS hamming FROM t

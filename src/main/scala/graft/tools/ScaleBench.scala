@@ -176,7 +176,10 @@ object ScaleBench {
     // q105 rides q18's pair graph (linear under the salted copies);
     // the keep-best window partitions by cluster, bounded by cluster
     // size like q32's label propagation.
-    "q105_keepbest_dedup")
+    "q105_keepbest_dedup",
+    // q106 is q102's shape over animated-GIF payloads (LZW decode is
+    // the dominant map-side CPU; still linear, (id, sig) shuffle only).
+    "q106_video_neardup")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")
