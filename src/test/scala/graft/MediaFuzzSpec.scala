@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{AudioDedup, ImageDedup, VideoDedup}
+
+/** Fuzz pin for the media-decoder family's never-throw contract: at
+  * 100 TB a corrupt payload WILL occur, and the documented behavior is
+  * None/skip — any exception from random garbage, truncations, or
+  * byte-flips of valid payloads is a job-killing bug (the r9 review
+  * found two such overflow paths; this keeps the class closed). */
+class MediaFuzzSpec extends SparkSuite {
+
+  private val rnd = new scala.util.Random(0xf022)
+
+  private def decodeAll(p: Array[Byte]): Unit = {
+    ImageDedup.ImagePixels.dhashOf(p)
+    ImageDedup.ImagePixels.ahashOf(p)
+    AudioDedup.WavPcm.hashOf(p)
+    VideoDedup.GifPixels.avgHashOf(p)
+    VideoDedup.GifPixels.frameHashesOf(p)
+    ()
+  }
+
+  private def validPayloads(): Seq[Array[Byte]] = {
+    val img = Array.fill(16, 18)(1 + rnd.nextInt(200))
+    val bmp = ImageDedup.ImageBuild.bmp24Gray(18, 16)((x, y) => img(y)(x))
+    val wav = AudioDedup.WavBuild.pcm16(
+      Array.fill(520)(rnd.nextInt(65536) - 32768))
+    val gif = VideoDedup.GifBuild.animatedGray(18, 16,
+      Seq.fill(3)((x: Int, y: Int) => img(y)(x)))
+    Seq(bmp, wav, gif)
+  }
+
+  test("pure random garbage never throws (1000 payloads)") {
+    for (_ <- 1 to 1000) {
+      val p = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(p)
+      decodeAll(p)
+    }
+  }
+
+  test("garbage behind valid magic bytes never throws") {
+    val magics = Seq("BM", "RIFF", "GIF89a", "GIF87a")
+    for (_ <- 1 to 500; m <- magics) {
+      val tail = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(tail)
+      decodeAll(m.getBytes("US-ASCII") ++ tail)
+    }
+  }
+
+  test("every truncation of a valid payload never throws") {
+    validPayloads().foreach { p =>
+      var n = 0
+      while (n < p.length) {
+        decodeAll(p.take(n))
+        n += 1
+      }
+    }
+  }
+
+  test("single-byte mutations of valid payloads never throw") {
+    validPayloads().foreach { p =>
+      for (_ <- 1 to 400) {
+        val m = p.clone
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        decodeAll(m)
+      }
+    }
+  }
+
+  test("multi-byte header stomps of valid payloads never throw") {
+    validPayloads().foreach { p =>
+      for (_ <- 1 to 300) {
+        val m = p.clone
+        val n = 1 + rnd.nextInt(8)
+        for (_ <- 0 until n)
+          m(rnd.nextInt(math.min(m.length, 64))) = rnd.nextInt(256).toByte
+        decodeAll(m)
+      }
+    }
+  }
+}
