@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedExtractValue, UnresolvedFunction}
-import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseOr, CaseWhen, Cast, Expression, ExpressionInfo, GreaterThan, If, IsNotNull, LambdaFunction, Literal, Subtract, UnresolvedNamedLambdaVariable, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, BitwiseOr, CaseWhen, Cast, EqualTo, Expression, ExpressionInfo, GreaterThan, If, IsNotNull, LambdaFunction, Literal, Not, Subtract, UnresolvedNamedLambdaVariable, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
@@ -36,6 +36,9 @@ import graft.functions._
   *  - `graft_window_funnel(w[, 'modes'], ts, c1, ..)`
   *                                  ClickHouse `windowFunnel` incl.
   *                                  strict_* modes (comma-separated)
+  *  - `graft_sequence_match('p', ts, c1, ..)` / `graft_sequence_count`
+  *                                  ClickHouse `sequenceMatch`/`Count`
+  *                                  ((?N) steps, any-gap, time bounds)
   *  - `graft_delta_sum(ts, tie, v)` ClickHouse `deltaSum` in explicit
   *                                  (ts, tie) fold order — CH relies on
   *                                  insertion order, which a distributed
@@ -222,6 +225,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strictDedup = modes("strict_deduplication"),
           strictOrder = modes("strict_order"),
           strictIncrease = modes("strict_increase"))
+      }))
+
+    def sequenceGather(modeArgs: Seq[Expression]): (String, Expression) = {
+      val pattern = this.lit(modeArgs.head, "pattern") match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"pattern must be a string literal, got $other")
+      }
+      val ts = modeArgs(1)
+      val conds = modeArgs.drop(2)
+      require(conds.nonEmpty && conds.size <= 62,
+        s"1..62 conditions, got ${conds.size}")
+      val mask = conds.zipWithIndex
+        .map { case (c, i) =>
+          CaseWhen(Seq((c, Literal(1L << i))), Some(Literal(0L))) }
+        .reduce[Expression](BitwiseOr(_, _))
+      // ClickHouse collects ONLY events matching >= 1 condition; the
+      // null branch drops the rest at collect_list
+      val item = CaseWhen(Seq((And(IsNotNull(ts),
+        Not(EqualTo(mask, Literal(0L)))),
+        fn("struct", Cast(ts, LongType), mask))), None)
+      (pattern, fn("sort_array", fn("collect_list", item)))
+    }
+
+    ext.injectFunction((FunctionIdentifier("graft_sequence_match"),
+      info("graft_sequence_match",
+        "ClickHouse sequenceMatch('pattern')(ts_us, cond1, ...)"),
+      (args: Seq[Expression]) => {
+        require(args.size >= 3,
+          "graft_sequence_match('pattern', ts_us, cond1, ...)")
+        val (pattern, arr) = sequenceGather(args)
+        SequenceMatchExpr(arr, pattern)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("graft_sequence_count"),
+      info("graft_sequence_count",
+        "ClickHouse sequenceCount('pattern')(ts_us, cond1, ...)"),
+      (args: Seq[Expression]) => {
+        require(args.size >= 3,
+          "graft_sequence_count('pattern', ts_us, cond1, ...)")
+        val (pattern, arr) = sequenceGather(args)
+        SequenceCountExpr(arr, pattern)
       }))
 
     ext.injectFunction((FunctionIdentifier("graft_delta_sum"),

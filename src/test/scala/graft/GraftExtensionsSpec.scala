@@ -142,6 +142,42 @@ class GraftExtensionsSpec extends SparkSuite {
     intercept[Exception] { run("strict_bogus") }
   }
 
+  test("graft_sequence_match/count match the batch operators") {
+    val evs = Seq(
+      (1L, 1L, "A"), (1L, 2L, "x"), (1L, 3L, "B"), (1L, 2000000L, "C"),
+      (2L, 1L, "A"), (2L, 2L, "B"), (2L, 3L, "A"), (2L, 4L, "B"))
+    evs.toDF("u", "t", "e").createOrReplaceTempView("t_seq")
+    // direct (?1)(?2): 'x' matches no condition so it is never
+    // collected — A and B are adjacent in the CONSIDERED sequence for
+    // user 1 (the ClickHouse docs' example semantics)
+    val m = spark.sql(
+      """SELECT u, graft_sequence_match('(?1)(?2)', t,
+        |  e = 'A', e = 'B') AS ok FROM t_seq GROUP BY u""".stripMargin)
+      .as[(Long, Boolean)].collect().toMap
+    assert(m === Map(1L -> true, 2L -> true))
+    val c = spark.sql(
+      """SELECT u, graft_sequence_count('(?1)(?2)', t,
+        |  e = 'A', e = 'B') AS n FROM t_seq GROUP BY u""".stripMargin)
+      .as[(Long, Long)].collect().toMap
+    assert(c === Map(1L -> 1L, 2L -> 2L))
+    // time constraint in SECONDS over micro timestamps
+    val tc = spark.sql(
+      """SELECT u, graft_sequence_match('(?1)(?t<1)(?2)', t,
+        |  e = 'A', e = 'C') AS ok FROM t_seq GROUP BY u""".stripMargin)
+      .as[(Long, Boolean)].collect().toMap
+    assert(tc(1L) === false) // C is 2 seconds after A
+    // parity with the batch operator on the same data
+    val batch = graft.operators.SequenceMatch.collectSequences(
+        evs.toDF("u", "ts_us", "e")
+          .withColumn("ts", timestamp_micros(col("ts_us"))),
+        "u", "ts", Seq(col("e") === "A", col("e") === "B"))
+    val viaOp = batch.select(col("u"),
+        graft.operators.SequenceMatch.countPattern(col("__ev"), "(?1)(?2)")
+          .as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(c === viaOp)
+  }
+
   test("graft_delta_sum matches EventAnalytics.deltaSum semantics") {
     // resets ignored, NULL bridged, 0 when no positive delta
     val df = Seq(
