@@ -217,9 +217,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             CaseWhen(Seq((c, Literal(1L << i))), Some(Literal(0L))) }
           .reduce[Expression](BitwiseOr(_, _))
         // mask-0 events are inert unless strict_order (FunnelScan
-        // contract), so the gather keeps every non-null-ts event
-        val item = CaseWhen(Seq((IsNotNull(ts),
-          fn("struct", Cast(ts, LongType), mask))), None)
+        // contract), so the gather keeps every non-null-ts event;
+        // RequireMicrosLong rejects TIMESTAMP inputs at analysis (a
+        // silent cast would be seconds, off by 1e6 vs window_us)
+        val tsUs = RequireMicrosLong(ts, "ts_us")
+        val item = CaseWhen(Seq((IsNotNull(tsUs),
+          fn("struct", tsUs, mask))), None)
         WindowFunnelExpr(fn("sort_array", fn("collect_list", item)),
           windowUs, conds.size,
           strictDedup = modes("strict_deduplication"),
@@ -237,15 +240,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       val conds = modeArgs.drop(2)
       require(conds.nonEmpty && conds.size <= 62,
         s"1..62 conditions, got ${conds.size}")
+      // fail at registration, not lazily inside a task: a malformed
+      // pattern or a (?N) past the supplied condition count would
+      // otherwise throw per-executor (bad pattern) or silently never
+      // match (ClickHouse errors on out-of-range references)
+      val compiled = graft.functions.SequencePattern.compile(pattern)
+      val maxRef = compiled.conds.max
+      require(maxRef <= conds.size,
+        s"pattern references condition (?$maxRef) but only " +
+          s"${conds.size} conditions were supplied")
       val mask = conds.zipWithIndex
         .map { case (c, i) =>
           CaseWhen(Seq((c, Literal(1L << i))), Some(Literal(0L))) }
         .reduce[Expression](BitwiseOr(_, _))
       // ClickHouse collects ONLY events matching >= 1 condition; the
       // null branch drops the rest at collect_list
-      val item = CaseWhen(Seq((And(IsNotNull(ts),
+      val tsUs = RequireMicrosLong(ts, "ts_us")
+      val item = CaseWhen(Seq((And(IsNotNull(tsUs),
         Not(EqualTo(mask, Literal(0L)))),
-        fn("struct", Cast(ts, LongType), mask))), None)
+        fn("struct", tsUs, mask))), None)
       (pattern, fn("sort_array", fn("collect_list", item)))
     }
 
@@ -278,8 +291,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // NULL values contribute no delta and the chain bridges them
         // (collect_list drops the null struct) — the deltaSum contract
         val item = CaseWhen(Seq((IsNotNull(v), fn("named_struct",
-          Literal("t"), Cast(ts, LongType),
-          Literal("tie"), Cast(tie, LongType),
+          Literal("t"), RequireMicrosLong(ts, "ts"),
+          Literal("tie"), RequireMicrosLong(tie, "tie"),
           Literal("v"), Cast(v, DecimalType(18, 4))))), None)
         val arr = fn("sort_array", fn("collect_list", item))
         def vsOf: Expression = {

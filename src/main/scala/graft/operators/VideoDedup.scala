@@ -47,6 +47,16 @@ object VideoDedup {
     final case class Frame(w: Int, h: Int, luma: Array[Int])
 
     private final val MaxDim = 1 << 14 // 16384 px per side is plenty
+    /** Per-frame and per-payload pixel budgets: decoded size must stay
+      * payload-proportional, or a ~30-byte crafted header claiming a
+      * 16384x16384 frame allocates gigabytes BEFORE any stream
+      * validation and escapes the never-throw contract as an
+      * uncatchable OutOfMemoryError (the BMP twin bounds decode by
+      * payload bytes for the same reason). LZW expands at most 4096x
+      * (the longest dictionary entry), so nPixels must also fit under
+      * 4096 x the compressed byte count. */
+    private final val MaxFramePixels = 1 << 24
+    private final val MaxTotalPixels = 1 << 26
 
     /** Decode all frames of a GIF payload to luma rasters; None for
       * anything structurally invalid, interlaced, oversized, or not
@@ -86,6 +96,7 @@ object VideoDedup {
         gct = readColorTable(1 << ((packed & 7) + 1)).getOrElse(return None)
       }
       val frames = Vector.newBuilder[Frame]
+      var totalPixels = 0L
       var done = false
       while (!done) {
         if (i >= p.length) return None // missing trailer
@@ -105,6 +116,9 @@ object VideoDedup {
             if ((fp & 0x40) != 0) return None // interlace unsupported
             if (fw <= 0 || fw > MaxDim || fh <= 0 || fh > MaxDim)
               return None
+            if (fw.toLong * fh > MaxFramePixels) return None
+            totalPixels += fw.toLong * fh
+            if (totalPixels > MaxTotalPixels) return None
             // temporal mean needs full-canvas frames
             if (fx != 0 || fy != 0 || fw != sw || fh != sh) return None
             val table =
@@ -126,7 +140,12 @@ object VideoDedup {
               blockLen = if (i < p.length) u8(i) else return None
               i += 1
             }
-            val idx = lzwDecode(data.result(), minCode, fw * fh)
+            val lzwBytes = data.result()
+            // a valid stream cannot inflate past 4096x: reject before
+            // the nPixels allocation, keeping decode payload-bounded
+            if (fw.toLong * fh > 4096L * math.max(lzwBytes.length, 1))
+              return None
+            val idx = lzwDecode(lzwBytes, minCode, fw * fh)
               .getOrElse(return None)
             val luma = new Array[Int](fw * fh)
             var k = 0

@@ -39,6 +39,7 @@ object StreamingDecayedAvg {
       events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
       valCol: String, halflifeUs: Long): DataFrame = {
     require(halflifeUs > 0, s"halflife must be positive, got $halflifeUs")
+    StreamingKeys.requireIntegral(events, keyCol, "StreamingDecayedAvg")
     val spark = events.sparkSession
     import spark.implicits._
     events

@@ -62,6 +62,7 @@ object StreamingFunnel {
       strictDedup: Boolean = false, strictOrder: Boolean = false,
       strictIncrease: Boolean = false): DataFrame = {
     require(steps.size >= 2, s"need >= 2 funnel steps, got ${steps.size}")
+    StreamingKeys.requireIntegral(events, keyCol, "StreamingFunnel")
     val mask = steps.zipWithIndex
       .map { case (s, i) => when(col(typeCol) === s, lit(1L << i)).otherwise(0L) }
       .reduce(_.bitwiseOR(_))

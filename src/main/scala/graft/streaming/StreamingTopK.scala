@@ -46,6 +46,7 @@ object StreamingTopK {
       k: Int, capacity: Int): DataFrame = {
     require(k >= 1 && capacity >= k,
       s"need 1 <= k <= capacity, got k=$k capacity=$capacity")
+    StreamingKeys.requireIntegral(events, keyCol, "StreamingTopK")
     val spark = events.sparkSession
     import spark.implicits._
     events

@@ -178,6 +178,46 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(c === viaOp)
   }
 
+  test("sequence/funnel/delta time args reject TIMESTAMP at analysis") {
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "A"))
+      .toDF("u", "ts", "e").createOrReplaceTempView("t_guard")
+    def analysisErr(q: String): String = {
+      val ex = intercept[Exception] { spark.sql(q).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      msgs(ex).mkString("; ")
+    }
+    // a TIMESTAMP silently cast to long would be SECONDS — off by 1e6
+    // against the documented microsecond unit; must fail loudly instead
+    assert(analysisErr(
+      """SELECT graft_sequence_match('(?1)(?2)', ts, e='A', e='B')
+        |FROM t_guard GROUP BY u""".stripMargin).contains("unix_micros"))
+    assert(analysisErr(
+      """SELECT graft_window_funnel(100L, ts, e='A', e='B')
+        |FROM t_guard GROUP BY u""".stripMargin).contains("unix_micros"))
+    assert(analysisErr(
+      """SELECT graft_delta_sum(ts, 1L, 2.0)
+        |FROM t_guard GROUP BY u""".stripMargin).contains("unix_micros"))
+  }
+
+  test("sequence patterns validate eagerly: bad syntax and (?N) range") {
+    Seq((1L, 1L, "A")).toDF("u", "t", "e")
+      .createOrReplaceTempView("t_pat")
+    val oor = intercept[Exception] {
+      spark.sql("""SELECT graft_sequence_match('(?3)(?1)', t,
+        | e='A', e='B') FROM t_pat GROUP BY u""".stripMargin).collect()
+    }
+    assert(oor.getMessage.contains("(?3)") ||
+      Option(oor.getCause).exists(_.getMessage.contains("(?3)")))
+    val bad = intercept[Exception] {
+      spark.sql("""SELECT graft_sequence_match('(?1)((', t, e='A')
+        |FROM t_pat GROUP BY u""".stripMargin).collect()
+    }
+    assert(bad.getMessage.contains("pattern") ||
+      Option(bad.getCause).exists(_.getMessage.contains("pattern")))
+  }
+
   test("graft_delta_sum matches EventAnalytics.deltaSum semantics") {
     // resets ignored, NULL bridged, 0 when no positive delta
     val df = Seq(

@@ -84,6 +84,13 @@ class StreamingRetentionSpec extends SparkSuite {
     }
   }
 
+  test("non-integral key columns fail loudly, not as mid-batch nulls") {
+    val df = Seq(("u1", "signup")).toDF("k", "e")
+    intercept[IllegalArgumentException] {
+      StreamingRetention.flags(df, "k", conds)
+    }
+  }
+
   test("restart with different conditions fails loudly") {
     val dir = Files.createTempDirectory("sret2").toString
     val srcDir = s"$dir/in"

@@ -55,6 +55,31 @@ class VideoDedupSpec extends SparkSuite {
       GifPixels.decodeFrames(badLzw).nonEmpty) // None or a decode — never a throw
   }
 
+  test("crafted huge-frame headers reject before allocating (OOM guard)") {
+    // a ~900-byte payload claiming a 16384x16384 frame must not try to
+    // allocate the 1 GiB luma buffer
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes); le16(16384); le16(16384)
+    out.write(0xf7); out.write(0); out.write(0)
+    (0 until 256).foreach(c => { out.write(c); out.write(c); out.write(c) })
+    out.write(0x2c); le16(0); le16(0); le16(16384); le16(16384); out.write(0)
+    out.write(8); out.write(3); out.write(1); out.write(2); out.write(3)
+    out.write(0); out.write(0x3b)
+    assert(GifPixels.decodeFrames(out.toByteArray).isEmpty)
+    // and a plausible-size frame whose LZW bytes cannot possibly
+    // inflate that far (4096x bound) is rejected payload-proportionally
+    val small = GifBuild.animatedGray(18, 16, Seq((_, _) => 5))
+    val hacked = small.clone
+    val descOff = 13 + 768
+    hacked(descOff + 5) = 0; hacked(descOff + 6) = 0x10 // w := 4096
+    hacked(descOff + 7) = 0; hacked(descOff + 8) = 0x10 // h := 4096
+    // (also violates full-canvas, but the pixel budget fires first
+    // when the screen descriptor is hacked to match)
+    hacked(6) = 0; hacked(7) = 0x10; hacked(8) = 0; hacked(9) = 0x10
+    assert(GifPixels.decodeFrames(hacked).isEmpty)
+  }
+
   // --- hashes ---------------------------------------------------------
 
   test("frame hashes agree with the BMP dHash of the same pixels") {
