@@ -36,6 +36,9 @@ import graft.functions._
   *  - `graft_window_funnel(w[, 'modes'], ts, c1, ..)`
   *                                  ClickHouse `windowFunnel` incl.
   *                                  strict_* modes (comma-separated)
+  *  - `graft_image_dhash/ahash(b)`, `graft_audio_hash(b)`,
+  *    `graft_video_hash(b)`       perceptual media fingerprints (NULL
+  *                                  for payloads with no decode path)
   *  - `graft_sequence_match('p', ts, c1, ..)` / `graft_sequence_count`
   *                                  ClickHouse `sequenceMatch`/`Count`
   *                                  ((?N) steps, any-gap, time bounds)
@@ -228,6 +231,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strictDedup = modes("strict_deduplication"),
           strictOrder = modes("strict_order"),
           strictIncrease = modes("strict_increase"))
+      }))
+
+    ext.injectFunction((FunctionIdentifier("graft_image_dhash"),
+      info("graft_image_dhash", "perceptual dHash of a BMP payload"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_image_dhash(payload)")
+        ImageDHash(args.head)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("graft_image_ahash"),
+      info("graft_image_ahash", "perceptual aHash of a BMP payload"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_image_ahash(payload)")
+        ImageAHash(args.head)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("graft_audio_hash"),
+      info("graft_audio_hash", "energy-envelope hash of a WAV payload"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_audio_hash(payload)")
+        AudioEnergyHash(args.head)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("graft_video_hash"),
+      info("graft_video_hash", "temporal-mean dHash of a GIF payload"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_video_hash(payload)")
+        VideoAvgHash(args.head)
       }))
 
     def sequenceGather(modeArgs: Seq[Expression]): (String, Expression) = {

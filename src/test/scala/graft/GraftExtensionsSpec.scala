@@ -178,6 +178,32 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(c === viaOp)
   }
 
+  test("media hash SQL names match their Column forms; NULL off-path") {
+    val img = Array.fill(16, 18)(1 + new scala.util.Random(42).nextInt(200))
+    val bmp = graft.operators.ImageDedup.ImageBuild
+      .bmp24Gray(18, 16)((x, y) => img(y)(x))
+    val wav = graft.operators.AudioDedup.WavBuild
+      .pcm16(Array.tabulate(520)(i => (i % 97) * 13))
+    val gif = graft.operators.VideoDedup.GifBuild
+      .animatedGray(18, 16, Seq((x: Int, y: Int) => img(y)(x)))
+    Seq((1L, bmp, wav, gif), (2L, "junk".getBytes, "junk".getBytes,
+        "junk".getBytes))
+      .toDF("id", "b", "w", "g").createOrReplaceTempView("t_media")
+    val rows = spark.sql(
+      """SELECT id, graft_image_dhash(b) AS dh, graft_image_ahash(b) AS ah,
+        |  graft_audio_hash(w) AS au, graft_video_hash(g) AS vi
+        |FROM t_media ORDER BY id""".stripMargin).collect()
+    assert(rows(0).getLong(1) ===
+      graft.operators.ImageDedup.ImagePixels.dhashOf(bmp).get)
+    assert(rows(0).getLong(2) ===
+      graft.operators.ImageDedup.ImagePixels.ahashOf(bmp).get)
+    assert(rows(0).getLong(3) ===
+      graft.operators.AudioDedup.WavPcm.hashOf(wav).get)
+    assert(rows(0).getLong(4) ===
+      graft.operators.VideoDedup.GifPixels.avgHashOf(gif).get)
+    assert((1 to 4).forall(rows(1).isNullAt))
+  }
+
   test("sequence/funnel/delta time args reject TIMESTAMP at analysis") {
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "A"))
       .toDF("u", "ts", "e").createOrReplaceTempView("t_guard")
