@@ -187,6 +187,23 @@ class ImageDedupSpec extends SparkSuite {
     assert(got === Set((1L, 2L, 0)))
   }
 
+  test("the decode+hash expression appears exactly once in the plan") {
+    // regression pin for the predicate-pushdown double-eval trap: a
+    // Filter on the aliased signature gets pushed below the projection
+    // and evaluates the full decode+hash TWICE per payload; the
+    // explode(when(...)) shape must keep it to one occurrence
+    // a parquet-backed input: a LocalRelation fixture would be
+    // constant-folded by ConvertToLocalRelation and hide the expression
+    val dir = java.nio.file.Files.createTempDirectory("planpin").toString
+    Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val plan = ImageDedup.nearDupPairs(df, "id", "payload")
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    val n = "imagedhash".r.findAllIn(plan).size
+    assert(n === 1, s"expected exactly one ImageDHash in the plan, got $n")
+  }
+
   test("nearDupPairs enforces the pigeonhole contract") {
     intercept[IllegalArgumentException] {
       ImageDedup.nearDupPairs(Seq((1L, Array[Byte](1)))
