@@ -25,6 +25,30 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Host-band canaries (never change these across rounds): two fixed
+    // queries — a parquet scan-agg and a shuffle-agg — timed at run
+    // start, middle (after the per-query block) and end, recorded in
+    // BENCH_FULL "canaries". Rounds r7–r9 saw the same bytes time 2.3×
+    // apart as the host's IO band moved; these rows let a later reader
+    // normalize per-query numbers against the band IN-ARTIFACT instead
+    // of via a manual interleaved A/B (see PLANS.md "Canary protocol").
+    def canaryOnce(): (Double, Double) = {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val t0 = System.nanoTime()
+      li.agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          sum("l_quantity"), count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+      val t1 = System.nanoTime()
+      li.groupBy("l_suppkey")
+        .agg(sum("l_quantity").as("q"), countDistinct("l_orderkey").as("o"))
+        .write.format("noop").mode("overwrite").save()
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    }
+    canaryOnce() // untimed warm-up (footer cache, codegen)
+    val canaryStart = canaryOnce()
+
     // Ingest throughput in the shape of the reference's own benchmark
     // (BASELINE.md: kafka_gen JSON → sinker(parse → geoip enrich → class
     // normalize → shard) → ClickHouse, 142-301 K rows/s). The timed
@@ -101,6 +125,7 @@ object Bench {
       n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     releaseLeftovers()
+    val canaryMid = canaryOnce()
     // Ingest runs LAST: its 2M-row working set churns the heap, and GC
     // debt from it must not be charged to the per-query timings. Same
     // protocol as the queries (untimed warm-up, System.gc(), min of two
@@ -219,22 +244,39 @@ object Bench {
           arrays_overlap(toks, array(lit("the"), lit("a"), lit("and"))))
         .withColumn("fp",
           graft.functions.Hashes.xxhash64Seed0(lower(trim(col("text")))))
+      // 2 of 16 equal files per trigger → rows-per-trigger for the sizing
+      // rule (StatefulDedup.statePartitionsFor: the state store pays a
+      // fixed commit cycle per batch × partition, so partitions are sized
+      // to trigger volume, not cluster width — the r9 decomposition's
+      // config fix, now in code)
+      val rowsPerTrigger = STREAM_ROWS * 2 / 16
       val t0 = System.nanoTime()
       // the TTL-0 exact gate rides the NATIVE streaming dedup operator
       // (same state store, no object shuffle) — see firstSeenExact's doc;
       // the TTL/observability variant firstSeen is benched by
       // tools/StateStoreBench
-      graft.streaming.StatefulDedup.firstSeenExact(admitted, "fp")
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      graft.streaming.StatefulDedup.withStatePartitions(
+          spark, graft.streaming.StatefulDedup.statePartitionsFor(rowsPerTrigger)) {
+        graft.streaming.StatefulDedup.firstSeenExact(admitted, "fp")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       (System.nanoTime() - t0) / 1e9
     }
     streamOnce(0) // warm-up
     val streamSec = (1 to 2).map { p => System.gc(); streamOnce(p) }.min
     System.err.println(
       f"[bench] stream intake: $STREAM_ROWS rows in $streamSec%.2f s = ${STREAM_ROWS / streamSec}%.0f rows/s")
+    val canaryEnd = canaryOnce()
+    def canaryJson(c: (Double, Double)): String =
+      s"""{"scan_agg":${c._1},"shuffle_agg":${c._2}}"""
+    val canaries = s""""canaries":{"start":${canaryJson(canaryStart)},""" +
+      s""""mid":${canaryJson(canaryMid)},"end":${canaryJson(canaryEnd)}}"""
+    System.err.println(
+      f"[bench] canaries (scan,shuffle) start=(${canaryStart._1}%.2f,${canaryStart._2}%.2f) " +
+        f"mid=(${canaryMid._1}%.2f,${canaryMid._2}%.2f) end=(${canaryEnd._1}%.2f,${canaryEnd._2}%.2f)")
     // ingest is reported per-query AND as rows/s, but kept OUT of `total`
     // so cross-round query totals stay apples-to-apples.
     val results = queryResults ++ Seq(
@@ -253,8 +295,11 @@ object Bench {
       "Derby (200k, table truncated between passes); stream_intake: 500k docs, " +
       "16 files, AvailableNow 2 files/trigger, quality gate + native " +
       "streaming-dedup first-seen gate (StreamingDeduplicateExec, " +
-      "UnsafeRow state-store path), " +
-      "parquet sink + checkpoint in the timed region"
+      "UnsafeRow state-store path, state partitions sized to " +
+      "rows-per-trigger by StatefulDedup.statePartitionsFor), " +
+      "parquet sink + checkpoint in the timed region; canaries: fixed " +
+      "lineitem scan-agg + shuffle-agg timed at run start/mid/end for " +
+      "host-band normalization (never change across rounds)"
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window (BENCH_r05/r06 shipped parsed:null when
     // the full-name, full-precision line outgrew it). The stdout line
@@ -294,7 +339,7 @@ object Bench {
     java.nio.file.Files.writeString(
       fullPath,
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
-        s""""passes":$fullPasses,""" +
+        s""""passes":$fullPasses,$canaries,""" +
         s"""$rates,"protocol":"$protocol","sf":"$sfDir"}""")
     System.err.println(s"[bench] full-precision record written to $fullPath")
     System.out.println(

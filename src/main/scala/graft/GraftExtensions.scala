@@ -205,6 +205,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
             (s.toString.split(",").map(_.trim).filter(_.nonEmpty).toSet,
               args.drop(2))
+          // a STRING-typed non-literal here is a user passing modes
+          // through a column/expression: name the actual mistake
+          // instead of letting the arg fall through to the timestamp
+          // slot and fail as a confusing RequireMicrosLong type error
+          // (r9 ADVICE)
+          case e if e.resolved &&
+              e.dataType == org.apache.spark.sql.types.StringType =>
+            throw new IllegalArgumentException(
+              "graft_window_funnel: the modes argument must be a string " +
+                s"LITERAL (e.g. 'strict_order'), got expression ${e.sql}")
           case _ => (Set.empty[String], args.drop(1))
         }
         val known = Set("strict_deduplication", "strict_order",

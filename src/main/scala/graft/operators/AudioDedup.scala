@@ -17,9 +17,17 @@ import graft.functions.ColumnBridge
   * Invariances (exact by construction, the q102 discipline):
   *  - volume scaling: every frame energy scales by the same factor, so
   *    the gradient signs are untouched;
-  *  - duration scaling by sample repetition (the crudest resample):
-  *    frame boundaries are proportional (`i·n/65`), so each frame
-  *    covers the same audio content and its RMS is unchanged.
+  *  - duration scaling by sample repetition (the crudest resample),
+  *    EXACT when the track's sample count is a multiple of 65: frame
+  *    boundaries `⌊i·n/65⌋` are then proportional under k-fold
+  *    repetition (`⌊i·k·n/65⌋ = k·⌊i·n/65⌋`), so each frame covers the
+  *    same audio content and its RMS is unchanged. For general n the
+  *    floor can land a boundary mid-repetition and perturb one frame's
+  *    RMS — in practice a ≤1-frame effect that degrades into a small
+  *    Hamming distance like any other perturbation (pad/truncate to a
+  *    65-multiple before framing if bit-exactness under resample is
+  *    required; the q104 fixtures use 520 = 8·65 samples, where the
+  *    invariance is exact).
   * Real-world perturbations (noise, codecs, small offsets) degrade
   * into small Hamming distances; the spec pins brute-force parity.
   *

@@ -94,14 +94,25 @@ object Quantiles {
       .select(struct(col(keyCol)).as("__k"),
         col(valCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
+    // bin range stats EXCLUDE NaN: max() over a NaN-carrying group
+    // returns NaN (NaN sorts greatest), which would poison the bucket
+    // arithmetic below into NULL buckets and silently drop the whole
+    // group from the equi-joins. NaN rows still count toward __n and
+    // are routed to the TOP bucket instead — NaN sorts after every
+    // real value in Spark, so the global rank order (and therefore
+    // value-identity with [[exact]], where NaN ranks last and NaN-
+    // touching quantiles come out NaN) is preserved. An all-NaN group
+    // has NULL __mn/__mx, but then every row takes the isnan branch.
     val stats = vals.groupBy(col("__k")).agg(
-      min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+      min(when(!isnan(col("__v")), col("__v"))).as("__mn"),
+      max(when(!isnan(col("__v")), col("__v"))).as("__mx"),
       count(lit(1)).as("__n"))
 
-    val bucket = when(col("__mx") === col("__mn"), lit(0)).otherwise(
-      least(lit(nBuckets - 1), greatest(lit(0),
-        floor((col("__v") - col("__mn")) / (col("__mx") - col("__mn"))
-          * nBuckets).cast("int"))))
+    val bucket = when(isnan(col("__v")), lit(nBuckets - 1)).otherwise(
+      when(col("__mx") === col("__mn"), lit(0)).otherwise(
+        least(lit(nBuckets - 1), greatest(lit(0),
+          floor((col("__v") - col("__mn")) / (col("__mx") - col("__mn"))
+            * nBuckets).cast("int")))))
     val withB = vals.join(broadcast(stats), "__k")
       .select(col("__k"), col("__v"), bucket.as("__b"))
 

@@ -17,6 +17,21 @@ object Round9 {
   val imgW = 18
   val imgH = 16
 
+  /** The q102/q104/q106 plants derive copy populations at doc_id +1M/
+    * +2M/+3M; that arithmetic (and the oracles built on it) is only
+    * sound while base ids stay below 1,000,000. Guarded PER ROW inside
+    * the flatMaps so a scale factor whose doc ids reach 1M fails
+    * loudly instead of silently colliding the populations and
+    * corrupting the gate (r9 ADVICE: the constraint used to live only
+    * in a ScaleBench comment). */
+  private[queries] def guardMediaId(id: Long): Long = {
+    require(id >= 0 && id < 1000000L,
+      s"media-plant id space exhausted: doc_id $id outside [0, 1e6) " +
+        "collides with the +1M/+2M/+3M derived copy populations — " +
+        "derive the offsets from max(doc_id) before running this SF")
+    id
+  }
+
   /** Per-(doc, cell) gray value in [1, 200]: pseudo-random via
     * splitmix64 so distinct docs get independent gradient-sign
     * patterns (expected cross-doc Hamming ≈ 32 ≫ the ≤3 cut), and
@@ -50,7 +65,8 @@ object Round9 {
     val docs = Tables.parallel(s, dir, "documents")
     val media = docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .flatMap { case (id, text) =>
+      .flatMap { case (id0, text) =>
+        val id = guardMediaId(id0)
         def px(scale: Int, shift: Int)(x: Int, y: Int): Int =
           cellValue(id, (y / (2 * scale)) * 9 + x / (2 * scale)) + shift
         Seq(
@@ -141,7 +157,8 @@ object Round9 {
     val docs = Tables.parallel(s, dir, "documents")
     val media = docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .flatMap { case (id, text) =>
+      .flatMap { case (id0, text) =>
+        val id = guardMediaId(id0)
         def clip(gain: Int, stretch: Int): Array[Byte] = {
           val samples = new Array[Int](65 * audioFrameSamples * stretch)
           var i = 0
@@ -212,7 +229,8 @@ object Round9 {
     val docs = Tables.parallel(s, dir, "documents")
     val media = docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .flatMap { case (id, text) =>
+      .flatMap { case (id0, text) =>
+        val id = guardMediaId(id0)
         def frame(f: Int, shift: Int)(x: Int, y: Int): Int =
           videoCell(id, f, (y / 2) * 9 + x / 2) + shift
         def gif(frameIds: Seq[Int], shift: Int): Array[Byte] =

@@ -146,6 +146,62 @@ object StatefulDedup {
   def firstSeenExact(df: DataFrame, keyCol: String): DataFrame =
     df.dropDuplicates(Seq(keyCol))
 
+  /** Rows a single state partition should carry per trigger before it is
+    * worth paying another per-(batch × partition) store-commit cycle.
+    * The r9 decomposition (PLANS.md "Stream-intake pinned") measured the
+    * fixed cost at ~15–25 ms per cycle on HDFSBackedStateStoreProvider:
+    * at 62.5 K rows/trigger, 32 partitions spend ~5.6 s of a 9.9 s run
+    * on 256 commit cycles, while 8 partitions run the same gate in
+    * 4.8 s. 8192 rows/partition/trigger puts the per-partition work an
+    * order of magnitude above the commit cost while staying far below
+    * any memory bound (state rows are a key hash + marker). */
+  val RowsPerStatePartition = 8192L
+
+  /** The sizing rule from the r9 measurement, as code: state partitions
+    * for a stream whose triggers carry ~`rowsPerTrigger` rows. Clamped
+    * to [1, maxPartitions]; `maxPartitions` should be cluster width ×
+    * a small factor (default 512 ≈ 128 executors × 4 cores) — a trigger
+    * carrying tens of millions of rows wants full cluster width, a
+    * 62 K-row trigger wants 8. */
+  def statePartitionsFor(rowsPerTrigger: Long, maxPartitions: Int = 512): Int = {
+    require(rowsPerTrigger >= 0, "rowsPerTrigger must be non-negative")
+    val n = (rowsPerTrigger + RowsPerStatePartition - 1) / RowsPerStatePartition
+    math.max(1L, math.min(n, maxPartitions.toLong)).toInt
+  }
+
+  /** Run a streaming query with its STATE partitioning sized to `n`
+    * instead of the session's `spark.sql.shuffle.partitions`.
+    *
+    * Why a scope and not a transformation: stateful operators take their
+    * partition count from `spark.sql.shuffle.partitions` AT QUERY
+    * PLANNING (a `repartition(n)` upstream does not change the state
+    * store's partitioning), so the conf must be set around
+    * `.start()`. The body MUST both start the query and block until its
+    * first batch has been planned — for `Trigger.AvailableNow`/one-shot
+    * gates, `start().awaitTermination()` inside the body (the shape
+    * every caller in this repo uses); restoring the conf after a bare
+    * `start()` would race query startup.
+    *
+    * CHECKPOINT COMPAT: the partition count is pinned in the
+    * checkpoint's offset-log metadata at the FIRST batch and re-applied
+    * by Spark on every restart (`OffsetSeqMetadata` carries
+    * `spark.sql.shuffle.partitions`), so restarting an existing
+    * checkpoint under a different sizing is SAFE — the checkpointed
+    * count wins, state stays consistent, and this scope's value only
+    * takes effect for checkpoints created inside it. Re-sizing a
+    * long-lived stream therefore means drain + fresh checkpoint, same
+    * as any state-layout change ([[SeenState]] doc). The restart path
+    * is pinned by StatefulDedupSpec ("sized gate restarts under a
+    * different session sizing"). */
+  def withStatePartitions[T](
+      spark: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    require(n >= 1, s"state partition count must be >= 1, got $n")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Online APPROXIMATE near-dup gate (flag-on variant of the exact
     * first-seen gate above; the batch MinHash-LSH job
     * [[graft.operators.MinHashLsh]] stays the exact offline path): a doc

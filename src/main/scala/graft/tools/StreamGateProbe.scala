@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
 object StreamGateProbe {
   /** args: [withExtensions] [mode]; mode ∈ gate (default) | nodedup
     * (drop the stateful dedup stage) | p8 (8 shuffle/state partitions)
-    * | rocksdb (RocksDB provider) — decomposes the gate time into
+    * | rocksdb (RocksDB provider) | sized (the production path:
+    * StatefulDedup.withStatePartitions + statePartitionsFor, exactly
+    * what Bench.streamOnce runs) — decomposes the gate time into
     * state-store vs sink vs planning. */
   def main(args: Array[String]): Unit = {
     val withExt = args.headOption.forall(_.toBoolean)
@@ -57,12 +59,16 @@ object StreamGateProbe {
       val gated =
         if (mode == "nodedup") admitted
         else graft.streaming.StatefulDedup.firstSeenExact(admitted, "fp")
-      gated
+      def run(): Unit = gated
         .writeStream.format("parquet")
         .option("path", s"$base/out$pass")
         .option("checkpointLocation", s"$base/ck$pass")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination()
+      if (mode == "sized")
+        graft.streaming.StatefulDedup.withStatePartitions(spark,
+          graft.streaming.StatefulDedup.statePartitionsFor(n * 2 / 16))(run())
+      else run()
       (System.nanoTime() - t0) / 1e9
     }
     once(0)

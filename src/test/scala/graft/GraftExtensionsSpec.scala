@@ -140,6 +140,19 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(run("strict_order") === Map(1L -> 2, 2L -> 1, 3L -> 3))
     assert(run("strict_deduplication") === Map(1L -> 3, 2L -> 2, 3L -> 2))
     intercept[Exception] { run("strict_bogus") }
+    // modes passed as a NON-LITERAL string expression: rejected with an
+    // error that names the actual mistake, not a RequireMicrosLong type
+    // error on the shifted timestamp slot (r9 ADVICE)
+    val ex = intercept[Exception] {
+      spark.sql(
+        """SELECT u, graft_window_funnel(100L, e, t, e = 'A', e = 'B')
+          |FROM t_wf GROUP BY u""".stripMargin).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      Option(t.getMessage).exists(_.contains("must be a string LITERAL"))),
+      s"expected the modes-literal error, got: ${ex.getMessage}")
   }
 
   test("graft_sequence_match/count match the batch operators") {

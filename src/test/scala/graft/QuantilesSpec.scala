@@ -56,6 +56,35 @@ class QuantilesSpec extends SparkSuite {
     val flat = Seq.fill(100)(("x", 5.0)).toDF("k", "v")
     assert(Quantiles.exactBucketed(flat, "k", "v", qs).collect().head
       .toSeq.drop(1) === Seq(5.0, 5.0, 5.0))
+    // NaN values: exact() keeps them (NaN ranks last), so a NaN-carrying
+    // group must NOT vanish from exactBucketed (pre-fix: max(__v)=NaN
+    // poisoned the bucket arithmetic into NULL buckets and the equi-joins
+    // dropped the whole group) — parity must hold on mixed-NaN,
+    // all-NaN, and NaN-plus-single-real groups, with NaN-touching
+    // quantiles coming out NaN on BOTH forms
+    val nanV = Double.NaN
+    val withNan = (Seq(("m", 1.0), ("m", 2.0), ("m", 3.0), ("m", nanV),
+      ("alln", nanV), ("alln", nanV),
+      ("one", 5.0), ("one", nanV)) ++
+      (1 to 200).map(i => ("big", if (i % 50 == 0) nanV else i.toDouble)))
+      .toDF("k", "v")
+    for (nb <- Seq(4, 4096)) {
+      val viaBN = Quantiles.exactBucketed(withNan, "k", "v", qs, nBuckets = nb)
+        .orderBy("k").collect().toSeq.map(_.toSeq)
+      val viaSN = Quantiles.exact(withNan, "k", "v", qs)
+        .orderBy("k").collect().toSeq.map(_.toSeq)
+      // NaN != NaN under ===, so compare with NaN-aware equality
+      def eq(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: Double, y: Double) => (x.isNaN && y.isNaN) || x == y
+        case _ => a == b
+      }
+      assert(viaBN.size === viaSN.size, s"nBuckets=$nb: group dropped")
+      viaBN.zip(viaSN).foreach { case (rb, rs) =>
+        assert(rb.zip(rs).forall { case (a, b) => eq(a, b) },
+          s"nBuckets=$nb: $rb != $rs")
+      }
+      assert(viaBN.exists(_.head == "m"), s"nBuckets=$nb: NaN group vanished")
+    }
     // NULL-key group survives (struct-wrapped join keys), like exact()
     val withNull = Seq((Some("a"), 1.0), (Some("a"), 3.0), (None, 10.0),
       (None, 30.0), (None, 50.0)).toDF("k", "v")

@@ -120,6 +120,63 @@ class StatefulDedupSpec extends SparkSuite {
     }
   }
 
+  test("statePartitionsFor sizes state to trigger volume, not cluster width") {
+    // the r9 decomposition's rule as code: ~8192 rows/partition/trigger
+    assert(StatefulDedup.statePartitionsFor(0L) === 1)
+    assert(StatefulDedup.statePartitionsFor(1L) === 1)
+    assert(StatefulDedup.statePartitionsFor(8192L) === 1)
+    assert(StatefulDedup.statePartitionsFor(8193L) === 2)
+    assert(StatefulDedup.statePartitionsFor(62500L) === 8) // the bench gate
+    assert(StatefulDedup.statePartitionsFor(100000000L) === 512) // clamped
+    assert(StatefulDedup.statePartitionsFor(100000000L, maxPartitions = 64) === 64)
+  }
+
+  test("sized gate: checkpoint pins the sizing; restart under a different " +
+      "session sizing keeps state consistent") {
+    val dir = Files.createTempDirectory("dedupsized").toString
+    val srcDir = s"$dir/in"; val outDir = s"$dir/out"; val ckDir = s"$dir/ck"
+    Files.createDirectories(Paths.get(srcDir))
+    def write(file: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(srcDir, file), lines.mkString("\n").getBytes("UTF-8"))
+    def runOnce(sizing: Int): Unit =
+      StatefulDedup.withStatePartitions(spark, sizing) {
+        val src = spark.readStream.format("text").load(srcDir)
+          .select(split(col("value"), ",").getItem(0).as("k"),
+            split(col("value"), ",").getItem(1).as("v"))
+        StatefulDedup.firstSeenExact(src, "k")
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination(60000)
+      }
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    write("b1.csv", Seq("a,1", "b,2", "a,3"))
+    runOnce(sizing = 4)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before,
+      "withStatePartitions must restore the session conf")
+    // the sizing reached the state store: operator 0 has exactly 4
+    // partition dirs in the checkpoint
+    def partDirs(): Set[String] = Paths.get(ckDir, "state", "0").toFile
+      .listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_.forall(_.isDigit)).toSet
+    assert(partDirs() === Set("0", "1", "2", "3"))
+    assert(spark.read.parquet(outDir).count() === 2)
+    // restart the SAME checkpoint under a DIFFERENT session sizing:
+    // Spark re-applies the checkpointed partition count
+    // (OffsetSeqMetadata), so old keys stay suppressed — re-sizing a
+    // live stream is safe-by-pinning; taking a new sizing means a
+    // fresh checkpoint
+    write("b2.csv", Seq("a,9", "c,4"))
+    runOnce(sizing = 9)
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.length === 3)
+    assert(got.count(_._1 == "a") === 1,
+      "duplicate 'a' re-admitted after re-sized restart")
+    assert(partDirs() === Set("0", "1", "2", "3"),
+      "checkpointed sizing must win on restart")
+  }
+
   test("firstSeen in batch mode behaves as per-batch dedup") {
     import spark.implicits._
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
