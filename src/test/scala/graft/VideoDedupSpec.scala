@@ -34,25 +34,129 @@ class VideoDedupSpec extends SparkSuite {
     assert(frames.head.luma.toSeq === f.flatten.toSeq)
   }
 
-  test("GIF decode: rejects non-GIF, truncation, interlace, offset frames") {
+  test("GIF decode: rejects non-GIF, truncation, out-of-canvas frames") {
     val good = gifOf(Seq(rndFrame(new scala.util.Random(4))))
     assert(GifPixels.decodeFrames("not a gif".getBytes).isEmpty)
     assert(GifPixels.decodeFrames(good.take(20)).isEmpty)
     assert(GifPixels.decodeFrames(good.dropRight(1)).isEmpty) // no trailer
-    val inter = good.clone
     // image descriptor starts after 13-byte header + 768-byte GCT
     val descOff = 13 + 768
-    assert(inter(descOff) === 0x2c.toByte)
-    inter(descOff + 9) = 0x40.toByte // interlace flag
-    assert(GifPixels.decodeFrames(inter).isEmpty)
+    assert(good(descOff) === 0x2c.toByte)
     val offs = good.clone
-    offs(descOff + 1) = 1 // left = 1 → not full-canvas
+    offs(descOff + 1) = 1 // left = 1 while fw = sw → frame exceeds canvas
     assert(GifPixels.decodeFrames(offs).isEmpty)
+    assert(GifPixels.decodeReason(offs) === "corrupt")
     val badLzw = good.clone
     badLzw(descOff + 12) = 0xff.toByte // stomp LZW bytes
     badLzw(descOff + 13) = 0xff.toByte
     assert(GifPixels.decodeFrames(badLzw).isEmpty ||
       GifPixels.decodeFrames(badLzw).nonEmpty) // None or a decode — never a throw
+    // the interlace FLAG alone no longer rejects: toggling it on a
+    // sequentially-stored file decodes to a row permutation (same
+    // multiset of pixels, reordered rows)
+    val inter = good.clone
+    inter(descOff + 9) = 0x40.toByte
+    val viaFlag = GifPixels.decodeFrames(inter)
+    val viaSeq = GifPixels.decodeFrames(good)
+    assert(viaFlag.nonEmpty)
+    assert(viaFlag.get.head.luma.sorted.toSeq ===
+      viaSeq.get.head.luma.sorted.toSeq)
+  }
+
+  test("GIF interlace: four-pass row reordering reproduces exact pixels") {
+    // row index mapping is a permutation for every height
+    for (fh <- 1 to 40) {
+      val rows = (0 until fh).map(r => GifPixels.interlaceRow(r, fh))
+      assert(rows.sorted === (0 until fh).toVector, s"fh=$fh: $rows")
+    }
+    // an interlaced build decodes pixel-identical to the sequential one
+    val f = rndFrame(new scala.util.Random(8), w = 21, h = 19)
+    val seqGif = GifBuild.animatedFrames(21, 19,
+      Seq(GifBuild.FrameSpec(0, 0, 21, 19, (x, y) => f(y)(x))))
+    val intGif = GifBuild.animatedFrames(21, 19,
+      Seq(GifBuild.FrameSpec(0, 0, 21, 19, (x, y) => f(y)(x),
+        interlaced = true)))
+    assert(GifPixels.decodeFrames(intGif).get.head.luma.toSeq ===
+      GifPixels.decodeFrames(seqGif).get.head.luma.toSeq)
+    assert(GifPixels.decodeFrames(intGif).get.head.luma.toSeq ===
+      f.flatten.toSeq)
+  }
+
+  test("GIF compositing: delta frames reproduce the full-frame result") {
+    // full-frame animation vs its delta encoding (frame 2 ships only
+    // the changed rect, do-not-dispose): pixel-identical composites
+    val rnd = new scala.util.Random(9)
+    val a = rndFrame(rnd) // 18x16
+    val b = a.map(_.clone)
+    for (y <- 5 until 9; x <- 3 until 11) b(y)(x) = 1 + rnd.nextInt(200)
+    val full = gifOf(Seq(a, b))
+    val delta = GifBuild.animatedFrames(18, 16, Seq(
+      GifBuild.FrameSpec(0, 0, 18, 16, (x, y) => a(y)(x), disposal = 1),
+      GifBuild.FrameSpec(3, 5, 8, 4, (x, y) => b(y + 5)(x + 3))))
+    val viaFull = GifPixels.decodeFrames(full).get
+    val viaDelta = GifPixels.decodeFrames(delta).get
+    assert(viaDelta.size === 2)
+    assert(viaDelta(0).luma.toSeq === viaFull(0).luma.toSeq)
+    assert(viaDelta(1).luma.toSeq === viaFull(1).luma.toSeq)
+    // and the temporal-mean hash agrees between the two encodings
+    assert(GifPixels.avgHashOf(delta) === GifPixels.avgHashOf(full))
+  }
+
+  test("GIF compositing: transparency holds the previous canvas pixels") {
+    val rnd = new scala.util.Random(10)
+    val a = rndFrame(rnd)
+    val b = a.map(_.clone)
+    for (y <- 0 until 4; x <- 0 until 6) b(y)(x) = 1 + rnd.nextInt(200)
+    // frame 2 covers the canvas but marks everything OUTSIDE the
+    // changed rect transparent (index 0 is never used by rndFrame's
+    // [1,200] values, so it is free for transparency)
+    val trans = GifBuild.animatedFrames(18, 16, Seq(
+      GifBuild.FrameSpec(0, 0, 18, 16, (x, y) => a(y)(x), disposal = 1),
+      GifBuild.FrameSpec(0, 0, 18, 16,
+        (x, y) => if (y < 4 && x < 6) b(y)(x) else 0, transIdx = 0)))
+    val frames = GifPixels.decodeFrames(trans).get
+    assert(frames(1).luma.toSeq === b.flatten.toSeq,
+      "transparent pixels must hold frame 1's content")
+  }
+
+  test("GIF compositing: restore-background and restore-previous disposal") {
+    val base = Array.tabulate(16, 18)((y, x) => 10 + ((x + y) % 100))
+    // disposal 2: after frame 1 shows base, its rect resets to the
+    // background color (index 7 → luma 7 under the identity palette);
+    // frame 2 is a tiny opaque patch, so the rest of the canvas shows
+    // the restored background, not frame 1
+    val d2 = GifBuild.animatedFrames(18, 16, Seq(
+      GifBuild.FrameSpec(0, 0, 18, 16, (x, y) => base(y)(x), disposal = 2),
+      GifBuild.FrameSpec(0, 0, 2, 2, (_, _) => 99)), bgIndex = 7)
+    val f2 = GifPixels.decodeFrames(d2).get
+    assert(f2(0).luma.toSeq === base.flatten.toSeq)
+    val want2 = Array.tabulate(16, 18)((y, x) =>
+      if (y < 2 && x < 2) 99 else 7).flatten.toSeq
+    assert(f2(1).luma.toSeq === want2)
+    // disposal 3: frame 2 (restore-previous) paints a patch; frame 3
+    // is fully transparent → composites over the RESTORED frame-1
+    // canvas, as if frame 2 never happened
+    val d3 = GifBuild.animatedFrames(18, 16, Seq(
+      GifBuild.FrameSpec(0, 0, 18, 16, (x, y) => base(y)(x), disposal = 1),
+      GifBuild.FrameSpec(4, 4, 3, 3, (_, _) => 199, disposal = 3),
+      GifBuild.FrameSpec(0, 0, 1, 1, (_, _) => 0, transIdx = 0)))
+    val f3 = GifPixels.decodeFrames(d3).get
+    assert(f3(1).luma(5 * 18 + 5) === 199, "frame 2 shows the patch")
+    assert(f3(2).luma.toSeq === base.flatten.toSeq,
+      "restore-previous must erase frame 2 under frame 3")
+  }
+
+  test("GIF decodeReason: ok / corrupt / oversized are distinguishable") {
+    val good = gifOf(Seq(rndFrame(new scala.util.Random(11))))
+    assert(GifPixels.decodeReason(good) === "ok")
+    assert(GifPixels.decodeReason(good.dropRight(1)) === "corrupt")
+    // huge claimed canvas on a tiny payload: a policy bound, not
+    // structural corruption
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes); le16(16000); le16(16000)
+    out.write(0); out.write(0); out.write(0); out.write(0x3b)
+    assert(GifPixels.decodeReason(out.toByteArray) === "oversized")
   }
 
   test("crafted huge-frame headers reject before allocating (OOM guard)") {
