@@ -59,7 +59,14 @@ object Round9 {
     * band, or an undecodable payload leaking into the join all change
     * the pair set and fail the gate. Cross-doc false pairs are
     * excluded by the ≤3 Hamming cut on ~32-expected-bit-distance
-    * independent patterns. */
+    * independent patterns.
+    *
+    * r10 adds a FIFTH population (+4M ids): the base pixels re-encoded
+    * as a real RGB PNG with all five scanline filters cycling by row —
+    * decoded through the independent Inflater/unfilter path
+    * ([[ImageDedup.PngPixels]]), it must land bit-identical to the BMP
+    * decode, completing each doc's quartet to C(4,2)=6 pairs at
+    * hamming 0. A PNG filter/inflate/luma bug breaks the gate. */
   def q102ImageNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
@@ -77,7 +84,10 @@ object Round9 {
           Multimodal.MediaRecord(id + 2000000L, "image",
             ImageDedup.ImageBuild.bmp24Gray(imgW, imgH)(px(1, 16))),
           Multimodal.MediaRecord(id + 3000000L, "image",
-            text.getBytes("UTF-8")))
+            text.getBytes("UTF-8")),
+          Multimodal.MediaRecord(id + 4000000L, "image",
+            ImageDedup.ImageBuild.pngGray(imgW, imgH, colorType = 2,
+              filterOf = y => y % 5)(px(1, 0))))
       }
       .toDF("media_id", "kind", "payload")
     ImageDedup.nearDupPairs(media, "media_id", "payload",
@@ -266,7 +276,13 @@ object Round9 {
         |UNION ALL
         |SELECT id, id + 2000000, CAST(0 AS INTEGER) FROM t
         |UNION ALL
+        |SELECT id, id + 4000000, CAST(0 AS INTEGER) FROM t
+        |UNION ALL
         |SELECT id + 1000000, id + 2000000, CAST(0 AS INTEGER) FROM t
+        |UNION ALL
+        |SELECT id + 1000000, id + 4000000, CAST(0 AS INTEGER) FROM t
+        |UNION ALL
+        |SELECT id + 2000000, id + 4000000, CAST(0 AS INTEGER) FROM t
         |ORDER BY id_a, id_b""".stripMargin,
     "q105_keepbest_dedup" ->
       s"""WITH RECURSIVE ${LlmPipeline.augmentedSql},

@@ -81,6 +81,91 @@ class ImageDedupSpec extends SparkSuite {
 
   // --- hashes ---------------------------------------------------------
 
+  // --- PNG pixel path (r10) --------------------------------------------
+
+  test("PNG decode: pixel-exact vs BMP across color types and filters") {
+    val rnd = new scala.util.Random(41)
+    for (colorType <- Seq(0, 2, 4, 6); filterMode <- 0 to 5) {
+      val img = randImg(rnd)
+      val png = ImageBuild.pngGray(18, 16, colorType,
+        filterOf = y => if (filterMode == 5) y % 5 else filterMode)(
+        (x, y) => img(y)(x))
+      val Right((w, h, luma)) = ImageDedup.PngPixels.decodeGray(png)
+      assert((w, h) === ((18, 16)), s"ct=$colorType f=$filterMode")
+      assert(luma.toSeq === img.flatten.toSeq,
+        s"ct=$colorType f=$filterMode: pixels differ")
+      // two independent decode paths, one fingerprint
+      assert(ImagePixels.dhashOf(png) === ImagePixels.dhashOf(bmpOf(img)),
+        s"ct=$colorType f=$filterMode: dHash differs from BMP")
+      assert(ImagePixels.ahashOf(png) === ImagePixels.ahashOf(bmpOf(img)))
+    }
+  }
+
+  test("PNG decode: wide image crossing the deflate buffer round-trips") {
+    val rnd = new scala.util.Random(42)
+    val img = randImg(rnd, w = 200, h = 90) // 54KB RGB raw, multi-block
+    val png = ImageBuild.pngGray(200, 90, colorType = 2,
+      filterOf = y => (y * 7) % 5)((x, y) => img(y)(x))
+    val Right((_, _, luma)) = ImageDedup.PngPixels.decodeGray(png)
+    assert(luma.toSeq === img.flatten.toSeq)
+  }
+
+  test("PNG decodeGrayReason: corrupt / unsupported / oversized classes") {
+    val img = randImg(new scala.util.Random(43))
+    val good = ImageBuild.pngGray(18, 16)((x, y) => img(y)(x))
+    assert(ImagePixels.decodeGrayReason(good).isRight)
+    // truncation and stream damage → corrupt
+    assert(ImageDedup.PngPixels.decodeGray(good.take(30)) ===
+      Left("corrupt"))
+    val bad = good.clone
+    bad(good.length - 20) = (bad(good.length - 20) ^ 0x55).toByte
+    assert(ImageDedup.PngPixels.decodeGray(bad).isLeft ||
+      ImageDedup.PngPixels.decodeGray(bad).isRight) // never throws
+    // Adam7 interlace flag → unsupported (byte 28 = IHDR interlace)
+    val adam = good.clone
+    adam(28) = 1
+    assert(ImageDedup.PngPixels.decodeGray(adam) === Left("unsupported"))
+    // palette color type → unsupported
+    val pal = good.clone
+    pal(25) = 3
+    assert(ImageDedup.PngPixels.decodeGray(pal) === Left("unsupported"))
+    // 16-bit depth → unsupported
+    val deep = good.clone
+    deep(24) = 16
+    assert(ImageDedup.PngPixels.decodeGray(deep) === Left("unsupported"))
+    // huge claimed dimensions on a tiny body → oversized, refused
+    // BEFORE the raw-buffer allocation
+    val huge = good.clone
+    huge(16) = 0; huge(17) = 0x20.toByte; huge(18) = 0; huge(19) = 0
+    // width = 0x00200000 = 2M > MaxDim
+    assert(ImageDedup.PngPixels.decodeGray(huge) === Left("oversized"))
+    // plausible dims the IDAT cannot possibly inflate to (1032x bound)
+    val wide = good.clone
+    // width := 4096, height := 4000 → raw ~49 MB vs ~600-byte IDAT
+    wide(16) = 0; wide(17) = 0; wide(18) = 0x10.toByte; wide(19) = 0
+    wide(20) = 0; wide(21) = 0; wide(22) = 0x0f.toByte; wide(23) = 0xa0.toByte
+    assert(ImageDedup.PngPixels.decodeGray(wide) === Left("oversized"))
+    // no magic at all
+    assert(ImagePixels.decodeGrayReason("plain text".getBytes) ===
+      Left("unrecognized"))
+  }
+
+  test("nearDupPairs blocks PNG and BMP encodings of one image together") {
+    val rnd = new scala.util.Random(44)
+    val rows = (0 until 12).flatMap { i =>
+      val img = randImg(rnd)
+      Seq((i.toLong, bmpOf(img)),
+        (100L + i, ImageBuild.pngGray(18, 16, colorType = 2,
+          filterOf = y => y % 5)((x, y) => img(y)(x))))
+    }
+    val got = ImageDedup.nearDupPairs(
+        rows.toDF("id", "payload").repartition(4), "id", "payload")
+      .as[(Long, Long, Int)].collect().toSet
+    // each BMP pairs with its PNG twin at hamming 0; distinct images
+    // (independent random patterns) stay apart
+    assert(got === (0 until 12).map(i => (i.toLong, 100L + i, 0)).toSet)
+  }
+
   private def dhashDirect(img: Array[Array[Int]]): Long = {
     val Some((w, h, pix)) = ImagePixels.decodeGray(bmpOf(img))
     ImagePixels.dhash64(ImagePixels.grid(pix, w, h, 9, 8))

@@ -14,9 +14,11 @@ class MediaFuzzSpec extends SparkSuite {
   private def decodeAll(p: Array[Byte]): Unit = {
     ImageDedup.ImagePixels.dhashOf(p)
     ImageDedup.ImagePixels.ahashOf(p)
+    ImageDedup.ImagePixels.decodeGrayReason(p)
     AudioDedup.WavPcm.hashOf(p)
     VideoDedup.GifPixels.avgHashOf(p)
     VideoDedup.GifPixels.frameHashesOf(p)
+    VideoDedup.GifPixels.decodeReason(p)
     ()
   }
 
@@ -27,7 +29,19 @@ class MediaFuzzSpec extends SparkSuite {
       Array.fill(520)(rnd.nextInt(65536) - 32768))
     val gif = VideoDedup.GifBuild.animatedGray(18, 16,
       Seq.fill(3)((x: Int, y: Int) => img(y)(x)))
-    Seq(bmp, wav, gif)
+    // PNG with all channels + all filters and a delta/disposal/
+    // transparency/interlace GIF: the r10 decode surfaces fuzz too
+    val png = ImageDedup.ImageBuild.pngGray(18, 16,
+      colorType = Seq(0, 2, 4, 6)(rnd.nextInt(4)),
+      filterOf = y => y % 5)((x, y) => img(y)(x))
+    val deltaGif = VideoDedup.GifBuild.animatedFrames(18, 16, Seq(
+      VideoDedup.GifBuild.FrameSpec(0, 0, 18, 16,
+        (x, y) => img(y)(x), disposal = 3),
+      VideoDedup.GifBuild.FrameSpec(2, 3, 7, 5,
+        (_, _) => rnd.nextInt(256), disposal = 2, transIdx = 5),
+      VideoDedup.GifBuild.FrameSpec(0, 0, 18, 16,
+        (x, y) => img(y)(x), interlaced = true)))
+    Seq(bmp, wav, gif, png, deltaGif)
   }
 
   test("pure random garbage never throws (1000 payloads)") {
