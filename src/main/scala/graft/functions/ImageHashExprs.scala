@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.ImageDedup.ImagePixels
 
@@ -79,6 +81,48 @@ case class VideoAvgHash(child: Expression)
     graft.operators.VideoDedup.GifPixels
       .avgHashOf(input.asInstanceOf[Array[Byte]])
       .map(java.lang.Long.valueOf).orNull
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-frame dHash SEQUENCE of a binary GIF payload (composited
+  * full-canvas frames, in playback order) — the order-sensitive video
+  * surface q108 blocks on. ArrayType(Long); NULL when undecodable.
+  * Same fused decode+hash map-side shape as [[VideoAvgHash]]; only
+  * 8 bytes per frame leave the projection. */
+case class VideoFrameHashes(child: Expression)
+    extends UnaryExpression with UnaryEvalCodegen {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def castResult(x: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $x"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.VideoDedup.GifPixels
+      .frameHashesOf(input.asInstanceOf[Array[Byte]])
+      .map(hs => new GenericArrayData(hs.toArray)).orNull
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Content-decode disposition of a binary media payload
+  * ([[graft.operators.Multimodal.MediaDecoder.contentReason]]): "ok",
+  * "corrupt", "oversized", "unsupported", or "opaque" — the quarantine
+  * reason code that separates broken payloads from valid-but-out-of-
+  * scope ones (r9 judge directive #2). Never NULL. */
+case class MediaReason(child: Expression)
+    extends UnaryExpression with UnaryEvalCodegen {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override protected def castResult(x: String): String =
+    s"(org.apache.spark.unsafe.types.UTF8String) $x"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.operators.Multimodal.MediaDecoder
+        .contentReason(input.asInstanceOf[Array[Byte]]))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
