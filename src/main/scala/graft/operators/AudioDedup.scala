@@ -54,7 +54,16 @@ object AudioDedup {
       * both engines and fixtures share). None for anything that is not
       * structurally valid PCM16 WAV — callers treat that as "no audio
       * path", never an exception. */
-    def decodeSamples(p: Array[Byte]): Option[Array[Int]] = {
+    def decodeSamples(p: Array[Byte]): Option[Array[Int]] =
+      decodeReason(p).toOption
+
+    /** [[decodeSamples]] with the rejection class (r10 ADVICE: a
+      * well-formed RIFF/WAVE whose sample format is outside the PCM16
+      * scope — IEEE float, a-law/µ-law, ADPCM, extensible, or PCM at
+      * 8/24/32 bits — must route out as "unsupported", not be dropped
+      * as "corrupt"; "corrupt" is reserved for broken structure:
+      * truncated/overrunning chunks, missing fmt/data, zero frames). */
+    def decodeReason(p: Array[Byte]): Either[String, Array[Int]] = {
       def u8(i: Int): Int = p(i) & 0xff
       def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
       def s16(i: Int): Int = le16(i).toShort.toInt
@@ -63,20 +72,23 @@ object AudioDedup {
       def tag(i: Int): String =
         if (i + 4 > p.length) ""
         else new String(p.slice(i, i + 4), "US-ASCII")
-      if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+        return Left("corrupt")
       var i = 12
       var channels = -1
       var bits = -1
-      var fmtOk = false
+      var format = -1
+      var fmtSeen = false
       var data: Option[(Int, Int)] = None // (offset, byteLen)
-      while (i + 8 <= p.length && (data.isEmpty || !fmtOk)) {
+      while (i + 8 <= p.length && (data.isEmpty || !fmtSeen)) {
         val id = tag(i)
         val sz = le32(i + 4)
         // Long arithmetic: a crafted sz near Int.MaxValue must fail the
         // bounds check, not wrap it (the q104 never-throw contract)
-        if (sz < 0 || i.toLong + 8L + sz > p.length) return None
+        if (sz < 0 || i.toLong + 8L + sz > p.length) return Left("corrupt")
         if (id == "fmt " && sz >= 16) {
-          fmtOk = le16(i + 8) == 1 // PCM only
+          fmtSeen = true
+          format = le16(i + 8)
           channels = le16(i + 10)
           bits = le16(i + 22)
         } else if (id == "data") {
@@ -84,26 +96,30 @@ object AudioDedup {
         }
         i += 8 + sz + (sz & 1) // RIFF chunks pad odd sizes
       }
-      if (!fmtOk || channels < 1 || bits != 16) return None
-      data.flatMap { case (off, len) =>
-        val frameBytes = 2 * channels
-        val n = len / frameBytes
-        if (n == 0) None
-        else {
-          val out = new Array[Int](n)
-          var k = 0
-          while (k < n) {
-            var sum = 0
-            var c = 0
-            while (c < channels) {
-              sum += s16(off + k * frameBytes + 2 * c)
-              c += 1
-            }
-            out(k) = sum / channels
-            k += 1
+      if (!fmtSeen || data.isEmpty) return Left("corrupt")
+      if (channels < 1) return Left("corrupt")
+      // 1 = PCM; anything else (3 float, 6/7 a/µ-law, 2/17 ADPCM,
+      // 0xFFFE extensible, ...) is a valid format out of scope here
+      if (format != 1) return Left("unsupported")
+      if (bits != 16) return Left("unsupported")
+      val (off, len) = data.get
+      val frameBytes = 2 * channels
+      val n = len / frameBytes
+      if (n == 0) Left("corrupt")
+      else {
+        val out = new Array[Int](n)
+        var k = 0
+        while (k < n) {
+          var sum = 0
+          var c = 0
+          while (c < channels) {
+            sum += s16(off + k * frameBytes + 2 * c)
+            c += 1
           }
-          Some(out)
+          out(k) = sum / channels
+          k += 1
         }
+        Right(out)
       }
     }
 

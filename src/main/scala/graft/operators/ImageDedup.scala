@@ -76,40 +76,65 @@ object ImageDedup {
         : Either[String, (Int, Int, Array[Int])] =
       if (PngPixels.hasMagic(p)) PngPixels.decodeGray(p)
       else if (p.length >= 2 && (p(0) & 0xff) == 'B' && (p(1) & 0xff) == 'M')
-        decodeBmpGray(p).toRight("corrupt")
+        decodeBmpReason(p)
       else Left("unrecognized")
 
     /** The BMP path of [[decodeGray]]: 24-bit uncompressed only. */
-    def decodeBmpGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def decodeBmpGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      decodeBmpReason(p).toOption
+
+    /** [[decodeBmpGray]] with the rejection class (r10 ADVICE: a
+      * structurally VALID BMP whose pixel format is outside this
+      * decoder's 24-bit-uncompressed scope must route to the
+      * external-codec path as "unsupported", not be dropped as
+      * "corrupt"): "unsupported" for a well-formed BITMAPCOREHEADER
+      * file or a plausible header carrying a standard non-24bpp depth
+      * / RLE / bitfields compression; "oversized" for dimensions past
+      * the decode-policy caps; "corrupt" for broken structure. */
+    def decodeBmpReason(p: Array[Byte])
+        : Either[String, (Int, Int, Array[Int])] = {
       def u8(i: Int): Int = p(i) & 0xff
       def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
       def le32(i: Int): Int =
         u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
-      if (p.length < 54 || u8(0) != 'B' || u8(1) != 'M') return None
+      if (p.length < 18 || u8(0) != 'B' || u8(1) != 'M')
+        return Left("corrupt")
       val off = le32(10)
       val hdrSize = le32(14)
-      if (hdrSize < 40) return None // BITMAPCOREHEADER not supported
+      // BITMAPCOREHEADER: a well-formed 1986-era file, valid but out of
+      // scope (its field layout differs from every later header)
+      if (hdrSize == 12) return Left("unsupported")
+      if (hdrSize < 40 || p.length < 54) return Left("corrupt")
       val w = le32(18)
       val hRaw = le32(22)
       val topDown = hRaw < 0
       // abs(Int.MinValue) is still negative — reject before it can slip
       // through as a "positive" height
-      if (hRaw == Int.MinValue) return None
+      if (hRaw == Int.MinValue) return Left("corrupt")
       val h = math.abs(hRaw)
       val planes = le16(26)
       val bpp = le16(28)
       val compression = le32(30)
+      if (w <= 0 || h == 0 || planes != 1) return Left("corrupt")
+      // standard depths / compressions this decoder does not implement
+      // (paletted, 16/32-bit masks, RLE, PNG/JPEG-embedded, Huffman,
+      // alpha/CMYK bitfields) — well-formed files, route out, not drop
+      if (bpp != 24)
+        return Left(if (Set(1, 2, 4, 8, 16, 32, 64)(bpp)) "unsupported"
+          else "corrupt")
+      if (compression != 0)
+        return Left(if (compression >= 1 && compression <= 13) "unsupported"
+          else "corrupt")
       // dimension caps keep EVERY later product in Long range (and a
       // crafted 2^30-wide header from wrapping `3*w+3` into a negative
-      // stride that defeats the bounds check below) — corrupt headers
-      // must land in None, never in an exception (the q102 contract)
-      if (w <= 0 || w > (1 << 20) || h == 0 || h > (1 << 20) ||
-          planes != 1 || bpp != 24 || compression != 0)
-        return None
+      // stride that defeats the bounds check below) — a policy bound on
+      // possibly-valid huge files, so "oversized", never an exception
+      // (the q102 contract)
+      if (w > (1 << 20) || h > (1 << 20)) return Left("oversized")
       val stride = ((3L * w + 3) / 4) * 4
       if (off < 0 || off.toLong < 14L + hdrSize ||
           off.toLong + stride * h > p.length)
-        return None
+        return Left("corrupt")
       val out = new Array[Int](w * h)
       var y = 0
       while (y < h) {
@@ -126,7 +151,7 @@ object ImageDedup {
         }
         y += 1
       }
-      Some((w, h, out))
+      Right((w, h, out))
     }
 
     /** Box-average downscale to a gw×gh cell grid (top-down row-major).

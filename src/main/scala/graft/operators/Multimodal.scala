@@ -203,7 +203,11 @@ object Multimodal {
       def isGif = p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F'
       if (isGif) VideoDedup.GifPixels.decodeReason(p)
       else if (isWav)
-        if (AudioDedup.WavPcm.decodeSamples(p).isDefined) "ok" else "corrupt"
+        AudioDedup.WavPcm.decodeReason(p) match {
+          case Right(_) => "ok"
+          case Left(r) => r // "corrupt" | "unsupported" (r10 ADVICE:
+          // a well-formed float/ADPCM WAV routes out, not dropped)
+        }
       else ImageDedup.ImagePixels.decodeGrayReason(p) match {
         case Right(_) => "ok"
         case Left("unrecognized") => probe(p) match {

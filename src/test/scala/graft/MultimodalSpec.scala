@@ -192,4 +192,56 @@ class MultimodalSpec extends SparkSuite {
       feats, feats.filter(col("media_id") === 1L), "media_id", "embedding", 1)
     assert(top.head().getLong(2) === 2L) // duplicate payload is rank 1
   }
+
+  test("contentReason: unsupported vs corrupt for BMP and WAV classes") {
+    import Multimodal.MediaDecoder.contentReason
+    import graft.operators.{AudioDedup, ImageDedup}
+    val bmp = ImageDedup.ImageBuild.bmp24Gray(4, 4)((x, y) => 10 * x + y)
+    def patched(off: Int, v: Int*): Array[Byte] = {
+      val c = bmp.clone
+      v.zipWithIndex.foreach { case (b, i) => c(off + i) = b.toByte }
+      c
+    }
+    assert(contentReason(bmp) === "ok")
+    // well-formed out-of-scope pixel formats route OUT, not dropped
+    assert(contentReason(patched(28, 8, 0)) === "unsupported")  // 8-bit
+    assert(contentReason(patched(28, 32, 0)) === "unsupported") // 32-bit
+    assert(contentReason(patched(30, 1)) === "unsupported")     // RLE
+    assert(contentReason(patched(14, 12)) === "unsupported")    // core hdr
+    assert(contentReason(patched(18, 0, 0, 32, 0)) === "oversized") // 2^21 w
+    assert(contentReason(bmp.take(30)) === "corrupt")           // truncated
+    val wav = AudioDedup.WavBuild.pcm16(Array.fill(600)(100))
+    assert(contentReason(wav) === "ok")
+    val fl = wav.clone; fl(20) = 3 // IEEE-float format tag
+    assert(contentReason(fl) === "unsupported")
+    val b24 = wav.clone; b24(34) = 24 // PCM but 24-bit
+    assert(contentReason(b24) === "unsupported")
+    assert(contentReason(wav.dropRight(1)) === "corrupt") // data cut
+    assert(contentReason(wav.take(20)) === "corrupt")     // fmt cut
+  }
+
+  test("MediaReason: NULL payload → 'missing' in codegen AND interpreted") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.functions.{ColumnBridge, MediaReason}
+    val bmp = graft.operators.ImageDedup.ImageBuild
+      .bmp24Gray(2, 2)((x, y) => 40 * (x + y))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, bmp), Row(2L, null), Row(3L, "junk".getBytes("UTF-8"))),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = true))))
+    // codegen path (whole-stage projection over the scan)
+    val out = df
+      .select(col("id"),
+        ColumnBridge.col(MediaReason(ColumnBridge.expr(col("payload"))))
+          .as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "ok", 2L -> "missing", 3L -> "opaque"))
+    // interpreted path: eval on a literal NULL child
+    val e = MediaReason(
+      org.apache.spark.sql.catalyst.expressions.Literal(null, BinaryType))
+    assert(e.eval(null).toString === "missing")
+    assert(!e.nullable)
+  }
 }
