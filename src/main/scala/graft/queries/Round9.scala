@@ -65,8 +65,12 @@ object Round9 {
     * as a real RGB PNG with all five scanline filters cycling by row —
     * decoded through the independent Inflater/unfilter path
     * ([[ImageDedup.PngPixels]]), it must land bit-identical to the BMP
-    * decode, completing each doc's quartet to C(4,2)=6 pairs at
-    * hamming 0. A PNG filter/inflate/luma bug breaks the gate. */
+    * decode. r11 adds a SIXTH (+5M ids): the same pixels as an
+    * Adam7-INTERLACED PALETTE PNG (identity-ramp PLTE, filters cycling
+    * per image row inside each pass), covering the r11 decode
+    * completion — PLTE lookup, per-pass filtering, and the 7-pass
+    * deinterlace scatter must all reproduce the exact luma, or the
+    * quintet's C(5,2)=10 hamming-0 pairs per doc break the gate. */
   def q102ImageNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
@@ -87,7 +91,10 @@ object Round9 {
             text.getBytes("UTF-8")),
           Multimodal.MediaRecord(id + 4000000L, "image",
             ImageDedup.ImageBuild.pngGray(imgW, imgH, colorType = 2,
-              filterOf = y => y % 5)(px(1, 0))))
+              filterOf = y => y % 5)(px(1, 0))),
+          Multimodal.MediaRecord(id + 5000000L, "image",
+            ImageDedup.ImageBuild.pngGray(imgW, imgH, colorType = 3,
+              interlace = true, filterOf = y => (y + 2) % 5)(px(1, 0))))
       }
       .toDF("media_id", "kind", "payload")
     ImageDedup.nearDupPairs(media, "media_id", "payload",
@@ -270,19 +277,11 @@ object Round9 {
 
   val oracles: Map[String, String] = Map(
     "q102_image_neardup" ->
-      """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)
-        |SELECT id AS id_a, id + 1000000 AS id_b,
-        |  CAST(0 AS INTEGER) AS hamming FROM t
-        |UNION ALL
-        |SELECT id, id + 2000000, CAST(0 AS INTEGER) FROM t
-        |UNION ALL
-        |SELECT id, id + 4000000, CAST(0 AS INTEGER) FROM t
-        |UNION ALL
-        |SELECT id + 1000000, id + 2000000, CAST(0 AS INTEGER) FROM t
-        |UNION ALL
-        |SELECT id + 1000000, id + 4000000, CAST(0 AS INTEGER) FROM t
-        |UNION ALL
-        |SELECT id + 2000000, id + 4000000, CAST(0 AS INTEGER) FROM t
+      """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |o(k) AS (VALUES (0), (1000000), (2000000), (4000000), (5000000))
+        |SELECT t.id + a.k AS id_a, t.id + b.k AS id_b,
+        |  CAST(0 AS INTEGER) AS hamming
+        |FROM t, o a, o b WHERE a.k < b.k
         |ORDER BY id_a, id_b""".stripMargin,
     "q105_keepbest_dedup" ->
       s"""WITH RECURSIVE ${LlmPipeline.augmentedSql},

@@ -101,6 +101,49 @@ class ImageDedupSpec extends SparkSuite {
     }
   }
 
+  test("PNG decode: full static matrix — depths, palette, Adam7 (r11)") {
+    val rnd = new scala.util.Random(44)
+    val combos = Seq((0, 1), (0, 2), (0, 4), (0, 8), (0, 16), (2, 8),
+      (2, 16), (3, 1), (3, 2), (3, 4), (3, 8), (4, 8), (4, 16), (6, 8),
+      (6, 16))
+    for ((ct, d) <- combos; inter <- Seq(false, true)) {
+      val w = 18; val h = 16
+      val maxV = if (d < 8) (1 << d) - 1 else 255
+      val img = Array.fill(h, w)(rnd.nextInt(maxV + 1))
+      val png = ImageBuild.pngGray(w, h, ct, d, inter,
+        filterOf = y => y % 5)((x, y) => img(y)(x))
+      val Right((dw, dh, luma)) = ImageDedup.PngPixels.decodeGray(png)
+      assert((dw, dh) === ((w, h)), s"ct=$ct d=$d i=$inter")
+      // identity luma for byte+ depths, 255/(2^d-1) scaling below
+      def scaled(v: Int): Int = if (d >= 8) v else v * 255 / ((1 << d) - 1)
+      assert(luma.toSeq === img.flatten.toSeq.map(scaled),
+        s"ct=$ct d=$d i=$inter: pixels differ")
+      // cross-path: the equivalent BMP yields the identical fingerprint
+      val bmpImg = img.map(_.map(scaled))
+      assert(ImagePixels.dhashOf(png) === ImagePixels.dhashOf(bmpOf(bmpImg)),
+        s"ct=$ct d=$d i=$inter: dHash differs from BMP")
+      assert(ImagePixels.ahashOf(png) === ImagePixels.ahashOf(bmpOf(bmpImg)),
+        s"ct=$ct d=$d i=$inter: aHash differs from BMP")
+    }
+  }
+
+  test("PNG Adam7: every size 1..9 deinterlaces to the sequential image") {
+    // small canvases hit every empty-pass configuration of the 7-pass
+    // grid; filters vary by image row so pass-local filtering is real
+    for (w <- 1 to 9; h <- 1 to 9) {
+      val img = Array.tabulate(h, w)((y, x) => (x * 37 + y * 11) % 256)
+      val seq = ImageBuild.pngGray(w, h)((x, y) => img(y)(x))
+      val adam = ImageBuild.pngGray(w, h, interlace = true,
+        filterOf = y => (y + 1) % 5)((x, y) => img(y)(x))
+      assert(ImageDedup.PngPixels.decodeGray(adam)
+          .map(r => (r._1, r._2, r._3.toSeq)) ===
+        ImageDedup.PngPixels.decodeGray(seq)
+          .map(r => (r._1, r._2, r._3.toSeq)), s"$w x $h")
+      assert(ImageDedup.PngPixels.decodeGray(seq).map(_._3.toSeq) ===
+        Right(img.flatten.toSeq), s"$w x $h sequential")
+    }
+  }
+
   test("PNG decode: wide image crossing the deflate buffer round-trips") {
     val rnd = new scala.util.Random(42)
     val img = randImg(rnd, w = 200, h = 90) // 54KB RGB raw, multi-block
@@ -121,18 +164,22 @@ class ImageDedupSpec extends SparkSuite {
     bad(good.length - 20) = (bad(good.length - 20) ^ 0x55).toByte
     assert(ImageDedup.PngPixels.decodeGray(bad).isLeft ||
       ImageDedup.PngPixels.decodeGray(bad).isRight) // never throws
-    // Adam7 interlace flag → unsupported (byte 28 = IHDR interlace)
+    // flag-flipped headers now claim a layout the stream does not
+    // carry — structural mismatch, so "corrupt" (since r11 every legal
+    // static PNG layout decodes; "unsupported" no longer exists for
+    // PNG)
     val adam = good.clone
-    adam(28) = 1
-    assert(ImageDedup.PngPixels.decodeGray(adam) === Left("unsupported"))
-    // palette color type → unsupported
+    adam(28) = 1 // Adam7 flag over a sequential stream: length mismatch
+    assert(ImageDedup.PngPixels.decodeGray(adam) === Left("corrupt"))
     val pal = good.clone
-    pal(25) = 3
-    assert(ImageDedup.PngPixels.decodeGray(pal) === Left("unsupported"))
-    // 16-bit depth → unsupported
+    pal(25) = 3 // palette type without a PLTE chunk
+    assert(ImageDedup.PngPixels.decodeGray(pal) === Left("corrupt"))
     val deep = good.clone
-    deep(24) = 16
-    assert(ImageDedup.PngPixels.decodeGray(deep) === Left("unsupported"))
+    deep(24) = 16 // 16-bit claim: stream is half the implied size
+    assert(ImageDedup.PngPixels.decodeGray(deep) === Left("corrupt"))
+    val badCombo = good.clone
+    badCombo(24) = 4; badCombo(25) = 2 // RGB at depth 4: illegal combo
+    assert(ImageDedup.PngPixels.decodeGray(badCombo) === Left("corrupt"))
     // huge claimed dimensions on a tiny body → oversized, refused
     // BEFORE the raw-buffer allocation
     val huge = good.clone

@@ -34,6 +34,14 @@ class MediaFuzzSpec extends SparkSuite {
     val png = ImageDedup.ImageBuild.pngGray(18, 16,
       colorType = Seq(0, 2, 4, 6)(rnd.nextInt(4)),
       filterOf = y => y % 5)((x, y) => img(y)(x))
+    // r11 decode surfaces: palette (PLTE walk + index clamp), 16-bit,
+    // sub-byte packing, Adam7 pass geometry
+    val pngPal = ImageDedup.ImageBuild.pngGray(18, 16, colorType = 3,
+      depth = Seq(1, 2, 4, 8)(rnd.nextInt(4)),
+      filterOf = y => y % 5)((x, y) => img(y)(x) % 16)
+    val pngAdam = ImageDedup.ImageBuild.pngGray(18, 16, colorType = 2,
+      depth = 16, interlace = true,
+      filterOf = y => y % 5)((x, y) => img(y)(x))
     val deltaGif = VideoDedup.GifBuild.animatedFrames(18, 16, Seq(
       VideoDedup.GifBuild.FrameSpec(0, 0, 18, 16,
         (x, y) => img(y)(x), disposal = 3),
@@ -41,7 +49,7 @@ class MediaFuzzSpec extends SparkSuite {
         (_, _) => rnd.nextInt(256), disposal = 2, transIdx = 5),
       VideoDedup.GifBuild.FrameSpec(0, 0, 18, 16,
         (x, y) => img(y)(x), interlaced = true)))
-    Seq(bmp, wav, gif, png, deltaGif)
+    Seq(bmp, wav, gif, png, pngPal, pngAdam, deltaGif)
   }
 
   test("pure random garbage never throws (1000 payloads)") {
