@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.CorpusExtras.queries ++
       graft.queries.PipelineExtras.queries ++
       graft.queries.Round8.queries ++
-      graft.queries.Round9.queries
+      graft.queries.Round9.queries ++
+      graft.queries.Round11.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.CorpusExtras.oracles ++
       graft.queries.PipelineExtras.oracles ++
       graft.queries.Round8.oracles ++
-      graft.queries.Round9.oracles
+      graft.queries.Round9.oracles ++
+      graft.queries.Round11.oracles
 }

@@ -23,17 +23,13 @@ import graft.functions.ColumnBridge
   */
 object HammingBand {
 
-  /** All pairs (id_a < id_b, hamming ≤ maxHamming) among rows whose
-    * `sig` is non-null. `sig` must be a 64-bit fingerprint column;
-    * `idCol` must be an integral column (a silent long-cast of string
-    * ids would null them all and collapse every member to id 0 inside
-    * the in-bucket generator — fail loudly instead). */
-  def pairs(
-      df: DataFrame, idCol: String, sig: Column,
-      maxHamming: Int, bands: Int): DataFrame = {
-    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64: $bands")
-    require(maxHamming >= 0 && maxHamming < bands,
-      s"exactness needs maxHamming < bands, got $maxHamming/$bands")
+  /** Fail loudly on a non-integral id column: a silent long-cast of
+    * string ids would null them all and collapse every member to id 0
+    * inside a pair generator. Shared by [[pairs]] and
+    * [[VideoDedup.orderedNearDupPairs]] (r10 ADVICE: the sibling had
+    * the cast without the check). */
+  private[operators] def requireIntegralId(
+      df: DataFrame, idCol: String): Unit =
     df.schema(idCol).dataType match {
       case _: org.apache.spark.sql.types.ByteType |
            _: org.apache.spark.sql.types.ShortType |
@@ -42,6 +38,17 @@ object HammingBand {
       case t => throw new IllegalArgumentException(
         s"$idCol must be an integral id column, got ${t.catalogString}")
     }
+
+  /** All pairs (id_a < id_b, hamming ≤ maxHamming) among rows whose
+    * `sig` is non-null. `sig` must be a 64-bit fingerprint column;
+    * `idCol` must be an integral column. */
+  def pairs(
+      df: DataFrame, idCol: String, sig: Column,
+      maxHamming: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64: $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"exactness needs maxHamming < bands, got $maxHamming/$bands")
+    requireIntegralId(df, idCol)
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     // signature once per row, in its own projection (multi-referenced

@@ -258,6 +258,17 @@ object Multimodal {
     }
   }
 
+  /** Column form of [[MediaDecoder.contentReason]] (the
+    * [[graft.functions.MediaReason]] codegen expression): per-row
+    * quarantine reason — "ok" / "corrupt" / "oversized" /
+    * "unsupported" / "opaque", or "missing" for a NULL payload. Never
+    * NULL; gated by q109's reason census. */
+  def contentReason(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.functions.ColumnBridge.col(
+      graft.functions.MediaReason(
+        graft.functions.ColumnBridge.expr(payload)))
+
   /** Minimal-but-valid single-image containers, built from (w, h): real
     * binary headers with correct magic, endianness, and (for PNG) chunk
     * CRCs — what [[MediaDecoder.decodeHeader]] parses back. Fixed sizes

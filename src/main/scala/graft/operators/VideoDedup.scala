@@ -555,24 +555,43 @@ object VideoDedup {
     * shuffle, candidates are gram-blocked (never all-pairs), and the
     * per-pair verify is a count aggregate on the join output — the
     * same candidate-bounded shape as the text n-gram Jaccard join
-    * (q43). */
+    * (q43).
+    *
+    * MATERIALIZES EAGERLY: calling this runs a Spark job immediately
+    * (the `localCheckpoint` that pins the decoded gram table), and the
+    * checkpointed blocks live on executors until the returned frame is
+    * garbage-collected — the same call-time contract as the conf-scoped
+    * operators (PLANS.md "Eager materialization points"). The
+    * alternative (a lazy plan) would re-run the GIF decode once per
+    * join side; decode dominates, so the pinned table wins. */
   def orderedNearDupPairs(
       df: DataFrame, idCol: String, payloadCol: String,
       q: Int = 2, minJaccard: Double = 0.5): DataFrame = {
     require(q >= 1, s"q must be >= 1, got $q")
     require(minJaccard > 0.0, "minJaccard must be positive: at 0 the " +
       "gram-blocked join is no longer equivalent to all-pairs Jaccard")
+    HammingBand.requireIntegralId(df, idCol)
     val elems = (1 to q).map(k => s"element_at(__fhs, i + $k)")
-    val gramsExpr = s"transform(sequence(0, size(__fhs) - $q), i -> " +
-      s"xxhash64(${elems.mkString(", ")}))"
+    // TOTAL by construction: the size guard lives INSIDE the gram
+    // expression, not in a separate Filter on the alias — a filter
+    // would be predicate-pushed below the decode projection (running
+    // the GIF decode twice per row) and, worse, any plan shape that
+    // reorders it past the projection would feed short clips into
+    // element_at and throw (caught by the r11 parity spec's 1-frame
+    // clip). NULL/short-clip rows yield an empty gram array, which the
+    // explode below drops — same semantics, one decode, no throw.
+    val gramsExpr = s"CASE WHEN size(__fhs) >= $q THEN " +
+      s"transform(sequence(0, size(__fhs) - $q), i -> " +
+      s"xxhash64(${elems.mkString(", ")})) " +
+      "ELSE CAST(array() AS ARRAY<BIGINT>) END"
     val sets = df
       .select(col(idCol).cast("long").as("id"),
         frameHashes(col(payloadCol)).as("__fhs"))
-      .filter(col("__fhs").isNotNull && size(col("__fhs")) >= q)
       .select(col("id"), array_distinct(expr(gramsExpr)).as("__gs"))
       .select(col("id"), size(col("__gs")).as("ng"),
         explode(col("__gs")).as("g"))
       .localCheckpoint() // pin: decode once, not once per join side
+      // (MATERIALIZES — see the scaladoc contract above)
     val a = sets.select(col("id").as("id_a"), col("ng").as("na"), col("g"))
     val b = sets.select(col("id").as("id_b"), col("ng").as("nb"), col("g"))
     a.join(b, Seq("g"))

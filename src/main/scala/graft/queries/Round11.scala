@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{AudioDedup, ImageDedup, Multimodal, VideoDedup}
+
+/** Round-11 queries: the gates for the round-10 surface that shipped
+  * ungated (r10 judge directive #1) — order-sensitive video near-dup
+  * (q108) and the media quarantine-reason census (q109). */
+object Round11 {
+
+  /** q108: ORDER-SENSITIVE video near-dup vs the order-insensitive
+    * temporal-mean hash, on one planted population — the two forms'
+    * DISAGREEMENT is the gate. Three video populations per doc_id
+    * (q106's frame patterns): the base 5-frame clip; the SAME frames
+    * REVERSED (+1M — a re-ordered cut); +16 brightness in the original
+    * order (+2M — every per-frame dHash is bit-identical, gradient
+    * signs survive a uniform shift); plus opaque text (+3M — no video
+    * path, skipped by both forms).
+    *
+    * Expected (arithmetic, no read-back):
+    *  - form='mean' ([[VideoDedup.nearDupPairs]], temporal-mean dHash):
+    *    all three in-trio pairs at hamming 0 — the per-pixel mean over
+    *    frames is invariant to frame order and shifts uniformly under
+    *    brightness, so a re-ordered cut COLLIDES (the catch-more
+    *    blocking direction);
+    *  - form='ordered' ([[VideoDedup.orderedNearDupPairs]], Jaccard
+    *    over positional 2-grams of the per-frame dHash sequence): ONLY
+    *    (id, id+2M) at jaccard 1.0 — the reversed cut shares no
+    *    2-gram with the original (grams hash CONSECUTIVE frame hashes
+    *    in order), while the same-order brightness copy has the
+    *    identical gram set.
+    * A frame-hash bug, a gram that ignores order, a Jaccard
+    * denominator error, or an undecodable payload leaking into either
+    * join changes the pair set and fails the gate. */
+  def q108VideoOrdered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.parallel(s, dir, "documents")
+    val media = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id0, text) =>
+        val id = Round9.guardMediaId(id0)
+        def frame(f: Int, shift: Int)(x: Int, y: Int): Int =
+          Round9.videoCell(id, f, (y / 2) * 9 + x / 2) + shift
+        def gif(frameIds: Seq[Int], shift: Int): Array[Byte] =
+          VideoDedup.GifBuild.animatedGray(Round9.imgW, Round9.imgH,
+            frameIds.map(f => frame(f, shift) _))
+        Seq(
+          Multimodal.MediaRecord(id, "video", gif(0 until 5, 0)),
+          Multimodal.MediaRecord(id + 1000000L, "video",
+            gif((0 until 5).reverse, 0)),
+          Multimodal.MediaRecord(id + 2000000L, "video",
+            gif(0 until 5, 16)),
+          Multimodal.MediaRecord(id + 3000000L, "video",
+            text.getBytes("UTF-8")))
+      }
+      .toDF("media_id", "kind", "payload")
+    val mean = VideoDedup
+      .nearDupPairs(media, "media_id", "payload", maxHamming = 3, bands = 4)
+      .select(col("id_a"), col("id_b"), lit("mean").as("form"),
+        col("hamming").cast("double").as("score"))
+    val ordered = VideoDedup
+      .orderedNearDupPairs(media, "media_id", "payload",
+        q = 2, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"), lit("ordered").as("form"),
+        col("jaccard").as("score"))
+    mean.unionByName(ordered).orderBy("form", "id_a", "id_b")
+  }
+
+  /** q109: media quarantine-reason CENSUS — thirteen payload variants
+    * per doc spanning every reason class of
+    * [[Multimodal.contentReason]] ([[graft.functions.MediaReason]],
+    * exercised through its whole-stage-codegen path), grouped to
+    * (variant, reason, cnt). The oracle is arithmetic: each variant
+    * maps to exactly ONE reason with cnt = count(documents) — any
+    * variant that decodes to a different reason (or splits across
+    * reasons) produces a row the oracle does not have.
+    *
+    * Variants: good BMP / gray-8 PNG / palette-Adam7 PNG / gray-16
+    * PNG / GIF / WAV → "ok"; an 8-bpp BMP header and an IEEE-float
+    * WAV (well-formed, out of decode scope) and a real JPEG header
+    * (probed, no pixel path) → "unsupported"; a truncated BMP →
+    * "corrupt"; a PNG claiming 8192×8192 on a tiny body →
+    * "oversized" (refused pre-allocation); magic-free bytes →
+    * "opaque"; a NULL payload → "missing" (the r10 ADVICE NPE class,
+    * now a first-class census row). */
+  def q109MediaReasonCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.parallel(s, dir, "documents")
+    val media = docs.select(col("doc_id"))
+      .as[Long]
+      .flatMap { id0 =>
+        val id = Round9.guardMediaId(id0)
+        def px(x: Int, y: Int): Int =
+          Round9.cellValue(id, (y / 2) * 9 + x / 2)
+        val w = Round9.imgW; val h = Round9.imgH
+        val bmp = ImageDedup.ImageBuild.bmp24Gray(w, h)(px)
+        val wav = AudioDedup.WavBuild.pcm16(
+          Array.tabulate(520)(i => Round9.frameAmp(id, i / 8)))
+        val bmpRle = bmp.clone; bmpRle(28) = 8 // 8-bpp: valid, o-o-scope
+        val wavFloat = wav.clone; wavFloat(20) = 3 // IEEE-float fmt tag
+        val pngHuge = ImageDedup.ImageBuild.pngGray(1, 1)((_, _) => 0)
+        // IHDR dims at 16/20 (BE): claim 8192x8192 > the 2^24 pixel cap
+        pngHuge(17) = 0; pngHuge(18) = 0x20; pngHuge(19) = 0
+        pngHuge(21) = 0; pngHuge(22) = 0x20; pngHuge(23) = 0
+        Seq[(Long, String, Array[Byte])](
+          (id, "bmp", bmp),
+          (id + 1000000L, "png_gray8",
+            ImageDedup.ImageBuild.pngGray(w, h)(px)),
+          (id + 2000000L, "png_palette_adam7",
+            ImageDedup.ImageBuild.pngGray(w, h, colorType = 3, depth = 4,
+              interlace = true)((x, y) => px(x, y) % 16)),
+          (id + 3000000L, "png_gray16",
+            ImageDedup.ImageBuild.pngGray(w, h, depth = 16)(px)),
+          (id + 4000000L, "gif",
+            VideoDedup.GifBuild.animatedGray(w, h, Seq(px _))),
+          (id + 5000000L, "wav", wav),
+          (id + 6000000L, "bmp_8bpp", bmpRle),
+          (id + 7000000L, "wav_float", wavFloat),
+          (id + 8000000L, "jpeg_hdr",
+            Multimodal.MediaBuild.jpeg(w, h)),
+          (id + 9000000L, "bmp_trunc", bmp.take(40)),
+          (id + 10000000L, "png_huge", pngHuge),
+          (id + 11000000L, "no_magic",
+            Array[Byte](0x01, 0x7f, 0x03, 0x00, 0x42, 0x42)),
+          (id + 12000000L, "missing", null))
+      }
+      .toDF("media_id", "variant", "payload")
+    media
+      .select(col("variant"),
+        Multimodal.contentReason(col("payload")).as("reason"))
+      .groupBy("variant", "reason")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("variant", "reason")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_video_ordered" -> q108VideoOrdered _,
+    "q109_media_reason_census" -> q109MediaReasonCensus _)
+
+  val oracles: Map[String, String] = Map(
+    "q108_video_ordered" ->
+      """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |m(a_k, b_k) AS (VALUES (0, 1000000), (0, 2000000),
+        |                       (1000000, 2000000))
+        |SELECT t.id + m.a_k AS id_a, t.id + m.b_k AS id_b,
+        |  'mean' AS form, CAST(0 AS DOUBLE) AS score
+        |FROM t, m
+        |UNION ALL
+        |SELECT id, id + 2000000, 'ordered', CAST(1 AS DOUBLE) FROM t
+        |ORDER BY form, id_a, id_b""".stripMargin,
+    "q109_media_reason_census" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+        |v(variant, reason) AS (VALUES
+        |  ('bmp', 'ok'), ('bmp_8bpp', 'unsupported'),
+        |  ('bmp_trunc', 'corrupt'), ('gif', 'ok'),
+        |  ('jpeg_hdr', 'unsupported'), ('missing', 'missing'),
+        |  ('no_magic', 'opaque'), ('png_gray16', 'ok'),
+        |  ('png_gray8', 'ok'), ('png_huge', 'oversized'),
+        |  ('png_palette_adam7', 'ok'), ('wav', 'ok'),
+        |  ('wav_float', 'unsupported'))
+        |SELECT v.variant, v.reason, n.c AS cnt FROM v, n
+        |ORDER BY variant, reason""".stripMargin)
+}

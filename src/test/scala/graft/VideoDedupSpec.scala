@@ -242,4 +242,63 @@ class VideoDedupSpec extends SparkSuite {
     assert(got === want)
     assert(want.exists(_._3 === 0), "brightness copies land at distance 0")
   }
+
+  test("orderedNearDupPairs: brute-force q-gram Jaccard parity (r11)") {
+    val rnd = new scala.util.Random(8)
+    // a pool of distinct frames composed into clips with shared,
+    // reordered, perturbed and partially-overlapping orders
+    val pool = Vector.fill(6)(rndFrame(rnd))
+    def clip(ix: Int*): Array[Byte] = gifOf(ix.map(pool))
+    val vids = Seq[(Long, Array[Byte])](
+      (1L, clip(0, 1, 2, 3)),
+      (2L, clip(0, 1, 2, 3)),                      // exact copy → 1.0
+      (3L, clip(3, 2, 1, 0)),                      // reversed → 0
+      (4L, clip(0, 1, 2, 4)),                      // 2/4 grams → 0.5
+      (5L, gifOf(Seq(pool(0).map(_.map(_ + 12)),   // brightness copy,
+        pool(1).map(_.map(_ + 12)),                // same order → 1.0
+        pool(2).map(_.map(_ + 12)),
+        pool(3).map(_.map(_ + 12)))))
+        ,
+      (6L, clip(5)),                               // < q frames: skipped
+      (7L, "not a gif at all".getBytes("UTF-8")))  // no video path
+    val q = 2
+    // brute force over positional frame-hash tuples
+    val gramSets = vids.flatMap { case (id, p) =>
+      GifPixels.frameHashesOf(p).collect {
+        case hs if hs.length >= q =>
+          id -> hs.sliding(q).map(_.toVector).toSet
+      }
+    }
+    val want = (for {
+      Seq((a, ga), (b, gb)) <- gramSets.sortBy(_._1).combinations(2)
+      inter = (ga & gb).size
+      j = inter.toDouble / (ga.size + gb.size - inter) if j >= 0.5
+    } yield (a, b, j)).toSet
+    val got = VideoDedup.orderedNearDupPairs(
+        vids.toDF("id", "payload").repartition(4), "id", "payload",
+        q = q, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+    // the planted semantics, stated explicitly
+    val pairs = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 2L)) === 1.0, "exact copy")
+    assert(pairs((1L, 5L)) === 1.0, "same-order brightness copy")
+    assert(pairs((1L, 4L)) === 0.5, "3-frame overlap")
+    assert(!pairs.contains((1L, 3L)), "reversed cut must NOT pair")
+    assert(!got.exists(t => t._1 === 6L || t._2 === 6L), "short clip")
+    assert(!got.exists(t => t._1 === 7L || t._2 === 7L), "non-video")
+    // ...while the order-INSENSITIVE mean hash pairs the reversed cut
+    val meanPairs = VideoDedup.nearDupPairs(
+        vids.toDF("id", "payload"), "id", "payload", 3, 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(meanPairs.contains((1L, 3L, 0)), "mean hash catches reorder")
+  }
+
+  test("orderedNearDupPairs rejects non-integral id columns loudly") {
+    intercept[IllegalArgumentException] {
+      VideoDedup.orderedNearDupPairs(
+        Seq(("uuid-1", Array[Byte](1))).toDF("id", "payload"),
+        "id", "payload")
+    }
+  }
 }
