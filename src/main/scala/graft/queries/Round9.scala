@@ -112,10 +112,41 @@ object Round9 {
     * (the purchase slot of the per-type value map), and
     * `graft_histogram` under capacity (hours-of-day ≤ 24 < 32 bins, so
     * centroids are exactly the distinct values and both the bin count
-    * and the peak weight are oracle-exact). */
+    * and the peak weight are oracle-exact).
+    *
+    * r11 (judge directive #4, carried from r9 #6): the events table is
+    * tie-free per user, so default and strict_increase funnels used to
+    * coincide and the oracle leaned on `dp.lvl AS lvl_si`. The view now
+    * UNIONs a planted TIE-FUL slice — for every user with
+    * user_id % 7 = 3, a shadow user (+10M) whose four funnel events
+    * carry colliding timestamps: cohort A (even base id) has all four
+    * at one instant (default chains in step order → lvl 4;
+    * strict_increase stops at the anchor → lvl_si 1), cohort B (odd)
+    * has view+click tied one hour after signup, purchase one hour
+    * later (lvl 4 vs lvl_si 2). The oracle now derives lvl and lvl_si
+    * from two INDEPENDENT window-DP chains (CURRENT ROW vs 1 PRECEDING
+    * frames), so the two modes are proven to disagree exactly where
+    * ties demand it. */
   def q103SqlSurface2(s: SparkSession, dir: String): DataFrame = {
     Tables.parallel(s, dir, "events")
-      .createOrReplaceTempView("graft_events_r9")
+      .createOrReplaceTempView("graft_events_base_r11")
+    s.sql("""
+      CREATE OR REPLACE TEMPORARY VIEW graft_events_r9 AS
+      SELECT user_id, ts, event_id, event_type, value
+      FROM graft_events_base_r11
+      UNION ALL
+      SELECT u.user_id + 10000000 AS user_id,
+        TIMESTAMP'2001-06-01 09:00:00' + make_interval(0, 0, 0, 0,
+          CASE WHEN u.user_id % 2 = 0 THEN 0
+            ELSE CASE s.s WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 3 THEN 1
+              ELSE 2 END END, 0, 0) AS ts,
+        CAST(s.s AS BIGINT) AS event_id,
+        CASE s.s WHEN 1 THEN 'signup' WHEN 2 THEN 'view'
+          WHEN 3 THEN 'click' ELSE 'purchase' END AS event_type,
+        CAST(s.s AS DOUBLE) AS value
+      FROM (SELECT DISTINCT user_id FROM graft_events_base_r11
+            WHERE user_id % 7 = 3) u
+      CROSS JOIN (SELECT explode(array(1, 2, 3, 4)) AS s) s""")
     s.sql("""
       SELECT user_id,
         graft_delta_sum(unix_micros(ts), event_id, value) AS dsum,
@@ -339,8 +370,24 @@ object Round9 {
         |SELECT id + 1000000, id + 2000000, CAST(0 AS INTEGER) FROM t
         |ORDER BY id_a, id_b""".stripMargin,
     "q103_sql_surface2" ->
-      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id,
-        |              event_type, value, hour(ts) AS hr FROM events),
+      """WITH tie AS (
+        |  SELECT u.user_id + 10000000 AS user_id,
+        |    TIMESTAMP '2001-06-01 09:00:00'
+        |      + (CASE WHEN u.user_id % 2 = 0 THEN 0
+        |         ELSE CASE s.s WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 3 THEN 1
+        |           ELSE 2 END END) * INTERVAL 1 HOUR AS ts,
+        |    CAST(s.s AS BIGINT) AS event_id,
+        |    CASE s.s WHEN 1 THEN 'signup' WHEN 2 THEN 'view'
+        |      WHEN 3 THEN 'click' ELSE 'purchase' END AS event_type,
+        |    CAST(s.s AS DOUBLE) AS value
+        |  FROM (SELECT DISTINCT user_id FROM events
+        |        WHERE user_id % 7 = 3) u
+        |  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS s) s),
+        |ev AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+        |         value, hour(ts) AS hr FROM events
+        |       UNION ALL
+        |       SELECT user_id, epoch_us(ts), event_id, event_type,
+        |         value, hour(ts) FROM tie),
         |dd AS (SELECT user_id,
         |         CAST(value AS DECIMAL(18,4))
         |           - lag(CAST(value AS DECIMAL(18,4)))
@@ -362,15 +409,15 @@ object Round9 {
         |s1 AS (SELECT *, max(CASE WHEN event_type = 'signup' THEN t END)
         |         OVER w1 AS b1 FROM ev
         |       WINDOW w1 AS (PARTITION BY user_id ORDER BY t
-        |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |s2 AS (SELECT *, max(CASE WHEN event_type = 'view' THEN b1 END)
         |         OVER w2 AS b2 FROM s1
         |       WINDOW w2 AS (PARTITION BY user_id ORDER BY t
-        |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |s3 AS (SELECT *, max(CASE WHEN event_type = 'click' THEN b2 END)
         |         OVER w3 AS b3 FROM s2
         |       WINDOW w3 AS (PARTITION BY user_id ORDER BY t
-        |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |dp AS (SELECT user_id, CAST(max(CASE
         |    WHEN event_type = 'purchase' AND b3 IS NOT NULL
         |      AND t - b3 <= 86400000000 THEN 4
@@ -380,6 +427,27 @@ object Round9 {
         |      AND t - b1 <= 86400000000 THEN 2
         |    WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS INTEGER)
         |  AS lvl FROM s3 GROUP BY user_id),
+        |u1 AS (SELECT *, max(CASE WHEN event_type = 'signup' THEN t END)
+        |         OVER w1 AS c1 FROM ev
+        |       WINDOW w1 AS (PARTITION BY user_id ORDER BY t
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |u2 AS (SELECT *, max(CASE WHEN event_type = 'view' THEN c1 END)
+        |         OVER w2 AS c2 FROM u1
+        |       WINDOW w2 AS (PARTITION BY user_id ORDER BY t
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |u3 AS (SELECT *, max(CASE WHEN event_type = 'click' THEN c2 END)
+        |         OVER w3 AS c3 FROM u2
+        |       WINDOW w3 AS (PARTITION BY user_id ORDER BY t
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |dq AS (SELECT user_id, CAST(max(CASE
+        |    WHEN event_type = 'purchase' AND c3 IS NOT NULL
+        |      AND t - c3 <= 86400000000 THEN 4
+        |    WHEN event_type = 'click' AND c2 IS NOT NULL
+        |      AND t - c2 <= 86400000000 THEN 3
+        |    WHEN event_type = 'view' AND c1 IS NOT NULL
+        |      AND t - c1 <= 86400000000 THEN 2
+        |    WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS INTEGER)
+        |  AS lvl_si FROM u3 GROUP BY user_id),
         |pt AS (SELECT user_id,
         |         CAST(CAST(sum(CASE WHEN event_type = 'purchase'
         |           THEN CAST(value AS DECIMAL(18,4)) END)
@@ -394,11 +462,12 @@ object Round9 {
         |  CAST(ret.a1 AS INTEGER) AS r1,
         |  CAST(least(ret.a1, ret.a2) AS INTEGER) AS r2,
         |  CAST(least(ret.a1, ret.a3) AS INTEGER) AS r3,
-        |  dp.lvl, dp.lvl AS lvl_si, pt.purchase_total,
+        |  dp.lvl, dq.lvl_si, pt.purchase_total,
         |  hs.hist_bins, hs.hist_peak
         |FROM ret
         |LEFT JOIN ds ON ds.user_id = ret.user_id
         |JOIN dp ON dp.user_id = ret.user_id
+        |JOIN dq ON dq.user_id = ret.user_id
         |JOIN pt ON pt.user_id = ret.user_id
         |JOIN hs ON hs.user_id = ret.user_id
         |ORDER BY ret.user_id""".stripMargin)
