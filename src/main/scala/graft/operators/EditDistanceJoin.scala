@@ -166,6 +166,16 @@ object EditDistanceJoin {
     candidates
       .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
       .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
+      // Pass-Join's content filter on the already-shuffled candidate
+      // rows (r10 directive #3): the bucketed codepoint-frequency L1 is
+      // ≤ 2·ed, so L1 > 2d proves ed > d without the banded DP — an
+      // O(L) byte walk that discharges the (at sf1) ~5000:1
+      // false-candidate majority before the O(d·L) verify; complete,
+      // never drops a true pair ([[graft.functions.CodepointL1]])
+      .filter(graft.functions.ColumnBridge.col(
+        graft.functions.CodepointL1(
+          graft.functions.ColumnBridge.expr(col("__sa")),
+          graft.functions.ColumnBridge.expr(col("__sb")))) <= 2 * d)
       .select(col("id_a"), col("id_b"),
         levenshtein(col("__sa"), col("__sb"), d).as("__lev"))
       .filter(col("__lev") >= 0)

@@ -111,4 +111,63 @@ class EditDistanceJoinSpec extends SparkSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("packed window-code bound")))
   }
+
+  test("CodepointL1: always a lower bound on 2*levenshtein (r11 filter)") {
+    import graft.functions.CodepointL1
+    import org.apache.spark.unsafe.types.UTF8String
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    def l1(a: String, b: String): Int =
+      CodepointL1.l1(UTF8String.fromString(a), UTF8String.fromString(b))
+    val rnd = new Random(11)
+    val alphabets = Seq("ab", "abcdefgh", "日本語テキストと latin 混在")
+    for (_ <- 1 to 300; alpha <- alphabets) {
+      def str(n: Int) =
+        (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val a = str(rnd.nextInt(30))
+      val b =
+        if (rnd.nextBoolean()) str(rnd.nextInt(30))
+        else { // perturbation of a: the near-pair regime the filter guards
+          val sb = new StringBuilder(a)
+          for (_ <- 0 until rnd.nextInt(4); if sb.nonEmpty)
+            sb.setCharAt(rnd.nextInt(sb.length),
+              alpha(rnd.nextInt(alpha.length)))
+          sb.toString
+        }
+      assert(l1(a, b) <= 2 * lev(a, b), s"'$a' vs '$b'")
+      assert(l1(a, b) === l1(b, a)) // symmetric
+    }
+    assert(l1("", "") === 0)
+    assert(l1("abc", "abc") === 0)
+    assert(l1("abc", "abd") === 2) // one substitution: exactly 2
+  }
+
+  test("content filter prunes without changing the exact pair set") {
+    // a corpus where most blocked candidates are false (shared segments
+    // at matching positions but large true distance): parity must hold
+    // with the L1 prefilter in place
+    import spark.implicits._
+    val rnd = new Random(13)
+    val common = "the quick brown fox jumps over the lazy dog padding"
+    val rows = (0L until 30L).map { i =>
+      // same prefix (shared segments), divergent suffixes
+      i -> (common + (1 to 20).map(_ =>
+        ('a' + rnd.nextInt(26)).toChar).mkString)
+    } ++ Seq(100L -> (common + "abcdefghijklmnopqrst"),
+      101L -> (common + "abcdefghijklmnopqrsu")) // true pair at ed 1
+    val d = 3
+    assert(run(rows, d) === bruteForce(rows, d))
+    assert(run(rows, d).contains((100L, 101L, 1L)))
+  }
 }
