@@ -176,11 +176,25 @@ object StatefulDedup {
     * partition count from `spark.sql.shuffle.partitions` AT QUERY
     * PLANNING (a `repartition(n)` upstream does not change the state
     * store's partitioning), so the conf must be set around
-    * `.start()`. The body MUST both start the query and block until its
-    * first batch has been planned — for `Trigger.AvailableNow`/one-shot
-    * gates, `start().awaitTermination()` inside the body (the shape
-    * every caller in this repo uses); restoring the conf after a bare
-    * `start()` would race query startup.
+    * `.start()`. The body must at least CALL `start()` synchronously;
+    * it need not block until the first batch plans, because
+    * `StreamExecution` clones the session — conf included — in its
+    * constructor, which runs inside `start()` itself, so async planning
+    * reads the clone, never the restored session conf
+    * (TaskRunnerSizingSpec pins this: conf restored before the first
+    * input file exists, state dirs still sized).
+    *
+    * CONCURRENCY: the scope mutates the SHARED session conf for the
+    * duration of the body — any OTHER query planned concurrently on the
+    * same SparkSession inside the scope silently picks up the sized
+    * (possibly 1-partition) shuffle count, and two overlapping scopes
+    * restore stale values. Callers must not plan unrelated queries on
+    * this session concurrently with the scope; for a multi-tenant
+    * session, plan the stream on `spark.newSession()` (shared context,
+    * isolated conf) and scope that session instead. Every caller in
+    * this repo (Bench gate, StreamGateProbe, TaskRunner.run) holds the
+    * session single-threaded across the — brief, start()-bounded —
+    * scope.
     *
     * CHECKPOINT COMPAT: the partition count is pinned in the
     * checkpoint's offset-log metadata at the FIRST batch and re-applied

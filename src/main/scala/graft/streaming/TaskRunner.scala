@@ -80,7 +80,16 @@ object TaskRunner {
           .map(_.name)
         MessageParser.withSeriesColumns(projected, stringDims, "__name__")
       } else projected
-    val enriched = enrich(withSeries)
+    applyShard(cfg, numShards)(enrich(withSeries))
+  }
+
+  /** The B3/B4 sharding tail of [[build]]: route rows to writer shards
+    * when the task configures a sharding key. Split out so [[run]] can
+    * interpose the stateful dedup gate BEFORE it (the gate re-shuffles
+    * by its own key; sharding must be the last repartition so rows
+    * arrive at the sink writer-colocated). */
+  private def applyShard(
+      cfg: TaskConfig, numShards: Int)(enriched: DataFrame): DataFrame =
     cfg.shardingKey match {
       case Some(key) if numShards > 1 =>
         // stripe only on an explicit well-formed "stripe,N" with N a
@@ -99,11 +108,33 @@ object TaskRunner {
           enriched.withColumn("__shard", shardCol), col("__shard"), numShards)
       case _ => enriched
     }
-  }
 
   /** Start the streaming query: micro-batch per flush interval, sink via
     * foreachBatch, offsets checkpointed. `availableNow = true` drains the
-    * source and stops (test/backfill mode). */
+    * source and stops (test/backfill mode).
+    *
+    * `dedupKey` interposes the cross-batch first-seen gate
+    * ([[StatefulDedup.firstSeen]]) between enrichment and sharding —
+    * the streaming analog of the reference's series first-seen
+    * suppression, here as a task-assembly knob. When set, the gate's
+    * STATE partitioning defaults to the measured sizing rule
+    * [[StatefulDedup.statePartitionsFor]]`(cfg.bufferSize)` — state
+    * partitions follow rows-per-trigger (`bufferSize` ↦
+    * `maxOffsetsPerTrigger`), not the session's
+    * `spark.sql.shuffle.partitions`, closing the default-sizing trap
+    * the r9 decomposition diagnosed (a 62 K-row trigger on 32 session
+    * partitions spends more time on store-commit cycles than on rows).
+    * Override with `statePartitions` when trigger volume is not
+    * bufferSize-bound (e.g. rate-limited sources). The sizing is pinned
+    * into the checkpoint at first batch and wins on restart
+    * ([[StatefulDedup.withStatePartitions]] CHECKPOINT COMPAT).
+    *
+    * The conf scope is restored as soon as `start()` returns: Spark
+    * clones the session (including `spark.sql.shuffle.partitions`)
+    * inside the `StreamExecution` CONSTRUCTOR, which runs synchronously
+    * within `start()`, so first-batch planning reads the clone, never
+    * the restored session conf (pinned by TaskRunnerSizingSpec's
+    * restore-before-await assertions). */
   def run(
       cfg: TaskConfig,
       source: DataFrame,
@@ -111,9 +142,15 @@ object TaskRunner {
       checkpointDir: String,
       enrich: DataFrame => DataFrame = identity,
       numShards: Int = 1,
-      availableNow: Boolean = false): StreamingQuery = {
-    val transformed = build(cfg, enrich, numShards)(source)
-    transformed.writeStream
+      availableNow: Boolean = false,
+      dedupKey: Option[String] = None,
+      dedupTtlMs: Long = 0L,
+      statePartitions: Option[Int] = None): StreamingQuery = {
+    val core = build(cfg, enrich, numShards = 1)(source)
+    val gated = dedupKey.fold(core)(k =>
+      StatefulDedup.firstSeen(core, k, dedupTtlMs))
+    val transformed = applyShard(cfg, numShards)(gated)
+    def start(): StreamingQuery = transformed.writeStream
       .queryName(cfg.name)
       .trigger(
         if (availableNow) Trigger.AvailableNow()
@@ -123,6 +160,11 @@ object TaskRunner {
         sink.write(batch, batchId)
       }
       .start()
+    if (dedupKey.isEmpty) start()
+    else StatefulDedup.withStatePartitions(
+      source.sparkSession,
+      statePartitions.getOrElse(
+        StatefulDedup.statePartitionsFor(cfg.bufferSize.toLong)))(start())
   }
 }
 
