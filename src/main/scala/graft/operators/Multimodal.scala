@@ -189,9 +189,9 @@ object Multimodal {
       *  - "oversized": decode-bound policy rejection of a possibly
       *    valid file — retry on a bigger-budget path;
       *  - "unsupported": valid feature outside the decoder's scope
-      *    (PNG Adam7/palette/16-bit; JPEG/WEBP/TIFF, which have header
-      *    probes but no pixel path here) — route to an external-codec
-      *    stage;
+      *    (progressive/12-bit/CMYK JPEG per [[JpegPixels]]; WEBP/TIFF,
+      *    which have header probes but no pixel path here) — route to
+      *    an external-codec stage;
       *  - "opaque": no recognized container magic at all.
       * Exposed as the codegen expression
       * [[graft.functions.MediaReason]] and gated by q109's census. */

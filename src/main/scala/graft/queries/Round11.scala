@@ -4,11 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AudioDedup, ImageDedup, Multimodal, VideoDedup}
+import graft.operators.{AudioDedup, ImageDedup, JpegBuild, Multimodal,
+  VideoDedup}
 
 /** Round-11 queries: the gates for the round-10 surface that shipped
   * ungated (r10 judge directive #1) — order-sensitive video near-dup
-  * (q108) and the media quarantine-reason census (q109). */
+  * (q108) and the media quarantine-reason census (q109) — plus the
+  * gate for the round-11 baseline-JPEG pixel path (directive #8),
+  * q110. */
 object Round11 {
 
   /** q108: ORDER-SENSITIVE video near-dup vs the order-insensitive
@@ -69,7 +72,7 @@ object Round11 {
     mean.unionByName(ordered).orderBy("form", "id_a", "id_b")
   }
 
-  /** q109: media quarantine-reason CENSUS — thirteen payload variants
+  /** q109: media quarantine-reason CENSUS — fifteen payload variants
     * per doc spanning every reason class of
     * [[Multimodal.contentReason]] ([[graft.functions.MediaReason]],
     * exercised through its whole-stage-codegen path), grouped to
@@ -79,13 +82,16 @@ object Round11 {
     * reasons) produces a row the oracle does not have.
     *
     * Variants: good BMP / gray-8 PNG / palette-Adam7 PNG / gray-16
-    * PNG / GIF / WAV → "ok"; an 8-bpp BMP header and an IEEE-float
-    * WAV (well-formed, out of decode scope) and a real JPEG header
-    * (probed, no pixel path) → "unsupported"; a truncated BMP →
-    * "corrupt"; a PNG claiming 8192×8192 on a tiny body →
-    * "oversized" (refused pre-allocation); magic-free bytes →
-    * "opaque"; a NULL payload → "missing" (the r10 ADVICE NPE class,
-    * now a first-class census row). */
+    * PNG / GIF / WAV / baseline JPEG (r11: [[graft.operators.JpegPixels]] decodes it
+    * now) → "ok"; an 8-bpp BMP header, an IEEE-float WAV (well-formed,
+    * out of decode scope), and a progressive JPEG (SOF2 — the
+    * external-codec seam) → "unsupported"; a truncated BMP and the
+    * scan-less SOI+SOF0+EOI header twin (a broken FILE even though
+    * every marker parses — reclassified from "unsupported" when the
+    * pixel path landed) → "corrupt"; a PNG claiming 8192×8192 on a
+    * tiny body → "oversized" (refused pre-allocation); magic-free
+    * bytes → "opaque"; a NULL payload → "missing" (the r10 ADVICE NPE
+    * class, now a first-class census row). */
   def q109MediaReasonCensus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
@@ -125,7 +131,11 @@ object Round11 {
           (id + 10000000L, "png_huge", pngHuge),
           (id + 11000000L, "no_magic",
             Array[Byte](0x01, 0x7f, 0x03, 0x00, 0x42, 0x42)),
-          (id + 12000000L, "missing", null))
+          (id + 12000000L, "missing", null),
+          (id + 13000000L, "jpeg_base",
+            JpegBuild.gray(w, h)((x, y) => px(x, y))),
+          (id + 14000000L, "jpeg_prog", JpegBuild.progressiveTwin(
+            JpegBuild.gray(w, h)((x, y) => px(x, y)))))
       }
       .toDF("media_id", "variant", "payload")
     media
@@ -136,9 +146,53 @@ object Round11 {
       .orderBy("variant", "reason")
   }
 
+  /** q110: baseline-JPEG content near-dup — the r11 pixel path
+    * ([[graft.operators.JpegPixels]]) feeding the same dHash +
+    * Hamming-band machinery as q102, on a plant built for PROVABLE
+    * lossy-codec exactness: 72×64 images whose value is constant
+    * within each 8×8 JPEG block (the 9×8 hash grid = the block grid),
+    * encoded with [[JpegBuild]]'s all-ones quantization table. A
+    * constant block has only a DC coefficient — an exact integer under
+    * the spec FDCT — so encode→decode reproduces every pixel
+    * bit-exactly (JpegPixelsSpec pins this for all 256 values) and
+    * the cross-format pairs below hold at Hamming 0 EXACTLY, not
+    * approximately. Populations per doc_id: the BMP rendering; the
+    * JPEG of the same pixels (+1M); the JPEG of +16 brightness (+2M —
+    * DC-only change, dHash compares adjacent cells so the shift
+    * cancels); opaque text (+3M, decodes nowhere, pairs never).
+    * Expected pairs: the three in-trio pairs per doc at hamming 0 —
+    * any decoder drift (quantization, IDCT rounding, block placement,
+    * luma crop) flips a gradient sign somewhere across the ~600-doc ×
+    * 72-cell population and breaks the arithmetic oracle. */
+  def q110JpegNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.parallel(s, dir, "documents")
+    val media = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id0, text) =>
+        val id = Round9.guardMediaId(id0)
+        def px(shift: Int)(x: Int, y: Int): Int =
+          Round9.cellValue(id, (y / 8) * 9 + x / 8) + shift
+        Seq(
+          Multimodal.MediaRecord(id, "image",
+            ImageDedup.ImageBuild.bmp24Gray(72, 64)(px(0))),
+          Multimodal.MediaRecord(id + 1000000L, "image",
+            JpegBuild.gray(72, 64)(px(0))),
+          Multimodal.MediaRecord(id + 2000000L, "image",
+            JpegBuild.gray(72, 64)(px(16))),
+          Multimodal.MediaRecord(id + 3000000L, "image",
+            text.getBytes("UTF-8")))
+      }
+      .toDF("media_id", "kind", "payload")
+    ImageDedup.nearDupPairs(media, "media_id", "payload",
+        maxHamming = 3, bands = 4)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_video_ordered" -> q108VideoOrdered _,
-    "q109_media_reason_census" -> q109MediaReasonCensus _)
+    "q109_media_reason_census" -> q109MediaReasonCensus _,
+    "q110_jpeg_neardup" -> q110JpegNearDup _)
 
   val oracles: Map[String, String] = Map(
     "q108_video_ordered" ->
@@ -156,11 +210,20 @@ object Round11 {
         |v(variant, reason) AS (VALUES
         |  ('bmp', 'ok'), ('bmp_8bpp', 'unsupported'),
         |  ('bmp_trunc', 'corrupt'), ('gif', 'ok'),
-        |  ('jpeg_hdr', 'unsupported'), ('missing', 'missing'),
+        |  ('jpeg_base', 'ok'), ('jpeg_hdr', 'corrupt'),
+        |  ('jpeg_prog', 'unsupported'), ('missing', 'missing'),
         |  ('no_magic', 'opaque'), ('png_gray16', 'ok'),
         |  ('png_gray8', 'ok'), ('png_huge', 'oversized'),
         |  ('png_palette_adam7', 'ok'), ('wav', 'ok'),
         |  ('wav_float', 'unsupported'))
         |SELECT v.variant, v.reason, n.c AS cnt FROM v, n
-        |ORDER BY variant, reason""".stripMargin)
+        |ORDER BY variant, reason""".stripMargin,
+    "q110_jpeg_neardup" ->
+      """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |m(a_k, b_k) AS (VALUES (0, 1000000), (0, 2000000),
+        |                       (1000000, 2000000))
+        |SELECT t.id + m.a_k AS id_a, t.id + m.b_k AS id_b,
+        |  CAST(0 AS INTEGER) AS hamming
+        |FROM t, m
+        |ORDER BY id_a, id_b""".stripMargin)
 }

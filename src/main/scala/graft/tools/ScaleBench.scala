@@ -179,7 +179,16 @@ object ScaleBench {
     "q105_keepbest_dedup",
     // q106 is q102's shape over animated-GIF payloads (LZW decode is
     // the dominant map-side CPU; still linear, (id, sig) shuffle only).
-    "q106_video_neardup")
+    "q106_video_neardup",
+    // r11: q108 runs BOTH video forms — the mean-hash band join plus
+    // the gram-blocked ordered join (decode pinned by localCheckpoint,
+    // only (id, ng, g) longs shuffle); gram-match volume is in-trio
+    // only (cross-copy ids never share planted frame patterns), so
+    // candidates scale linearly. q109 is a pure map + a 15×reason
+    // groupBy — constant-width aggregate, rows ×10. q110 is q102's
+    // shape with the JPEG Huffman+IDCT decode as the map-side CPU.
+    "q108_video_ordered", "q109_media_reason_census",
+    "q110_jpeg_neardup")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

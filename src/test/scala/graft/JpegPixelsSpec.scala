@@ -1,0 +1,284 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+import java.awt.image.BufferedImage
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{JpegBuild, JpegPixels, Multimodal}
+import graft.operators.ImageDedup.{ImageBuild, ImagePixels}
+
+/** From-scratch baseline-JPEG decoder ([[JpegPixels]]) + encoder
+  * ([[JpegBuild]]) conformance. The JDK's ImageIO JPEG codec serves as
+  * an INDEPENDENT test-only oracle in both directions — our bytes must
+  * decode correctly in a canonical third-party reader, and canonical
+  * third-party bytes (incl. YCbCr 4:2:0 multi-component scans our
+  * encoder never produces) must decode correctly in our reader. The
+  * library itself never touches ImageIO. */
+class JpegPixelsSpec extends AnyFunSuite {
+
+  private def randImg(rnd: scala.util.Random, w: Int, h: Int)
+      : Array[Array[Int]] = Array.fill(h, w)(rnd.nextInt(256))
+
+  private def decodeOrFail(p: Array[Byte]): (Int, Int, Array[Int]) =
+    JpegPixels.decodeGray(p) match {
+      case Right(t) => t
+      case Left(r) => fail(s"decode rejected: $r")
+    }
+
+  private def maxDiff(a: Array[Int], b: Array[Int]): Int = {
+    assert(a.length === b.length)
+    a.lazyZip(b).map((x, y) => math.abs(x - y)).max
+  }
+
+  // ---- ImageIO oracle helpers (test-only) ---------------------------
+
+  private def imageIoBytes(bi: BufferedImage, quality: Float,
+      progressive: Boolean = false): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    if (progressive) p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(bi, null, null), p)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  private def grayImage(img: Array[Array[Int]]): BufferedImage = {
+    val h = img.length; val w = img(0).length
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, img(y)(x))
+    bi
+  }
+
+  private def imageIoGray(p: Array[Byte]): (Int, Int, Array[Int]) = {
+    val bi = ImageIO.read(new java.io.ByteArrayInputStream(p))
+    assert(bi != null, "ImageIO could not parse our encoder's output")
+    val w = bi.getWidth; val h = bi.getHeight
+    val out = new Array[Int](w * h)
+    val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    gray.getGraphics.drawImage(bi, 0, 0, null)
+    for (y <- 0 until h; x <- 0 until w)
+      out(y * w + x) = gray.getRaster.getSample(x, y, 0)
+    (w, h, out)
+  }
+
+  // ---- exactness: the q110 foundation -------------------------------
+
+  test("unit-quant constant blocks roundtrip EXACTLY for every v in 0..255") {
+    // one 8x8 block per value — DC-only blocks must reproduce v bit-exactly
+    for (group <- 0 until 4) {
+      val vals = (group * 64 until (group + 1) * 64).toArray
+      // 64 blocks in an 8x8 block grid (64x64 px)
+      val p = JpegBuild.gray(64, 64)((x, y) => vals((y / 8) * 8 + x / 8))
+      val (w, h, pix) = decodeOrFail(p)
+      assert((w, h) === ((64, 64)))
+      for (y <- 0 until 64; x <- 0 until 64)
+        assert(pix(y * 64 + x) === vals((y / 8) * 8 + x / 8),
+          s"block value ${vals((y / 8) * 8 + x / 8)} at ($x,$y)")
+    }
+  }
+
+  test("unit-quant constant blocks: dHash identical to the BMP twin, " +
+      "+16 brightness dHash-invariant (the q110 plant contract)") {
+    val rnd = new scala.util.Random(110)
+    for (_ <- 0 until 20) {
+      val cells = Array.fill(8, 9)(1 + rnd.nextInt(200))
+      def px(shift: Int)(x: Int, y: Int): Int = cells(y / 8)(x / 8) + shift
+      val bmp = ImageBuild.bmp24Gray(72, 64)(px(0))
+      val jpg = JpegBuild.gray(72, 64)(px(0))
+      val jpgBright = JpegBuild.gray(72, 64)(px(16))
+      val hs = Seq(bmp, jpg, jpgBright).map(b =>
+        ImagePixels.dhashOf(b).getOrElse(fail("no hash")))
+      assert(hs(0) === hs(1), "JPEG twin dHash differs from BMP")
+      assert(hs(0) === hs(2), "brightness shift changed the dHash")
+    }
+  }
+
+  test("unit-quant arbitrary images roundtrip within DCT rounding (<=2)") {
+    val rnd = new scala.util.Random(1)
+    for ((w, h) <- Seq((24, 16), (17, 9), (8, 8), (1, 1), (3, 20))) {
+      val img = randImg(rnd, w, h)
+      val (dw, dh, pix) = decodeOrFail(
+        JpegBuild.gray(w, h)((x, y) => img(y)(x)))
+      assert((dw, dh) === ((w, h)))
+      val orig = (0 until h).flatMap(y => img(y).toSeq).toArray
+      assert(maxDiff(pix, orig) <= 2, s"${w}x$h")
+    }
+  }
+
+  test("lossy quant roundtrip stays within the table's error band") {
+    val rnd = new scala.util.Random(2)
+    // smooth image: error bounded ~ sum(q)/something; pin an empirical band
+    val img = Array.tabulate(40, 48)((y, x) =>
+      128 + (40 * math.sin(x / 7.0) + 30 * math.cos(y / 5.0)).toInt +
+        rnd.nextInt(5))
+    val p = JpegBuild.gray(48, 40, quant = JpegBuild.LossyQuant)(
+      (x, y) => math.min(255, math.max(0, img(y)(x))))
+    val (w, h, pix) = decodeOrFail(p)
+    assert((w, h) === ((48, 40)))
+    val orig = (0 until h).flatMap(y =>
+      img(y).map(v => math.min(255, math.max(0, v)))).toArray
+    assert(maxDiff(pix, orig) <= 20)
+  }
+
+  test("restart intervals: DRI/RSTn decode equals the marker-free encode") {
+    val rnd = new scala.util.Random(3)
+    val img = randImg(rnd, 33, 18) // 5x3 blocks → RSTs mid-row and mid-image
+    val plain = decodeOrFail(JpegBuild.gray(33, 18)((x, y) => img(y)(x)))._3
+    for (ri <- Seq(1, 2, 7)) {
+      val withRst = decodeOrFail(
+        JpegBuild.gray(33, 18, restartInterval = ri)((x, y) => img(y)(x)))._3
+      assert(plain.toSeq === withRst.toSeq, s"restartInterval=$ri")
+    }
+  }
+
+  test("a broken RSTn sequence number is corrupt, not garbage pixels") {
+    val img = Array.tabulate(24, 24)((y, x) => (x * 10 + y * 3) % 256)
+    val p = JpegBuild.gray(24, 24, restartInterval = 1)((x, y) => img(y)(x))
+    // find the first RST (FF D0) in the scan and bump its sequence
+    var i = 2
+    var patched = false
+    while (!patched && i + 1 < p.length) {
+      if ((p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xd0) {
+        p(i + 1) = 0xd4.toByte; patched = true
+      }
+      i += 1
+    }
+    assert(patched)
+    assert(JpegPixels.decodeGray(p) === Left("corrupt"))
+  }
+
+  // ---- cross-validation against the ImageIO oracle ------------------
+
+  test("our encoder's bytes decode in ImageIO to the same pixels we decode") {
+    val rnd = new scala.util.Random(4)
+    for ((w, h, q) <- Seq((32, 24, JpegBuild.UnitQuant),
+        (21, 13, JpegBuild.LossyQuant))) {
+      val img = randImg(rnd, w, h)
+      val bytes = JpegBuild.gray(w, h, quant = q)((x, y) => img(y)(x))
+      val (dw, dh, ours) = decodeOrFail(bytes)
+      val (iw, ih, theirs) = imageIoGray(bytes)
+      assert((dw, dh) === ((iw, ih)))
+      // two conformant IDCTs may differ by the T.83 ±1 class
+      assert(maxDiff(ours, theirs) <= 1, s"${w}x$h")
+    }
+  }
+
+  test("ImageIO-encoded grayscale decodes to ImageIO's own pixels (±1)") {
+    val rnd = new scala.util.Random(5)
+    for (quality <- Seq(0.95f, 0.7f)) {
+      val img = randImg(rnd, 40, 28)
+      val bytes = imageIoBytes(grayImage(img), quality)
+      val (w, h, ours) = decodeOrFail(bytes)
+      val (iw, ih, theirs) = imageIoGray(bytes)
+      assert((w, h) === ((iw, ih)))
+      assert(maxDiff(ours, theirs) <= 1, s"quality=$quality")
+    }
+  }
+
+  test("ImageIO-encoded RGB (YCbCr, subsampled chroma) — our Y plane " +
+      "matches ImageIO's decoded luma") {
+    val rnd = new scala.util.Random(6)
+    val w = 37; val h = 26 // non-MCU-aligned for 2x2 sampling
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = rnd.nextInt(256); val g = rnd.nextInt(256)
+      val b = rnd.nextInt(256)
+      bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bytes = imageIoBytes(bi, 0.9f)
+    val (dw, dh, ours) = decodeOrFail(bytes)
+    assert((dw, dh) === ((w, h)))
+    // oracle luma: ImageIO decode → BT.601 gray (chroma cancels to
+    // first order; clamping + 4:2:0 upsample leave a few-level residue)
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var worst = 0
+    var total = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = back.getRGB(x, y)
+      val luma = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+        29 * (rgb & 0xff)) >> 8
+      val d = math.abs(ours(y * w + x) - luma)
+      worst = math.max(worst, d)
+      total += d
+    }
+    // random saturated colors clip in the oracle's YCbCr→RGB leg, so a
+    // few pixels carry a non-cancelling chroma residue — bound the tail
+    // loosely and the body tightly
+    assert(worst <= 10, s"max luma deviation $worst")
+    assert(total.toDouble / (w * h) <= 1.5,
+      s"mean luma deviation ${total.toDouble / (w * h)}")
+  }
+
+  // ---- rejection classes --------------------------------------------
+
+  test("progressive is 'unsupported' — both our twin and a real " +
+      "ImageIO progressive stream") {
+    val img = Array.tabulate(16, 16)((y, x) => (x * y) % 256)
+    val twin = JpegBuild.progressiveTwin(
+      JpegBuild.gray(16, 16)((x, y) => img(y)(x)))
+    assert(JpegPixels.decodeGray(twin) === Left("unsupported"))
+    val real = imageIoBytes(grayImage(img), 0.9f, progressive = true)
+    assert(JpegPixels.decodeGray(real) === Left("unsupported"))
+  }
+
+  test("rejection matrix: corrupt / unsupported / oversized") {
+    val good = JpegBuild.gray(16, 16)((x, y) => (x + y) % 256)
+    // truncated mid-scan: data runs out before the MCUs complete
+    assert(JpegPixels.decodeGray(good.take(good.length - 8)) ===
+      Left("corrupt"))
+    // truncated mid-header
+    assert(JpegPixels.decodeGray(good.take(6)) === Left("corrupt"))
+    // EOI right after SOI: no scan
+    assert(JpegPixels.decodeGray(
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) === Left("corrupt"))
+    // 12-bit precision claim
+    val prec12 = good.clone
+    val sof = indexOfMarker(prec12, 0xc0)
+    prec12(sof + 4) = 12.toByte
+    assert(JpegPixels.decodeGray(prec12) === Left("unsupported"))
+    // 4-component (Adobe CMYK class) — patch count only; parse stops there
+    val cmyk = good.clone
+    cmyk(sof + 9) = 4.toByte
+    assert(JpegPixels.decodeGray(cmyk) === Left("unsupported"))
+    // header-probe twin from MediaBuild (SOI+SOF0+EOI, no tables/scan)
+    assert(JpegPixels.decodeGray(Multimodal.MediaBuild.jpeg(8, 8)) ===
+      Left("corrupt"))
+    // oversized: dims past the pixel cap
+    val huge = good.clone
+    huge(sof + 5) = 0x7f.toByte; huge(sof + 7) = 0x7f.toByte
+    assert(JpegPixels.decodeGray(huge) === Left("oversized"))
+    // oversized: plausible dims, but the scan is too small to carry them
+    val thin = good.clone
+    thin(sof + 5) = 0x08.toByte // h: 0x0810 = 2064
+    thin(sof + 7) = 0x08.toByte // w: 2064 → 4.2M px, scan ~100 B
+    assert(JpegPixels.decodeGray(thin) === Left("oversized"))
+  }
+
+  test("ImagePixels dispatch + Multimodal.contentReason route JPEG") {
+    val good = JpegBuild.gray(16, 16)((x, y) => (x * 7 + y) % 256)
+    assert(ImagePixels.decodeGrayReason(good).isRight)
+    assert(Multimodal.MediaDecoder.contentReason(good) === "ok")
+    assert(Multimodal.MediaDecoder.contentReason(
+      JpegBuild.progressiveTwin(good)) === "unsupported")
+    assert(Multimodal.MediaDecoder.contentReason(
+      Multimodal.MediaBuild.jpeg(8, 8)) === "corrupt")
+  }
+
+  private def indexOfMarker(p: Array[Byte], m: Int): Int = {
+    var i = 2
+    while (i + 1 < p.length) {
+      if ((p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == m) return i
+      i += 1
+    }
+    fail(s"marker ${m.toHexString} not found")
+  }
+}

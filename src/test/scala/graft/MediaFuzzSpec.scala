@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AudioDedup, ImageDedup, VideoDedup}
+import graft.operators.{AudioDedup, ImageDedup, JpegBuild, VideoDedup}
 
 /** Fuzz pin for the media-decoder family's never-throw contract: at
   * 100 TB a corrupt payload WILL occur, and the documented behavior is
@@ -49,7 +49,12 @@ class MediaFuzzSpec extends SparkSuite {
         (_, _) => rnd.nextInt(256), disposal = 2, transIdx = 5),
       VideoDedup.GifBuild.FrameSpec(0, 0, 18, 16,
         (x, y) => img(y)(x), interlaced = true)))
-    Seq(bmp, wav, gif, png, pngPal, pngAdam, deltaGif)
+    // r11 decode surface: baseline JPEG — unit and lossy quant, with
+    // restart markers (the bit-reader's marker latch fuzzes too)
+    val jpg = JpegBuild.gray(18, 16)((x, y) => img(y)(x))
+    val jpgRst = JpegBuild.gray(18, 16, quant = JpegBuild.LossyQuant,
+      restartInterval = 2)((x, y) => img(y)(x))
+    Seq(bmp, wav, gif, png, pngPal, pngAdam, deltaGif, jpg, jpgRst)
   }
 
   test("pure random garbage never throws (1000 payloads)") {
@@ -61,11 +66,13 @@ class MediaFuzzSpec extends SparkSuite {
   }
 
   test("garbage behind valid magic bytes never throws") {
-    val magics = Seq("BM", "RIFF", "GIF89a", "GIF87a")
+    val magics = Seq("BM", "RIFF", "GIF89a", "GIF87a").map(
+      _.getBytes("US-ASCII")) :+
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte) // JPEG SOI
     for (_ <- 1 to 500; m <- magics) {
       val tail = new Array[Byte](rnd.nextInt(200))
       rnd.nextBytes(tail)
-      decodeAll(m.getBytes("US-ASCII") ++ tail)
+      decodeAll(m ++ tail)
     }
   }
 
