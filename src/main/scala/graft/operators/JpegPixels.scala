@@ -9,18 +9,29 @@ package graft.operators
   * bits is impossible) but their dequantize/IDCT is elided, which cuts
   * the per-MCU arithmetic ~3× for 4:2:0 crawl images vs a full decode.
   *
-  * Scope (ITU-T T.81 baseline + the 8-bit extended-sequential twin):
-  *  - SOF0/SOF1, 8-bit precision, 1 (grayscale) or 3 (YCbCr)
-  *    components, any sampling factors 1–4, interleaved single-scan;
+  * Scope (ITU-T T.81, 8-bit Huffman modes):
+  *  - SOF0/SOF1 sequential: 1 (grayscale) or 3 (YCbCr) components,
+  *    any sampling factors 1–4, interleaved single-scan;
+  *  - SOF2 PROGRESSIVE (r11 second slice): spectral selection +
+  *    successive approximation in full — DC first/refine scans
+  *    (interleaved or per-component), AC first/refine scans with
+  *    EOBRUN bookkeeping and correction bits (T.81 G.2, the libjpeg
+  *    refinement discipline), between-scan DQT/DHT/DRI redefinition.
+  *    Y coefficients accumulate across scans (raw, natural order) and
+  *    dequantize+IDCT once at EOI. CHROMA-ONLY SCANS ARE BYTE-SKIPPED
+  *    with no entropy decode — progressive AC scans are single-
+  *    component by spec, so unlike baseline the luma bits never
+  *    interleave with chroma bits, making the Y-only decode strictly
+  *    cheaper than a full one (a progressive-specific win);
   *  - DQT 8- and 16-bit-precision tables, multi-table segments;
   *  - DHT canonical code assembly (T.81 F.2.2.3 bit-serial DECODE);
   *  - DRI restart intervals: byte-align + RSTn consume + DC-predictor
-  *    reset, modulo-8 marker sequence verified;
+  *    (and EOBRUN) reset, modulo-8 marker sequence verified;
   *  - 0xFF00 byte stuffing; entropy segment ends at any other marker.
   * Out of scope — reported "unsupported", the external-codec seam
-  * (COVERAGE.md "JPEG decision"): progressive (SOF2), lossless /
-  * arithmetic / hierarchical / 12-bit variants, 4-component Adobe
-  * CMYK, non-interleaved multi-scan baseline, DNL-deferred height.
+  * (COVERAGE.md "JPEG decision"): lossless / arithmetic /
+  * hierarchical / 12-bit variants, 4-component Adobe CMYK,
+  * non-interleaved multi-scan baseline, DNL-deferred height.
   * Broken structure is "corrupt"; policy-capped dimensions or a
   * scan too small to plausibly carry the claimed pixel count are
   * "oversized" (refused BEFORE the luma plane allocates — the
@@ -244,18 +255,79 @@ object JpegPixels {
     var restartInterval = 0
     var w = 0; var h = 0
     var nComp = 0
-    // per component: sampling h, v, quant id, dc/ac table ids, predictor
+    // per component: id, sampling h, v, quant id, dc/ac ids, predictor
+    val compId = new Array[Int](4)
     val compH = new Array[Int](4); val compV = new Array[Int](4)
     val compQ = new Array[Int](4)
     val compDc = new Array[Int](4); val compAc = new Array[Int](4)
     var sofSeen = false
+    var progressive = false
+
+    // table-segment parsers shared by the header walk and the
+    // between-scan walk of the progressive path (both are legal sites
+    // for DQT/DHT re-definition)
+    def parseDqt(seg: Int, segEnd: Int): Boolean = {
+      var j = seg
+      while (j < segEnd) {
+        val pq = u8(j) >> 4; val tq = u8(j) & 0x0f
+        if (tq > 3 || pq > 1) return false
+        val n = if (pq == 0) 64 else 128
+        if (j + 1 + n > segEnd) return false
+        val t = new Array[Int](64)
+        var k = 0
+        while (k < 64) {
+          t(k) = if (pq == 0) u8(j + 1 + k) else be16(j + 1 + 2 * k)
+          if (t(k) == 0) return false
+          k += 1
+        }
+        quant(tq) = t
+        j += 1 + n
+      }
+      true
+    }
+    def parseDht(seg: Int, segEnd: Int): Boolean = {
+      var j = seg
+      while (j < segEnd) {
+        if (j + 17 > segEnd) return false
+        val tc = u8(j) >> 4; val th = u8(j) & 0x0f
+        if (tc > 1 || th > 3) return false
+        val counts = new Array[Int](16)
+        var total = 0
+        var k = 0
+        while (k < 16) {
+          counts(k) = u8(j + 1 + k); total += counts(k); k += 1
+        }
+        if (total == 0 || total > 256 || j + 17 + total > segEnd)
+          return false
+        val vals = java.util.Arrays.copyOfRange(p, j + 17, j + 17 + total)
+        val t = new HuffTable(counts, vals)
+        if (tc == 0) huffDc(th) = t else huffAc(th) = t
+        j += 17 + total
+      }
+      true
+    }
+    /** Advance past entropy-coded bytes to the next REAL marker (not
+      * a stuffed 00, fill FF, or RSTn); p.length when none remains. */
+    def skipEntropy(from: Int): Int = {
+      var k = math.max(from, 0)
+      while (k + 1 < p.length) {
+        if (u8(k) == 0xff) {
+          val m2 = u8(k + 1)
+          if (m2 != 0x00 && m2 != 0xff && !(m2 >= 0xd0 && m2 <= 0xd7))
+            return k
+        }
+        k += 1
+      }
+      p.length
+    }
 
     var i = 2
-    var scanStart = -1
+    var scanStart = -1 // baseline: entropy start;  progressive: SOS FF pos
     while (scanStart < 0) {
       // marker: FF (any number of fill FFs) + code
       if (i + 1 >= p.length) return Left("corrupt")
       if (u8(i) != 0xff) return Left("corrupt")
+      val markerAt = i
       while (i < p.length && u8(i) == 0xff) i += 1
       if (i >= p.length) return Left("corrupt")
       val m = u8(i); i += 1
@@ -270,47 +342,15 @@ object JpegPixels {
           if (len < 2 || i + len > p.length) return Left("corrupt")
           val seg = i + 2; val segEnd = i + len
           m match {
-            case 0xdb => // DQT: one or more tables
-              var j = seg
-              while (j < segEnd) {
-                val pq = u8(j) >> 4; val tq = u8(j) & 0x0f
-                if (tq > 3 || pq > 1) return Left("corrupt")
-                val n = if (pq == 0) 64 else 128
-                if (j + 1 + n > segEnd) return Left("corrupt")
-                val t = new Array[Int](64)
-                var k = 0
-                while (k < 64) {
-                  t(k) = if (pq == 0) u8(j + 1 + k)
-                         else be16(j + 1 + 2 * k)
-                  if (t(k) == 0) return Left("corrupt")
-                  k += 1
-                }
-                quant(tq) = t
-                j += 1 + n
-              }
-            case 0xc4 => // DHT: one or more tables
-              var j = seg
-              while (j < segEnd) {
-                if (j + 17 > segEnd) return Left("corrupt")
-                val tc = u8(j) >> 4; val th = u8(j) & 0x0f
-                if (tc > 1 || th > 3) return Left("corrupt")
-                val counts = new Array[Int](16)
-                var total = 0
-                var k = 0
-                while (k < 16) {
-                  counts(k) = u8(j + 1 + k); total += counts(k); k += 1
-                }
-                if (total == 0 || total > 256 || j + 17 + total > segEnd)
-                  return Left("corrupt")
-                val vals = java.util.Arrays.copyOfRange(
-                  p, j + 17, j + 17 + total)
-                val t = new HuffTable(counts, vals)
-                if (tc == 0) huffDc(th) = t else huffAc(th) = t
-                j += 17 + total
-              }
-            case 0xc0 | 0xc1 => // SOF0 / SOF1 (8-bit extended sequential)
+            case 0xdb =>
+              if (!parseDqt(seg, segEnd)) return Left("corrupt")
+            case 0xc4 =>
+              if (!parseDht(seg, segEnd)) return Left("corrupt")
+            case 0xc0 | 0xc1 | 0xc2 => // sequential baseline/extended, or
+              // progressive (r11: decoded too — Y-only, all scan kinds)
               if (sofSeen) return Left("corrupt")
               sofSeen = true
+              progressive = m == 0xc2
               if (len < 8) return Left("corrupt")
               val precision = u8(seg)
               if (precision != 8) return Left("unsupported")
@@ -325,6 +365,7 @@ object JpegPixels {
               if (len < 8 + 3 * nComp) return Left("corrupt")
               var c = 0
               while (c < nComp) {
+                compId(c) = u8(seg + 6 + 3 * c)
                 val hv = u8(seg + 7 + 3 * c)
                 compH(c) = hv >> 4; compV(c) = hv & 0x0f
                 compQ(c) = u8(seg + 8 + 3 * c)
@@ -333,7 +374,6 @@ object JpegPixels {
                   return Left("corrupt")
                 c += 1
               }
-            case 0xc2 => return Left("unsupported") // progressive
             case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
                  0xce | 0xcf =>
               return Left("unsupported") // lossless/arith/hierarchical
@@ -342,25 +382,364 @@ object JpegPixels {
               restartInterval = be16(seg)
             case 0xda => // SOS
               if (!sofSeen) return Left("corrupt")
-              if (len < 3) return Left("corrupt")
-              val ns = u8(seg)
-              if (ns != nComp)
-                return Left("unsupported") // non-interleaved multi-scan
-              if (len < 6 + 2 * ns) return Left("corrupt")
-              var c = 0
-              while (c < ns) {
-                // component selector must match SOF order for this
-                // interleaved-single-scan decoder; we match by position
-                val tables = u8(seg + 2 + 2 * c)
-                compDc(c) = tables >> 4; compAc(c) = tables & 0x0f
-                if (compDc(c) > 3 || compAc(c) > 3) return Left("corrupt")
-                c += 1
+              if (progressive) {
+                scanStart = markerAt // the scan loop re-parses from here
+              } else {
+                if (len < 3) return Left("corrupt")
+                val ns = u8(seg)
+                if (ns != nComp)
+                  return Left("unsupported") // non-interleaved multi-scan
+                if (len < 6 + 2 * ns) return Left("corrupt")
+                var c = 0
+                while (c < ns) {
+                  // component selector must match SOF order for this
+                  // interleaved-single-scan decoder; we match by position
+                  val tables = u8(seg + 2 + 2 * c)
+                  compDc(c) = tables >> 4; compAc(c) = tables & 0x0f
+                  if (compDc(c) > 3 || compAc(c) > 3) return Left("corrupt")
+                  c += 1
+                }
+                scanStart = segEnd
               }
-              scanStart = segEnd
             case 0xdc => return Left("unsupported") // DNL
             case _ => () // APPn / COM / others: skip by length
           }
           if (scanStart < 0) i = segEnd
+      }
+    }
+
+    // =================================================================
+    // PROGRESSIVE path (r11): accumulate Y coefficients across scans —
+    // DC first/refine (interleaved or per-component), AC first/refine
+    // with EOBRUN — then one dequantize+IDCT pass at EOI. Chroma-only
+    // scans are BYTE-SKIPPED without entropy decode (in progressive
+    // every AC scan is single-component, so unlike baseline the luma
+    // stream never interleaves with chroma bits — skipping is free).
+    // =================================================================
+    if (progressive) {
+      val hMax = (0 until nComp).map(compH).max
+      val vMax = (0 until nComp).map(compV).max
+      val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+      val pbw = mcusX * compH(0) // padded Y block grid
+      val pbh = mcusY * compV(0)
+      if (pbw.toLong * pbh * 64 > (MaxPixels.toLong * 3) / 2)
+        return Left("oversized")
+      // Y's own (non-interleaved-scan) block grid
+      val cbx = ((w * compH(0) + hMax - 1) / hMax + 7) / 8
+      val cby = ((h * compV(0) + vMax - 1) / vMax + 7) / 8
+      val scanBytes = p.length - scanStart
+      if (scanBytes <= 0) return Left("corrupt")
+      if (pbw.toLong * pbh * 64 > 512L * scanBytes) return Left("oversized")
+
+      // natural-order Y coefficient buffer, raw (dequantize at EOI)
+      val coefY = new Array[Int](pbw * pbh * 64)
+      var qY: Array[Int] = null
+      var sawYScan = false
+      val pred = new Array[Int](4)
+
+      var pos = scanStart
+      var done = false
+      while (!done) {
+        if (pos + 1 >= p.length) return Left("corrupt")
+        if (u8(pos) != 0xff) return Left("corrupt")
+        while (pos < p.length && u8(pos) == 0xff) pos += 1
+        if (pos >= p.length) return Left("corrupt")
+        val m = u8(pos); pos += 1
+        m match {
+          case 0xd9 => done = true // EOI
+          case 0xd8 | 0x01 => ()
+          case _ if m >= 0xd0 && m <= 0xd7 => () // stray RST between scans
+          case 0xda => // one scan
+            if (pos + 2 > p.length) return Left("corrupt")
+            val len = be16(pos)
+            if (len < 2 || pos + len > p.length) return Left("corrupt")
+            val seg = pos + 2; val segEnd = pos + len
+            val ns = u8(seg)
+            if (ns < 1 || ns > nComp || len < 6 + 2 * ns)
+              return Left("corrupt")
+            // resolve scan components to SOF slots by id
+            val scanComp = new Array[Int](ns)
+            val scanDc = new Array[Int](ns); val scanAc = new Array[Int](ns)
+            var c = 0
+            while (c < ns) {
+              val cs = u8(seg + 1 + 2 * c)
+              var idx = -1
+              var q = 0
+              while (q < nComp) { if (compId(q) == cs) idx = q; q += 1 }
+              if (idx < 0) return Left("corrupt")
+              scanComp(c) = idx
+              val tables = u8(seg + 2 + 2 * c)
+              scanDc(c) = tables >> 4; scanAc(c) = tables & 0x0f
+              if (scanDc(c) > 3 || scanAc(c) > 3) return Left("corrupt")
+              c += 1
+            }
+            val ss = u8(seg + 1 + 2 * ns)
+            val se = u8(seg + 2 + 2 * ns)
+            val ahal = u8(seg + 3 + 2 * ns)
+            val ah = ahal >> 4; val al = ahal & 0x0f
+            val isDc = ss == 0
+            if (isDc && se != 0) return Left("corrupt")
+            if (!isDc && (ns != 1 || ss > se || se > 63))
+              return Left("corrupt")
+            if (al > 13 || ah > 13) return Left("corrupt")
+            val involvesY = scanComp.contains(0)
+            if (!involvesY) {
+              pos = skipEntropy(segEnd) // chroma-only: no shared bits
+            } else {
+              if (qY == null) {
+                if (quant(compQ(0)) == null) return Left("corrupt")
+                qY = quant(compQ(0)) // latched at Y's first scan
+              }
+              sawYScan = true
+              val r = new BitReader(p, segEnd)
+              var eobrun = 0L
+              java.util.Arrays.fill(pred, 0)
+              var rstSeq = 0
+              val p1 = 1 << al
+              val m1 = -1 << al
+
+              // per-block Y decode for the four scan kinds; base =
+              // natural-order offset of the block in coefY
+              def dcFirst(c: Int, base: Int, isY: Boolean): Boolean = {
+                val t = r.decode(huffDc(scanDc(c)))
+                if (t < 0 || t > 15) return false
+                val diffBits = if (t == 0) 0 else r.bits(t)
+                if (diffBits < 0) return false
+                pred(scanComp(c)) += extend(diffBits, t)
+                if (isY) coefY(base) = pred(scanComp(c)) << al
+                true
+              }
+              def dcRefine(base: Int, isY: Boolean): Boolean = {
+                val b = r.bit()
+                if (b < 0) return false
+                if (isY && b == 1) coefY(base) |= p1
+                true
+              }
+              def acFirst(base: Int): Boolean = {
+                if (eobrun > 0) { eobrun -= 1; return true }
+                var k = ss
+                var ended = false
+                while (k <= se && !ended) {
+                  val rs = r.decode(huffAc(scanAc(0)))
+                  if (rs < 0) return false
+                  val run = rs >> 4; val s = rs & 0x0f
+                  if (s == 0) {
+                    if (run == 15) k += 16 // ZRL
+                    else {
+                      eobrun = (1L << run) - 1
+                      if (run > 0) {
+                        val b = r.bits(run)
+                        if (b < 0) return false
+                        eobrun += b
+                      }
+                      ended = true
+                    }
+                  } else {
+                    k += run
+                    if (k > se) return false
+                    val v = r.bits(s)
+                    if (v < 0) return false
+                    coefY(base + ZigZag(k)) = extend(v, s) << al
+                    k += 1
+                  }
+                }
+                true
+              }
+              def acRefine(base: Int): Boolean = {
+                var k = ss
+                if (eobrun == 0) {
+                  var ended = false
+                  while (k <= se && !ended) {
+                    val rs = r.decode(huffAc(scanAc(0)))
+                    if (rs < 0) return false
+                    var run = rs >> 4; val s = rs & 0x0f
+                    var sval = 0
+                    if (s != 0) {
+                      if (s != 1) return false
+                      val b = r.bit()
+                      if (b < 0) return false
+                      sval = if (b == 1) p1 else m1
+                    } else if (run != 15) { // EOBn
+                      eobrun = (1L << run)
+                      if (run > 0) {
+                        val b = r.bits(run)
+                        if (b < 0) return false
+                        eobrun += b
+                      }
+                      ended = true
+                    }
+                    if (!ended) {
+                      // advance over `run` zero-history positions,
+                      // correcting nonzero coefficients on the way
+                      var placedIdx = -1
+                      var walking = true
+                      while (k <= se && walking) {
+                        val idx = base + ZigZag(k)
+                        if (coefY(idx) != 0) {
+                          val b = r.bit()
+                          if (b < 0) return false
+                          if (b == 1 && (coefY(idx) & p1) == 0)
+                            coefY(idx) +=
+                              (if (coefY(idx) >= 0) p1 else m1)
+                        } else {
+                          run -= 1
+                          if (run < 0) { placedIdx = idx; walking = false }
+                        }
+                        if (walking) k += 1
+                      }
+                      if (sval != 0 && placedIdx >= 0)
+                        coefY(placedIdx) = sval
+                      k += 1
+                    }
+                  }
+                }
+                if (eobrun > 0) {
+                  // correction bits for the rest of the band
+                  while (k <= se) {
+                    val idx = base + ZigZag(k)
+                    if (coefY(idx) != 0) {
+                      val b = r.bit()
+                      if (b < 0) return false
+                      if (b == 1 && (coefY(idx) & p1) == 0)
+                        coefY(idx) += (if (coefY(idx) >= 0) p1 else m1)
+                    }
+                    k += 1
+                  }
+                  eobrun -= 1
+                }
+                true
+              }
+
+              val interleaved = ns > 1
+              val totalMcus =
+                if (interleaved) mcusX.toLong * mcusY
+                else if (scanComp(0) == 0) cbx.toLong * cby
+                else return Left("corrupt") // Y-involving, ns==1, not Y?
+              var mcu = 0L
+              while (mcu < totalMcus) {
+                if (restartInterval > 0 && mcu > 0 &&
+                    mcu % restartInterval == 0) {
+                  if (!r.consumeRestart(rstSeq)) return Left("corrupt")
+                  rstSeq = (rstSeq + 1) & 7
+                  java.util.Arrays.fill(pred, 0)
+                  eobrun = 0
+                }
+                if (interleaved) {
+                  // DC scans only can be interleaved (AC forced ns==1)
+                  if (!isDc) return Left("corrupt")
+                  val mx = (mcu % mcusX).toInt
+                  val my = (mcu / mcusX).toInt
+                  c = 0
+                  while (c < ns) {
+                    val sc = scanComp(c)
+                    val isY = sc == 0
+                    var by = 0
+                    while (by < compV(sc)) {
+                      var bx = 0
+                      while (bx < compH(sc)) {
+                        val base =
+                          if (!isY) 0
+                          else ((my * compV(0) + by) * pbw +
+                            (mx * compH(0) + bx)) * 64
+                        val ok =
+                          if (ah == 0) dcFirst(c, base, isY)
+                          else dcRefine(base, isY)
+                        if (!ok) return Left("corrupt")
+                        bx += 1
+                      }
+                      by += 1
+                    }
+                    c += 1
+                  }
+                } else {
+                  // single-component scan over Y's own block grid
+                  val row = (mcu / cbx).toInt
+                  val col = (mcu % cbx).toInt
+                  val base = (row * pbw + col) * 64
+                  val ok =
+                    if (isDc && ah == 0) dcFirst(0, base, isY = true)
+                    else if (isDc) dcRefine(base, isY = true)
+                    else if (ah == 0) acFirst(base)
+                    else acRefine(base)
+                  if (!ok) return Left("corrupt")
+                }
+                mcu += 1
+              }
+              pos = skipEntropy(r.pos)
+            }
+          case 0xdb =>
+            if (pos + 2 > p.length) return Left("corrupt")
+            val len = be16(pos)
+            if (len < 2 || pos + len > p.length) return Left("corrupt")
+            if (!parseDqt(pos + 2, pos + len)) return Left("corrupt")
+            pos += len
+          case 0xc4 =>
+            if (pos + 2 > p.length) return Left("corrupt")
+            val len = be16(pos)
+            if (len < 2 || pos + len > p.length) return Left("corrupt")
+            if (!parseDht(pos + 2, pos + len)) return Left("corrupt")
+            pos += len
+          case 0xdd =>
+            if (pos + 2 > p.length) return Left("corrupt")
+            val len = be16(pos)
+            if (len != 4 || pos + len > p.length) return Left("corrupt")
+            restartInterval = be16(pos + 2)
+            pos += len
+          case 0xc0 | 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 |
+               0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return Left("corrupt") // second SOF
+          case _ => // APPn / COM / others: skip by length
+            if (pos + 2 > p.length) return Left("corrupt")
+            val len = be16(pos)
+            if (len < 2 || pos + len > p.length) return Left("corrupt")
+            pos += len
+        }
+      }
+      if (!sawYScan || qY == null) return Left("corrupt")
+
+      // dequantize + IDCT every Y block, then crop
+      val qNat = new Array[Int](64)
+      var k = 0
+      while (k < 64) { qNat(ZigZag(k)) = qY(k); k += 1 }
+      val pw = pbw * 8; val ph = pbh * 8
+      val plane = new Array[Int](pw * ph)
+      val coef = new Array[Int](64)
+      val block = new Array[Int](64)
+      var row = 0
+      while (row < pbh) {
+        var col = 0
+        while (col < pbw) {
+          val base = (row * pbw + col) * 64
+          var n = 0
+          while (n < 64) { coef(n) = coefY(base + n) * qNat(n); n += 1 }
+          idct(coef, block)
+          val x0 = col * 8; val y0 = row * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            val rowOff = (y0 + yy) * pw + x0
+            while (xx < 8) {
+              plane(rowOff + xx) = block(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          col += 1
+        }
+        row += 1
+      }
+      return {
+        if (pw == w && ph == h) Right((w, h, plane))
+        else {
+          val out = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            System.arraycopy(plane, y * pw, out, y * w, w)
+            y += 1
+          }
+          Right((w, h, out))
+        }
       }
     }
 
@@ -574,58 +953,19 @@ object JpegBuild {
   private def category(v: Int): Int =
     if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
 
-  /** Encode a grayscale image: `v(x, y)` ∈ 0..255 (same pixel-fn
-    * convention as [[ImageDedup.ImageBuild.bmp24Gray]]). `quant` is a
-    * 64-entry NATURAL-ORDER table, entries 1..255. `restartInterval`
-    * > 0 emits DRI + RSTn every that many MCUs (1 MCU = 1 block). */
-  def gray(w: Int, h: Int, quant: Array[Int] = UnitQuant,
-      restartInterval: Int = 0)(v: (Int, Int) => Int): Array[Byte] = {
-    require(w >= 1 && h >= 1, "dims must be positive")
-    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
-      "quant: 64 natural-order entries in 1..255")
-    val out = new java.io.ByteArrayOutputStream()
-    def be16(x: Int): Unit = { out.write((x >> 8) & 0xff); out.write(x & 0xff) }
-    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
-    marker(0xd8) // SOI
-    marker(0xe0); be16(16) // APP0 JFIF
-    out.write('J'); out.write('F'); out.write('I'); out.write('F'); out.write(0)
-    out.write(1); out.write(1); out.write(0)
-    be16(1); be16(1); out.write(0); out.write(0)
-    val zz = JpegPixels.zigzagMap
-    marker(0xdb); be16(67); out.write(0x00) // DQT, pq=0 tq=0
-    for (k <- 0 until 64) out.write(quant(zz(k)))
-    marker(0xc0); be16(11) // SOF0
-    out.write(8); be16(h); be16(w); out.write(1)
-    out.write(1); out.write(0x11); out.write(0)
-    marker(0xc4); be16(2 + 17 + DcVals.length); out.write(0x00) // DHT DC
-    DcBits.foreach(out.write); DcVals.foreach(out.write)
-    marker(0xc4); be16(2 + 17 + AcVals.length); out.write(0x10) // DHT AC
-    AcBits.foreach(out.write); AcVals.foreach(out.write)
-    if (restartInterval > 0) { marker(0xdd); be16(4 - 2 + 2); be16(restartInterval) }
-    marker(0xda); be16(8) // SOS
-    out.write(1); out.write(1); out.write(0x00)
-    out.write(0); out.write(63); out.write(0)
-
+  /** FDCT + quantize every 8×8 block (edge-replicated padding) to
+    * natural-order coefficient arrays in block-raster order. */
+  private def quantizedBlocks(w: Int, h: Int, quant: Array[Int],
+      v: (Int, Int) => Int): Array[Array[Int]] = {
     val basis = JpegPixels.basis
-    val bw = new BitWriter(out)
     val s = new Array[Double](64)
-    val fq = new Array[Int](64)
-    var pred = 0
-    var mcu = 0
-    var rstSeq = 0
     val blocksY = (h + 7) / 8
     val blocksX = (w + 7) / 8
+    val out = new Array[Array[Int]](blocksX * blocksY)
     var byi = 0
     while (byi < blocksY) {
       var bxi = 0
       while (bxi < blocksX) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          bw.flush()
-          marker(0xd0 + rstSeq)
-          rstSeq = (rstSeq + 1) & 7
-          pred = 0
-        }
-        // samples (edge-replicated past the image boundary), level shift
         var r = 0
         while (r < 8) {
           var cc = 0
@@ -637,7 +977,7 @@ object JpegBuild {
           }
           r += 1
         }
-        // FDCT: F(u,v) = Σrow Σcol s · basis(row)(u) · basis(col)(v)
+        val fq = new Array[Int](64)
         var u = 0
         while (u < 8) {
           var vv = 0
@@ -658,58 +998,163 @@ object JpegBuild {
           }
           u += 1
         }
-        // DC
-        val diff = fq(0) - pred
-        pred = fq(0)
-        val t = category(diff)
-        val (dc, dl) = DcCodes(t)
-        bw.put(dc, dl)
-        if (t > 0)
-          bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
-        // AC with run lengths + ZRL + EOB, zigzag order
-        var k = 1
-        var run = 0
-        while (k < 64) {
-          val c = fq(zz(k))
-          if (c == 0) run += 1
-          else {
-            while (run >= 16) {
-              val (zc, zl) = AcCodes(0xf0); bw.put(zc, zl); run -= 16
-            }
-            val sz = category(c)
-            val (ac, al) = AcCodes((run << 4) | sz)
-            bw.put(ac, al)
-            bw.put(if (c < 0) c + (1 << sz) - 1 else c, sz)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) { val (ec, el) = AcCodes(0x00); bw.put(ec, el) }
-        mcu += 1
+        out(byi * blocksX + bxi) = fq
         bxi += 1
       }
       byi += 1
+    }
+    out
+  }
+
+  private def writeHeaders(out: java.io.ByteArrayOutputStream,
+      w: Int, h: Int, quant: Array[Int], sofMarker: Int): Unit = {
+    def be16(x: Int): Unit = { out.write((x >> 8) & 0xff); out.write(x & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); be16(16) // APP0 JFIF
+    out.write('J'); out.write('F'); out.write('I'); out.write('F'); out.write(0)
+    out.write(1); out.write(1); out.write(0)
+    be16(1); be16(1); out.write(0); out.write(0)
+    val zz = JpegPixels.zigzagMap
+    marker(0xdb); be16(67); out.write(0x00) // DQT, pq=0 tq=0
+    for (k <- 0 until 64) out.write(quant(zz(k)))
+    marker(sofMarker); be16(11) // SOF0 / SOF2
+    out.write(8); be16(h); be16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    marker(0xc4); be16(2 + 17 + DcVals.length); out.write(0x00) // DHT DC
+    DcBits.foreach(out.write); DcVals.foreach(out.write)
+    marker(0xc4); be16(2 + 17 + AcVals.length); out.write(0x10) // DHT AC
+    AcBits.foreach(out.write); AcVals.foreach(out.write)
+  }
+
+  private def putDc(bw: BitWriter, diff: Int): Unit = {
+    val t = category(diff)
+    val (dc, dl) = DcCodes(t)
+    bw.put(dc, dl)
+    if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+  }
+
+  /** AC coefficients of one block over zigzag band [from, to]. */
+  private def putAcBand(bw: BitWriter, fq: Array[Int],
+      from: Int, to: Int): Unit = {
+    val zz = JpegPixels.zigzagMap
+    var k = from
+    var run = 0
+    while (k <= to) {
+      val c = fq(zz(k))
+      if (c == 0) run += 1
+      else {
+        while (run >= 16) {
+          val (zc, zl) = AcCodes(0xf0); bw.put(zc, zl); run -= 16
+        }
+        val sz = category(c)
+        val (ac, al) = AcCodes((run << 4) | sz)
+        bw.put(ac, al)
+        bw.put(if (c < 0) c + (1 << sz) - 1 else c, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (ec, el) = AcCodes(0x00); bw.put(ec, el) }
+  }
+
+  /** Encode a grayscale BASELINE (SOF0) image: `v(x, y)` ∈ 0..255
+    * (same pixel-fn convention as
+    * [[ImageDedup.ImageBuild.bmp24Gray]]). `quant` is a 64-entry
+    * NATURAL-ORDER table, entries 1..255. `restartInterval` > 0 emits
+    * DRI + RSTn every that many MCUs (1 MCU = 1 block). */
+  def gray(w: Int, h: Int, quant: Array[Int] = UnitQuant,
+      restartInterval: Int = 0)(v: (Int, Int) => Int): Array[Byte] = {
+    require(w >= 1 && h >= 1, "dims must be positive")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant: 64 natural-order entries in 1..255")
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(x: Int): Unit = { out.write((x >> 8) & 0xff); out.write(x & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    writeHeaders(out, w, h, quant, sofMarker = 0xc0)
+    if (restartInterval > 0) { marker(0xdd); be16(4); be16(restartInterval) }
+    marker(0xda); be16(8) // SOS
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+
+    val blocks = quantizedBlocks(w, h, quant, v)
+    val bw = new BitWriter(out)
+    var pred = 0
+    var mcu = 0
+    var rstSeq = 0
+    while (mcu < blocks.length) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.flush()
+        marker(0xd0 + rstSeq)
+        rstSeq = (rstSeq + 1) & 7
+        pred = 0
+      }
+      val fq = blocks(mcu)
+      putDc(bw, fq(0) - pred)
+      pred = fq(0)
+      putAcBand(bw, fq, 1, 63)
+      mcu += 1
     }
     bw.flush()
     marker(0xd9) // EOI
     out.toByteArray
   }
 
-  /** A structurally-baseline byte stream whose SOF marker claims
-    * PROGRESSIVE (SOF2): the q109 "unsupported" census plant —
-    * [[JpegPixels.decodeGray]] dispatches on the SOF marker before any
-    * scan parse, so the (still sequential) scan body is never read. */
-  def progressiveTwin(baseline: Array[Byte]): Array[Byte] = {
-    val out = baseline.clone()
+  /** Encode a grayscale PROGRESSIVE (SOF2) image — the simplest legal
+    * progression, spectral selection only: scan 1 carries every DC
+    * coefficient (Ss=Se=0, Ah=Al=0), scan 2 the full AC band
+    * (Ss=1, Se=63). No successive approximation, so with the all-ones
+    * `quant` the constant-block exactness property of [[gray]] holds
+    * here too (DC scan is the same integers; the AC scan of a
+    * DC-only block is a single EOB). Used by the q109/q110 plants and
+    * the fuzz corpus; JpegPixelsSpec cross-validates the output
+    * against ImageIO's decoder. */
+  def grayProgressive(w: Int, h: Int, quant: Array[Int] = UnitQuant)(
+      v: (Int, Int) => Int): Array[Byte] = {
+    require(w >= 1 && h >= 1, "dims must be positive")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant: 64 natural-order entries in 1..255")
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(x: Int): Unit = { out.write((x >> 8) & 0xff); out.write(x & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    writeHeaders(out, w, h, quant, sofMarker = 0xc2)
+    val blocks = quantizedBlocks(w, h, quant, v)
+    // scan 1: DC, full precision
+    marker(0xda); be16(8)
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(0); out.write(0) // Ss=0 Se=0 AhAl=0
+    val bw1 = new BitWriter(out)
+    var pred = 0
+    blocks.foreach { fq => putDc(bw1, fq(0) - pred); pred = fq(0) }
+    bw1.flush()
+    // scan 2: AC 1..63, full precision (EOB0 codes double as the
+    // progressive EOBRUN-of-one)
+    marker(0xda); be16(8)
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(1); out.write(63); out.write(0) // Ss=1 Se=63 AhAl=0
+    val bw2 = new BitWriter(out)
+    blocks.foreach(fq => putAcBand(bw2, fq, 1, 63))
+    bw2.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** A twin whose SOF claims 12-bit sample precision — the census
+    * plant for the REMAINING "unsupported" JPEG class now that
+    * progressive decodes (q109): [[JpegPixels.decodeGray]] rejects at
+    * the precision byte, before any scan parse. */
+  def precision12Twin(encoded: Array[Byte]): Array[Byte] = {
+    val out = encoded.clone()
     var i = 2
     var done = false
     while (!done && i + 1 < out.length) {
-      if ((out(i) & 0xff) == 0xff && (out(i + 1) & 0xff) == 0xc0) {
-        out(i + 1) = 0xc2.toByte; done = true
+      val m = out(i + 1) & 0xff
+      if ((out(i) & 0xff) == 0xff && (m == 0xc0 || m == 0xc1 || m == 0xc2)) {
+        out(i + 4) = 12.toByte; done = true // precision: marker+len+1
       }
       i += 1
     }
-    require(done, "no SOF0 marker found")
+    require(done, "no SOF marker found")
     out
   }
 }

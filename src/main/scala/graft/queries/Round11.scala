@@ -72,7 +72,7 @@ object Round11 {
     mean.unionByName(ordered).orderBy("form", "id_a", "id_b")
   }
 
-  /** q109: media quarantine-reason CENSUS — fifteen payload variants
+  /** q109: media quarantine-reason CENSUS — sixteen payload variants
     * per doc spanning every reason class of
     * [[Multimodal.contentReason]] ([[graft.functions.MediaReason]],
     * exercised through its whole-stage-codegen path), grouped to
@@ -82,9 +82,10 @@ object Round11 {
     * reasons) produces a row the oracle does not have.
     *
     * Variants: good BMP / gray-8 PNG / palette-Adam7 PNG / gray-16
-    * PNG / GIF / WAV / baseline JPEG (r11: [[graft.operators.JpegPixels]] decodes it
-    * now) → "ok"; an 8-bpp BMP header, an IEEE-float WAV (well-formed,
-    * out of decode scope), and a progressive JPEG (SOF2 — the
+    * PNG / GIF / WAV / baseline JPEG / PROGRESSIVE JPEG (r11:
+    * [[graft.operators.JpegPixels]] decodes both JPEG modes now) →
+    * "ok"; an 8-bpp BMP header, an IEEE-float WAV (well-formed, out
+    * of decode scope), and a 12-bit-precision JPEG (the remaining
     * external-codec seam) → "unsupported"; a truncated BMP and the
     * scan-less SOI+SOF0+EOI header twin (a broken FILE even though
     * every marker parses — reclassified from "unsupported" when the
@@ -134,7 +135,9 @@ object Round11 {
           (id + 12000000L, "missing", null),
           (id + 13000000L, "jpeg_base",
             JpegBuild.gray(w, h)((x, y) => px(x, y))),
-          (id + 14000000L, "jpeg_prog", JpegBuild.progressiveTwin(
+          (id + 14000000L, "jpeg_prog",
+            JpegBuild.grayProgressive(w, h)((x, y) => px(x, y))),
+          (id + 15000000L, "jpeg_12bit", JpegBuild.precision12Twin(
             JpegBuild.gray(w, h)((x, y) => px(x, y)))))
       }
       .toDF("media_id", "variant", "payload")
@@ -159,11 +162,16 @@ object Round11 {
     * approximately. Populations per doc_id: the BMP rendering; the
     * JPEG of the same pixels (+1M); the JPEG of +16 brightness (+2M —
     * DC-only change, dHash compares adjacent cells so the shift
-    * cancels); opaque text (+3M, decodes nowhere, pairs never).
-    * Expected pairs: the three in-trio pairs per doc at hamming 0 —
+    * cancels); opaque text (+3M, decodes nowhere, pairs never); and
+    * the PROGRESSIVE encoding of the same pixels (+4M — two scans,
+    * DC then AC band; same quantized coefficients, so the exactness
+    * argument carries over unchanged and the progressive decode path
+    * must land on the identical hash).
+    * Expected pairs: the six in-quartet pairs per doc at hamming 0 —
     * any decoder drift (quantization, IDCT rounding, block placement,
-    * luma crop) flips a gradient sign somewhere across the ~600-doc ×
-    * 72-cell population and breaks the arithmetic oracle. */
+    * EOBRUN bookkeeping, luma crop) flips a gradient sign somewhere
+    * across the ~600-doc × 72-cell population and breaks the
+    * arithmetic oracle. */
   def q110JpegNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
@@ -181,7 +189,9 @@ object Round11 {
           Multimodal.MediaRecord(id + 2000000L, "image",
             JpegBuild.gray(72, 64)(px(16))),
           Multimodal.MediaRecord(id + 3000000L, "image",
-            text.getBytes("UTF-8")))
+            text.getBytes("UTF-8")),
+          Multimodal.MediaRecord(id + 4000000L, "image",
+            JpegBuild.grayProgressive(72, 64)(px(0))))
       }
       .toDF("media_id", "kind", "payload")
     ImageDedup.nearDupPairs(media, "media_id", "payload",
@@ -210,18 +220,19 @@ object Round11 {
         |v(variant, reason) AS (VALUES
         |  ('bmp', 'ok'), ('bmp_8bpp', 'unsupported'),
         |  ('bmp_trunc', 'corrupt'), ('gif', 'ok'),
-        |  ('jpeg_base', 'ok'), ('jpeg_hdr', 'corrupt'),
-        |  ('jpeg_prog', 'unsupported'), ('missing', 'missing'),
-        |  ('no_magic', 'opaque'), ('png_gray16', 'ok'),
-        |  ('png_gray8', 'ok'), ('png_huge', 'oversized'),
-        |  ('png_palette_adam7', 'ok'), ('wav', 'ok'),
-        |  ('wav_float', 'unsupported'))
+        |  ('jpeg_12bit', 'unsupported'), ('jpeg_base', 'ok'),
+        |  ('jpeg_hdr', 'corrupt'), ('jpeg_prog', 'ok'),
+        |  ('missing', 'missing'), ('no_magic', 'opaque'),
+        |  ('png_gray16', 'ok'), ('png_gray8', 'ok'),
+        |  ('png_huge', 'oversized'), ('png_palette_adam7', 'ok'),
+        |  ('wav', 'ok'), ('wav_float', 'unsupported'))
         |SELECT v.variant, v.reason, n.c AS cnt FROM v, n
         |ORDER BY variant, reason""".stripMargin,
     "q110_jpeg_neardup" ->
       """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
         |m(a_k, b_k) AS (VALUES (0, 1000000), (0, 2000000),
-        |                       (1000000, 2000000))
+        |                       (0, 4000000), (1000000, 2000000),
+        |                       (1000000, 4000000), (2000000, 4000000))
         |SELECT t.id + m.a_k AS id_a, t.id + m.b_k AS id_b,
         |  CAST(0 AS INTEGER) AS hamming
         |FROM t, m

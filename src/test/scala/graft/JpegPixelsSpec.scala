@@ -220,14 +220,95 @@ class JpegPixelsSpec extends AnyFunSuite {
 
   // ---- rejection classes --------------------------------------------
 
-  test("progressive is 'unsupported' — both our twin and a real " +
-      "ImageIO progressive stream") {
-    val img = Array.tabulate(16, 16)((y, x) => (x * y) % 256)
-    val twin = JpegBuild.progressiveTwin(
-      JpegBuild.gray(16, 16)((x, y) => img(y)(x)))
-    assert(JpegPixels.decodeGray(twin) === Left("unsupported"))
-    val real = imageIoBytes(grayImage(img), 0.9f, progressive = true)
-    assert(JpegPixels.decodeGray(real) === Left("unsupported"))
+  // ---- progressive (r11 second slice) -------------------------------
+
+  test("our progressive encode decodes IDENTICALLY to our baseline " +
+      "encode (same quantized coefficients, two scan layouts)") {
+    val rnd = new scala.util.Random(7)
+    for ((w, h, q) <- Seq((40, 24, JpegBuild.UnitQuant),
+        (17, 9, JpegBuild.LossyQuant), (8, 8, JpegBuild.UnitQuant),
+        (3, 21, JpegBuild.LossyQuant))) {
+      val img = randImg(rnd, w, h)
+      val base = decodeOrFail(JpegBuild.gray(w, h, quant = q)(
+        (x, y) => img(y)(x)))
+      val prog = decodeOrFail(JpegBuild.grayProgressive(w, h, quant = q)(
+        (x, y) => img(y)(x)))
+      assert((prog._1, prog._2) === ((w, h)))
+      assert(base._3.toSeq === prog._3.toSeq, s"${w}x$h")
+    }
+  }
+
+  test("progressive constant blocks keep the q110 exactness contract") {
+    val rnd = new scala.util.Random(110)
+    val cells = Array.fill(8, 9)(1 + rnd.nextInt(200))
+    def px(x: Int, y: Int): Int = cells(y / 8)(x / 8)
+    val (w, h, pix) = decodeOrFail(JpegBuild.grayProgressive(72, 64)(px))
+    assert((w, h) === ((72, 64)))
+    for (y <- 0 until 64; x <- 0 until 72)
+      assert(pix(y * 72 + x) === px(x, y), s"($x,$y)")
+    val bmpHash = ImagePixels.dhashOf(
+      ImageBuild.bmp24Gray(72, 64)(px)).get
+    val progHash = ImagePixels.dhashOf(
+      JpegBuild.grayProgressive(72, 64)(px)).get
+    assert(bmpHash === progHash)
+  }
+
+  test("a real ImageIO progressive stream (successive approximation + " +
+      "refinement scans) decodes to ImageIO's own pixels (±1)") {
+    val rnd = new scala.util.Random(8)
+    for ((quality, w, h) <- Seq((0.9f, 40, 28), (0.5f, 33, 17))) {
+      val img = randImg(rnd, w, h)
+      val bytes = imageIoBytes(grayImage(img), quality, progressive = true)
+      val (dw, dh, ours) = decodeOrFail(bytes)
+      val (iw, ih, theirs) = imageIoGray(bytes)
+      assert((dw, dh) === ((iw, ih)))
+      assert(maxDiff(ours, theirs) <= 1, s"quality=$quality ${w}x$h")
+    }
+  }
+
+  test("ImageIO progressive RGB (YCbCr, chroma scans byte-skipped) — " +
+      "our Y plane matches ImageIO's decoded luma") {
+    val rnd = new scala.util.Random(9)
+    val w = 29; val h = 22
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, rnd.nextInt(1 << 24))
+    val bytes = imageIoBytes(bi, 0.85f, progressive = true)
+    val (dw, dh, ours) = decodeOrFail(bytes)
+    assert((dw, dh) === ((w, h)))
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var worst = 0
+    var total = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = back.getRGB(x, y)
+      val luma = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+        29 * (rgb & 0xff)) >> 8
+      val d = math.abs(ours(y * w + x) - luma)
+      worst = math.max(worst, d); total += d
+    }
+    assert(worst <= 10, s"max luma deviation $worst")
+    assert(total.toDouble / (w * h) <= 1.5,
+      s"mean luma deviation ${total.toDouble / (w * h)}")
+  }
+
+  test("our progressive bytes decode in ImageIO to the pixels we decode") {
+    val rnd = new scala.util.Random(10)
+    val img = randImg(rnd, 24, 18)
+    val bytes = JpegBuild.grayProgressive(24, 18,
+      quant = JpegBuild.LossyQuant)((x, y) => img(y)(x))
+    val (dw, dh, ours) = decodeOrFail(bytes)
+    val (iw, ih, theirs) = imageIoGray(bytes)
+    assert((dw, dh) === ((iw, ih)))
+    assert(maxDiff(ours, theirs) <= 1)
+  }
+
+  test("truncated progressive streams are corrupt, never partial/throw") {
+    val img = Array.tabulate(24, 24)((y, x) => (x * 11 + y * 5) % 256)
+    val good = JpegBuild.grayProgressive(24, 24)((x, y) => img(y)(x))
+    // cut inside the AC scan and inside the DC scan
+    for (cut <- Seq(good.length - 6, good.length / 2, 100, 20))
+      assert(JpegPixels.decodeGray(good.take(cut)) === Left("corrupt"),
+        s"cut=$cut")
   }
 
   test("rejection matrix: corrupt / unsupported / oversized") {
@@ -268,7 +349,10 @@ class JpegPixelsSpec extends AnyFunSuite {
     assert(ImagePixels.decodeGrayReason(good).isRight)
     assert(Multimodal.MediaDecoder.contentReason(good) === "ok")
     assert(Multimodal.MediaDecoder.contentReason(
-      JpegBuild.progressiveTwin(good)) === "unsupported")
+      JpegBuild.grayProgressive(16, 16)((x, y) => (x * 7 + y) % 256)) ===
+      "ok")
+    assert(Multimodal.MediaDecoder.contentReason(
+      JpegBuild.precision12Twin(good)) === "unsupported")
     assert(Multimodal.MediaDecoder.contentReason(
       Multimodal.MediaBuild.jpeg(8, 8)) === "corrupt")
   }

@@ -54,7 +54,10 @@ class MediaFuzzSpec extends SparkSuite {
     val jpg = JpegBuild.gray(18, 16)((x, y) => img(y)(x))
     val jpgRst = JpegBuild.gray(18, 16, quant = JpegBuild.LossyQuant,
       restartInterval = 2)((x, y) => img(y)(x))
-    Seq(bmp, wav, gif, png, pngPal, pngAdam, deltaGif, jpg, jpgRst)
+    val jpgProg = JpegBuild.grayProgressive(18, 16,
+      quant = JpegBuild.LossyQuant)((x, y) => img(y)(x))
+    Seq(bmp, wav, gif, png, pngPal, pngAdam, deltaGif, jpg, jpgRst,
+      jpgProg)
   }
 
   test("pure random garbage never throws (1000 payloads)") {
