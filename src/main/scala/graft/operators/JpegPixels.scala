@@ -72,7 +72,12 @@ object JpegPixels {
                  _: NegativeArraySizeException => Left("corrupt") }
   }
 
-  /** Canonical Huffman table in T.81 F.2.2.3 decode form. */
+  /** Canonical Huffman table in T.81 F.2.2.3 decode form, plus an
+    * 8-bit-prefix lookup fast path: entry = (codeLen << 16) |
+    * (symbol + 1) for every 8-bit window starting with a code of ≤ 8
+    * bits, 0 for longer codes (bit-serial fallback). Standard tables
+    * put the overwhelmingly common symbols at ≤ 8 bits, so the fast
+    * path takes one array read per symbol in the hot loop. */
   private final class HuffTable(
       counts: Array[Int], val vals: Array[Byte]) {
     // minCode/maxCode/valPtr indexed by code length 1..16; maxCode = -1
@@ -80,6 +85,7 @@ object JpegPixels {
     val minCode = new Array[Int](17)
     val maxCode = Array.fill(17)(-1)
     val valPtr = new Array[Int](17)
+    val lookup = new Array[Int](256)
     locally {
       var code = 0
       var k = 0
@@ -88,6 +94,21 @@ object JpegPixels {
         if (counts(l - 1) > 0) {
           valPtr(l) = k
           minCode(l) = code
+          if (l <= 8) {
+            var c = 0
+            while (c < counts(l - 1)) {
+              if (k + c < vals.length) {
+                val entry = (l << 16) | ((vals(k + c) & 0xff) + 1)
+                val base = (code + c) << (8 - l)
+                var fillI = 0
+                while (fillI < (1 << (8 - l))) {
+                  lookup(base + fillI) = entry
+                  fillI += 1
+                }
+              }
+              c += 1
+            }
+          }
           code += counts(l - 1)
           k += counts(l - 1)
           maxCode(l) = code - 1
@@ -98,54 +119,64 @@ object JpegPixels {
     }
   }
 
-  /** Serial bit reader over the entropy-coded segment: FF00 unstuffs
-    * to FF; any other FF-marker ends the data (exposed via
-    * [[atMarker]]); running past the end yields hitEnd instead of a
-    * throw. */
+  /** Buffered bit reader over the entropy-coded segment: bytes refill
+    * a 64-bit accumulator in bulk; FF00 unstuffs to FF; any other
+    * FF-marker ends the data (exposed via [[atMarker]]); running past
+    * the end yields -1 from the read methods instead of a throw. */
   private final class BitReader(p: Array[Byte], start: Int) {
     var pos = start
-    private var acc = 0
+    private var acc = 0L
     private var cnt = 0
-    var hitEnd = false
     private var marker = -1
 
     def atMarker: Int = marker
 
     private def fill(): Unit = {
-      if (marker >= 0 || pos >= p.length) { hitEnd ||= marker < 0; return }
-      val b = p(pos) & 0xff
-      if (b == 0xff) {
-        if (pos + 1 >= p.length) { hitEnd = true; pos = p.length; return }
-        val m = p(pos + 1) & 0xff
-        if (m == 0x00) { acc = (acc << 8) | 0xff; cnt += 8; pos += 2 }
-        else { marker = m } // entropy data ends; pos still at the FF
-      } else { acc = (acc << 8) | b; cnt += 8; pos += 1 }
+      while (cnt <= 56) {
+        if (marker >= 0 || pos >= p.length) return
+        val b = p(pos) & 0xff
+        if (b == 0xff) {
+          if (pos + 1 >= p.length) { pos = p.length; return }
+          val m = p(pos + 1) & 0xff
+          if (m == 0x00) { acc = (acc << 8) | 0xff; cnt += 8; pos += 2 }
+          else if (m == 0xff) pos += 1 // fill byte before a marker
+          else { marker = m; return } // data ends; pos still at the FF
+        } else { acc = (acc << 8) | b; cnt += 8; pos += 1 }
+      }
     }
 
     /** Next bit, or -1 once the segment is exhausted. */
     def bit(): Int = {
       if (cnt == 0) { fill(); if (cnt == 0) return -1 }
       cnt -= 1
-      (acc >>> cnt) & 1
+      ((acc >>> cnt) & 1L).toInt
     }
 
     /** `n` raw bits MSB-first (n ≤ 16), or -1 on exhaustion. */
     def bits(n: Int): Int = {
-      var v = 0
-      var i = 0
-      while (i < n) {
-        val b = bit()
-        if (b < 0) return -1
-        v = (v << 1) | b
-        i += 1
+      if (n == 0) return 0
+      if (cnt < n) {
+        fill()
+        if (cnt < n) { // near segment end: drain serially
+          var v = 0
+          var i = 0
+          while (i < n) {
+            val b = bit()
+            if (b < 0) return -1
+            v = (v << 1) | b
+            i += 1
+          }
+          return v
+        }
       }
-      v
+      cnt -= n
+      ((acc >>> cnt) & ((1L << n) - 1L)).toInt
     }
 
     /** Byte-align and consume an expected RSTn marker; true on
       * success. Resets the marker latch so decoding can continue. */
     def consumeRestart(expectMod8: Int): Boolean = {
-      cnt = 0 // discard alignment padding bits
+      cnt = 0; acc = 0L // discard alignment padding bits
       if (marker < 0) fill()
       if (marker < 0xd0 || marker > 0xd7) return false
       if ((marker - 0xd0) != expectMod8) return false
@@ -155,8 +186,14 @@ object JpegPixels {
     }
 
     /** One Huffman-coded symbol (T.81 DECODE), or -1 on exhaustion /
-      * invalid code. */
+      * invalid code. Fast path: one [[HuffTable.lookup]] probe on the
+      * next 8 buffered bits. */
     def decode(t: HuffTable): Int = {
+      if (cnt < 16) fill()
+      if (cnt >= 8) {
+        val e = t.lookup(((acc >>> (cnt - 8)) & 0xffL).toInt)
+        if (e != 0) { cnt -= e >>> 16; return (e & 0xffff) - 1 }
+      }
       var code = 0
       var l = 1
       while (l <= 16) {
@@ -214,18 +251,29 @@ object JpegPixels {
   }
 
   /** In-place-free separable IDCT of a natural-order coefficient
-    * block into 8×8 clamped samples (level shift +128). */
+    * block into 8×8 clamped samples (level shift +128). Coefficient
+    * rows that are entirely zero are skipped in both passes — for
+    * realistically-quantized blocks most high-frequency rows are, so
+    * the common case touches 1–3 rows instead of 8 (the IEEE-754
+    * result is unchanged: skipped terms contribute exact 0.0). */
   private def idct(coef: Array[Int], out: Array[Int]): Unit = {
     val g = new Array[Double](64) // G(u)(y) = Σv F(u,v) M(y)(v)
+    var nzMask = 0 // bit u set ⇔ coefficient row u has a nonzero
     var u = 0
     while (u < 8) {
-      var y = 0
-      while (y < 8) {
-        var s = 0.0
-        var v = 0
-        while (v < 8) { s += coef(u * 8 + v) * Basis(y)(v); v += 1 }
-        g(u * 8 + y) = s
-        y += 1
+      val o = u * 8
+      if (coef(o) != 0 || coef(o + 1) != 0 || coef(o + 2) != 0 ||
+          coef(o + 3) != 0 || coef(o + 4) != 0 || coef(o + 5) != 0 ||
+          coef(o + 6) != 0 || coef(o + 7) != 0) {
+        nzMask |= 1 << u
+        var y = 0
+        while (y < 8) {
+          var s = 0.0
+          var v = 0
+          while (v < 8) { s += coef(o + v) * Basis(y)(v); v += 1 }
+          g(o + y) = s
+          y += 1
+        }
       }
       u += 1
     }
@@ -235,7 +283,10 @@ object JpegPixels {
       while (y < 8) {
         var s = 0.0
         var uu = 0
-        while (uu < 8) { s += Basis(x)(uu) * g(uu * 8 + y); uu += 1 }
+        while (uu < 8) {
+          if ((nzMask & (1 << uu)) != 0) s += Basis(x)(uu) * g(uu * 8 + y)
+          uu += 1
+        }
         val v = math.floor(s + 128.5).toInt // round-half-up + level shift
         out(x * 8 + y) = if (v < 0) 0 else if (v > 255) 255 else v
         y += 1
