@@ -284,31 +284,35 @@ object VideoDedup {
       val eoi = clear + 1
       val prefix = new Array[Int](4096)
       val suffix = new Array[Int](4096)
+      // cached first pixel of each dictionary chain — O(1) instead of
+      // walking the prefix chain on every new entry (r11 fast path)
+      val firstPx = new Array[Int](4096)
+      var fc = 0
+      while (fc < clear) { firstPx(fc) = fc; fc += 1 }
       val stack = new Array[Int](4097)
       val out = new Array[Int](nPixels)
       var outN = 0
       var next = eoi + 1
       var width = minCode + 1
       var prev = -1
-      var bitPos = 0
-      val nBits = data.length * 8
+      // LSB-first codes through a byte-buffered accumulator (one mask
+      // per code instead of one array probe per bit — r11 fast path)
+      var acc = 0L
+      var cnt = 0
+      var bytePos = 0
       def readCode(): Int = {
-        if (bitPos + width > nBits) return -1
-        var v = 0
-        var b = 0
-        while (b < width) {
-          val bit = bitPos + b
-          if ((data(bit >> 3) & (1 << (bit & 7))) != 0) v |= 1 << b
-          b += 1
+        while (cnt < width) {
+          if (bytePos >= data.length) return -1
+          acc |= (data(bytePos) & 0xffL) << cnt
+          cnt += 8
+          bytePos += 1
         }
-        bitPos += width
+        val v = (acc & ((1L << width) - 1L)).toInt
+        acc >>>= width
+        cnt -= width
         v
       }
-      def firstOf(code0: Int): Int = {
-        var c = code0
-        while (c >= clear) c = prefix(c)
-        c
-      }
+      def firstOf(code0: Int): Int = firstPx(code0)
       def emit(code0: Int): Boolean = {
         var c = code0
         var sp = 0
@@ -338,11 +342,13 @@ object VideoDedup {
           val toEmit =
             if (code == next) {
               if (next >= 4096) return None
-              prefix(next) = prev; suffix(next) = firstOf(prev); next += 1
+              prefix(next) = prev; suffix(next) = firstOf(prev)
+              firstPx(next) = firstPx(prev); next += 1
               code
             } else {
               if (next < 4096) {
-                prefix(next) = prev; suffix(next) = firstOf(code); next += 1
+                prefix(next) = prev; suffix(next) = firstOf(code)
+                firstPx(next) = firstPx(prev); next += 1
               }
               code
             }
