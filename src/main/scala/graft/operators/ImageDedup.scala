@@ -568,28 +568,34 @@ object ImageDedup {
       def packRow(xs: IndexedSeq[Int], y: Int): Array[Byte] = {
         val row = new Array[Byte](dataBytes(xs.length))
         if (depth >= 8) {
+          // direct array writes, no per-pixel collection allocation —
+          // this builder runs inside the benchmarked plant flatMaps
           var o = 0
-          xs.foreach { x =>
-            val g = v(x, y) & sampleMask
-            val samples: Seq[Int] = colorType match {
-              case 0 | 3 => Seq(g)
-              case 2 => Seq(g, g, g)
-              case 4 => Seq(g, 0xff)
-              case 6 => Seq(g, g, g, 0xff)
+          def put(s: Int): Unit = {
+            row(o) = s.toByte; o += 1            // depth-16 high byte
+            if (depth == 16) { row(o) = s.toByte; o += 1 }
+          }
+          var xi = 0
+          while (xi < xs.length) {
+            val g = v(xs(xi), y) & sampleMask
+            colorType match {
+              case 0 | 3 => put(g)
+              case 2 => put(g); put(g); put(g)
+              case 4 => put(g); put(0xff)
+              case 6 => put(g); put(g); put(g); put(0xff)
             }
-            samples.foreach { s =>
-              row(o) = s.toByte; o += 1          // depth-16 high byte
-              if (depth == 16) { row(o) = s.toByte; o += 1 }
-            }
+            xi += 1
           }
         } else {
           var bit = 0
-          xs.foreach { x =>
-            val s = v(x, y) & sampleMask
+          var xi = 0
+          while (xi < xs.length) {
+            val s = v(xs(xi), y) & sampleMask
             val byteI = bit >> 3
             val shift = 8 - depth - (bit & 7)
             row(byteI) = (row(byteI) | (s << shift)).toByte
             bit += depth
+            xi += 1
           }
         }
         row

@@ -36,7 +36,7 @@ package graft.operators
   * scan too small to plausibly carry the claimed pixel count are
   * "oversized" (refused BEFORE the luma plane allocates — the
   * family's OOM contract; a conformant scan emits ≥ 2 Huffman codes
-  * per block, so ≥ 2 bits/64 px with 1-bit codes: 512 px/byte is the
+  * per block, so ≥ 2 bits/64 px with 1-bit codes: 256 px/byte is the
   * hard information-theoretic ceiling used here).
   *
   * Determinism: the IDCT is fixed double-precision arithmetic
@@ -425,6 +425,18 @@ object JpegPixels {
                   return Left("corrupt")
                 c += 1
               }
+              // T.81 A.2: a single-component frame's scans are
+              // non-interleaved with MCU = one data unit — declared
+              // sampling factors play no role in block order/geometry
+              if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
+              // the luma-resolution decode assumes Y carries the max
+              // sampling (true of every real-world YCbCr layout); a
+              // Y-SUBSAMPLED frame is legal but would make the padded
+              // luma plane smaller than w×h and garble the crop —
+              // route it to the external-codec seam instead
+              else if ((0 until nComp).exists(q =>
+                  compH(0) < compH(q) || compV(0) < compV(q)))
+                return Left("unsupported")
             case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
                  0xce | 0xcf =>
               return Left("unsupported") // lossless/arith/hierarchical
@@ -481,7 +493,9 @@ object JpegPixels {
       val cby = ((h * compV(0) + vMax - 1) / vMax + 7) / 8
       val scanBytes = p.length - scanStart
       if (scanBytes <= 0) return Left("corrupt")
-      if (pbw.toLong * pbh * 64 > 512L * scanBytes) return Left("oversized")
+      // ≥ 2 Huffman codes per block, ≥ 1 bit each → 2 bits/64 px →
+      // 256 px/byte is the information-theoretic ceiling
+      if (pbw.toLong * pbh * 64 > 256L * scanBytes) return Left("oversized")
 
       // natural-order Y coefficient buffer, raw (dequantize at EOI)
       val coefY = new Array[Int](pbw * pbh * 64)
@@ -538,6 +552,19 @@ object JpegPixels {
             if (!involvesY) {
               pos = skipEntropy(segEnd) // chroma-only: no shared bits
             } else {
+              // tables THIS scan decodes with must exist (the baseline
+              // path's guard, applied per scan here because DHT may
+              // legally arrive between scans; DC refinement reads raw
+              // bits and needs none) — a missing table is corrupt, not
+              // an NPE escaping the never-throw contract
+              if (isDc && ah == 0) {
+                var tc = 0
+                while (tc < ns) {
+                  if (huffDc(scanDc(tc)) == null) return Left("corrupt")
+                  tc += 1
+                }
+              } else if (!isDc && huffAc(scanAc(0)) == null)
+                return Left("corrupt")
               if (qY == null) {
                 if (quant(compQ(0)) == null) return Left("corrupt")
                 qY = quant(compQ(0)) // latched at Y's first scan
@@ -804,8 +831,9 @@ object JpegPixels {
     if (pw.toLong * ph > (MaxPixels.toLong * 3) / 2) return Left("oversized")
     val scanBytes = p.length - scanStart
     if (scanBytes <= 0) return Left("corrupt")
-    // ≥ 2 Huffman codes per block, ≥ 1 bit each → 512 px/byte ceiling
-    if (pw.toLong * ph > 512L * scanBytes) return Left("oversized")
+    // ≥ 2 Huffman codes per block, ≥ 1 bit each → 2 bits/64 px →
+    // 256 px/byte is the information-theoretic ceiling
+    if (pw.toLong * ph > 256L * scanBytes) return Left("oversized")
 
     // tables referenced by the scan must exist
     var c = 0
@@ -1196,14 +1224,26 @@ object JpegBuild {
     * the precision byte, before any scan parse. */
   def precision12Twin(encoded: Array[Byte]): Array[Byte] = {
     val out = encoded.clone()
+    // walk SEGMENTS, not raw bytes: an FF C0 byte pair inside a DQT
+    // payload (quant entries 255, 192 are legal) must not be mistaken
+    // for the SOF marker
     var i = 2
     var done = false
     while (!done && i + 1 < out.length) {
-      val m = out(i + 1) & 0xff
-      if ((out(i) & 0xff) == 0xff && (m == 0xc0 || m == 0xc1 || m == 0xc2)) {
-        out(i + 4) = 12.toByte; done = true // precision: marker+len+1
+      require((out(i) & 0xff) == 0xff, "marker walk desynchronized")
+      while (i < out.length && (out(i) & 0xff) == 0xff) i += 1
+      require(i < out.length, "no SOF marker found")
+      val m = out(i) & 0xff; i += 1
+      if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
+        out(i + 2) = 12.toByte // precision byte follows the length
+        done = true
+      } else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        () // standalone markers
+      } else {
+        require(m != 0xd9 && m != 0xda, "no SOF marker before scan/EOI")
+        val len = ((out(i) & 0xff) << 8) | (out(i + 1) & 0xff)
+        i += len
       }
-      i += 1
     }
     require(done, "no SOF marker found")
     out

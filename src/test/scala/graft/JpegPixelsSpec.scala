@@ -357,6 +357,58 @@ class JpegPixelsSpec extends AnyFunSuite {
       Multimodal.MediaBuild.jpeg(8, 8)) === "corrupt")
   }
 
+  // ---- review-hardening regressions (r11 inline review) -------------
+
+  test("a progressive scan referencing a missing Huffman table is " +
+      "corrupt, not an NPE") {
+    val good = JpegBuild.grayProgressive(16, 16)((x, y) => (x + y) % 256)
+    // DHT DC segment's class/id byte: 0x00 → 0x01 re-homes the DC
+    // table to slot 1; the scans still reference slot 0
+    val dht = indexOfMarker(good, 0xc4)
+    val patched = good.clone
+    patched(dht + 4) = 0x01.toByte
+    assert(JpegPixels.decodeGray(patched) === Left("corrupt"))
+  }
+
+  test("a Y-subsampled 3-component frame routes to 'unsupported', " +
+      "never a garbled crop") {
+    // minimal SOI + SOF0 with Y=1x1 but Cb=2x2 — rejected at the SOF,
+    // before any scan is needed
+    val b = java.nio.ByteBuffer.allocate(21)
+    b.put(0xff.toByte).put(0xd8.toByte)
+    b.put(0xff.toByte).put(0xc0.toByte).putShort(17)
+    b.put(8.toByte).putShort(16).putShort(16).put(3.toByte)
+    b.put(1.toByte).put(0x11.toByte).put(0.toByte) // Y 1x1
+    b.put(2.toByte).put(0x22.toByte).put(0.toByte) // Cb 2x2 > Y
+    b.put(3.toByte).put(0x11.toByte).put(0.toByte)
+    assert(JpegPixels.decodeGray(b.array()) === Left("unsupported"))
+  }
+
+  test("single-component frames ignore declared sampling factors " +
+      "(T.81 A.2: non-interleaved, MCU = one data unit)") {
+    val img = Array.tabulate(24, 33)((y, x) => (x * 5 + y * 11) % 256)
+    val plain = JpegBuild.gray(33, 24)((x, y) => img(y)(x))
+    val expected = decodeOrFail(plain)._3
+    val sof = indexOfMarker(plain, 0xc0)
+    for (hv <- Seq(0x22, 0x21, 0x14)) {
+      val patched = plain.clone
+      patched(sof + 11) = hv.toByte // the single component's h/v byte
+      val (w, h, pix) = decodeOrFail(patched)
+      assert((w, h) === ((33, 24)), s"hv=$hv")
+      assert(pix.toSeq === expected.toSeq, s"hv=$hv")
+    }
+  }
+
+  test("precision12Twin patches the SOF even when the DQT payload " +
+      "contains an FF C0 byte pair") {
+    val q = JpegBuild.UnitQuant.clone
+    q(0) = 255; q(1) = 192 // zigzag-adjacent → FF C0 inside DQT
+    val bytes = JpegBuild.gray(8, 8, quant = q)((x, y) => (x * y) % 256)
+    assert(JpegPixels.decodeGray(bytes).isRight) // sanity: legal table
+    assert(JpegPixels.decodeGray(JpegBuild.precision12Twin(bytes)) ===
+      Left("unsupported"))
+  }
+
   private def indexOfMarker(p: Array[Byte], m: Int): Int = {
     var i = 2
     while (i + 1 < p.length) {
