@@ -11,7 +11,10 @@ package graft.operators
   *
   * Scope (ITU-T T.81, 8-bit Huffman modes):
   *  - SOF0/SOF1 sequential: 1 (grayscale) or 3 (YCbCr) components,
-  *    any sampling factors 1–4, interleaved single-scan;
+  *    any sampling factors 1–4, interleaved single-scan AND the
+  *    non-interleaved one-scan-per-component layout (r11: decoded by
+  *    the multi-scan loop in full-band mode; chroma scans are
+  *    byte-skipped there, never entropy-decoded);
   *  - SOF2 PROGRESSIVE (r11 second slice): spectral selection +
   *    successive approximation in full — DC first/refine scans
   *    (interleaved or per-component), AC first/refine scans with
@@ -31,7 +34,8 @@ package graft.operators
   * Out of scope — reported "unsupported", the external-codec seam
   * (COVERAGE.md "JPEG decision"): lossless / arithmetic /
   * hierarchical / 12-bit variants, 4-component Adobe CMYK,
-  * non-interleaved multi-scan baseline, DNL-deferred height.
+  * PARTIALLY-interleaved sequential scans (a 2-of-3-component subset
+  * scan — no known encoder emits them), DNL-deferred height.
   * Broken structure is "corrupt"; policy-capped dimensions or a
   * scan too small to plausibly carry the claimed pixel count are
   * "oversized" (refused BEFORE the luma plane allocates — the
@@ -313,6 +317,7 @@ object JpegPixels {
     val compDc = new Array[Int](4); val compAc = new Array[Int](4)
     var sofSeen = false
     var progressive = false
+    var multiScanSeq = false // SOF0/1 with one-component-per-scan SOS
 
     // table-segment parsers shared by the header walk and the
     // between-scan walk of the progressive path (both are legal sites
@@ -450,8 +455,16 @@ object JpegPixels {
               } else {
                 if (len < 3) return Left("corrupt")
                 val ns = u8(seg)
+                if (ns == 1 && nComp > 1) {
+                  // sequential NON-INTERLEAVED (one scan per
+                  // component): the multi-scan loop below decodes it
+                  // in full-band mode (r11; partially-interleaved
+                  // subsets stay "unsupported" there)
+                  multiScanSeq = true
+                  scanStart = markerAt
+                } else {
                 if (ns != nComp)
-                  return Left("unsupported") // non-interleaved multi-scan
+                  return Left("unsupported") // partial interleave
                 if (len < 6 + 2 * ns) return Left("corrupt")
                 var c = 0
                 while (c < ns) {
@@ -463,6 +476,7 @@ object JpegPixels {
                   c += 1
                 }
                 scanStart = segEnd
+                }
               }
             case 0xdc => return Left("unsupported") // DNL
             case _ => () // APPn / COM / others: skip by length
@@ -472,14 +486,17 @@ object JpegPixels {
     }
 
     // =================================================================
-    // PROGRESSIVE path (r11): accumulate Y coefficients across scans —
-    // DC first/refine (interleaved or per-component), AC first/refine
-    // with EOBRUN — then one dequantize+IDCT pass at EOI. Chroma-only
-    // scans are BYTE-SKIPPED without entropy decode (in progressive
-    // every AC scan is single-component, so unlike baseline the luma
-    // stream never interleaves with chroma bits — skipping is free).
+    // MULTI-SCAN path (r11): accumulate Y coefficients across scans —
+    // then one dequantize+IDCT pass at EOI. Serves PROGRESSIVE frames
+    // (DC first/refine interleaved or per-component, AC first/refine
+    // with EOBRUN) and sequential NON-INTERLEAVED frames (one
+    // full-band DC+AC scan per component). Chroma-only scans are
+    // BYTE-SKIPPED without entropy decode — in both modes such scans
+    // are single-component, so unlike the interleaved-baseline path
+    // the luma stream never interleaves with chroma bits.
     // =================================================================
-    if (progressive) {
+    if (progressive || multiScanSeq) {
+      val fullBand = multiScanSeq // sequential: every scan is DC+AC
       val hMax = (0 until nComp).map(compH).max
       val vMax = (0 until nComp).map(compV).max
       val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
@@ -539,15 +556,25 @@ object JpegPixels {
               if (scanDc(c) > 3 || scanAc(c) > 3) return Left("corrupt")
               c += 1
             }
-            val ss = u8(seg + 1 + 2 * ns)
-            val se = u8(seg + 2 + 2 * ns)
+            var ss = u8(seg + 1 + 2 * ns)
+            var se = u8(seg + 2 + 2 * ns)
             val ahal = u8(seg + 3 + 2 * ns)
-            val ah = ahal >> 4; val al = ahal & 0x0f
-            val isDc = ss == 0
-            if (isDc && se != 0) return Left("corrupt")
-            if (!isDc && (ns != 1 || ss > se || se > 63))
-              return Left("corrupt")
-            if (al > 13 || ah > 13) return Left("corrupt")
+            var ah = ahal >> 4; var al = ahal & 0x0f
+            if (fullBand) {
+              // sequential SOS fixes Ss=0 Se=63 AhAl=0 (T.81 B.2.3) —
+              // ignore whatever the encoder wrote, the scan is always
+              // the full band at full precision
+              if (ns != 1)
+                return Left("unsupported") // partially-interleaved
+              ss = 0; se = 63; ah = 0; al = 0
+            } else {
+              val isDcChk = ss == 0
+              if (isDcChk && se != 0) return Left("corrupt")
+              if (!isDcChk && (ns != 1 || ss > se || se > 63))
+                return Left("corrupt")
+              if (al > 13 || ah > 13) return Left("corrupt")
+            }
+            val isDc = !fullBand && ss == 0
             val involvesY = scanComp.contains(0)
             if (!involvesY) {
               pos = skipEntropy(segEnd) // chroma-only: no shared bits
@@ -557,7 +584,10 @@ object JpegPixels {
               // legally arrive between scans; DC refinement reads raw
               // bits and needs none) — a missing table is corrupt, not
               // an NPE escaping the never-throw contract
-              if (isDc && ah == 0) {
+              if (fullBand) {
+                if (huffDc(scanDc(0)) == null || huffAc(scanAc(0)) == null)
+                  return Left("corrupt")
+              } else if (isDc && ah == 0) {
                 var tc = 0
                 while (tc < ns) {
                   if (huffDc(scanDc(tc)) == null) return Left("corrupt")
@@ -594,11 +624,11 @@ object JpegPixels {
                 if (isY && b == 1) coefY(base) |= p1
                 true
               }
-              def acFirst(base: Int): Boolean = {
+              def acFirst(base: Int, lo: Int, hi: Int): Boolean = {
                 if (eobrun > 0) { eobrun -= 1; return true }
-                var k = ss
+                var k = lo
                 var ended = false
-                while (k <= se && !ended) {
+                while (k <= hi && !ended) {
                   val rs = r.decode(huffAc(scanAc(0)))
                   if (rs < 0) return false
                   val run = rs >> 4; val s = rs & 0x0f
@@ -615,7 +645,7 @@ object JpegPixels {
                     }
                   } else {
                     k += run
-                    if (k > se) return false
+                    if (k > hi) return false
                     val v = r.bits(s)
                     if (v < 0) return false
                     coefY(base + ZigZag(k)) = extend(v, s) << al
@@ -736,9 +766,11 @@ object JpegPixels {
                   val col = (mcu % cbx).toInt
                   val base = (row * pbw + col) * 64
                   val ok =
-                    if (isDc && ah == 0) dcFirst(0, base, isY = true)
+                    if (fullBand) // sequential: DC then the AC band
+                      dcFirst(0, base, isY = true) && acFirst(base, 1, 63)
+                    else if (isDc && ah == 0) dcFirst(0, base, isY = true)
                     else if (isDc) dcRefine(base, isY = true)
-                    else if (ah == 0) acFirst(base)
+                    else if (ah == 0) acFirst(base, ss, se)
                     else acRefine(base)
                   if (!ok) return Left("corrupt")
                 }

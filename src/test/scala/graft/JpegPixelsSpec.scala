@@ -357,6 +357,100 @@ class JpegPixelsSpec extends AnyFunSuite {
       Multimodal.MediaBuild.jpeg(8, 8)) === "corrupt")
   }
 
+  // ---- sequential non-interleaved (one scan per component) ----------
+
+  /** Splice three gray encodes into one 3-component NON-INTERLEAVED
+    * sequential file: shared DQT/DHT, SOF0 with ids 1/2/3 at 1×1, then
+    * one full-band SOS per component whose entropy body is lifted
+    * verbatim from the matching gray encode (a single-component scan's
+    * bits are identical in both layouts). */
+  private def spliceNonInterleaved(
+      imgs: Seq[Array[Array[Int]]]): Array[Byte] = {
+    require(imgs.size == 3)
+    val h = imgs(0).length; val w = imgs(0)(0).length
+    val encs = imgs.map(im => JpegBuild.gray(w, h)((x, y) => im(y)(x)))
+    def body(p: Array[Byte]): Array[Byte] = {
+      val sos = indexOfMarker(p, 0xda)
+      val len = ((p(sos + 2) & 0xff) << 8) | (p(sos + 3) & 0xff)
+      java.util.Arrays.copyOfRange(p, sos + 2 + len, p.length - 2)
+    }
+    val out = new ByteArrayOutputStream()
+    def be16(x: Int): Unit = { out.write(x >> 8); out.write(x & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    val enc0 = encs(0)
+    val sofAt = indexOfMarker(enc0, 0xc0)
+    val dhtAt = indexOfMarker(enc0, 0xc4)
+    val sosAt = indexOfMarker(enc0, 0xda)
+    out.write(enc0, 0, sofAt) // SOI + APP0 + DQT
+    marker(0xc0); be16(8 + 9)
+    out.write(8); be16(h); be16(w); out.write(3)
+    for (cid <- 1 to 3) { out.write(cid); out.write(0x11); out.write(0) }
+    out.write(enc0, dhtAt, sosAt - dhtAt) // both DHT segments
+    for (c <- 0 until 3) {
+      marker(0xda); be16(8)
+      out.write(1); out.write(c + 1); out.write(0x00)
+      out.write(0); out.write(63); out.write(0)
+      val b = body(encs(c)); out.write(b, 0, b.length)
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  test("sequential non-interleaved 3-component files decode: Y comes " +
+      "from its own scan, chroma scans are skipped") {
+    val rnd = new scala.util.Random(12)
+    val y = randImg(rnd, 19, 13)
+    val cb = randImg(rnd, 19, 13)
+    val cr = randImg(rnd, 19, 13)
+    val spliced = spliceNonInterleaved(Seq(y, cb, cr))
+    val expected = decodeOrFail(
+      JpegBuild.gray(19, 13)((px, py) => y(py)(px)))
+    val got = decodeOrFail(spliced)
+    assert((got._1, got._2) === ((19, 13)))
+    assert(got._3.toSeq === expected._3.toSeq)
+  }
+
+  test("a spliced non-interleaved file is legal JPEG: ImageIO reads " +
+      "it and agrees on the Y plane (neutral chroma)") {
+    val rnd = new scala.util.Random(13)
+    val y = randImg(rnd, 16, 16)
+    val neutral = Array.fill(16, 16)(128) // Cb=Cr=128 → RGB ≈ gray(Y)
+    val spliced = spliceNonInterleaved(Seq(y, neutral, neutral))
+    val (w, h, ours) = decodeOrFail(spliced)
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(spliced))
+    assert(back != null, "ImageIO rejected the spliced layout")
+    assert((back.getWidth, back.getHeight) === ((w, h)))
+    var worst = 0
+    for (yy <- 0 until h; x <- 0 until w) {
+      val rgb = back.getRGB(x, yy)
+      val luma = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+        29 * (rgb & 0xff)) >> 8
+      worst = math.max(worst, math.abs(ours(yy * w + x) - luma))
+    }
+    assert(worst <= 3, s"max luma deviation $worst")
+  }
+
+  test("a partially-interleaved sequential scan (2 of 3 components) " +
+      "is 'unsupported'") {
+    val rnd = new scala.util.Random(14)
+    val imgs = Seq.fill(3)(randImg(rnd, 16, 16))
+    val spliced = spliceNonInterleaved(imgs)
+    // rewrite the FIRST SOS to claim ns=2 (Y + Cb): longer header, so
+    // rebuild the prefix and splice junk entropy — the decoder must
+    // reject at the scan header, before any entropy read
+    val sos = indexOfMarker(spliced, 0xda)
+    val out = new ByteArrayOutputStream()
+    out.write(spliced, 0, sos)
+    out.write(0xff); out.write(0xda)
+    out.write(0); out.write(10) // len = 6 + 2*2
+    out.write(2)
+    out.write(1); out.write(0x00); out.write(2); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    out.write(0x55); out.write(0x55)
+    out.write(0xff); out.write(0xd9)
+    assert(JpegPixels.decodeGray(out.toByteArray) === Left("unsupported"))
+  }
+
   // ---- review-hardening regressions (r11 inline review) -------------
 
   test("a progressive scan referencing a missing Huffman table is " +
