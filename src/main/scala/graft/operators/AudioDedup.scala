@@ -31,11 +31,15 @@ import graft.functions.ColumnBridge
   * Real-world perturbations (noise, codecs, small offsets) degrade
   * into small Hamming distances; the spec pins brute-force parity.
   *
-  * Decode scope: WAV/RIFF PCM16 (mono or multi-channel, channels
-  * averaged; chunk walk honors odd-size padding), pure JVM —
-  * the one mainstream audio container needing no codec dependency.
-  * Compressed codecs slot into [[WavPcm.decodeSamples]] via an
-  * external library without touching anything downstream.
+  * Decode scope (pure JVM, r11-widened): WAV/RIFF carrying PCM at
+  * 8/16/24/32 bits, IEEE float at 32/64 bits, G.711 a-law/µ-law, or
+  * WAVE_FORMAT_EXTENSIBLE resolving to any of those — mono or
+  * multi-channel (channels averaged), chunk walk honoring odd-size
+  * padding. Every format normalizes to the signed-16-bit sample
+  * domain before hashing, so the same track hashes identically across
+  * encodings (the q104 cross-format plant). Block codecs (ADPCM, MP3)
+  * slot into [[WavPcm.decodeSamples]] via an external library without
+  * touching anything downstream.
   *
   * Scale shape: identical to [[ImageDedup]] — decode+hash fuse
   * map-side in one whole-stage-codegen expression, only (id, 8-byte
@@ -49,61 +53,114 @@ object AudioDedup {
 
   object WavPcm {
 
-    /** Decode a RIFF/WAVE PCM16 payload to channel-averaged samples
-      * (`(Σ channels) / n_channels`, integer division — a fixed map
-      * both engines and fixtures share). None for anything that is not
-      * structurally valid PCM16 WAV — callers treat that as "no audio
-      * path", never an exception. */
+    /** Decode a RIFF/WAVE payload to channel-averaged samples in the
+      * SIGNED-16-BIT domain (`(Σ channels) / n_channels`, integer
+      * division — a fixed map both engines and fixtures share). Every
+      * sample format is normalized to that domain before averaging:
+      * PCM8 `(u−128)·256`, PCM16 as-is, PCM24/32 arithmetic-shifted
+      * down to 16 significant bits, IEEE float `⌊v·32768⌉` clamped
+      * (exact for any 16-bit integer stored as `s/32768`, so a PCM16
+      * track and its float rendering hash identically — the q104
+      * plant), and G.711 a-law/µ-law through the CCITT expansion
+      * formulas. None for anything structurally invalid — callers
+      * treat that as "no audio path", never an exception. */
     def decodeSamples(p: Array[Byte]): Option[Array[Int]] =
       decodeReason(p).toOption
 
-    /** [[decodeSamples]] with the rejection class (r10 ADVICE: a
-      * well-formed RIFF/WAVE whose sample format is outside the PCM16
-      * scope — IEEE float, a-law/µ-law, ADPCM, extensible, or PCM at
-      * 8/24/32 bits — must route out as "unsupported", not be dropped
-      * as "corrupt"; "corrupt" is reserved for broken structure:
-      * truncated/overrunning chunks, missing fmt/data, zero frames). */
+    /** [[decodeSamples]] with the rejection class (r10 ADVICE
+      * discipline): a well-formed RIFF/WAVE whose sample format is
+      * outside the decode scope — ADPCM, MP3-in-WAV, an extensible
+      * GUID that is not the fixed media subtype, or a recognized
+      * format at an unhandled width (e.g. 12-bit PCM, 16-bit "float")
+      * — routes out as "unsupported"; "corrupt" is reserved for
+      * broken structure (truncated/overrunning chunks, missing
+      * fmt/data, a short extensible fmt, zero frames).
+      *
+      * Decode scope (all pure JVM): PCM at 8/16/24/32 bits (format 1),
+      * IEEE float at 32/64 bits (format 3), G.711 a-law (6) and µ-law
+      * (7) at 8 bits, and WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolving
+      * to any of those through its SubFormat GUID. */
     def decodeReason(p: Array[Byte]): Either[String, Array[Int]] = {
       def u8(i: Int): Int = p(i) & 0xff
       def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
       def s16(i: Int): Int = le16(i).toShort.toInt
       def le32(i: Int): Int =
         u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      def le64(i: Int): Long = (le32(i) & 0xffffffffL) | (le32(i + 4).toLong << 32)
       def tag(i: Int): String =
         if (i + 4 > p.length) ""
         else new String(p.slice(i, i + 4), "US-ASCII")
       if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
         return Left("corrupt")
       var i = 12
-      var channels = -1
-      var bits = -1
-      var format = -1
-      var fmtSeen = false
+      var fmtOff = -1
+      var fmtSz = 0
       var data: Option[(Int, Int)] = None // (offset, byteLen)
-      while (i + 8 <= p.length && (data.isEmpty || !fmtSeen)) {
+      while (i + 8 <= p.length && (data.isEmpty || fmtOff < 0)) {
         val id = tag(i)
         val sz = le32(i + 4)
         // Long arithmetic: a crafted sz near Int.MaxValue must fail the
         // bounds check, not wrap it (the q104 never-throw contract)
         if (sz < 0 || i.toLong + 8L + sz > p.length) return Left("corrupt")
         if (id == "fmt " && sz >= 16) {
-          fmtSeen = true
-          format = le16(i + 8)
-          channels = le16(i + 10)
-          bits = le16(i + 22)
+          fmtOff = i + 8
+          fmtSz = sz
         } else if (id == "data") {
           data = Some((i + 8, sz))
         }
         i += 8 + sz + (sz & 1) // RIFF chunks pad odd sizes
       }
-      if (!fmtSeen || data.isEmpty) return Left("corrupt")
+      if (fmtOff < 0 || data.isEmpty) return Left("corrupt")
+      var format = le16(fmtOff)
+      val channels = le16(fmtOff + 2)
+      val bits = le16(fmtOff + 14)
       if (channels < 1) return Left("corrupt")
-      // 1 = PCM; anything else (3 float, 6/7 a/µ-law, 2/17 ADPCM,
-      // 0xFFFE extensible, ...) is a valid format out of scope here
-      if (format != 1) return Left("unsupported")
-      if (bits != 16) return Left("unsupported")
+      if (format == FormatExtensible) {
+        // WAVEFORMATEXTENSIBLE: WAVEFORMATEX(18) + validBits(2) +
+        // channelMask(4) + SubFormat GUID(16). The GUID's Data1 low
+        // word is the effective format code; everything after it must
+        // be the fixed KSDATAFORMAT media-subtype tail or the payload
+        // is some other (valid, unknown-here) subtype.
+        if (fmtSz < 40) return Left("corrupt")
+        var k = 0
+        while (k < MediaGuidTail.length) {
+          if (p(fmtOff + 26 + k) != MediaGuidTail(k)) return Left("unsupported")
+          k += 1
+        }
+        format = le16(fmtOff + 24)
+      }
+      // Bytes per stored sample for each in-scope (format, bits) pair;
+      // everything else well-formed routes "unsupported"
+      val sampleBytes = format match {
+        case FormatPcm => bits match {
+          case 8 => 1; case 16 => 2; case 24 => 3; case 32 => 4
+          case _ => return Left("unsupported")
+        }
+        case FormatFloat => bits match {
+          case 32 => 4; case 64 => 8
+          case _ => return Left("unsupported")
+        }
+        case FormatAlaw | FormatUlaw =>
+          if (bits == 8) 1 else return Left("unsupported")
+        case _ => return Left("unsupported") // ADPCM, MP3, GSM, ...
+      }
+      def sample(off: Int): Int = format match {
+        case FormatAlaw => alawToLinear(u8(off))
+        case FormatUlaw => ulawToLinear(u8(off))
+        case FormatFloat =>
+          val v = if (bits == 32) java.lang.Float.intBitsToFloat(le32(off)).toDouble
+                  else java.lang.Double.longBitsToDouble(le64(off))
+          if (v.isNaN) 0
+          else math.max(-32768L, math.min(32767L, math.rint(v * 32768.0).toLong)).toInt
+        case _ => bits match { // PCM
+          case 8 => (u8(off) - 128) << 8
+          case 16 => s16(off)
+          case 24 => ((u8(off) | (u8(off + 1) << 8) | (u8(off + 2) << 16)) << 8) >> 16
+          case _ => le32(off) >> 16
+        }
+      }
       val (off, len) = data.get
-      val frameBytes = 2 * channels
+      val frameBytes = sampleBytes * channels
       val n = len / frameBytes
       if (n == 0) Left("corrupt")
       else {
@@ -113,7 +170,7 @@ object AudioDedup {
           var sum = 0
           var c = 0
           while (c < channels) {
-            sum += s16(off + k * frameBytes + 2 * c)
+            sum += sample(off + k * frameBytes + sampleBytes * c)
             c += 1
           }
           out(k) = sum / channels
@@ -121,6 +178,39 @@ object AudioDedup {
         }
         Right(out)
       }
+    }
+
+    private final val FormatPcm = 1
+    private final val FormatFloat = 3
+    private final val FormatAlaw = 6
+    private final val FormatUlaw = 7
+    private final val FormatExtensible = 0xfffe
+    /** KSDATAFORMAT_SUBTYPE GUID minus the leading format-code word:
+      * xxxx0000-0000-0010-8000-00AA00389B71 in GUID wire order. */
+    private[operators] final val MediaGuidTail: Array[Byte] = Array(
+      0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80.toByte, 0x00,
+      0x00, 0xaa.toByte, 0x00, 0x38, 0x9b.toByte, 0x71).map(_.toByte)
+
+    /** G.711 a-law expansion (CCITT formula: toggle the even bits,
+      * then mantissa<<4 with the per-segment bias and shift; the sign
+      * bit SET means positive in a-law wire format). */
+    private[operators] def alawToLinear(b: Int): Int = {
+      val a = b ^ 0x55
+      val man = a & 0x0f
+      val seg = (a >> 4) & 0x07
+      val t =
+        if (seg == 0) (man << 4) + 8
+        else ((man << 4) + 0x108) << (seg - 1)
+      if ((a & 0x80) != 0) t else -t
+    }
+
+    /** G.711 µ-law expansion (CCITT formula: complement, rebuild the
+      * biased mantissa, shift by the segment, remove the bias; the
+      * sign bit SET in the complemented byte means negative). */
+    private[operators] def ulawToLinear(b: Int): Int = {
+      val u = ~b & 0xff
+      val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 0x07)
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
     }
 
     /** 65-frame RMS energy envelope → 64 gradient-sign bits,
@@ -162,21 +252,108 @@ object AudioDedup {
     * [[WavPcm.decodeSamples]] decodes) — q104's plant and the spec
     * corpora go through the REAL byte decode path. */
   object WavBuild {
+
+    /** RIFF/WAVE container around a ready fmt-chunk body and raw data
+      * bytes (both chunks padded to even length per RIFF). */
+    private def riff(fmtData: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val fmtPad = fmtData.length & 1
+      val dataPad = data.length & 1
+      val riffLen = 4 + 8 + fmtData.length + fmtPad + 8 + data.length + dataPad
+      val buf = java.nio.ByteBuffer.allocate(8 + riffLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(fmtData.length).put(fmtData)
+      if (fmtPad == 1) buf.put(0.toByte)
+      buf.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      if (dataPad == 1) buf.put(0.toByte)
+      buf.array()
+    }
+
+    /** Plain 16-byte WAVEFORMAT fmt body. */
+    private def fmt(format: Int, channels: Int, sampleRate: Int,
+        sampleBytes: Int, bits: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(format.toShort).putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * sampleBytes * channels)
+        .putShort((sampleBytes * channels).toShort).putShort(bits.toShort)
+      b.array()
+    }
+
     def pcm16(samples: Array[Int], channels: Int = 1,
         sampleRate: Int = 16000): Array[Byte] = {
       require(channels >= 1 && samples.length % channels == 0)
-      val dataLen = 2 * samples.length
-      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      val data = java.nio.ByteBuffer.allocate(2 * samples.length)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-        .put("WAVE".getBytes("US-ASCII"))
-      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
-        .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      samples.foreach(s => data.putShort(s.toShort))
+      riff(fmt(1, channels, sampleRate, 2, 16), data.array())
+    }
+
+    /** PCM at 8 (unsigned bytes, [0,255]), 24, or 32 bits; `samples`
+      * carry the RAW stored value for the chosen width. */
+    def pcm(samples: Array[Int], bits: Int, channels: Int = 1,
+        sampleRate: Int = 16000): Array[Byte] = {
+      require(Set(8, 24, 32)(bits) && channels >= 1 &&
+        samples.length % channels == 0)
+      val sb = bits / 8
+      val data = java.nio.ByteBuffer.allocate(sb * samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach { s =>
+        bits match {
+          case 8 => data.put(s.toByte)
+          case 24 => data.put(s.toByte).put((s >> 8).toByte).put((s >> 16).toByte)
+          case _ => data.putInt(s)
+        }
+      }
+      riff(fmt(1, channels, sampleRate, sb, bits), data.array())
+    }
+
+    def float32(samples: Array[Float], channels: Int = 1,
+        sampleRate: Int = 16000): Array[Byte] = {
+      require(channels >= 1 && samples.length % channels == 0)
+      val data = java.nio.ByteBuffer.allocate(4 * samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(data.putFloat)
+      riff(fmt(3, channels, sampleRate, 4, 32), data.array())
+    }
+
+    def float64(samples: Array[Double], channels: Int = 1,
+        sampleRate: Int = 16000): Array[Byte] = {
+      require(channels >= 1 && samples.length % channels == 0)
+      val data = java.nio.ByteBuffer.allocate(8 * samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(data.putDouble)
+      riff(fmt(3, channels, sampleRate, 8, 64), data.array())
+    }
+
+    /** G.711 payload: raw 8-bit code bytes under format 6 (a-law) or
+      * 7 (µ-law). */
+    def g711(codes: Array[Byte], alaw: Boolean, channels: Int = 1,
+        sampleRate: Int = 8000): Array[Byte] = {
+      require(channels >= 1 && codes.length % channels == 0)
+      riff(fmt(if (alaw) 6 else 7, channels, sampleRate, 1, 8), codes)
+    }
+
+    /** WAVE_FORMAT_EXTENSIBLE wrapping PCM16 (the common multichannel
+      * shape): 40-byte fmt with the media-subtype GUID. */
+    def extensiblePcm16(samples: Array[Int], channels: Int = 1,
+        channelMask: Int = 0, sampleRate: Int = 16000): Array[Byte] = {
+      require(channels >= 1 && samples.length % channels == 0)
+      val b = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(0xfffe.toShort).putShort(channels.toShort).putInt(sampleRate)
         .putInt(sampleRate * 2 * channels).putShort((2 * channels).toShort)
         .putShort(16)
-      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
-      samples.foreach(s => buf.putShort(s.toShort))
-      buf.array()
+      b.putShort(22) // cbSize
+      b.putShort(16) // validBitsPerSample
+      b.putInt(channelMask)
+      b.putShort(1) // SubFormat code word: PCM
+      b.put(WavPcm.MediaGuidTail)
+      val data = java.nio.ByteBuffer.allocate(2 * samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(s => data.putShort(s.toShort))
+      riff(b.array(), data.array())
     }
   }
 

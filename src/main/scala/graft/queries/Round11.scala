@@ -72,8 +72,8 @@ object Round11 {
     mean.unionByName(ordered).orderBy("form", "id_a", "id_b")
   }
 
-  /** q109: media quarantine-reason CENSUS — sixteen payload variants
-    * per doc spanning every reason class of
+  /** q109: media quarantine-reason CENSUS — twenty-four payload
+    * variants per doc spanning every reason class of
     * [[Multimodal.contentReason]] ([[graft.functions.MediaReason]],
     * exercised through its whole-stage-codegen path), grouped to
     * (variant, reason, cnt). The oracle is arithmetic: each variant
@@ -92,7 +92,17 @@ object Round11 {
     * pixel path landed) → "corrupt"; a PNG claiming 8192×8192 on a
     * tiny body → "oversized" (refused pre-allocation); magic-free
     * bytes → "opaque"; a NULL payload → "missing" (the r10 ADVICE NPE
-    * class, now a first-class census row). */
+    * class, now a first-class census row).
+    *
+    * r11 WAV-scope rows (the widened [[AudioDedup.WavPcm]] decode):
+    * 8-bit PCM, 64-bit IEEE float, G.711 µ-law and a-law, and
+    * WAVE_FORMAT_EXTENSIBLE-wrapping-PCM16 → "ok"; IMA ADPCM and an
+    * extensible SubFormat whose GUID is not the fixed media subtype →
+    * "unsupported" (well-formed, outside the pure-JVM scope);
+    * the extensible tag on a 16-byte fmt chunk → "corrupt" (the
+    * mandatory SubFormat field cannot exist). The pre-r11 'wav_float'
+    * row (format 3 at 16 bits) stays "unsupported" — the float scope
+    * is 32/64-bit only. */
   def q109MediaReasonCensus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
@@ -107,7 +117,20 @@ object Round11 {
         val wav = AudioDedup.WavBuild.pcm16(
           Array.tabulate(520)(i => Round9.frameAmp(id, i / 8)))
         val bmpRle = bmp.clone; bmpRle(28) = 8 // 8-bpp: valid, o-o-scope
-        val wavFloat = wav.clone; wavFloat(20) = 3 // IEEE-float fmt tag
+        // format 3 + bits 16: a "float" width the r11 scope does NOT
+        // cover (32/64 only) — stays "unsupported", oracle unchanged
+        val wavFloat = wav.clone; wavFloat(20) = 3
+        val wavAdpcm = wav.clone; wavAdpcm(20) = 17 // IMA ADPCM: o-o-scope
+        // extensible tag on a 16-byte fmt: structurally broken
+        val wavExtShort = wav.clone
+        wavExtShort(20) = 0xfe.toByte; wavExtShort(21) = 0xff.toByte
+        val pcm16Samples = Array.tabulate(520)(i => Round9.frameAmp(id, i / 8))
+        val wavExt = AudioDedup.WavBuild.extensiblePcm16(
+          pcm16Samples, channels = 2, channelMask = 3)
+        // extensible with a non-media SubFormat GUID tail: valid, o-o-scope
+        val wavExtGuid = wavExt.clone; wavExtGuid(50) = 0x11
+        def g711Codes = Array.tabulate(520)(i =>
+          (Round9.frameAmp(id, i / 8) % 128).toByte)
         val pngHuge = ImageDedup.ImageBuild.pngGray(1, 1)((_, _) => 0)
         // IHDR dims at 16/20 (BE): claim 8192x8192 > the 2^24 pixel cap
         pngHuge(17) = 0; pngHuge(18) = 0x20; pngHuge(19) = 0
@@ -138,7 +161,23 @@ object Round11 {
           (id + 14000000L, "jpeg_prog",
             JpegBuild.grayProgressive(w, h)((x, y) => px(x, y))),
           (id + 15000000L, "jpeg_12bit", JpegBuild.precision12Twin(
-            JpegBuild.gray(w, h)((x, y) => px(x, y)))))
+            JpegBuild.gray(w, h)((x, y) => px(x, y)))),
+          // r11 WAV-scope census rows (q104's widened decode)
+          (id + 16000000L, "wav_pcm8",
+            AudioDedup.WavBuild.pcm(
+              Array.tabulate(520)(i => Round9.frameAmp(id, i / 8) % 256),
+              bits = 8)),
+          (id + 17000000L, "wav_f64",
+            AudioDedup.WavBuild.float64(
+              pcm16Samples.map(_ / 32768.0))),
+          (id + 18000000L, "wav_ulaw",
+            AudioDedup.WavBuild.g711(g711Codes, alaw = false)),
+          (id + 19000000L, "wav_alaw",
+            AudioDedup.WavBuild.g711(g711Codes, alaw = true)),
+          (id + 20000000L, "wav_ext", wavExt),
+          (id + 21000000L, "wav_adpcm", wavAdpcm),
+          (id + 22000000L, "wav_ext_guid", wavExtGuid),
+          (id + 23000000L, "wav_ext_short", wavExtShort))
       }
       .toDF("media_id", "variant", "payload")
     media
@@ -225,7 +264,11 @@ object Round11 {
         |  ('missing', 'missing'), ('no_magic', 'opaque'),
         |  ('png_gray16', 'ok'), ('png_gray8', 'ok'),
         |  ('png_huge', 'oversized'), ('png_palette_adam7', 'ok'),
-        |  ('wav', 'ok'), ('wav_float', 'unsupported'))
+        |  ('wav', 'ok'), ('wav_float', 'unsupported'),
+        |  ('wav_pcm8', 'ok'), ('wav_f64', 'ok'),
+        |  ('wav_ulaw', 'ok'), ('wav_alaw', 'ok'),
+        |  ('wav_ext', 'ok'), ('wav_adpcm', 'unsupported'),
+        |  ('wav_ext_guid', 'unsupported'), ('wav_ext_short', 'corrupt'))
         |SELECT v.variant, v.reason, n.c AS cnt FROM v, n
         |ORDER BY variant, reason""".stripMargin,
     "q110_jpeg_neardup" ->

@@ -191,15 +191,28 @@ object Round9 {
   }
 
   /** q104: content-level AUDIO near-dup via the energy-envelope
-    * difference hash over DECODED WAV/PCM16 samples + the shared
+    * difference hash over DECODED WAV samples + the shared
     * Hamming-band blocking ([[graft.operators.AudioDedup]]) — the
-    * audio twin of q102, same four populations per doc_id: base clip;
-    * ×2 volume (+1M); ×2 duration by sample repetition (+2M) — both
-    * transforms leave the envelope gradient signs bit-identical BY
-    * CONSTRUCTION (RMS scales uniformly / is unchanged per aligned
-    * frame), so the oracle is the same arithmetic in-trio pair set at
-    * hamming 0; and the doc's text as an opaque payload (+3M), which
-    * must be skipped, not paired or thrown on. */
+    * audio twin of q102. Ten populations per doc_id in two collision
+    * groups plus an opaque control:
+    *  - the PCM16 base clip; ×2 volume (+1M); ×2 duration by sample
+    *    repetition (+2M) — both transforms leave the envelope
+    *    gradient signs bit-identical BY CONSTRUCTION (RMS scales
+    *    uniformly / is unchanged per aligned frame); and (r11) the
+    *    SAME samples re-encoded as IEEE float32 (+4M, stores s/32768 —
+    *    exact in a 24-bit mantissa) and PCM24 (+5M, stores s<<8) —
+    *    the cross-FORMAT decode paths must land on bit-identical
+    *    envelopes, so the quintet pairs completely (10 pairs/doc);
+    *  - (r11) the G.711 quartet: one (seg, man) code sequence rendered
+    *    as µ-law wire bytes (+6M), its CCITT expansion as PCM16 (+7M,
+    *    closed form inlined HERE — the independent derivation the
+    *    engine's decode must reproduce), the a-law rendering (+8M),
+    *    and ITS expansion (+9M). Both expansions are strictly monotone
+    *    in (seg, man), so the two codecs' envelopes carry the same
+    *    gradient signs and all four collide (6 pairs/doc) — the
+    *    loudness-ORDER invariance of the sign hash, asserted exactly;
+    *  - the doc's text as an opaque payload (+3M): skipped, never
+    *    paired or thrown on. */
   def q104AudioNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
@@ -207,21 +220,65 @@ object Round9 {
       .as[(Long, String)]
       .flatMap { case (id0, text) =>
         val id = guardMediaId(id0)
-        def clip(gain: Int, stretch: Int): Array[Byte] = {
-          val samples = new Array[Int](65 * audioFrameSamples * stretch)
-          var i = 0
-          while (i < samples.length) {
-            samples(i) = gain * frameAmp(id, i / (audioFrameSamples * stretch))
-            i += 1
-          }
-          graft.operators.AudioDedup.WavBuild.pcm16(samples)
+        import graft.operators.AudioDedup.WavBuild
+        def rawSamples(gain: Int, stretch: Int): Array[Int] =
+          Array.tabulate(65 * audioFrameSamples * stretch)(i =>
+            gain * frameAmp(id, i / (audioFrameSamples * stretch)))
+        def clip(gain: Int, stretch: Int): Array[Byte] =
+          WavBuild.pcm16(rawSamples(gain, stretch))
+        val base = rawSamples(1, 1)
+        // r11 cross-format populations. +4M/+5M re-encode the SAME
+        // samples: float32 stores s/32768 (exact in a 24-bit mantissa,
+        // decodes back to s exactly), PCM24 stores s<<8 (decode
+        // arithmetic-shifts back down) — bit-identical envelopes, so
+        // they join the base quintet at hamming 0.
+        val f32 = WavBuild.float32(base.map(v => v / 32768.0f))
+        val p24 = WavBuild.pcm(base.map(_ << 8), bits = 24)
+        // +6M..+9M: the G.711 quartet. Per frame, a (segment, mantissa)
+        // code pair drives both codecs' wire bytes; the PCM16 twins
+        // (+7M/+9M) store each codec's expansion computed by the
+        // CCITT closed forms INLINE here — an independent derivation
+        // the engine's decode tables must reproduce. Both expansions
+        // are strictly monotone in the lexicographic (seg, man) order,
+        // so the a-law and µ-law envelopes carry the SAME gradient
+        // signs and all four populations collide at hamming 0 — the
+        // loudness-order invariance, asserted by the oracle.
+        val segMan = Array.tabulate(65) { f =>
+          var z = id * 499L + f + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^= z >>> 31
+          val v = java.lang.Math.floorMod(z, 128L).toInt
+          (v >> 4, v & 0xf) // (seg 0-7, man 0-15)
         }
+        def perSample[T](f: ((Int, Int)) => T)(
+            implicit t: scala.reflect.ClassTag[T]): Array[T] =
+          Array.tabulate(65 * audioFrameSamples)(i =>
+            f(segMan(i / audioFrameSamples)))
+        val ulawBytes = perSample { case (seg, man) =>
+          (~((seg << 4) | man)).toByte } // sign bit clear: positive
+        val ulawLinear = perSample { case (seg, man) =>
+          ((((man << 3) + 0x84) << seg) - 0x84) }
+        val alawBytes = perSample { case (seg, man) =>
+          ((0x80 | (seg << 4) | man) ^ 0x55).toByte } // sign SET: positive
+        val alawLinear = perSample { case (seg, man) =>
+          if (seg == 0) (man << 4) + 8 else ((man << 4) + 0x108) << (seg - 1) }
         Seq(
           Multimodal.MediaRecord(id, "audio", clip(1, 1)),
           Multimodal.MediaRecord(id + 1000000L, "audio", clip(2, 1)),
           Multimodal.MediaRecord(id + 2000000L, "audio", clip(1, 2)),
           Multimodal.MediaRecord(id + 3000000L, "audio",
-            text.getBytes("UTF-8")))
+            text.getBytes("UTF-8")),
+          Multimodal.MediaRecord(id + 4000000L, "audio", f32),
+          Multimodal.MediaRecord(id + 5000000L, "audio", p24),
+          Multimodal.MediaRecord(id + 6000000L, "audio",
+            WavBuild.g711(ulawBytes, alaw = false)),
+          Multimodal.MediaRecord(id + 7000000L, "audio",
+            WavBuild.pcm16(ulawLinear)),
+          Multimodal.MediaRecord(id + 8000000L, "audio",
+            WavBuild.g711(alawBytes, alaw = true)),
+          Multimodal.MediaRecord(id + 9000000L, "audio",
+            WavBuild.pcm16(alawLinear)))
       }
       .toDF("media_id", "kind", "payload")
     graft.operators.AudioDedup.nearDupPairs(media, "media_id", "payload",
@@ -352,13 +409,15 @@ object Round9 {
         |                  WHERE l.doc_id = a.doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q104_audio_neardup" ->
-      """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)
-        |SELECT id AS id_a, id + 1000000 AS id_b,
-        |  CAST(0 AS INTEGER) AS hamming FROM t
+      """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |base(k) AS (VALUES (0), (1000000), (2000000), (4000000), (5000000)),
+        |g711(k) AS (VALUES (6000000), (7000000), (8000000), (9000000))
+        |SELECT t.id + a.k AS id_a, t.id + b.k AS id_b,
+        |  CAST(0 AS INTEGER) AS hamming
+        |FROM t, base a, base b WHERE a.k < b.k
         |UNION ALL
-        |SELECT id, id + 2000000, CAST(0 AS INTEGER) FROM t
-        |UNION ALL
-        |SELECT id + 1000000, id + 2000000, CAST(0 AS INTEGER) FROM t
+        |SELECT t.id + a.k, t.id + b.k, CAST(0 AS INTEGER)
+        |FROM t, g711 a, g711 b WHERE a.k < b.k
         |ORDER BY id_a, id_b""".stripMargin,
     "q106_video_neardup" ->
       """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)

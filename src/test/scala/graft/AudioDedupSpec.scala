@@ -32,14 +32,96 @@ class AudioDedupSpec extends SparkSuite {
     assert(got.toSeq === Seq(15, 0, 0)) // (7 + -8)/2 = -1/2 = 0 in Java
   }
 
-  test("WAV decode: rejects non-WAV, truncated, non-PCM, 8-bit") {
+  test("WAV decode: rejects non-WAV, truncated, out-of-scope formats") {
     val good = WavBuild.pcm16(Array.fill(130)(5))
     assert(WavPcm.decodeSamples("not audio".getBytes).isEmpty)
     assert(WavPcm.decodeSamples(good.take(40)).isEmpty)
-    val nonPcm = good.clone; nonPcm(20) = 3 // audioFormat = IEEE float
-    assert(WavPcm.decodeSamples(nonPcm).isEmpty)
-    val bits8 = good.clone; bits8(34) = 8
-    assert(WavPcm.decodeSamples(bits8).isEmpty)
+    // format 3 at 16 bits: "float" outside the 32/64 scope
+    val nonPcm = good.clone; nonPcm(20) = 3
+    assert(WavPcm.decodeReason(nonPcm) === Left("unsupported"))
+    // 12-bit PCM: recognized format, unhandled width
+    val bits12 = good.clone; bits12(34) = 12
+    assert(WavPcm.decodeReason(bits12) === Left("unsupported"))
+    // IMA ADPCM: well-formed, block codec out of scope
+    val adpcm = good.clone; adpcm(20) = 17
+    assert(WavPcm.decodeReason(adpcm) === Left("unsupported"))
+  }
+
+  // --- r11 widened decode scope ----------------------------------------
+
+  test("cross-format decode parity: PCM16 = float32 = float64 = PCM24 = PCM32") {
+    val rnd = new scala.util.Random(0x104a)
+    val s = Array.fill(520)(rnd.nextInt(65536) - 32768)
+    val ref = WavPcm.decodeSamples(WavBuild.pcm16(s)).get.toSeq
+    assert(ref === s.toSeq)
+    assert(WavPcm.decodeSamples(
+      WavBuild.float32(s.map(_ / 32768.0f))).get.toSeq === ref)
+    assert(WavPcm.decodeSamples(
+      WavBuild.float64(s.map(_ / 32768.0))).get.toSeq === ref)
+    assert(WavPcm.decodeSamples(
+      WavBuild.pcm(s.map(_ << 8), bits = 24)).get.toSeq === ref)
+    assert(WavPcm.decodeSamples(
+      WavBuild.pcm(s.map(_ << 16), bits = 32)).get.toSeq === ref)
+  }
+
+  test("PCM8 decode: unsigned bytes map to (u-128)*256; stereo averages") {
+    val u = Array(0, 128, 255, 1, 200, 64)
+    val Some(mono) = WavPcm.decodeSamples(WavBuild.pcm(u, bits = 8))
+    assert(mono.toSeq === u.map(v => (v - 128) << 8).toSeq)
+    val Some(st) = WavPcm.decodeSamples(
+      WavBuild.pcm(u, bits = 8, channels = 2))
+    assert(st.toSeq === Seq((((0 - 128) << 8) + 0) / 2,
+      (((255 - 128) << 8) + ((1 - 128) << 8)) / 2,
+      (((200 - 128) << 8) + ((64 - 128) << 8)) / 2))
+  }
+
+  test("float decode: clamps out-of-range, NaN maps to 0, rint half-even") {
+    val f = Array(2.0f, -3.5f, Float.NaN, 0.5f, -0.25f,
+      Float.PositiveInfinity, Float.NegativeInfinity, 0f)
+    val Some(got) = WavPcm.decodeSamples(WavBuild.float32(f))
+    assert(got.toSeq === Seq(32767, -32768, 0, 16384, -8192, 32767,
+      -32768, 0))
+  }
+
+  test("G.711 decode: published CCITT extreme values, both laws") {
+    // µ-law: 0xFF = +0, 0x7F = -0, 0x80 = +32124 (max), 0x00 = -32124
+    assert(WavPcm.decodeSamples(WavBuild.g711(
+      Array(0xff, 0x7f, 0x80, 0x00).map(_.toByte), alaw = false))
+      .get.toSeq === Seq(0, 0, 32124, -32124))
+    // a-law: 0xD5 = +8 (smallest +), 0x55 = -8, 0xAA = +32256, 0x2A = -32256
+    assert(WavPcm.decodeSamples(WavBuild.g711(
+      Array(0xd5, 0x55, 0xaa, 0x2a).map(_.toByte), alaw = true))
+      .get.toSeq === Seq(8, -8, 32256, -32256))
+  }
+
+  test("G.711 loudness-order collision: a-law and µ-law renderings of " +
+      "one (seg,man) sequence hash identically (the q104 quartet)") {
+    val rnd = new scala.util.Random(0x104b)
+    for (_ <- 1 to 5) {
+      val codes = Array.fill(65)(rnd.nextInt(128))
+      def spread(f: Int => Byte): Array[Byte] =
+        Array.tabulate(520)(i => f(codes(i / 8)))
+      val ulaw = WavBuild.g711(spread(c => (~c).toByte), alaw = false)
+      val alaw = WavBuild.g711(spread(c => ((0x80 | c) ^ 0x55).toByte),
+        alaw = true)
+      assert(WavPcm.hashOf(ulaw) === WavPcm.hashOf(alaw))
+      assert(WavPcm.hashOf(ulaw).nonEmpty)
+    }
+  }
+
+  test("WAVE_FORMAT_EXTENSIBLE: PCM16 subtype decodes like plain PCM16; " +
+      "foreign GUID is unsupported; short fmt is corrupt") {
+    val rnd = new scala.util.Random(0x104c)
+    val s = Array.fill(520)(rnd.nextInt(65536) - 32768)
+    val ext = WavBuild.extensiblePcm16(s, channels = 2, channelMask = 3)
+    val plain = WavBuild.pcm16(s, channels = 2)
+    assert(WavPcm.decodeSamples(ext).get.toSeq ===
+      WavPcm.decodeSamples(plain).get.toSeq)
+    val badGuid = ext.clone; badGuid(50) = 0x11 // GUID tail byte
+    assert(WavPcm.decodeReason(badGuid) === Left("unsupported"))
+    val short = WavBuild.pcm16(s).clone
+    short(20) = 0xfe.toByte; short(21) = 0xff.toByte
+    assert(WavPcm.decodeReason(short) === Left("corrupt"))
   }
 
   test("WAV decode: crafted near-MaxInt chunk size lands in None, never throws") {

@@ -193,4 +193,41 @@ class MediaCrossValidationSpec extends AnyFunSuite {
     assert(AudioDedup.WavPcm.hashOf(theirs) ===
       AudioDedup.WavPcm.hashOf(ourBytes))
   }
+
+  test("G.711 expansion matches the JDK codec on every code, both laws") {
+    val codes = Array.tabulate(256)(_.toByte)
+    for (alaw <- Seq(false, true)) {
+      val enc = if (alaw) AudioFormat.Encoding.ALAW
+                else AudioFormat.Encoding.ULAW
+      val src = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val dst = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val pcm = AudioSystem.getAudioInputStream(dst,
+        new AudioInputStream(new ByteArrayInputStream(codes), src, 256L))
+      val out = pcm.readAllBytes()
+      val jdk = Array.tabulate(256)(i =>
+        ((out(2 * i) & 0xff) | (out(2 * i + 1) << 8)).toShort.toInt)
+      val ours = AudioDedup.WavPcm.decodeSamples(
+        AudioDedup.WavBuild.g711(codes, alaw)).get
+      assert(ours.toSeq === jdk.toSeq,
+        s"alaw=$alaw: CCITT expansion disagrees with the JDK codec")
+    }
+  }
+
+  test("a javax.sound-written ULAW WAV decodes through our container walk") {
+    val rnd = new scala.util.Random(0xc711)
+    val codes = Array.fill(520)(rnd.nextInt(256).toByte)
+    val fmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(codes), fmt,
+        codes.length.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val theirs = bos.toByteArray
+    val ours = AudioDedup.WavBuild.g711(codes, alaw = false)
+    assert(AudioDedup.WavPcm.decodeSamples(theirs).map(_.toSeq) ===
+      AudioDedup.WavPcm.decodeSamples(ours).map(_.toSeq))
+    assert(AudioDedup.WavPcm.decodeSamples(theirs).nonEmpty)
+  }
 }

@@ -56,8 +56,18 @@ class MediaFuzzSpec extends SparkSuite {
       restartInterval = 2)((x, y) => img(y)(x))
     val jpgProg = JpegBuild.grayProgressive(18, 16,
       quant = JpegBuild.LossyQuant)((x, y) => img(y)(x))
+    // r11 WAV-scope surfaces: every widened format's chunk/fmt walk
+    val wavF32 = AudioDedup.WavBuild.float32(
+      Array.fill(520)(rnd.nextFloat() * 2f - 1f))
+    val wavP24 = AudioDedup.WavBuild.pcm(
+      Array.fill(520)(rnd.nextInt(1 << 24) - (1 << 23)), bits = 24)
+    val wavUlaw = AudioDedup.WavBuild.g711(
+      Array.fill(520)(rnd.nextInt(256).toByte), alaw = false)
+    val wavExt = AudioDedup.WavBuild.extensiblePcm16(
+      Array.fill(520)(rnd.nextInt(65536) - 32768), channels = 2,
+      channelMask = 3)
     Seq(bmp, wav, gif, png, pngPal, pngAdam, deltaGif, jpg, jpgRst,
-      jpgProg)
+      jpgProg, wavF32, wavP24, wavUlaw, wavExt)
   }
 
   test("pure random garbage never throws (1000 payloads)") {

@@ -212,10 +212,14 @@ class MultimodalSpec extends SparkSuite {
     assert(contentReason(bmp.take(30)) === "corrupt")           // truncated
     val wav = AudioDedup.WavBuild.pcm16(Array.fill(600)(100))
     assert(contentReason(wav) === "ok")
-    val fl = wav.clone; fl(20) = 3 // IEEE-float format tag
+    val fl = wav.clone; fl(20) = 3 // float tag at 16 bits: o-o-scope width
     assert(contentReason(fl) === "unsupported")
-    val b24 = wav.clone; b24(34) = 24 // PCM but 24-bit
-    assert(contentReason(b24) === "unsupported")
+    val b24 = wav.clone; b24(34) = 24 // PCM 24-bit decodes since r11
+    assert(contentReason(b24) === "ok")
+    val b12 = wav.clone; b12(34) = 12 // PCM at an unhandled width
+    assert(contentReason(b12) === "unsupported")
+    val adpcm = wav.clone; adpcm(20) = 17 // IMA ADPCM: block codec
+    assert(contentReason(adpcm) === "unsupported")
     assert(contentReason(wav.dropRight(1)) === "corrupt") // data cut
     assert(contentReason(wav.take(20)) === "corrupt")     // fmt cut
   }
