@@ -66,10 +66,11 @@ case class AudioEnergyHash(child: Expression)
     copy(child = newChild)
 }
 
-/** 64-bit temporal-mean video dHash (per-pixel mean of all decoded GIF
-  * frames → 9×8 dHash). Same NULL contract and codegen shape as
-  * [[ImageDHash]] — see [[graft.operators.VideoDedup.GifPixels]] for
-  * the decode scope. */
+/** 64-bit temporal-mean video dHash (per-pixel mean of all decoded
+  * frames → 9×8 dHash), container-dispatched: animated GIF
+  * ([[graft.operators.VideoDedup.GifPixels]]) or MJPEG-AVI
+  * ([[graft.operators.MotionJpeg.AviPixels]], r11). Same NULL
+  * contract and codegen shape as [[ImageDHash]]. */
 case class VideoAvgHash(child: Expression)
     extends UnaryExpression with UnaryEvalCodegen {
   override def dataType: DataType = LongType
@@ -78,7 +79,7 @@ case class VideoAvgHash(child: Expression)
     s"((java.lang.Long) $x).longValue()"
 
   override def nullSafeEval(input: Any): Any =
-    graft.operators.VideoDedup.GifPixels
+    graft.operators.VideoDedup
       .avgHashOf(input.asInstanceOf[Array[Byte]])
       .map(java.lang.Long.valueOf).orNull
 
@@ -86,11 +87,11 @@ case class VideoAvgHash(child: Expression)
     copy(child = newChild)
 }
 
-/** Per-frame dHash SEQUENCE of a binary GIF payload (composited
-  * full-canvas frames, in playback order) — the order-sensitive video
-  * surface q108 blocks on. ArrayType(Long); NULL when undecodable.
-  * Same fused decode+hash map-side shape as [[VideoAvgHash]]; only
-  * 8 bytes per frame leave the projection. */
+/** Per-frame dHash SEQUENCE of a binary video payload (GIF composited
+  * full-canvas frames or MJPEG-AVI frames, in playback order) — the
+  * order-sensitive video surface q108 blocks on. ArrayType(Long);
+  * NULL when undecodable. Same fused decode+hash map-side shape as
+  * [[VideoAvgHash]]; only 8 bytes per frame leave the projection. */
 case class VideoFrameHashes(child: Expression)
     extends UnaryExpression with UnaryEvalCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -99,7 +100,7 @@ case class VideoFrameHashes(child: Expression)
     s"(org.apache.spark.sql.catalyst.util.ArrayData) $x"
 
   override def nullSafeEval(input: Any): Any =
-    graft.operators.VideoDedup.GifPixels
+    graft.operators.VideoDedup
       .frameHashesOf(input.asInstanceOf[Array[Byte]])
       .map(hs => new GenericArrayData(hs.toArray)).orNull
 

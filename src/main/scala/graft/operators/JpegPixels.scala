@@ -70,11 +70,96 @@ object JpegPixels {
 
   /** Decode to (width, height, top-down luma rows); Left reason on any
     * rejection. Never throws. */
-  def decodeGray(p: Array[Byte]): Either[String, (Int, Int, Array[Int])] = {
-    try inner(p)
+  def decodeGray(p: Array[Byte]): Either[String, (Int, Int, Array[Int])] =
+    decodeGray(p, mjpegDefaults = false)
+
+  /** [[decodeGray]] with the de-facto MJPEG convention: when
+    * `mjpegDefaults` is set, the four T.81 Annex-K typical Huffman
+    * tables pre-populate slots DC0/AC0/DC1/AC1 before the marker walk
+    * (an AVI MJPEG frame may omit DHT entirely, implying them — the
+    * OpenDML/"JPEG in AVI" practice); any DHT present still overrides.
+    * Quantization tables are always frame-local, so DQT stays
+    * required. */
+  def decodeGray(p: Array[Byte], mjpegDefaults: Boolean)
+      : Either[String, (Int, Int, Array[Int])] = {
+    try inner(p, mjpegDefaults)
     catch { case _: ArrayIndexOutOfBoundsException |
                  _: NegativeArraySizeException => Left("corrupt") }
   }
+
+  /** T.81 Annex K.3 "typical" Huffman tables in DHT wire order
+    * ((counts-per-length-1..16, symbol values) per table) — the
+    * tables every IJG-lineage encoder writes by default and the
+    * implied tables of DHT-less MJPEG frames. Public constants of the
+    * JPEG standard, exposed for [[JpegBuild]]'s standard-table encode
+    * mode and [[MotionJpeg]]'s fixtures. */
+  object AnnexK {
+    val DcLumaBits: Array[Int] =
+      Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val DcLumaVals: Array[Int] = (0 to 11).toArray
+    val DcChromaBits: Array[Int] =
+      Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+    val DcChromaVals: Array[Int] = (0 to 11).toArray
+    val AcLumaBits: Array[Int] =
+      Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+    val AcLumaVals: Array[Int] = Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+      0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+      0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+      0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+      0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+      0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+      0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+      0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+      0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+      0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+      0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+      0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+      0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+      0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+      0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+      0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+      0xf9, 0xfa)
+    val AcChromaBits: Array[Int] =
+      Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119)
+    val AcChromaVals: Array[Int] = Array(
+      0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+      0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+      0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+      0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+      0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+      0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+      0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+      0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+      0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+      0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+      0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+      0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+      0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+      0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+      0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+      0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+      0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+      0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+      0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+      0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+      0xf9, 0xfa)
+  }
+
+  // Shared immutable decode-form instances of the Annex-K tables
+  // (HuffTable is read-only after construction, safe across tasks)
+  private lazy val StdDcLuma =
+    new HuffTable(AnnexK.DcLumaBits, AnnexK.DcLumaVals.map(_.toByte))
+  private lazy val StdDcChroma =
+    new HuffTable(AnnexK.DcChromaBits, AnnexK.DcChromaVals.map(_.toByte))
+  private lazy val StdAcLuma =
+    new HuffTable(AnnexK.AcLumaBits, AnnexK.AcLumaVals.map(_.toByte))
+  private lazy val StdAcChroma =
+    new HuffTable(AnnexK.AcChromaBits, AnnexK.AcChromaVals.map(_.toByte))
 
   /** Canonical Huffman table in T.81 F.2.2.3 decode form, plus an
     * 8-bit-prefix lookup fast path: entry = (codeLen << 16) |
@@ -299,7 +384,8 @@ object JpegPixels {
     }
   }
 
-  private def inner(p: Array[Byte]): Either[String, (Int, Int, Array[Int])] = {
+  private def inner(p: Array[Byte], mjpegDefaults: Boolean)
+      : Either[String, (Int, Int, Array[Int])] = {
     def u8(i: Int): Int = p(i) & 0xff
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     if (!hasMagic(p)) return Left("corrupt")
@@ -307,6 +393,10 @@ object JpegPixels {
     val quant = new Array[Array[Int]](4) // zigzag order, per table id
     val huffDc = new Array[HuffTable](4)
     val huffAc = new Array[HuffTable](4)
+    if (mjpegDefaults) { // DHT-less MJPEG: Annex-K implied, DHT overrides
+      huffDc(0) = StdDcLuma; huffAc(0) = StdAcLuma
+      huffDc(1) = StdDcChroma; huffAc(1) = StdAcChroma
+    }
     var restartInterval = 0
     var w = 0; var h = 0
     var nComp = 0
@@ -1040,6 +1130,11 @@ object JpegBuild {
   }
   private val DcCodes = codes(DcBits, DcVals)
   private val AcCodes = codes(AcBits, AcVals)
+  // Annex-K luma codes, for the standard-table / DHT-less MJPEG mode
+  private val StdDcCodes =
+    codes(JpegPixels.AnnexK.DcLumaBits, JpegPixels.AnnexK.DcLumaVals)
+  private val StdAcCodes =
+    codes(JpegPixels.AnnexK.AcLumaBits, JpegPixels.AnnexK.AcLumaVals)
 
   private final class BitWriter(out: java.io.ByteArrayOutputStream) {
     private var acc = 0
@@ -1118,7 +1213,8 @@ object JpegBuild {
   }
 
   private def writeHeaders(out: java.io.ByteArrayOutputStream,
-      w: Int, h: Int, quant: Array[Int], sofMarker: Int): Unit = {
+      w: Int, h: Int, quant: Array[Int], sofMarker: Int,
+      standardTables: Boolean = false, writeDht: Boolean = true): Unit = {
     def be16(x: Int): Unit = { out.write((x >> 8) & 0xff); out.write(x & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     marker(0xd8) // SOI
@@ -1132,22 +1228,32 @@ object JpegBuild {
     marker(sofMarker); be16(11) // SOF0 / SOF2
     out.write(8); be16(h); be16(w); out.write(1)
     out.write(1); out.write(0x11); out.write(0)
-    marker(0xc4); be16(2 + 17 + DcVals.length); out.write(0x00) // DHT DC
-    DcBits.foreach(out.write); DcVals.foreach(out.write)
-    marker(0xc4); be16(2 + 17 + AcVals.length); out.write(0x10) // DHT AC
-    AcBits.foreach(out.write); AcVals.foreach(out.write)
+    if (writeDht) {
+      val (dcB, dcV) = if (standardTables)
+        (JpegPixels.AnnexK.DcLumaBits, JpegPixels.AnnexK.DcLumaVals)
+      else (DcBits, DcVals)
+      val (acB, acV) = if (standardTables)
+        (JpegPixels.AnnexK.AcLumaBits, JpegPixels.AnnexK.AcLumaVals)
+      else (AcBits, AcVals)
+      marker(0xc4); be16(2 + 17 + dcV.length); out.write(0x00) // DHT DC
+      dcB.foreach(out.write); dcV.foreach(out.write)
+      marker(0xc4); be16(2 + 17 + acV.length); out.write(0x10) // DHT AC
+      acB.foreach(out.write); acV.foreach(out.write)
+    }
   }
 
-  private def putDc(bw: BitWriter, diff: Int): Unit = {
+  private def putDc(bw: BitWriter, diff: Int,
+      dcCodes: Map[Int, (Int, Int)] = DcCodes): Unit = {
     val t = category(diff)
-    val (dc, dl) = DcCodes(t)
+    val (dc, dl) = dcCodes(t)
     bw.put(dc, dl)
     if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
   }
 
   /** AC coefficients of one block over zigzag band [from, to]. */
   private def putAcBand(bw: BitWriter, fq: Array[Int],
-      from: Int, to: Int): Unit = {
+      from: Int, to: Int,
+      acCodes: Map[Int, (Int, Int)] = AcCodes): Unit = {
     val zz = JpegPixels.zigzagMap
     var k = from
     var run = 0
@@ -1156,38 +1262,49 @@ object JpegBuild {
       if (c == 0) run += 1
       else {
         while (run >= 16) {
-          val (zc, zl) = AcCodes(0xf0); bw.put(zc, zl); run -= 16
+          val (zc, zl) = acCodes(0xf0); bw.put(zc, zl); run -= 16
         }
         val sz = category(c)
-        val (ac, al) = AcCodes((run << 4) | sz)
+        val (ac, al) = acCodes((run << 4) | sz)
         bw.put(ac, al)
         bw.put(if (c < 0) c + (1 << sz) - 1 else c, sz)
         run = 0
       }
       k += 1
     }
-    if (run > 0) { val (ec, el) = AcCodes(0x00); bw.put(ec, el) }
+    if (run > 0) { val (ec, el) = acCodes(0x00); bw.put(ec, el) }
   }
 
   /** Encode a grayscale BASELINE (SOF0) image: `v(x, y)` ∈ 0..255
     * (same pixel-fn convention as
     * [[ImageDedup.ImageBuild.bmp24Gray]]). `quant` is a 64-entry
     * NATURAL-ORDER table, entries 1..255. `restartInterval` > 0 emits
-    * DRI + RSTn every that many MCUs (1 MCU = 1 block). */
+    * DRI + RSTn every that many MCUs (1 MCU = 1 block).
+    * `standardTables` encodes with the T.81 Annex-K luma tables
+    * instead of the compact custom pair; `writeDht = false` (legal
+    * only with `standardTables` — the stream is undecodable
+    * otherwise) omits the DHT segments entirely, producing the
+    * DHT-less frame shape MJPEG-in-AVI writers emit. */
   def gray(w: Int, h: Int, quant: Array[Int] = UnitQuant,
-      restartInterval: Int = 0)(v: (Int, Int) => Int): Array[Byte] = {
+      restartInterval: Int = 0, standardTables: Boolean = false,
+      writeDht: Boolean = true)(v: (Int, Int) => Int): Array[Byte] = {
     require(w >= 1 && h >= 1, "dims must be positive")
     require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
       "quant: 64 natural-order entries in 1..255")
+    require(writeDht || standardTables,
+      "a DHT-less stream is only decodable under the Annex-K convention")
     val out = new java.io.ByteArrayOutputStream()
     def be16(x: Int): Unit = { out.write((x >> 8) & 0xff); out.write(x & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
-    writeHeaders(out, w, h, quant, sofMarker = 0xc0)
+    writeHeaders(out, w, h, quant, sofMarker = 0xc0, standardTables,
+      writeDht)
     if (restartInterval > 0) { marker(0xdd); be16(4); be16(restartInterval) }
     marker(0xda); be16(8) // SOS
     out.write(1); out.write(1); out.write(0x00)
     out.write(0); out.write(63); out.write(0)
 
+    val dcCodes = if (standardTables) StdDcCodes else DcCodes
+    val acCodes = if (standardTables) StdAcCodes else AcCodes
     val blocks = quantizedBlocks(w, h, quant, v)
     val bw = new BitWriter(out)
     var pred = 0
@@ -1201,9 +1318,9 @@ object JpegBuild {
         pred = 0
       }
       val fq = blocks(mcu)
-      putDc(bw, fq(0) - pred)
+      putDc(bw, fq(0) - pred, dcCodes)
       pred = fq(0)
-      putAcBand(bw, fq, 1, 63)
+      putAcBand(bw, fq, 1, 63, acCodes)
       mcu += 1
     }
     bw.flush()

@@ -197,12 +197,13 @@ object Multimodal {
       * Exposed as the codegen expression
       * [[graft.functions.MediaReason]] and gated by q109's census. */
     def contentReason(p: Array[Byte]): String = {
-      import graft.operators.{AudioDedup, ImageDedup, VideoDedup}
+      import graft.operators.{AudioDedup, ImageDedup, MotionJpeg, VideoDedup}
       def isWav = p.length >= 12 && p(0) == 'R' && p(1) == 'I' &&
         p(2) == 'F' && p(3) == 'F' && p(8) == 'W' && p(9) == 'A' &&
         p(10) == 'V' && p(11) == 'E'
       def isGif = p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F'
       if (isGif) VideoDedup.GifPixels.decodeReason(p)
+      else if (MotionJpeg.isAvi(p)) MotionJpeg.AviPixels.decodeReason(p)
       else if (isWav)
         AudioDedup.WavPcm.decodeReason(p) match {
           case Right(_) => "ok"

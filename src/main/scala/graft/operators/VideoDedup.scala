@@ -519,8 +519,46 @@ object VideoDedup {
     }
   }
 
-  /** 64-bit temporal-mean dHash of a binary GIF payload; NULL when the
-    * payload has no video path. */
+  /** Temporal-mean dHash with container dispatch — animated GIF
+    * ([[GifPixels]]) or MJPEG-AVI ([[MotionJpeg.AviPixels]], r11).
+    * Both paths accumulate the per-pixel mean INCREMENTALLY over one
+    * reused/streamed frame buffer; None when the payload has no video
+    * path. This is what the [[avgHash]] column evaluates. */
+  def avgHashOf(payload: Array[Byte]): Option[Long] =
+    if (MotionJpeg.isAvi(payload)) {
+      var sum: Array[Long] = null
+      var w = 0; var h = 0; var n = 0
+      MotionJpeg.AviPixels.decodeCore(payload, (cw, ch, luma) => {
+        if (sum == null) { w = cw; h = ch; sum = new Array[Long](cw * ch) }
+        var k = 0
+        while (k < sum.length) { sum(k) += luma(k); k += 1 }
+        n += 1
+      }) match {
+        case Left(_) => None
+        case Right(_) =>
+          val mean = new Array[Int](w * h)
+          var k = 0
+          while (k < mean.length) { mean(k) = (sum(k) / n).toInt; k += 1 }
+          Some(ImageDedup.ImagePixels.dhash64(
+            ImageDedup.ImagePixels.grid(mean, w, h, 9, 8)))
+      }
+    } else GifPixels.avgHashOf(payload)
+
+  /** Per-frame dHash sequence with the same container dispatch as
+    * [[avgHashOf]]; None when undecodable. Backs [[frameHashes]]. */
+  def frameHashesOf(payload: Array[Byte]): Option[Seq[Long]] =
+    if (MotionJpeg.isAvi(payload)) {
+      val hashes = Seq.newBuilder[Long]
+      MotionJpeg.AviPixels.decodeCore(payload, (cw, ch, luma) =>
+        hashes += ImageDedup.ImagePixels.dhash64(
+          ImageDedup.ImagePixels.grid(luma, cw, ch, 9, 8))) match {
+        case Left(_) => None
+        case Right(_) => Some(hashes.result())
+      }
+    } else GifPixels.frameHashesOf(payload)
+
+  /** 64-bit temporal-mean dHash of a binary video payload (animated
+    * GIF or MJPEG-AVI); NULL when the payload has no video path. */
   def avgHash(payload: Column): Column =
     ColumnBridge.col(graft.functions.VideoAvgHash(
       ColumnBridge.expr(payload)))

@@ -72,7 +72,7 @@ object Round11 {
     mean.unionByName(ordered).orderBy("form", "id_a", "id_b")
   }
 
-  /** q109: media quarantine-reason CENSUS — twenty-four payload
+  /** q109: media quarantine-reason CENSUS — twenty-eight payload
     * variants per doc spanning every reason class of
     * [[Multimodal.contentReason]] ([[graft.functions.MediaReason]],
     * exercised through its whole-stage-codegen path), grouped to
@@ -102,7 +102,12 @@ object Round11 {
     * the extensible tag on a 16-byte fmt chunk → "corrupt" (the
     * mandatory SubFormat field cannot exist). The pre-r11 'wav_float'
     * row (format 3 at 16 bits) stays "unsupported" — the float scope
-    * is 32/64-bit only. */
+    * is 32/64-bit only.
+    *
+    * r11 MJPEG-AVI rows ([[graft.operators.MotionJpeg]]): a one-frame
+    * MJPEG AVI and its DHT-less standard-table twin → "ok"; the same
+    * container declaring an xvid codec → "unsupported" (route to the
+    * external-codec path); the MJPEG file cut in half → "corrupt". */
   def q109MediaReasonCensus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
@@ -131,6 +136,8 @@ object Round11 {
         val wavExtGuid = wavExt.clone; wavExtGuid(50) = 0x11
         def g711Codes = Array.tabulate(520)(i =>
           (Round9.frameAmp(id, i / 8) % 128).toByte)
+        val aviFrames = Seq(JpegBuild.gray(w, h)((x, y) => px(x, y)))
+        val avi = graft.operators.MotionJpeg.AviBuild.mjpeg(w, h, aviFrames)
         val pngHuge = ImageDedup.ImageBuild.pngGray(1, 1)((_, _) => 0)
         // IHDR dims at 16/20 (BE): claim 8192x8192 > the 2^24 pixel cap
         pngHuge(17) = 0; pngHuge(18) = 0x20; pngHuge(19) = 0
@@ -177,7 +184,17 @@ object Round11 {
           (id + 20000000L, "wav_ext", wavExt),
           (id + 21000000L, "wav_adpcm", wavAdpcm),
           (id + 22000000L, "wav_ext_guid", wavExtGuid),
-          (id + 23000000L, "wav_ext_short", wavExtShort))
+          (id + 23000000L, "wav_ext_short", wavExtShort),
+          // r11 MJPEG-AVI census rows (q111's container)
+          (id + 24000000L, "avi_mjpeg", avi),
+          (id + 25000000L, "avi_nodht",
+            graft.operators.MotionJpeg.AviBuild.mjpeg(w, h, Seq(
+              JpegBuild.gray(w, h, standardTables = true,
+                writeDht = false)((x, y) => px(x, y))))),
+          (id + 26000000L, "avi_xvid",
+            graft.operators.MotionJpeg.AviBuild.mjpeg(w, h,
+              aviFrames, handler = "xvid")),
+          (id + 27000000L, "avi_trunc", avi.take(avi.length / 2)))
       }
       .toDF("media_id", "variant", "payload")
     media
@@ -238,10 +255,74 @@ object Round11 {
       .orderBy("id_a", "id_b")
   }
 
+  /** q111: CROSS-CONTAINER video near-dup — the same clip rendered as
+    * an animated GIF and as MJPEG-AVI ([[graft.operators.MotionJpeg]],
+    * r11) must fingerprint identically under BOTH hash forms. The
+    * plant reuses q110's provable-exactness discipline: 72×64 frames
+    * constant within each 8×8 block, encoded with the all-ones quant
+    * table, so the JPEG frames decode bit-exactly to the GIF's gray
+    * values and the oracle is arithmetic, not tolerance-based.
+    * Populations per doc_id: the 5-frame GIF (base); the MJPEG-AVI of
+    * the same frames (+1M, custom per-frame DHT); the SAME AVI with
+    * DHT-LESS standard-table frames (+2M — the de-facto MJPEG wire
+    * shape, exercising the Annex-K implied-table path end to end);
+    * opaque text (+3M); and the AVI with the frame ORDER REVERSED
+    * (+4M).
+    * Expected (arithmetic):
+    *  - form='mean': all six pairs among {0,+1M,+2M,+4M} at hamming 0
+    *    (the temporal mean is frame-order-insensitive);
+    *  - form='ordered': exactly the three pairs among {0,+1M,+2M} at
+    *    jaccard 1 — the reversed cut shares no positional 2-gram.
+    * Any drift between the GIF compositor and the per-frame JPEG
+    * decode (or a wrong Annex-K constant) breaks a pair somewhere
+    * across the ~500-doc × 72-cell population. */
+  def q111CrossContainerVideo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MotionJpeg
+    val docs = Tables.parallel(s, dir, "documents")
+    val media = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id0, text) =>
+        val id = Round9.guardMediaId(id0)
+        def px(f: Int)(x: Int, y: Int): Int =
+          Round9.videoCell(id, f, (y / 8) * 9 + x / 8)
+        def jpegs(order: Seq[Int], std: Boolean): Seq[Array[Byte]] =
+          order.map(f => JpegBuild.gray(72, 64, standardTables = std,
+            writeDht = !std)(px(f)))
+        Seq(
+          Multimodal.MediaRecord(id, "video",
+            VideoDedup.GifBuild.animatedGray(72, 64,
+              (0 until 5).map(px))),
+          Multimodal.MediaRecord(id + 1000000L, "video",
+            MotionJpeg.AviBuild.mjpeg(72, 64,
+              jpegs(0 until 5, std = false))),
+          Multimodal.MediaRecord(id + 2000000L, "video",
+            MotionJpeg.AviBuild.mjpeg(72, 64,
+              jpegs(0 until 5, std = true))),
+          Multimodal.MediaRecord(id + 3000000L, "video",
+            text.getBytes("UTF-8")),
+          Multimodal.MediaRecord(id + 4000000L, "video",
+            MotionJpeg.AviBuild.mjpeg(72, 64,
+              jpegs((0 until 5).reverse, std = false))))
+      }
+      .toDF("media_id", "kind", "payload")
+    val mean = VideoDedup
+      .nearDupPairs(media, "media_id", "payload", maxHamming = 3, bands = 4)
+      .select(col("id_a"), col("id_b"), lit("mean").as("form"),
+        col("hamming").cast("double").as("score"))
+    val ordered = VideoDedup
+      .orderedNearDupPairs(media, "media_id", "payload",
+        q = 2, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"), lit("ordered").as("form"),
+        col("jaccard").as("score"))
+    mean.unionByName(ordered).orderBy("form", "id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_video_ordered" -> q108VideoOrdered _,
     "q109_media_reason_census" -> q109MediaReasonCensus _,
-    "q110_jpeg_neardup" -> q110JpegNearDup _)
+    "q110_jpeg_neardup" -> q110JpegNearDup _,
+    "q111_cross_container_video" -> q111CrossContainerVideo _)
 
   val oracles: Map[String, String] = Map(
     "q108_video_ordered" ->
@@ -268,7 +349,9 @@ object Round11 {
         |  ('wav_pcm8', 'ok'), ('wav_f64', 'ok'),
         |  ('wav_ulaw', 'ok'), ('wav_alaw', 'ok'),
         |  ('wav_ext', 'ok'), ('wav_adpcm', 'unsupported'),
-        |  ('wav_ext_guid', 'unsupported'), ('wav_ext_short', 'corrupt'))
+        |  ('wav_ext_guid', 'unsupported'), ('wav_ext_short', 'corrupt'),
+        |  ('avi_mjpeg', 'ok'), ('avi_nodht', 'ok'),
+        |  ('avi_xvid', 'unsupported'), ('avi_trunc', 'corrupt'))
         |SELECT v.variant, v.reason, n.c AS cnt FROM v, n
         |ORDER BY variant, reason""".stripMargin,
     "q110_jpeg_neardup" ->
@@ -279,5 +362,19 @@ object Round11 {
         |SELECT t.id + m.a_k AS id_a, t.id + m.b_k AS id_b,
         |  CAST(0 AS INTEGER) AS hamming
         |FROM t, m
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q111_cross_container_video" ->
+      """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |mm(a_k, b_k) AS (VALUES (0, 1000000), (0, 2000000),
+        |                        (0, 4000000), (1000000, 2000000),
+        |                        (1000000, 4000000), (2000000, 4000000)),
+        |mo(a_k, b_k) AS (VALUES (0, 1000000), (0, 2000000),
+        |                        (1000000, 2000000))
+        |SELECT t.id + mm.a_k AS id_a, t.id + mm.b_k AS id_b,
+        |  'mean' AS form, CAST(0 AS DOUBLE) AS score
+        |FROM t, mm
+        |UNION ALL
+        |SELECT t.id + mo.a_k, t.id + mo.b_k, 'ordered', CAST(1 AS DOUBLE)
+        |FROM t, mo
+        |ORDER BY form, id_a, id_b""".stripMargin)
 }

@@ -19,6 +19,9 @@ class MediaFuzzSpec extends SparkSuite {
     VideoDedup.GifPixels.avgHashOf(p)
     VideoDedup.GifPixels.frameHashesOf(p)
     VideoDedup.GifPixels.decodeReason(p)
+    VideoDedup.avgHashOf(p) // container dispatch incl. MJPEG-AVI
+    VideoDedup.frameHashesOf(p)
+    graft.operators.MotionJpeg.AviPixels.decodeReason(p)
     ()
   }
 
@@ -66,8 +69,16 @@ class MediaFuzzSpec extends SparkSuite {
     val wavExt = AudioDedup.WavBuild.extensiblePcm16(
       Array.fill(520)(rnd.nextInt(65536) - 32768), channels = 2,
       channelMask = 3)
+    // r11 video surface: MJPEG-AVI (RIFF walk, per-frame JPEG decode,
+    // DHT-less frames, dropped-frame repeats, rec grouping)
+    val avi = graft.operators.MotionJpeg.AviBuild.mjpeg(18, 16, Seq(
+      JpegBuild.gray(18, 16)((x, y) => img(y)(x)),
+      Array.emptyByteArray,
+      JpegBuild.gray(18, 16, standardTables = true,
+        writeDht = false)((x, y) => img(y)(x))),
+      recWrap = rnd.nextBoolean())
     Seq(bmp, wav, gif, png, pngPal, pngAdam, deltaGif, jpg, jpgRst,
-      jpgProg, wavF32, wavP24, wavUlaw, wavExt)
+      jpgProg, wavF32, wavP24, wavUlaw, wavExt, avi)
   }
 
   test("pure random garbage never throws (1000 payloads)") {
@@ -81,7 +92,10 @@ class MediaFuzzSpec extends SparkSuite {
   test("garbage behind valid magic bytes never throws") {
     val magics = Seq("BM", "RIFF", "GIF89a", "GIF87a").map(
       _.getBytes("US-ASCII")) :+
-      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte) // JPEG SOI
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte) :+ // JPEG SOI
+      ("RIFF".getBytes("US-ASCII") ++
+        Array[Byte](-16, 0, 0, 0) ++ // declared size 240: an AVI shell
+        "AVI ".getBytes("US-ASCII"))
     for (_ <- 1 to 500; m <- magics) {
       val tail = new Array[Byte](rnd.nextInt(200))
       rnd.nextBytes(tail)
