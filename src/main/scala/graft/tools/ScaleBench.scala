@@ -170,8 +170,10 @@ object ScaleBench {
     // q103 is five bounded-state aggregates on ONE user-hash exchange
     // (the q91 shape): per-user gathers bounded by that user's history.
     "q103_sql_surface2",
-    // q104 is q102's shape over audio payloads: 4 clips per doc from
-    // doc_id, linear plant + map-side decode/hash, (id, sig) shuffle.
+    // q104 is q102's shape over audio payloads: 10 clips per doc from
+    // doc_id since the r11 format widening (PCM16/float/PCM24 quintet
+    // + the G.711 quartet + opaque), linear plant + map-side
+    // decode/hash, (id, sig) shuffle.
     "q104_audio_neardup",
     // q105 rides q18's pair graph (linear under the salted copies);
     // the keep-best window partitions by cluster, bounded by cluster
@@ -184,11 +186,15 @@ object ScaleBench {
     // the gram-blocked ordered join (decode pinned by localCheckpoint,
     // only (id, ng, g) longs shuffle); gram-match volume is in-trio
     // only (cross-copy ids never share planted frame patterns), so
-    // candidates scale linearly. q109 is a pure map + a 15×reason
+    // candidates scale linearly. q109 is a pure map + a 28×reason
     // groupBy — constant-width aggregate, rows ×10. q110 is q102's
     // shape with the JPEG Huffman+IDCT decode as the map-side CPU.
     "q108_video_ordered", "q109_media_reason_census",
-    "q110_jpeg_neardup")
+    "q110_jpeg_neardup",
+    // q111 is q108's two-form shape with the plant encode (5 GIF/JPEG
+    // frames × 4 video populations per doc) plus the MJPEG-AVI decode
+    // as the map-side CPU; pair volume stays in-quintet, linear.
+    "q111_cross_container_video")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")
