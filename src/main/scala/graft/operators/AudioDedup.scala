@@ -32,14 +32,15 @@ import graft.functions.ColumnBridge
   * into small Hamming distances; the spec pins brute-force parity.
   *
   * Decode scope (pure JVM, r11-widened): WAV/RIFF carrying PCM at
-  * 8/16/24/32 bits, IEEE float at 32/64 bits, G.711 a-law/µ-law, or
-  * WAVE_FORMAT_EXTENSIBLE resolving to any of those — mono or
-  * multi-channel (channels averaged), chunk walk honoring odd-size
-  * padding. Every format normalizes to the signed-16-bit sample
-  * domain before hashing, so the same track hashes identically across
-  * encodings (the q104 cross-format plant). Block codecs (ADPCM, MP3)
-  * slot into [[WavPcm.decodeSamples]] via an external library without
-  * touching anything downstream.
+  * 8/16/24/32 bits, IEEE float at 32/64 bits, G.711 a-law/µ-law,
+  * IMA ADPCM (format 0x11 block decode), or WAVE_FORMAT_EXTENSIBLE
+  * resolving to the PCM/float subtypes — mono or multi-channel
+  * (channels averaged), chunk walk honoring odd-size padding. Every
+  * format normalizes to the signed-16-bit sample domain before
+  * hashing, so the same track hashes identically across encodings
+  * (the q104 cross-format plant). Remaining codecs (MS-ADPCM, MP3,
+  * GSM) slot into [[WavPcm.decodeSamples]] via an external library
+  * without touching anything downstream.
   *
   * Scale shape: identical to [[ImageDedup]] — decode+hash fuse
   * map-side in one whole-stage-codegen expression, only (id, 8-byte
@@ -69,17 +70,20 @@ object AudioDedup {
 
     /** [[decodeSamples]] with the rejection class (r10 ADVICE
       * discipline): a well-formed RIFF/WAVE whose sample format is
-      * outside the decode scope — ADPCM, MP3-in-WAV, an extensible
+      * outside the decode scope — MS-ADPCM, MP3-in-WAV, an extensible
       * GUID that is not the fixed media subtype, or a recognized
-      * format at an unhandled width (e.g. 12-bit PCM, 16-bit "float")
-      * — routes out as "unsupported"; "corrupt" is reserved for
-      * broken structure (truncated/overrunning chunks, missing
-      * fmt/data, a short extensible fmt, zero frames).
+      * format at an unhandled width (e.g. 12-bit PCM, 16-bit "float",
+      * an ADPCM tag on a 16-bit fmt) — routes out as "unsupported";
+      * "corrupt" is reserved for broken structure (truncated/
+      * overrunning chunks, missing fmt/data, a short extensible fmt,
+      * an ADPCM partial block or out-of-range step index, zero
+      * frames).
       *
       * Decode scope (all pure JVM): PCM at 8/16/24/32 bits (format 1),
       * IEEE float at 32/64 bits (format 3), G.711 a-law (6) and µ-law
-      * (7) at 8 bits, and WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolving
-      * to any of those through its SubFormat GUID. */
+      * (7) at 8 bits, IMA ADPCM at 4 bits (format 0x11, block decode),
+      * and WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolving to the PCM/float
+      * subtypes through its SubFormat GUID. */
     def decodeReason(p: Array[Byte]): Either[String, Array[Int]] = {
       def u8(i: Int): Int = p(i) & 0xff
       def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -129,6 +133,13 @@ object AudioDedup {
         }
         format = le16(fmtOff + 24)
       }
+      if (format == FormatImaAdpcm) {
+        // block codec, its own path (r11): 4-bit nibbles, per-block
+        // predictor state — not a fixed bytes-per-sample layout
+        if (bits != 4) return Left("unsupported")
+        val (off, len) = data.get
+        return decodeImaAdpcm(p, channels, le16(fmtOff + 12), off, len)
+      }
       // Bytes per stored sample for each in-scope (format, bits) pair;
       // everything else well-formed routes "unsupported"
       val sampleBytes = format match {
@@ -142,7 +153,7 @@ object AudioDedup {
         }
         case FormatAlaw | FormatUlaw =>
           if (bits == 8) 1 else return Left("unsupported")
-        case _ => return Left("unsupported") // ADPCM, MP3, GSM, ...
+        case _ => return Left("unsupported") // MS-ADPCM, MP3, GSM, ...
       }
       def sample(off: Int): Int = format match {
         case FormatAlaw => alawToLinear(u8(off))
@@ -184,7 +195,100 @@ object AudioDedup {
     private final val FormatFloat = 3
     private final val FormatAlaw = 6
     private final val FormatUlaw = 7
+    private final val FormatImaAdpcm = 0x11
     private final val FormatExtensible = 0xfffe
+
+    /** IMA/DVI ADPCM step-size and index-adaptation tables (the public
+      * IMA reference constants; the step table is exposed for
+      * fixture-side independent expansions, like [[JpegPixels]]'
+      * zigzag map). */
+    final val ImaStep: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+      143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+      494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+      1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+      4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+      11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+      27086, 29794, 32767)
+    private[operators] final val ImaIndexAdjust: Array[Int] =
+      Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** One IMA ADPCM nibble step: returns the new predictor (the
+      * output sample); mutates nothing — callers carry (pred, idx). */
+    private[operators] def imaStep(pred: Int, idx: Int, nibble: Int)
+        : (Int, Int) = {
+      val step = ImaStep(idx)
+      var diff = step >> 3
+      if ((nibble & 1) != 0) diff += step >> 2
+      if ((nibble & 2) != 0) diff += step >> 1
+      if ((nibble & 4) != 0) diff += step
+      val s = if ((nibble & 8) != 0) pred - diff else pred + diff
+      val clamped = math.max(-32768, math.min(32767, s))
+      val ni = idx + ImaIndexAdjust(nibble & 7)
+      (clamped, math.max(0, math.min(88, ni)))
+    }
+
+    /** IMA ADPCM (format 0x11) block decode: each `blockAlign`-sized
+      * block opens with a 4-byte header per channel (int16 predictor =
+      * output sample 0, uint8 step index, reserved), then 4-byte
+      * nibble groups interleaved by channel (8 samples per group per
+      * channel, low nibble first). Trailing partial blocks are a
+      * structural error ("corrupt" — encoders pad blocks); an index
+      * byte past 88 likewise. */
+    private def decodeImaAdpcm(p: Array[Byte], channels: Int,
+        blockAlign: Int, off: Int, len: Int)
+        : Either[String, Array[Int]] = {
+      def u8(i: Int): Int = p(i) & 0xff
+      def s16(i: Int): Int = (u8(i) | (u8(i + 1) << 8)).toShort.toInt
+      val headBytes = 4 * channels
+      if (blockAlign <= headBytes ||
+          (blockAlign - headBytes) % (4 * channels) != 0)
+        return Left("corrupt")
+      val groups = (blockAlign - headBytes) / (4 * channels)
+      val samplesPerBlock = 1 + groups * 8
+      val nBlocks = len / blockAlign
+      if (nBlocks == 0 || len % blockAlign != 0) return Left("corrupt")
+      val out = new Array[Int](nBlocks * samplesPerBlock)
+      val pred = new Array[Int](channels)
+      val idx = new Array[Int](channels)
+      var b = 0
+      while (b < nBlocks) {
+        val boff = off + b * blockAlign
+        var c = 0
+        var headSum = 0
+        while (c < channels) {
+          pred(c) = s16(boff + 4 * c)
+          idx(c) = u8(boff + 4 * c + 2)
+          if (idx(c) > 88) return Left("corrupt")
+          headSum += pred(c)
+          c += 1
+        }
+        val outBase = b * samplesPerBlock
+        out(outBase) = headSum / channels
+        var g = 0
+        while (g < groups) {
+          var k = 0
+          while (k < 8) { // nibble position within the group
+            var sum = 0
+            c = 0
+            while (c < channels) {
+              val byte = u8(boff + headBytes + g * 4 * channels + 4 * c + k / 2)
+              val nib = if ((k & 1) == 0) byte & 0x0f else byte >> 4
+              val (np, ni) = imaStep(pred(c), idx(c), nib)
+              pred(c) = np; idx(c) = ni
+              sum += np
+              c += 1
+            }
+            out(outBase + 1 + g * 8 + k) = sum / channels
+            k += 1
+          }
+          g += 1
+        }
+        b += 1
+      }
+      Right(out)
+    }
     /** KSDATAFORMAT_SUBTYPE GUID minus the leading format-code word:
       * xxxx0000-0000-0010-8000-00AA00389B71 in GUID wire order. */
     private[operators] final val MediaGuidTail: Array[Byte] = Array(
@@ -333,6 +437,37 @@ object AudioDedup {
         sampleRate: Int = 8000): Array[Byte] = {
       require(channels >= 1 && codes.length % channels == 0)
       riff(fmt(if (alaw) 6 else 7, channels, sampleRate, 1, 8), codes)
+    }
+
+    /** IMA ADPCM (format 0x11) mono payload from raw wire state: one
+      * block per (predictor, stepIndex, nibblePairs) triple — the
+      * fixture-side twin of [[WavPcm.decodeReason]]'s block decode
+      * (gates plant nibble streams and compute the expected expansion
+      * independently). Every block must carry the same nibble byte
+      * count, a multiple of 4. */
+    def imaAdpcmMono(blocks: Seq[(Int, Int, Array[Byte])],
+        sampleRate: Int = 16000): Array[Byte] = {
+      require(blocks.nonEmpty)
+      val nb = blocks.head._3.length
+      require(nb > 0 && nb % 4 == 0 &&
+        blocks.forall(_._3.length == nb), "uniform 4-multiple blocks")
+      val blockAlign = 4 + nb
+      val samplesPerBlock = 1 + nb * 2
+      val fmtB = java.nio.ByteBuffer.allocate(20)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fmtB.putShort(0x11).putShort(1).putInt(sampleRate)
+        .putInt(sampleRate * blockAlign / samplesPerBlock) // nominal
+        .putShort(blockAlign.toShort).putShort(4)
+      fmtB.putShort(2) // cbSize
+      fmtB.putShort(samplesPerBlock.toShort)
+      val data = java.nio.ByteBuffer.allocate(blocks.size * blockAlign)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      blocks.foreach { case (pred, idx, nibbles) =>
+        require(idx >= 0 && idx <= 88, "step index in 0..88")
+        data.putShort(pred.toShort).put(idx.toByte).put(0.toByte)
+        data.put(nibbles)
+      }
+      riff(fmtB.array(), data.array())
     }
 
     /** WAVE_FORMAT_EXTENSIBLE wrapping PCM16 (the common multichannel

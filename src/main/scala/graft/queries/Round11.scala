@@ -72,7 +72,7 @@ object Round11 {
     mean.unionByName(ordered).orderBy("form", "id_a", "id_b")
   }
 
-  /** q109: media quarantine-reason CENSUS — twenty-eight payload
+  /** q109: media quarantine-reason CENSUS — twenty-nine payload
     * variants per doc spanning every reason class of
     * [[Multimodal.contentReason]] ([[graft.functions.MediaReason]],
     * exercised through its whole-stage-codegen path), grouped to
@@ -95,9 +95,10 @@ object Round11 {
     * class, now a first-class census row).
     *
     * r11 WAV-scope rows (the widened [[AudioDedup.WavPcm]] decode):
-    * 8-bit PCM, 64-bit IEEE float, G.711 µ-law and a-law, and
-    * WAVE_FORMAT_EXTENSIBLE-wrapping-PCM16 → "ok"; IMA ADPCM and an
-    * extensible SubFormat whose GUID is not the fixed media subtype →
+    * 8-bit PCM, 64-bit IEEE float, G.711 µ-law and a-law,
+    * WAVE_FORMAT_EXTENSIBLE-wrapping-PCM16, and real 4-bit IMA ADPCM
+    * → "ok"; an ADPCM tag on a 16-bit fmt and an extensible SubFormat
+    * whose GUID is not the fixed media subtype →
     * "unsupported" (well-formed, outside the pure-JVM scope);
     * the extensible tag on a 16-byte fmt chunk → "corrupt" (the
     * mandatory SubFormat field cannot exist). The pre-r11 'wav_float'
@@ -125,7 +126,9 @@ object Round11 {
         // format 3 + bits 16: a "float" width the r11 scope does NOT
         // cover (32/64 only) — stays "unsupported", oracle unchanged
         val wavFloat = wav.clone; wavFloat(20) = 3
-        val wavAdpcm = wav.clone; wavAdpcm(20) = 17 // IMA ADPCM: o-o-scope
+        // ADPCM tag on a 16-bit fmt: recognized codec, wrong width
+        // (real 4-bit IMA ADPCM decodes since r11 — the wav_ima row)
+        val wavAdpcm = wav.clone; wavAdpcm(20) = 17
         // extensible tag on a 16-byte fmt: structurally broken
         val wavExtShort = wav.clone
         wavExtShort(20) = 0xfe.toByte; wavExtShort(21) = 0xff.toByte
@@ -194,7 +197,12 @@ object Round11 {
           (id + 26000000L, "avi_xvid",
             graft.operators.MotionJpeg.AviBuild.mjpeg(w, h,
               aviFrames, handler = "xvid")),
-          (id + 27000000L, "avi_trunc", avi.take(avi.length / 2)))
+          (id + 27000000L, "avi_trunc", avi.take(avi.length / 2)),
+          // r11: real IMA ADPCM decodes now; 'wav_adpcm' above keeps
+          // pinning the 16-bit-tagged twin as unsupported
+          (id + 28000000L, "wav_ima",
+            AudioDedup.WavBuild.imaAdpcmMono(Seq((100, 30,
+              Array.tabulate(64)(i => (Round9.frameAmp(id, i) % 256).toByte))))))
       }
       .toDF("media_id", "variant", "payload")
     media
@@ -306,6 +314,13 @@ object Round11 {
               jpegs((0 until 5).reverse, std = false))))
       }
       .toDF("media_id", "kind", "payload")
+      // Pin the plant: unlike q108 (where a pin measured as a wash —
+      // GIF builds are cheap), q111's plant runs 15 JPEG FDCT encodes
+      // per doc, and BOTH hash-form branches below re-evaluate the
+      // flatMap without it. MATERIALIZES EAGERLY at call time (the
+      // PLANS.md "Eager materialization points" contract, same as
+      // orderedNearDupPairs' gram table).
+      .localCheckpoint()
     val mean = VideoDedup
       .nearDupPairs(media, "media_id", "payload", maxHamming = 3, bands = 4)
       .select(col("id_a"), col("id_b"), lit("mean").as("form"),
@@ -351,7 +366,8 @@ object Round11 {
         |  ('wav_ext', 'ok'), ('wav_adpcm', 'unsupported'),
         |  ('wav_ext_guid', 'unsupported'), ('wav_ext_short', 'corrupt'),
         |  ('avi_mjpeg', 'ok'), ('avi_nodht', 'ok'),
-        |  ('avi_xvid', 'unsupported'), ('avi_trunc', 'corrupt'))
+        |  ('avi_xvid', 'unsupported'), ('avi_trunc', 'corrupt'),
+        |  ('wav_ima', 'ok'))
         |SELECT v.variant, v.reason, n.c AS cnt FROM v, n
         |ORDER BY variant, reason""".stripMargin,
     "q110_jpeg_neardup" ->

@@ -211,6 +211,11 @@ object Round9 {
     *    in (seg, man), so the two codecs' envelopes carry the same
     *    gradient signs and all four collide (6 pairs/doc) — the
     *    loudness-ORDER invariance of the sign hash, asserted exactly;
+    *  - (r11) the IMA ADPCM pair: one planted mono block of raw
+    *    (predictor, index, nibbles) wire state (+10M) and its
+    *    expansion by the IMA reference recurrence computed INLINE
+    *    (+11M) — the engine's block decode must reproduce it sample
+    *    for sample (1 more pair/doc);
     *  - the doc's text as an opaque payload (+3M): skipped, never
     *    paired or thrown on. */
   def q104AudioNearDup(s: SparkSession, dir: String): DataFrame = {
@@ -263,6 +268,41 @@ object Round9 {
           ((0x80 | (seg << 4) | man) ^ 0x55).toByte } // sign SET: positive
         val alawLinear = perSample { case (seg, man) =>
           if (seg == 0) (man << 4) + 8 else ((man << 4) + 0x108) << (seg - 1) }
+        // +10M/+11M: IMA ADPCM pair (r11). One mono block: planted
+        // predictor/index/nibble wire state, with the expected
+        // expansion computed INLINE by the IMA reference recurrence —
+        // an independent derivation of the engine's block decode.
+        val adpcmNibbles = Array.tabulate(260) { i =>
+          var z = id * 613L + i + 0xd1b54a32d192ed03L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z ^= z >>> 31
+          (z & 0xff).toInt.toByte
+        }
+        val adpcmPred0 = (java.lang.Math.floorMod(id * 31L, 4001L) - 2000L).toInt
+        val adpcmIdx0 = java.lang.Math.floorMod(id * 7L, 89L).toInt
+        val adpcmLinear = {
+          val step = graft.operators.AudioDedup.WavPcm.ImaStep
+          val out = new Array[Int](1 + 520)
+          out(0) = adpcmPred0
+          var pred = adpcmPred0
+          var idx = adpcmIdx0
+          var k = 0
+          while (k < 520) {
+            val byte = adpcmNibbles(k / 2) & 0xff
+            val nib = if ((k & 1) == 0) byte & 0x0f else byte >> 4
+            var diff = step(idx) >> 3
+            if ((nib & 1) != 0) diff += step(idx) >> 2
+            if ((nib & 2) != 0) diff += step(idx) >> 1
+            if ((nib & 4) != 0) diff += step(idx)
+            pred = math.max(-32768,
+              math.min(32767, if ((nib & 8) != 0) pred - diff else pred + diff))
+            idx = math.max(0, math.min(88,
+              idx + Array(-1, -1, -1, -1, 2, 4, 6, 8)(nib & 7)))
+            out(1 + k) = pred
+            k += 1
+          }
+          out
+        }
         Seq(
           Multimodal.MediaRecord(id, "audio", clip(1, 1)),
           Multimodal.MediaRecord(id + 1000000L, "audio", clip(2, 1)),
@@ -278,7 +318,12 @@ object Round9 {
           Multimodal.MediaRecord(id + 8000000L, "audio",
             WavBuild.g711(alawBytes, alaw = true)),
           Multimodal.MediaRecord(id + 9000000L, "audio",
-            WavBuild.pcm16(alawLinear)))
+            WavBuild.pcm16(alawLinear)),
+          Multimodal.MediaRecord(id + 10000000L, "audio",
+            WavBuild.imaAdpcmMono(
+              Seq((adpcmPred0, adpcmIdx0, adpcmNibbles)))),
+          Multimodal.MediaRecord(id + 11000000L, "audio",
+            WavBuild.pcm16(adpcmLinear)))
       }
       .toDF("media_id", "kind", "payload")
     graft.operators.AudioDedup.nearDupPairs(media, "media_id", "payload",
@@ -418,6 +463,8 @@ object Round9 {
         |UNION ALL
         |SELECT t.id + a.k, t.id + b.k, CAST(0 AS INTEGER)
         |FROM t, g711 a, g711 b WHERE a.k < b.k
+        |UNION ALL
+        |SELECT t.id + 10000000, t.id + 11000000, CAST(0 AS INTEGER) FROM t
         |ORDER BY id_a, id_b""".stripMargin,
     "q106_video_neardup" ->
       """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)

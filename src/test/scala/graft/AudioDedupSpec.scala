@@ -109,6 +109,79 @@ class AudioDedupSpec extends SparkSuite {
     }
   }
 
+  test("IMA ADPCM: known-value expansion, multi-block state reset, " +
+      "corrupt classes") {
+    // hand-computed from the IMA recurrence: pred=0, idx=0 (step 7);
+    // nibble 4 -> diff = 7>>3 + 7 = 7, pred 7, idx 0+2=2 (step 9);
+    // nibble 0xC -> diff = 9>>3 + 9 = 10, pred 7-10 = -3, idx 2+2=4
+    val one = WavBuild.imaAdpcmMono(Seq((0, 0,
+      Array[Byte](0xc4.toByte, 0x00, 0x00, 0x00))))
+    val Some(got) = WavPcm.decodeSamples(one)
+    assert(got.length === 9) // 1 header sample + 8 nibbles
+    assert(got.take(3).toSeq === Seq(0, 7, -3))
+    // second block restarts from ITS header state, not the running one
+    val two = WavBuild.imaAdpcmMono(Seq(
+      (0, 0, Array[Byte](0xc4.toByte, 0, 0, 0)),
+      (1000, 88, Array[Byte](0, 0, 0, 0))))
+    val Some(g2) = WavPcm.decodeSamples(two)
+    assert(g2.length === 18)
+    assert(g2(9) === 1000) // block-2 header sample
+    // nibble 0 at idx 88: diff = 32767>>3 = 4095 -> 5095, idx 87
+    assert(g2(10) === 1000 + (32767 >> 3))
+    // corrupt: step index > 88
+    val badIdx = one.clone
+    // fmt(20B incl. cbSize ext) + pad? fmt sz 20 even; data at 20+8+20+8
+    val dataOff = 12 + 8 + 20 + 8
+    assert((badIdx(dataOff + 2) & 0xff) === 0) // the index byte
+    badIdx(dataOff + 2) = 89.toByte
+    assert(WavPcm.decodeReason(badIdx) === Left("corrupt"))
+    // corrupt: partial trailing block (data length not a blockAlign
+    // multiple) — flag via a hand-truncated data chunk
+    val part = WavBuild.imaAdpcmMono(Seq((0, 0, Array[Byte](1, 2, 3, 4))))
+    val cut = part.dropRight(2)
+    // fix both RIFF and data sizes to the cut length
+    val riffSz = cut.length - 8
+    cut(4) = (riffSz & 0xff).toByte; cut(5) = ((riffSz >> 8) & 0xff).toByte
+    val dataSz = 8 - 2 // 4-byte header + 4 nibbles, minus the cut
+    cut(dataOff - 4) = dataSz.toByte; cut(dataOff - 3) = 0
+    assert(WavPcm.decodeReason(cut) === Left("corrupt"))
+    // unsupported: the ADPCM tag on a 16-bit fmt
+    val tagged = WavBuild.pcm16(Array.fill(130)(5))
+    tagged(20) = 17
+    assert(WavPcm.decodeReason(tagged) === Left("unsupported"))
+  }
+
+  test("IMA ADPCM: fixture-independent expansion parity on random wire " +
+      "state (the q104 +10M/+11M pair, operator side)") {
+    val rnd = new scala.util.Random(0x11aa)
+    for (_ <- 1 to 5) {
+      val nibbles = Array.fill(260)(rnd.nextInt(256).toByte)
+      val p0 = rnd.nextInt(4001) - 2000
+      val i0 = rnd.nextInt(89)
+      val wire = WavBuild.imaAdpcmMono(Seq((p0, i0, nibbles)))
+      // independent inline recurrence (the q104 oracle-side derivation)
+      val want = new Array[Int](521)
+      want(0) = p0
+      var pred = p0; var idx = i0
+      for (k <- 0 until 520) {
+        val b = nibbles(k / 2) & 0xff
+        val nib = if ((k & 1) == 0) b & 0x0f else b >> 4
+        val step = WavPcm.ImaStep(idx)
+        var diff = step >> 3
+        if ((nib & 1) != 0) diff += step >> 2
+        if ((nib & 2) != 0) diff += step >> 1
+        if ((nib & 4) != 0) diff += step
+        pred = math.max(-32768, math.min(32767,
+          if ((nib & 8) != 0) pred - diff else pred + diff))
+        idx = math.max(0, math.min(88,
+          idx + Array(-1, -1, -1, -1, 2, 4, 6, 8)(nib & 7)))
+        want(1 + k) = pred
+      }
+      assert(WavPcm.decodeSamples(wire).get.toSeq === want.toSeq)
+      assert(WavPcm.hashOf(wire) === WavPcm.hashOf(WavBuild.pcm16(want)))
+    }
+  }
+
   test("WAVE_FORMAT_EXTENSIBLE: PCM16 subtype decodes like plain PCM16; " +
       "foreign GUID is unsupported; short fmt is corrupt") {
     val rnd = new scala.util.Random(0x104c)

@@ -69,6 +69,9 @@ class MediaFuzzSpec extends SparkSuite {
     val wavExt = AudioDedup.WavBuild.extensiblePcm16(
       Array.fill(520)(rnd.nextInt(65536) - 32768), channels = 2,
       channelMask = 3)
+    val wavIma = AudioDedup.WavBuild.imaAdpcmMono(Seq.fill(2)((
+      rnd.nextInt(65536) - 32768, rnd.nextInt(89),
+      Array.fill(32)(rnd.nextInt(256).toByte))))
     // r11 video surface: MJPEG-AVI (RIFF walk, per-frame JPEG decode,
     // DHT-less frames, dropped-frame repeats, rec grouping)
     val avi = graft.operators.MotionJpeg.AviBuild.mjpeg(18, 16, Seq(
@@ -78,7 +81,7 @@ class MediaFuzzSpec extends SparkSuite {
         writeDht = false)((x, y) => img(y)(x))),
       recWrap = rnd.nextBoolean())
     Seq(bmp, wav, gif, png, pngPal, pngAdam, deltaGif, jpg, jpgRst,
-      jpgProg, wavF32, wavP24, wavUlaw, wavExt, avi)
+      jpgProg, wavF32, wavP24, wavUlaw, wavExt, wavIma, avi)
   }
 
   test("pure random garbage never throws (1000 payloads)") {
