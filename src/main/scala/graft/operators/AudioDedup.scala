@@ -83,8 +83,20 @@ object AudioDedup {
       * IEEE float at 32/64 bits (format 3), G.711 a-law (6) and µ-law
       * (7) at 8 bits, IMA ADPCM at 4 bits (format 0x11, block decode),
       * and WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolving to the PCM/float
-      * subtypes through its SubFormat GUID. */
+      * subtypes through its SubFormat GUID.
+      *
+      * Decoded output is budget-capped at [[MaxSamples]] BEFORE
+      * allocation ("oversized" — the video paths' policy-rejection
+      * class), and the whole walk is belt-and-braces wrapped like the
+      * image/video decodeCores: the bounds arithmetic is checked
+      * inline, but an index error can never escape as an exception. */
     def decodeReason(p: Array[Byte]): Either[String, Array[Int]] = {
+      try decodeInner(p)
+      catch { case _: ArrayIndexOutOfBoundsException |
+                   _: NegativeArraySizeException => Left("corrupt") }
+    }
+
+    private def decodeInner(p: Array[Byte]): Either[String, Array[Int]] = {
       def u8(i: Int): Int = p(i) & 0xff
       def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
       def s16(i: Int): Int = le16(i).toShort.toInt
@@ -173,6 +185,7 @@ object AudioDedup {
       val (off, len) = data.get
       val frameBytes = sampleBytes * channels
       val n = len / frameBytes
+      if (n > MaxSamples) return Left("oversized") // policy cap, see above
       if (n == 0) Left("corrupt")
       else {
         val out = new Array[Int](n)
@@ -190,6 +203,12 @@ object AudioDedup {
         Right(out)
       }
     }
+
+    /** Decoded-sample budget (any format): 2^26 samples = 256 MB of
+      * int — the audio twin of the video paths' MaxTotalPixels policy
+      * cap. A longer VALID track rejects as "oversized" (retryable on
+      * a bigger-budget path), never as an allocation failure. */
+    private[operators] final val MaxSamples = 1L << 26
 
     private final val FormatPcm = 1
     private final val FormatFloat = 3
@@ -249,7 +268,14 @@ object AudioDedup {
       val samplesPerBlock = 1 + groups * 8
       val nBlocks = len / blockAlign
       if (nBlocks == 0 || len % blockAlign != 0) return Left("corrupt")
-      val out = new Array[Int](nBlocks * samplesPerBlock)
+      // Budget BEFORE allocating (the video paths' policy-cap
+      // discipline): the expansion is ≤ 2 samples/input byte, but a
+      // giant payload would still decode into a multi-GB int array —
+      // and the unchecked Int product could overflow into a
+      // NegativeArraySizeException, escaping the never-throw contract.
+      val totalSamples = nBlocks.toLong * samplesPerBlock
+      if (totalSamples > MaxSamples) return Left("oversized")
+      val out = new Array[Int](totalSamples.toInt)
       val pred = new Array[Int](channels)
       val idx = new Array[Int](channels)
       var b = 0
@@ -452,6 +478,7 @@ object AudioDedup {
       require(nb > 0 && nb % 4 == 0 &&
         blocks.forall(_._3.length == nb), "uniform 4-multiple blocks")
       val blockAlign = 4 + nb
+      require(blockAlign <= 0xffff, "blockAlign is a 16-bit fmt field")
       val samplesPerBlock = 1 + nb * 2
       val fmtB = java.nio.ByteBuffer.allocate(20)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)

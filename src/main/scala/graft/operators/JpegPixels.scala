@@ -1103,8 +1103,10 @@ object JpegBuild {
     10, 13, 16, 17, 21, 24, 24, 20,
     14, 18, 19, 20, 22, 20, 21, 20)
 
-  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
-  private val DcVals: Array[Int] = (0 to 11).toArray
+  // The conventional DC layout IS the Annex-K DC luma table, so the
+  // "custom vs standard" switch below only ever swaps the AC side
+  private val DcBits = JpegPixels.AnnexK.DcLumaBits
+  private val DcVals = JpegPixels.AnnexK.DcLumaVals
   // AC: EOB alone at 2 bits; ZRL + every (run 0-15, size 1-10) at 16
   private val AcBits = Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 161)
   private val AcVals: Array[Int] =
@@ -1130,9 +1132,8 @@ object JpegBuild {
   }
   private val DcCodes = codes(DcBits, DcVals)
   private val AcCodes = codes(AcBits, AcVals)
-  // Annex-K luma codes, for the standard-table / DHT-less MJPEG mode
-  private val StdDcCodes =
-    codes(JpegPixels.AnnexK.DcLumaBits, JpegPixels.AnnexK.DcLumaVals)
+  // Annex-K AC luma codes, for the standard-table / DHT-less MJPEG
+  // mode (DC is Annex-K either way — see DcBits above)
   private val StdAcCodes =
     codes(JpegPixels.AnnexK.AcLumaBits, JpegPixels.AnnexK.AcLumaVals)
 
@@ -1229,14 +1230,12 @@ object JpegBuild {
     out.write(8); be16(h); be16(w); out.write(1)
     out.write(1); out.write(0x11); out.write(0)
     if (writeDht) {
-      val (dcB, dcV) = if (standardTables)
-        (JpegPixels.AnnexK.DcLumaBits, JpegPixels.AnnexK.DcLumaVals)
-      else (DcBits, DcVals)
+      // DC is the Annex-K layout in both modes; only AC differs
       val (acB, acV) = if (standardTables)
         (JpegPixels.AnnexK.AcLumaBits, JpegPixels.AnnexK.AcLumaVals)
       else (AcBits, AcVals)
-      marker(0xc4); be16(2 + 17 + dcV.length); out.write(0x00) // DHT DC
-      dcB.foreach(out.write); dcV.foreach(out.write)
+      marker(0xc4); be16(2 + 17 + DcVals.length); out.write(0x00) // DHT DC
+      DcBits.foreach(out.write); DcVals.foreach(out.write)
       marker(0xc4); be16(2 + 17 + acV.length); out.write(0x10) // DHT AC
       acB.foreach(out.write); acV.foreach(out.write)
     }
@@ -1303,7 +1302,6 @@ object JpegBuild {
     out.write(1); out.write(1); out.write(0x00)
     out.write(0); out.write(63); out.write(0)
 
-    val dcCodes = if (standardTables) StdDcCodes else DcCodes
     val acCodes = if (standardTables) StdAcCodes else AcCodes
     val blocks = quantizedBlocks(w, h, quant, v)
     val bw = new BitWriter(out)
@@ -1318,7 +1316,7 @@ object JpegBuild {
         pred = 0
       }
       val fq = blocks(mcu)
-      putDc(bw, fq(0) - pred, dcCodes)
+      putDc(bw, fq(0) - pred)
       pred = fq(0)
       putAcBand(bw, fq, 1, 63, acCodes)
       mcu += 1

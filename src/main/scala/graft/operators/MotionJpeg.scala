@@ -207,14 +207,20 @@ object MotionJpeg {
         onFrame(w, h, last)
         Right(())
       }
-      def walkMovi(off: Int, end: Int): Either[String, Unit] = {
+      // depth-bounded: the spec nests 'rec ' groups ONE level inside
+      // movi; a crafted payload with thousands of nested rec headers
+      // must land in "corrupt", not drive the recursion into a
+      // StackOverflowError (an Error escapes decodeCore's never-throw
+      // catch and would kill the Spark task)
+      def walkMovi(off: Int, end: Int, depth: Int): Either[String, Unit] = {
+        if (depth > 4) return Corrupt
         var j = off
         while (j + 8 <= end) {
           val id = tag(j)
           val sz = le32(j + 4)
           if (sz < 0 || j.toLong + 8L + sz > end) return Corrupt
           if (id == "LIST" && sz >= 4 && tag(j + 8) == "rec ")
-            walkMovi(j + 12, j + 8 + sz) match {
+            walkMovi(j + 12, j + 8 + sz, depth + 1) match {
               case Left(r) => return Left(r)
               case _ => ()
             }
@@ -227,7 +233,7 @@ object MotionJpeg {
         }
         Right(())
       }
-      walkMovi(moviOff, moviEnd) match {
+      walkMovi(moviOff, moviEnd, 0) match {
         case Left(r) => return Left(r)
         case _ => ()
       }

@@ -377,41 +377,18 @@ object VideoDedup {
       (w, h, mean)
     }
 
-    /** 64-bit temporal-mean dHash of a GIF payload. The mean
-      * accumulates INCREMENTALLY over the reused compositing canvas —
-      * the hot-path expression holds one long[] + one int[] canvas,
-      * never a frames vector. */
-    def avgHashOf(payload: Array[Byte]): Option[Long] = {
-      var sum: Array[Long] = null
-      var w = 0; var h = 0; var n = 0
-      decodeCore(payload, (cw, ch, canvas) => {
-        if (sum == null) { w = cw; h = ch; sum = new Array[Long](cw * ch) }
-        var k = 0
-        while (k < sum.length) { sum(k) += canvas(k); k += 1 }
-        n += 1
-      }) match {
-        case Left(_) => None
-        case Right(_) =>
-          val mean = new Array[Int](w * h)
-          var k = 0
-          while (k < mean.length) { mean(k) = (sum(k) / n).toInt; k += 1 }
-          Some(ImageDedup.ImagePixels.dhash64(
-            ImageDedup.ImagePixels.grid(mean, w, h, 9, 8)))
-      }
-    }
+    /** 64-bit temporal-mean dHash of a GIF payload — the shared
+      * [[VideoDedup.meanHashOver]] accumulation (incremental long[]
+      * sum over the reused compositing canvas, never a frames
+      * vector). */
+    def avgHashOf(payload: Array[Byte]): Option[Long] =
+      meanHashOver(decodeCore(payload, _))
 
     /** Per-frame dHashes of the composited frames (order-sensitive
-      * surface), computed on the fly — only 8 bytes retained per
-      * frame. */
-    def frameHashesOf(payload: Array[Byte]): Option[Seq[Long]] = {
-      val hashes = Seq.newBuilder[Long]
-      decodeCore(payload, (cw, ch, canvas) =>
-        hashes += ImageDedup.ImagePixels.dhash64(
-          ImageDedup.ImagePixels.grid(canvas, cw, ch, 9, 8))) match {
-        case Left(_) => None
-        case Right(_) => Some(hashes.result())
-      }
-    }
+      * surface) — the shared [[VideoDedup.frameHashesOver]] stream,
+      * only 8 bytes retained per frame. */
+    def frameHashesOf(payload: Array[Byte]): Option[Seq[Long]] =
+      frameHashesOver(decodeCore(payload, _))
   }
 
   /** Fixture-side builder: real GIF89a bytes with an identity grayscale
@@ -519,43 +496,62 @@ object VideoDedup {
     }
   }
 
-  /** Temporal-mean dHash with container dispatch — animated GIF
-    * ([[GifPixels]]) or MJPEG-AVI ([[MotionJpeg.AviPixels]], r11).
-    * Both paths accumulate the per-pixel mean INCREMENTALLY over one
-    * reused/streamed frame buffer; None when the payload has no video
-    * path. This is what the [[avgHash]] column evaluates. */
-  def avgHashOf(payload: Array[Byte]): Option[Long] =
-    if (MotionJpeg.isAvi(payload)) {
-      var sum: Array[Long] = null
-      var w = 0; var h = 0; var n = 0
-      MotionJpeg.AviPixels.decodeCore(payload, (cw, ch, luma) => {
-        if (sum == null) { w = cw; h = ch; sum = new Array[Long](cw * ch) }
+  /** Temporal-mean dHash over ANY decode core with the
+    * ((w, h, luma) => Unit) => Either frame-streaming shape — the one
+    * implementation both containers share (a divergence here would
+    * break the q111 cross-container parity oracle). The mean
+    * accumulates INCREMENTALLY: one long[] sum, never a frames
+    * vector. */
+  private[operators] def meanHashOver(
+      run: ((Int, Int, Array[Int]) => Unit) => Either[String, Int])
+      : Option[Long] = {
+    var sum: Array[Long] = null
+    var w = 0; var h = 0; var n = 0
+    run((cw, ch, luma) => {
+      if (sum == null) { w = cw; h = ch; sum = new Array[Long](cw * ch) }
+      var k = 0
+      while (k < sum.length) { sum(k) += luma(k); k += 1 }
+      n += 1
+    }) match {
+      case Left(_) => None
+      case Right(_) =>
+        val mean = new Array[Int](w * h)
         var k = 0
-        while (k < sum.length) { sum(k) += luma(k); k += 1 }
-        n += 1
-      }) match {
-        case Left(_) => None
-        case Right(_) =>
-          val mean = new Array[Int](w * h)
-          var k = 0
-          while (k < mean.length) { mean(k) = (sum(k) / n).toInt; k += 1 }
-          Some(ImageDedup.ImagePixels.dhash64(
-            ImageDedup.ImagePixels.grid(mean, w, h, 9, 8)))
-      }
-    } else GifPixels.avgHashOf(payload)
+        while (k < mean.length) { mean(k) = (sum(k) / n).toInt; k += 1 }
+        Some(ImageDedup.ImagePixels.dhash64(
+          ImageDedup.ImagePixels.grid(mean, w, h, 9, 8)))
+    }
+  }
+
+  /** Per-frame dHash twin of [[meanHashOver]]: 8 bytes retained per
+    * frame, shared by both containers. */
+  private[operators] def frameHashesOver(
+      run: ((Int, Int, Array[Int]) => Unit) => Either[String, Int])
+      : Option[Seq[Long]] = {
+    val hashes = Seq.newBuilder[Long]
+    run((cw, ch, luma) =>
+      hashes += ImageDedup.ImagePixels.dhash64(
+        ImageDedup.ImagePixels.grid(luma, cw, ch, 9, 8))) match {
+      case Left(_) => None
+      case Right(_) => Some(hashes.result())
+    }
+  }
+
+  /** Temporal-mean dHash with container dispatch — animated GIF
+    * ([[GifPixels]]) or MJPEG-AVI ([[MotionJpeg.AviPixels]], r11);
+    * None when the payload has no video path. This is what the
+    * [[avgHash]] column evaluates. */
+  def avgHashOf(payload: Array[Byte]): Option[Long] =
+    if (MotionJpeg.isAvi(payload))
+      meanHashOver(MotionJpeg.AviPixels.decodeCore(payload, _))
+    else GifPixels.avgHashOf(payload)
 
   /** Per-frame dHash sequence with the same container dispatch as
     * [[avgHashOf]]; None when undecodable. Backs [[frameHashes]]. */
   def frameHashesOf(payload: Array[Byte]): Option[Seq[Long]] =
-    if (MotionJpeg.isAvi(payload)) {
-      val hashes = Seq.newBuilder[Long]
-      MotionJpeg.AviPixels.decodeCore(payload, (cw, ch, luma) =>
-        hashes += ImageDedup.ImagePixels.dhash64(
-          ImageDedup.ImagePixels.grid(luma, cw, ch, 9, 8))) match {
-        case Left(_) => None
-        case Right(_) => Some(hashes.result())
-      }
-    } else GifPixels.frameHashesOf(payload)
+    if (MotionJpeg.isAvi(payload))
+      frameHashesOver(MotionJpeg.AviPixels.decodeCore(payload, _))
+    else GifPixels.frameHashesOf(payload)
 
   /** 64-bit temporal-mean dHash of a binary video payload (animated
     * GIF or MJPEG-AVI); NULL when the payload has no video path. */

@@ -120,8 +120,8 @@ object Round11 {
           Round9.cellValue(id, (y / 2) * 9 + x / 2)
         val w = Round9.imgW; val h = Round9.imgH
         val bmp = ImageDedup.ImageBuild.bmp24Gray(w, h)(px)
-        val wav = AudioDedup.WavBuild.pcm16(
-          Array.tabulate(520)(i => Round9.frameAmp(id, i / 8)))
+        val pcm16Samples = Array.tabulate(520)(i => Round9.frameAmp(id, i / 8))
+        val wav = AudioDedup.WavBuild.pcm16(pcm16Samples)
         val bmpRle = bmp.clone; bmpRle(28) = 8 // 8-bpp: valid, o-o-scope
         // format 3 + bits 16: a "float" width the r11 scope does NOT
         // cover (32/64 only) — stays "unsupported", oracle unchanged
@@ -132,13 +132,11 @@ object Round11 {
         // extensible tag on a 16-byte fmt: structurally broken
         val wavExtShort = wav.clone
         wavExtShort(20) = 0xfe.toByte; wavExtShort(21) = 0xff.toByte
-        val pcm16Samples = Array.tabulate(520)(i => Round9.frameAmp(id, i / 8))
         val wavExt = AudioDedup.WavBuild.extensiblePcm16(
           pcm16Samples, channels = 2, channelMask = 3)
         // extensible with a non-media SubFormat GUID tail: valid, o-o-scope
         val wavExtGuid = wavExt.clone; wavExtGuid(50) = 0x11
-        def g711Codes = Array.tabulate(520)(i =>
-          (Round9.frameAmp(id, i / 8) % 128).toByte)
+        val g711Codes = pcm16Samples.map(s => (s % 128).toByte)
         val aviFrames = Seq(JpegBuild.gray(w, h)((x, y) => px(x, y)))
         val avi = graft.operators.MotionJpeg.AviBuild.mjpeg(w, h, aviFrames)
         val pngHuge = ImageDedup.ImageBuild.pngGray(1, 1)((_, _) => 0)

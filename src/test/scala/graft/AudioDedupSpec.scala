@@ -151,6 +151,19 @@ class AudioDedupSpec extends SparkSuite {
     assert(WavPcm.decodeReason(tagged) === Left("unsupported"))
   }
 
+  test("IMA ADPCM: a track past the sample budget is 'oversized', not " +
+      "an allocation failure (review regression)") {
+    // 513 blocks of 65528 nibble bytes (blockAlign 65532 — the largest
+    // that fits the 16-bit fmt field) -> 513 * 131057 samples > 2^26
+    val nibbles = new Array[Byte](65528)
+    val big = WavBuild.imaAdpcmMono(Seq.fill(513)((0, 0, nibbles)))
+    assert(WavPcm.decodeReason(big) === Left("oversized"))
+    // just under the cap still decodes (the cap is a policy line, not
+    // a correctness cliff): one such block is ~131k samples
+    val small = WavBuild.imaAdpcmMono(Seq((0, 0, nibbles)))
+    assert(WavPcm.decodeReason(small).isRight)
+  }
+
   test("IMA ADPCM: fixture-independent expansion parity on random wire " +
       "state (the q104 +10M/+11M pair, operator side)") {
     val rnd = new scala.util.Random(0x11aa)

@@ -107,6 +107,54 @@ class MotionJpegSpec extends SparkSuite {
       AviBuild.mjpeg(72, 64, Seq(Array.emptyByteArray, fs(0)))) === "corrupt")
   }
 
+  test("deeply nested rec-LIST bomb lands in 'corrupt', never a " +
+      "StackOverflowError (review regression)") {
+    // hand-build movi content: 10k nested LIST('rec ') headers
+    val depth = 10000
+    val inner = new ByteArrayOutputStream()
+    def le32(o: ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+      o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+    }
+    // innermost first: wrap repeatedly
+    var payload = Array.emptyByteArray
+    for (_ <- 1 to depth) {
+      val o = new ByteArrayOutputStream()
+      o.write("LIST".getBytes("US-ASCII"))
+      le32(o, 4 + payload.length)
+      o.write("rec ".getBytes("US-ASCII"))
+      o.write(payload)
+      payload = o.toByteArray
+    }
+    // graft the bomb in as the movi content of a valid AVI
+    val good = AviBuild.mjpeg(72, 64, jpegFrames(41, 1))
+    val moviAt = {
+      var i = 12
+      var found = -1
+      while (found < 0) {
+        val id = new String(good, i, 4, "US-ASCII")
+        val sz = (good(i + 4) & 0xff) | ((good(i + 5) & 0xff) << 8) |
+          ((good(i + 6) & 0xff) << 16) | ((good(i + 7) & 0xff) << 24)
+        if (id == "LIST" &&
+            new String(good, i + 8, 4, "US-ASCII") == "movi") found = i
+        else i += 8 + sz + (sz & 1)
+      }
+      found
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(good, 0, moviAt)
+    out.write("LIST".getBytes("US-ASCII"))
+    le32(out, 4 + payload.length)
+    out.write("movi".getBytes("US-ASCII"))
+    out.write(payload)
+    val bomb = out.toByteArray
+    val riffSz = bomb.length - 8
+    bomb(4) = (riffSz & 0xff).toByte; bomb(5) = ((riffSz >> 8) & 0xff).toByte
+    bomb(6) = ((riffSz >> 16) & 0xff).toByte
+    bomb(7) = ((riffSz >> 24) & 0xff).toByte
+    assert(AviPixels.decodeReason(bomb) === "corrupt")
+  }
+
   test("rec-LIST frame grouping decodes like the flat movi layout") {
     val fs = jpegFrames(13, 3)
     val flat = AviPixels.decodeFrames(AviBuild.mjpeg(72, 64, fs)).get
