@@ -48,9 +48,10 @@ case class ImageAHash(child: Expression)
 }
 
 /** 64-bit audio energy-envelope hash (65-frame RMS contour gradient
-  * signs) of a binary WAV/PCM16 payload. Same NULL contract and
-  * codegen shape as [[ImageDHash]] — see
-  * [[graft.operators.AudioDedup.WavPcm]] for the decode scope. */
+  * signs) of a binary audio payload, container-dispatched: WAV/RIFF,
+  * AIFF/AIFC, or Sun .au (r11). Same NULL contract and codegen shape
+  * as [[ImageDHash]] — see [[graft.operators.AudioDedup.WavPcm]] /
+  * `AiffPcm` / `AuPcm` for the per-container decode scope. */
 case class AudioEnergyHash(child: Expression)
     extends UnaryExpression with UnaryEvalCodegen {
   override def dataType: DataType = LongType
@@ -59,7 +60,7 @@ case class AudioEnergyHash(child: Expression)
     s"((java.lang.Long) $x).longValue()"
 
   override def nullSafeEval(input: Any): Any =
-    graft.operators.AudioDedup.WavPcm.hashOf(input.asInstanceOf[Array[Byte]])
+    graft.operators.AudioDedup.hashOfAny(input.asInstanceOf[Array[Byte]])
       .map(java.lang.Long.valueOf).orNull
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -171,10 +171,9 @@ object AudioDedup {
         case FormatAlaw => alawToLinear(u8(off))
         case FormatUlaw => ulawToLinear(u8(off))
         case FormatFloat =>
-          val v = if (bits == 32) java.lang.Float.intBitsToFloat(le32(off)).toDouble
-                  else java.lang.Double.longBitsToDouble(le64(off))
-          if (v.isNaN) 0
-          else math.max(-32768L, math.min(32767L, math.rint(v * 32768.0).toLong)).toInt
+          floatTo16(if (bits == 32)
+            java.lang.Float.intBitsToFloat(le32(off)).toDouble
+          else java.lang.Double.longBitsToDouble(le64(off)))
         case _ => bits match { // PCM
           case 8 => (u8(off) - 128) << 8
           case 16 => s16(off)
@@ -378,6 +377,215 @@ object AudioDedup {
       decodeSamples(payload).flatMap(energyHash64)
   }
 
+  /** AIFF/AIFC decode (r11): the big-endian IFF twin of [[WavPcm]].
+    * `FORM…AIFF` carries uncompressed big-endian PCM at 1–32 bits
+    * (samples left-justified in ⌈bits/8⌉-byte containers per the
+    * spec, arithmetic-shifted to the 16-bit domain); `FORM…AIFC` adds
+    * a compression type in COMM — NONE (BE PCM), sowt (the
+    * byte-swapped little-endian PCM16 Macs write), fl32/fl64 (IEEE
+    * float), and ulaw/alaw (G.711) decode here; anything else routes
+    * "unsupported". Same budget cap, channel averaging, and
+    * never-throw wrapper as the WAV path. */
+  object AiffPcm {
+
+    def hasMagic(p: Array[Byte]): Boolean =
+      p.length >= 12 && p(0) == 'F' && p(1) == 'O' && p(2) == 'R' &&
+        p(3) == 'M' && p(8) == 'A' && p(9) == 'I' && p(10) == 'F' &&
+        (p(11) == 'F' || p(11) == 'C')
+
+    def decodeSamples(p: Array[Byte]): Option[Array[Int]] =
+      decodeReason(p).toOption
+
+    def decodeReason(p: Array[Byte]): Either[String, Array[Int]] = {
+      try decodeInner(p)
+      catch { case _: ArrayIndexOutOfBoundsException |
+                   _: NegativeArraySizeException => Left("corrupt") }
+    }
+
+    private def decodeInner(p: Array[Byte]): Either[String, Array[Int]] = {
+      def u8(i: Int): Int = p(i) & 0xff
+      def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      def be32(i: Int): Int =
+        (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      def be64(i: Int): Long =
+        ((be32(i) & 0xffffffffL) << 32) | (be32(i + 4) & 0xffffffffL)
+      def tag(i: Int): String =
+        if (i + 4 > p.length) ""
+        else new String(p, i, 4, "US-ASCII")
+      if (!hasMagic(p)) return Left("corrupt")
+      val aifc = p(11) == 'C'
+      var i = 12
+      var channels = -1
+      var bits = -1
+      var comp = if (aifc) "" else "NONE"
+      var ssnd = Option.empty[(Int, Int)] // (dataOffset, dataLen)
+      var commSeen = false
+      while (i + 8 <= p.length && (ssnd.isEmpty || !commSeen)) {
+        val id = tag(i)
+        val sz = be32(i + 4)
+        if (sz < 0 || i.toLong + 8L + sz > p.length) return Left("corrupt")
+        if (id == "COMM" && sz >= 18) {
+          commSeen = true
+          channels = be16(i + 8).toShort.toInt
+          bits = be16(i + 14).toShort.toInt
+          if (aifc) {
+            if (sz < 22) return Left("corrupt")
+            comp = tag(i + 26) // after the 10-byte extended sample rate
+          }
+        } else if (id == "SSND" && sz >= 8) {
+          val off = be32(i + 8)
+          if (off < 0 || off > sz - 8) return Left("corrupt")
+          ssnd = Some((i + 16 + off, sz - 8 - off))
+        }
+        i += 8 + sz + (sz & 1) // IFF chunks pad odd sizes
+      }
+      if (!commSeen || ssnd.isEmpty) return Left("corrupt")
+      if (channels < 1) return Left("corrupt")
+      // per-compression container bytes + 16-bit-domain mapping
+      val sampleBytes = comp match {
+        case "NONE" | "sowt" =>
+          if (bits < 1 || bits > 32) return Left("corrupt")
+          if (comp == "sowt" && bits != 16) return Left("unsupported")
+          (bits + 7) / 8
+        case "fl32" | "FL32" => 4
+        case "fl64" | "FL64" => 8
+        case "ulaw" | "ULAW" | "alaw" | "ALAW" => 1
+        case _ => return Left("unsupported") // ima4, GSM, QDM…
+      }
+      def sample(off: Int): Int = comp match {
+        case "sowt" => (u8(off) | (u8(off + 1) << 8)).toShort.toInt
+        case "fl32" | "FL32" =>
+          floatTo16(java.lang.Float.intBitsToFloat(be32(off)).toDouble)
+        case "fl64" | "FL64" =>
+          floatTo16(java.lang.Double.longBitsToDouble(be64(off)))
+        case "ulaw" | "ULAW" => WavPcm.ulawToLinear(u8(off))
+        case "alaw" | "ALAW" => WavPcm.alawToLinear(u8(off))
+        case _ => // NONE: big-endian left-justified PCM
+          var raw = 0
+          var k = 0
+          while (k < sampleBytes) { raw = (raw << 8) | u8(off + k); k += 1 }
+          val signed = raw << (32 - 8 * sampleBytes) >> (32 - 8 * sampleBytes)
+          val shift = 8 * sampleBytes - 16
+          if (shift >= 0) signed >> shift else signed << -shift
+      }
+      val (off, len) = ssnd.get
+      val frameBytes = sampleBytes * channels
+      val n = len / frameBytes
+      if (n > WavPcm.MaxSamples) return Left("oversized")
+      if (n == 0) return Left("corrupt")
+      val out = new Array[Int](n)
+      var k = 0
+      while (k < n) {
+        var sum = 0
+        var c = 0
+        while (c < channels) {
+          sum += sample(off + k * frameBytes + sampleBytes * c)
+          c += 1
+        }
+        out(k) = sum / channels
+        k += 1
+      }
+      Right(out)
+    }
+  }
+
+  /** Sun/NeXT .au (".snd") decode (r11): a 24-byte big-endian header
+    * (data offset, size, encoding, rate, channels) over raw samples.
+    * Encodings 1 (µ-law), 2 (signed PCM8), 3/4/5 (BE PCM16/24/32),
+    * 6/7 (BE float32/64), and 27 (a-law) decode; others (G.72x ADPCM,
+    * DSP) route "unsupported". dataSize ~0 means "to end of file". */
+  object AuPcm {
+
+    def hasMagic(p: Array[Byte]): Boolean =
+      p.length >= 24 && p(0) == '.' && p(1) == 's' && p(2) == 'n' &&
+        p(3) == 'd'
+
+    def decodeSamples(p: Array[Byte]): Option[Array[Int]] =
+      decodeReason(p).toOption
+
+    def decodeReason(p: Array[Byte]): Either[String, Array[Int]] = {
+      try decodeInner(p)
+      catch { case _: ArrayIndexOutOfBoundsException |
+                   _: NegativeArraySizeException => Left("corrupt") }
+    }
+
+    private def decodeInner(p: Array[Byte]): Either[String, Array[Int]] = {
+      def u8(i: Int): Int = p(i) & 0xff
+      def be32(i: Int): Int =
+        (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      def be64(i: Int): Long =
+        ((be32(i) & 0xffffffffL) << 32) | (be32(i + 4) & 0xffffffffL)
+      if (!hasMagic(p)) return Left("corrupt")
+      val dataOff = be32(4)
+      val declared = be32(8)
+      val encoding = be32(12)
+      val channels = be32(20)
+      if (dataOff < 24 || dataOff > p.length) return Left("corrupt")
+      if (channels < 1 || channels > 64) return Left("corrupt")
+      val len =
+        if (declared == -1) p.length - dataOff // 0xFFFFFFFF: unknown
+        else {
+          if (declared < 0 || dataOff.toLong + declared > p.length)
+            return Left("corrupt")
+          declared
+        }
+      val sampleBytes = encoding match {
+        case 1 | 2 | 27 => 1
+        case 3 => 2
+        case 4 => 3
+        case 5 | 6 => 4
+        case 7 => 8
+        case _ => return Left("unsupported") // G.72x ADPCM, DSP, …
+      }
+      def sample(off: Int): Int = encoding match {
+        case 1 => WavPcm.ulawToLinear(u8(off))
+        case 2 => u8(off).toByte.toInt << 8 // au PCM8 is SIGNED
+        case 3 => ((u8(off) << 8) | u8(off + 1)).toShort.toInt
+        case 4 => (((u8(off) << 16) | (u8(off + 1) << 8) | u8(off + 2))
+          << 8) >> 16
+        case 5 => be32(off) >> 16
+        case 6 => floatTo16(java.lang.Float.intBitsToFloat(be32(off)).toDouble)
+        case 7 => floatTo16(java.lang.Double.longBitsToDouble(be64(off)))
+        case _ => WavPcm.alawToLinear(u8(off)) // 27
+      }
+      val frameBytes = sampleBytes * channels
+      val n = len / frameBytes
+      if (n > WavPcm.MaxSamples) return Left("oversized")
+      if (n == 0) return Left("corrupt")
+      val out = new Array[Int](n)
+      var k = 0
+      while (k < n) {
+        var sum = 0
+        var c = 0
+        while (c < channels) {
+          sum += sample(dataOff + k * frameBytes + sampleBytes * c)
+          c += 1
+        }
+        out(k) = sum / channels
+        k += 1
+      }
+      Right(out)
+    }
+  }
+
+  /** Shared float → signed-16-bit-domain mapping (the WAV float rule:
+    * ⌊v·32768⌉ clamped, NaN → 0). */
+  private[operators] def floatTo16(v: Double): Int =
+    if (v.isNaN) 0
+    else math.max(-32768L,
+      math.min(32767L, math.rint(v * 32768.0).toLong)).toInt
+
+  /** Container-dispatched decode: WAV, AIFF/AIFC, or AU. */
+  def decodeSamplesAny(p: Array[Byte]): Option[Array[Int]] =
+    if (AiffPcm.hasMagic(p)) AiffPcm.decodeSamples(p)
+    else if (AuPcm.hasMagic(p)) AuPcm.decodeSamples(p)
+    else WavPcm.decodeSamples(p)
+
+  /** Container-dispatched energy hash — what the [[energyHash]]
+    * column evaluates. */
+  def hashOfAny(p: Array[Byte]): Option[Long] =
+    decodeSamplesAny(p).flatMap(WavPcm.energyHash64)
+
   /** Fixture-side builder: real RIFF/WAVE PCM16 bytes (the format
     * [[WavPcm.decodeSamples]] decodes) — q104's plant and the spec
     * corpora go through the REAL byte decode path. */
@@ -519,9 +727,58 @@ object AudioDedup {
     }
   }
 
-  /** 64-bit energy-envelope hash of a binary audio payload; NULL when
-    * the payload has no audio path (not valid PCM16 WAV, or shorter
-    * than [[Frames]] samples). */
+  /** Fixture-side AIFF builder: big-endian PCM16 under FORM/AIFF. */
+  object AiffBuild {
+    def pcm16(samples: Array[Int], channels: Int = 1,
+        sampleRate: Int = 16000): Array[Byte] = {
+      require(channels >= 1 && samples.length % channels == 0)
+      val dataLen = 8 + 2 * samples.length // SSND offset+blockSize
+      val formLen = 4 + 8 + 18 + 8 + dataLen // AIFF + COMM + SSND
+      val b = java.nio.ByteBuffer.allocate(8 + formLen) // big-endian
+      b.put("FORM".getBytes("US-ASCII")).putInt(formLen)
+        .put("AIFF".getBytes("US-ASCII"))
+      b.put("COMM".getBytes("US-ASCII")).putInt(18)
+      b.putShort(channels.toShort)
+      b.putInt(samples.length / channels)
+      b.putShort(16)
+      // sampleRate as 80-bit IEEE extended: exponent 16382 + log2 int
+      // part — for the fixture rates a simple normalized encoding
+      val exp = 16383 + (31 - Integer.numberOfLeadingZeros(sampleRate))
+      b.putShort(exp.toShort)
+      b.putLong(sampleRate.toLong << (63 - (31 - Integer.numberOfLeadingZeros(sampleRate))))
+      b.put("SSND".getBytes("US-ASCII")).putInt(dataLen)
+      b.putInt(0).putInt(0) // offset, blockSize
+      samples.foreach(s => b.putShort(s.toShort))
+      b.array()
+    }
+  }
+
+  /** Fixture-side .au builder: raw encoded bytes under the 24-byte
+    * big-endian Sun header (encoding per [[AuPcm]]'s table). */
+  object AuBuild {
+    def build(encoding: Int, data: Array[Byte], channels: Int = 1,
+        sampleRate: Int = 8000): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(24 + data.length)
+      b.put(".snd".getBytes("US-ASCII"))
+      b.putInt(24).putInt(data.length).putInt(encoding)
+        .putInt(sampleRate).putInt(channels)
+      b.put(data)
+      b.array()
+    }
+
+    def pcm16(samples: Array[Int], channels: Int = 1,
+        sampleRate: Int = 16000): Array[Byte] = {
+      require(channels >= 1 && samples.length % channels == 0)
+      val data = java.nio.ByteBuffer.allocate(2 * samples.length)
+      samples.foreach(s => data.putShort(s.toShort))
+      build(3, data.array(), channels, sampleRate)
+    }
+  }
+
+  /** 64-bit energy-envelope hash of a binary audio payload (WAV,
+    * AIFF/AIFC, or AU — [[hashOfAny]]); NULL when the payload has no
+    * audio path (no decodable container, or shorter than [[Frames]]
+    * samples). */
   def energyHash(payload: Column): Column =
     ColumnBridge.col(graft.functions.AudioEnergyHash(
       ColumnBridge.expr(payload)))

@@ -181,10 +181,11 @@ object Multimodal {
       * code (r9 judge directive: "unsupported feature" must be
       * distinguishable from "corrupt"). Dispatches to the real pixel/
       * sample decoders, not just the header probe:
-      *  - "ok": a content path fully decoded it (BMP/PNG pixels via
-      *    [[graft.operators.ImageDedup.ImagePixels]], GIF frames via
-      *    [[graft.operators.VideoDedup.GifPixels]], WAV samples via
-      *    [[graft.operators.AudioDedup.WavPcm]]);
+      *  - "ok": a content path fully decoded it (BMP/PNG/JPEG pixels
+      *    via [[graft.operators.ImageDedup.ImagePixels]], GIF frames
+      *    via [[graft.operators.VideoDedup.GifPixels]], MJPEG-AVI
+      *    frames via [[graft.operators.MotionJpeg.AviPixels]],
+      *    WAV/AIFF/AU samples via [[graft.operators.AudioDedup]]);
       *  - "corrupt": recognized container, broken structure — drop;
       *  - "oversized": decode-bound policy rejection of a possibly
       *    valid file — retry on a bigger-budget path;
@@ -207,8 +208,19 @@ object Multimodal {
       else if (isWav)
         AudioDedup.WavPcm.decodeReason(p) match {
           case Right(_) => "ok"
-          case Left(r) => r // "corrupt" | "unsupported" (r10 ADVICE:
-          // a well-formed float/ADPCM WAV routes out, not dropped)
+          case Left(r) => r // "corrupt" | "unsupported" | "oversized"
+          // (r10 ADVICE: a well-formed out-of-scope WAV routes out,
+          // not dropped)
+        }
+      else if (AudioDedup.AiffPcm.hasMagic(p))
+        AudioDedup.AiffPcm.decodeReason(p) match {
+          case Right(_) => "ok"
+          case Left(r) => r
+        }
+      else if (AudioDedup.AuPcm.hasMagic(p))
+        AudioDedup.AuPcm.decodeReason(p) match {
+          case Right(_) => "ok"
+          case Left(r) => r
         }
       else ImageDedup.ImagePixels.decodeGrayReason(p) match {
         case Right(_) => "ok"

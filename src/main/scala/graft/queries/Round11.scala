@@ -72,7 +72,7 @@ object Round11 {
     mean.unionByName(ordered).orderBy("form", "id_a", "id_b")
   }
 
-  /** q109: media quarantine-reason CENSUS — twenty-nine payload
+  /** q109: media quarantine-reason CENSUS — thirty-three payload
     * variants per doc spanning every reason class of
     * [[Multimodal.contentReason]] ([[graft.functions.MediaReason]],
     * exercised through its whole-stage-codegen path), grouped to
@@ -108,7 +108,12 @@ object Round11 {
     * r11 MJPEG-AVI rows ([[graft.operators.MotionJpeg]]): a one-frame
     * MJPEG AVI and its DHT-less standard-table twin → "ok"; the same
     * container declaring an xvid codec → "unsupported" (route to the
-    * external-codec path); the MJPEG file cut in half → "corrupt". */
+    * external-codec path); the MJPEG file cut in half → "corrupt".
+    *
+    * r11 AIFF/AU rows ([[AudioDedup.AiffPcm]]/[[AudioDedup.AuPcm]]):
+    * big-endian AIFF PCM16 and a µ-law .au → "ok"; a .au declaring
+    * G.721 ADPCM (encoding 23) → "unsupported"; a 40-byte AIFF
+    * prefix → "corrupt". */
   def q109MediaReasonCensus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
@@ -200,7 +205,18 @@ object Round11 {
           // pinning the 16-bit-tagged twin as unsupported
           (id + 28000000L, "wav_ima",
             AudioDedup.WavBuild.imaAdpcmMono(Seq((100, 30,
-              Array.tabulate(64)(i => (Round9.frameAmp(id, i) % 256).toByte))))))
+              Array.tabulate(64)(i => (Round9.frameAmp(id, i) % 256).toByte))))),
+          // r11: the other two audio containers (AIFF big-endian, Sun
+          // .au) — q104's +12M/+13M cross-container twins
+          (id + 29000000L, "aiff",
+            AudioDedup.AiffBuild.pcm16(pcm16Samples)),
+          (id + 30000000L, "aiff_trunc",
+            AudioDedup.AiffBuild.pcm16(pcm16Samples).take(40)),
+          (id + 31000000L, "au_ulaw",
+            AudioDedup.AuBuild.build(1, g711Codes.map(c =>
+              (~(c & 0x7f)).toByte))),
+          (id + 32000000L, "au_g721",
+            AudioDedup.AuBuild.build(23, g711Codes)))
       }
       .toDF("media_id", "variant", "payload")
     media
@@ -365,7 +381,8 @@ object Round11 {
         |  ('wav_ext_guid', 'unsupported'), ('wav_ext_short', 'corrupt'),
         |  ('avi_mjpeg', 'ok'), ('avi_nodht', 'ok'),
         |  ('avi_xvid', 'unsupported'), ('avi_trunc', 'corrupt'),
-        |  ('wav_ima', 'ok'))
+        |  ('wav_ima', 'ok'), ('aiff', 'ok'), ('aiff_trunc', 'corrupt'),
+        |  ('au_ulaw', 'ok'), ('au_g721', 'unsupported'))
         |SELECT v.variant, v.reason, n.c AS cnt FROM v, n
         |ORDER BY variant, reason""".stripMargin,
     "q110_jpeg_neardup" ->

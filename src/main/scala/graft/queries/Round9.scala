@@ -216,6 +216,10 @@ object Round9 {
     *    expansion by the IMA reference recurrence computed INLINE
     *    (+11M) — the engine's block decode must reproduce it sample
     *    for sample (1 more pair/doc);
+    *  - (r11) cross-CONTAINER twins: the base samples as big-endian
+    *    AIFF PCM16 (+12M) and Sun .au PCM16 (+13M), which join the
+    *    base collision group — the quintet becomes a septet
+    *    (21 pairs/doc);
     *  - the doc's text as an opaque payload (+3M): skipped, never
     *    paired or thrown on. */
   def q104AudioNearDup(s: SparkSession, dir: String): DataFrame = {
@@ -323,7 +327,15 @@ object Round9 {
             WavBuild.imaAdpcmMono(
               Seq((adpcmPred0, adpcmIdx0, adpcmNibbles)))),
           Multimodal.MediaRecord(id + 11000000L, "audio",
-            WavBuild.pcm16(adpcmLinear)))
+            WavBuild.pcm16(adpcmLinear)),
+          // +12M/+13M (r11): the same base samples under the OTHER two
+          // audio containers — big-endian AIFF and Sun .au PCM16 —
+          // joining the base collision group (cross-CONTAINER parity,
+          // the audio twin of q111)
+          Multimodal.MediaRecord(id + 12000000L, "audio",
+            graft.operators.AudioDedup.AiffBuild.pcm16(base)),
+          Multimodal.MediaRecord(id + 13000000L, "audio",
+            graft.operators.AudioDedup.AuBuild.pcm16(base)))
       }
       .toDF("media_id", "kind", "payload")
     graft.operators.AudioDedup.nearDupPairs(media, "media_id", "payload",
@@ -455,7 +467,8 @@ object Round9 {
         |ORDER BY doc_id""".stripMargin,
     "q104_audio_neardup" ->
       """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
-        |base(k) AS (VALUES (0), (1000000), (2000000), (4000000), (5000000)),
+        |base(k) AS (VALUES (0), (1000000), (2000000), (4000000),
+        |                   (5000000), (12000000), (13000000)),
         |g711(k) AS (VALUES (6000000), (7000000), (8000000), (9000000))
         |SELECT t.id + a.k AS id_a, t.id + b.k AS id_b,
         |  CAST(0 AS INTEGER) AS hamming

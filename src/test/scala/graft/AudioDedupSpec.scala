@@ -195,6 +195,126 @@ class AudioDedupSpec extends SparkSuite {
     }
   }
 
+  test("cross-container parity: WAV, AIFF, and AU PCM16 of the same " +
+      "samples decode and hash identically (the q104 septet)") {
+    import AudioDedup.{AiffBuild, AuBuild}
+    val rnd = new scala.util.Random(0x104d)
+    val s = Array.fill(520)(rnd.nextInt(65536) - 32768)
+    val wav = WavBuild.pcm16(s)
+    val aiff = AiffBuild.pcm16(s)
+    val au = AuBuild.pcm16(s)
+    assert(AudioDedup.AiffPcm.decodeSamples(aiff).get.toSeq === s.toSeq)
+    assert(AudioDedup.AuPcm.decodeSamples(au).get.toSeq === s.toSeq)
+    assert(AudioDedup.hashOfAny(aiff) === AudioDedup.hashOfAny(wav))
+    assert(AudioDedup.hashOfAny(au) === AudioDedup.hashOfAny(wav))
+    assert(AudioDedup.hashOfAny(wav).nonEmpty)
+    // stereo averaging matches the WAV rule in both containers
+    val st = Array.fill(520)(rnd.nextInt(65536) - 32768)
+    assert(AudioDedup.AiffPcm.decodeSamples(
+      AiffBuild.pcm16(st, channels = 2)).get.toSeq ===
+      WavPcm.decodeSamples(WavBuild.pcm16(st, channels = 2)).get.toSeq)
+    assert(AudioDedup.AuPcm.decodeSamples(
+      AuBuild.pcm16(st, channels = 2)).get.toSeq ===
+      WavPcm.decodeSamples(WavBuild.pcm16(st, channels = 2)).get.toSeq)
+  }
+
+  test("AU decode: every in-scope encoding maps to the WAV-twin values; " +
+      "G.72x routes unsupported; to-EOF size") {
+    import AudioDedup.AuBuild
+    val rnd = new scala.util.Random(0x104e)
+    val codes = Array.fill(130)(rnd.nextInt(256).toByte)
+    // µ-law and a-law: same bytes as a WAV G.711 payload
+    assert(AudioDedup.AuPcm.decodeSamples(AuBuild.build(1, codes)).get.toSeq
+      === WavPcm.decodeSamples(WavBuild.g711(codes, alaw = false)).get.toSeq)
+    assert(AudioDedup.AuPcm.decodeSamples(AuBuild.build(27, codes)).get.toSeq
+      === WavPcm.decodeSamples(WavBuild.g711(codes, alaw = true)).get.toSeq)
+    // signed PCM8: s8 << 8 (au is signed, unlike WAV's unsigned PCM8)
+    assert(AudioDedup.AuPcm.decodeSamples(
+      AuBuild.build(2, Array[Byte](0, 1, -1, 127, -128))).get.toSeq ===
+      Seq(0, 256, -256, 127 << 8, -128 << 8))
+    // PCM24/32 BE and float 32/64 BE
+    val s = Array.fill(40)(rnd.nextInt(65536) - 32768)
+    def be(v: Int, n: Int): Array[Byte] =
+      Array.tabulate(n)(k => ((v >> (8 * (n - 1 - k))) & 0xff).toByte)
+    assert(AudioDedup.AuPcm.decodeSamples(AuBuild.build(4,
+      s.flatMap(v => be(v << 8, 3)))).get.toSeq === s.toSeq)
+    assert(AudioDedup.AuPcm.decodeSamples(AuBuild.build(5,
+      s.flatMap(v => be(v << 16, 4)))).get.toSeq === s.toSeq)
+    assert(AudioDedup.AuPcm.decodeSamples(AuBuild.build(6,
+      s.flatMap(v => be(java.lang.Float.floatToIntBits(v / 32768.0f), 4))))
+      .get.toSeq === s.toSeq)
+    assert(AudioDedup.AuPcm.decodeSamples(AuBuild.build(7, s.flatMap { v =>
+      val bits = java.lang.Double.doubleToLongBits(v / 32768.0)
+      be((bits >>> 32).toInt, 4) ++ be(bits.toInt, 4)
+    })).get.toSeq === s.toSeq)
+    // G.721 ADPCM: recognized header, out-of-scope codec
+    assert(AudioDedup.AuPcm.decodeReason(AuBuild.build(23, codes)) ===
+      Left("unsupported"))
+    // dataSize 0xFFFFFFFF: unknown, decode to end of file
+    val eof = AuBuild.build(3, Array[Byte](0, 10, 0, 20))
+    eof(8) = -1; eof(9) = -1; eof(10) = -1; eof(11) = -1
+    assert(AudioDedup.AuPcm.decodeSamples(eof).get.toSeq === Seq(10, 20))
+  }
+
+  test("AIFF decode: left-justified sub-16/24/32-bit PCM, AIFC sowt/" +
+      "float/G.711, unsupported codec, truncation") {
+    import AudioDedup.{AiffBuild, AiffPcm}
+    // hand-build AIFC around a COMM with a compression type
+    def aifc(comp: String, bits: Int, data: Array[Byte]): Array[Byte] = {
+      val commLen = 24 // 18 + 4cc + 2-byte empty pstring
+      val dataLen = 8 + data.length
+      val formLen = 4 + 8 + commLen + 8 + dataLen
+      val b = java.nio.ByteBuffer.allocate(8 + formLen)
+      b.put("FORM".getBytes("US-ASCII")).putInt(formLen)
+        .put("AIFC".getBytes("US-ASCII"))
+      b.put("COMM".getBytes("US-ASCII")).putInt(commLen)
+      b.putShort(1).putInt(data.length).putShort(bits.toShort)
+      b.put(new Array[Byte](10)) // sample rate (unused by the decode)
+      b.put(comp.getBytes("US-ASCII")).putShort(0)
+      b.put("SSND".getBytes("US-ASCII")).putInt(dataLen)
+      b.putInt(0).putInt(0)
+      b.put(data)
+      b.array()
+    }
+    val rnd = new scala.util.Random(0x104f)
+    val s = Array.fill(40)(rnd.nextInt(65536) - 32768)
+    def be(v: Int, n: Int): Array[Byte] =
+      Array.tabulate(n)(k => ((v >> (8 * (n - 1 - k))) & 0xff).toByte)
+    // plain AIFF at 24/32 bits: left-justified BE shifts back down
+    def aiffRaw(bits: Int, data: Array[Byte]): Array[Byte] = {
+      val out = aifc("NONE", bits, data)
+      out(11) = 'F' // form type AIFF, COMM len stays harmless
+      out
+    }
+    assert(AiffPcm.decodeSamples(
+      aiffRaw(24, s.flatMap(v => be(v << 8, 3)))).get.toSeq === s.toSeq)
+    assert(AiffPcm.decodeSamples(
+      aiffRaw(32, s.flatMap(v => be(v << 16, 4)))).get.toSeq === s.toSeq)
+    // 8-bit AIFF is SIGNED: s8 << 8
+    assert(AiffPcm.decodeSamples(
+      aiffRaw(8, Array[Byte](0, 5, -5, 127, -128))).get.toSeq ===
+      Seq(0, 5 << 8, -5 << 8, 127 << 8, -128 << 8))
+    // 12-bit: 2-byte container, left-justified — decodes via shift
+    assert(AiffPcm.decodeSamples(
+      aiffRaw(12, s.flatMap(v => be(v, 2)))).get.toSeq === s.toSeq)
+    // AIFC sowt: byte-swapped PCM16
+    assert(AiffPcm.decodeSamples(aifc("sowt", 16,
+      s.flatMap(v => Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))))
+      .get.toSeq === s.toSeq)
+    // AIFC fl32 + ulaw share the WAV mappings
+    assert(AiffPcm.decodeSamples(aifc("fl32", 32,
+      s.flatMap(v => be(java.lang.Float.floatToIntBits(v / 32768.0f), 4))))
+      .get.toSeq === s.toSeq)
+    val codes = Array.fill(66)(rnd.nextInt(256).toByte)
+    assert(AiffPcm.decodeSamples(aifc("ulaw", 8, codes)).get.toSeq ===
+      WavPcm.decodeSamples(WavBuild.g711(codes, alaw = false)).get.toSeq)
+    // ima4: well-formed AIFC, out-of-scope codec
+    assert(AiffPcm.decodeReason(aifc("ima4", 16, new Array[Byte](64))) ===
+      Left("unsupported"))
+    assert(AiffPcm.decodeReason(AiffBuild.pcm16(s).take(30)) ===
+      Left("corrupt"))
+  }
+
   test("WAVE_FORMAT_EXTENSIBLE: PCM16 subtype decodes like plain PCM16; " +
       "foreign GUID is unsupported; short fmt is corrupt") {
     val rnd = new scala.util.Random(0x104c)

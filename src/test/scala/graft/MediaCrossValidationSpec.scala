@@ -194,6 +194,45 @@ class MediaCrossValidationSpec extends AnyFunSuite {
       AudioDedup.WavPcm.hashOf(ourBytes))
   }
 
+  test("javax.sound-written AIFF (BE PCM16) and AU (BE PCM16 + ULAW) " +
+      "decode to the same samples as our builders' bytes") {
+    val rnd = new scala.util.Random(0xc712)
+    val samples = Array.fill(520)(rnd.nextInt(65536) - 32768)
+    val bePcm = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      bePcm(2 * i) = ((samples(i) >> 8) & 0xff).toByte
+      bePcm(2 * i + 1) = (samples(i) & 0xff).toByte
+    }
+    val beFmt = new AudioFormat(8000f, 16, 1, true, true) // big-endian
+    def written(tpe: AudioFileFormat.Type, fmt: AudioFormat,
+        raw: Array[Byte], frames: Long): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new ByteArrayInputStream(raw), fmt, frames), tpe, bos)
+      bos.toByteArray
+    }
+    val theirAiff = written(AudioFileFormat.Type.AIFF, beFmt, bePcm,
+      samples.length.toLong)
+    assert(AudioDedup.AiffPcm.decodeSamples(theirAiff).map(_.toSeq) ===
+      Some(samples.toSeq))
+    assert(AudioDedup.hashOfAny(theirAiff) ===
+      AudioDedup.hashOfAny(AudioDedup.AiffBuild.pcm16(samples)))
+    val theirAu = written(AudioFileFormat.Type.AU, beFmt, bePcm,
+      samples.length.toLong)
+    assert(AudioDedup.AuPcm.decodeSamples(theirAu).map(_.toSeq) ===
+      Some(samples.toSeq))
+    // a JDK-written ULAW .au decodes through our µ-law table
+    val codes = Array.fill(520)(rnd.nextInt(256).toByte)
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val theirUlawAu = written(AudioFileFormat.Type.AU, ulawFmt, codes,
+      codes.length.toLong)
+    assert(AudioDedup.AuPcm.decodeSamples(theirUlawAu).map(_.toSeq) ===
+      AudioDedup.AuPcm.decodeSamples(
+        AudioDedup.AuBuild.build(1, codes)).map(_.toSeq))
+    assert(AudioDedup.AuPcm.decodeSamples(theirUlawAu).nonEmpty)
+  }
+
   test("G.711 expansion matches the JDK codec on every code, both laws") {
     val codes = Array.tabulate(256)(_.toByte)
     for (alaw <- Seq(false, true)) {

@@ -16,6 +16,9 @@ class MediaFuzzSpec extends SparkSuite {
     ImageDedup.ImagePixels.ahashOf(p)
     ImageDedup.ImagePixels.decodeGrayReason(p)
     AudioDedup.WavPcm.hashOf(p)
+    AudioDedup.hashOfAny(p) // container dispatch incl. AIFF/AU
+    AudioDedup.AiffPcm.decodeReason(p)
+    AudioDedup.AuPcm.decodeReason(p)
     VideoDedup.GifPixels.avgHashOf(p)
     VideoDedup.GifPixels.frameHashesOf(p)
     VideoDedup.GifPixels.decodeReason(p)
@@ -72,6 +75,12 @@ class MediaFuzzSpec extends SparkSuite {
     val wavIma = AudioDedup.WavBuild.imaAdpcmMono(Seq.fill(2)((
       rnd.nextInt(65536) - 32768, rnd.nextInt(89),
       Array.fill(32)(rnd.nextInt(256).toByte))))
+    // r11 audio containers: AIFF (big-endian IFF walk) and Sun .au
+    val aiff = AudioDedup.AiffBuild.pcm16(
+      Array.fill(520)(rnd.nextInt(65536) - 32768))
+    val au = AudioDedup.AuBuild.build(
+      Seq(1, 2, 3, 27)(rnd.nextInt(4)),
+      Array.fill(520)(rnd.nextInt(256).toByte))
     // r11 video surface: MJPEG-AVI (RIFF walk, per-frame JPEG decode,
     // DHT-less frames, dropped-frame repeats, rec grouping)
     val avi = graft.operators.MotionJpeg.AviBuild.mjpeg(18, 16, Seq(
@@ -81,7 +90,7 @@ class MediaFuzzSpec extends SparkSuite {
         writeDht = false)((x, y) => img(y)(x))),
       recWrap = rnd.nextBoolean())
     Seq(bmp, wav, gif, png, pngPal, pngAdam, deltaGif, jpg, jpgRst,
-      jpgProg, wavF32, wavP24, wavUlaw, wavExt, wavIma, avi)
+      jpgProg, wavF32, wavP24, wavUlaw, wavExt, wavIma, avi, aiff, au)
   }
 
   test("pure random garbage never throws (1000 payloads)") {
@@ -93,7 +102,8 @@ class MediaFuzzSpec extends SparkSuite {
   }
 
   test("garbage behind valid magic bytes never throws") {
-    val magics = Seq("BM", "RIFF", "GIF89a", "GIF87a").map(
+    val magics = Seq("BM", "RIFF", "GIF89a", "GIF87a",
+      "FORMxxxxAIFF", "FORMxxxxAIFC", ".snd").map(
       _.getBytes("US-ASCII")) :+
       Array(0xff.toByte, 0xd8.toByte, 0xff.toByte) :+ // JPEG SOI
       ("RIFF".getBytes("US-ASCII") ++
