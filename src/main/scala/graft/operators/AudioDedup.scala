@@ -33,14 +33,16 @@ import graft.functions.ColumnBridge
   *
   * Decode scope (pure JVM, r11-widened): WAV/RIFF carrying PCM at
   * 8/16/24/32 bits, IEEE float at 32/64 bits, G.711 a-law/µ-law,
-  * IMA ADPCM (format 0x11 block decode), or WAVE_FORMAT_EXTENSIBLE
+  * IMA and MS ADPCM block codecs, or WAVE_FORMAT_EXTENSIBLE
   * resolving to the PCM/float subtypes — mono or multi-channel
   * (channels averaged), chunk walk honoring odd-size padding. Every
   * format normalizes to the signed-16-bit sample domain before
   * hashing, so the same track hashes identically across encodings
-  * (the q104 cross-format plant). Remaining codecs (MS-ADPCM, MP3,
-  * GSM) slot into [[WavPcm.decodeSamples]] via an external library
-  * without touching anything downstream.
+  * (the q104 cross-format plant). Remaining codecs (MP3-in-WAV, GSM)
+  * slot into [[WavPcm.decodeSamples]] via an external library
+  * without touching anything downstream. AIFF/AIFC and Sun .au
+  * containers decode through [[AiffPcm]]/[[AuPcm]] behind the same
+  * [[hashOfAny]] dispatch.
   *
   * Scale shape: identical to [[ImageDedup]] — decode+hash fuse
   * map-side in one whole-stage-codegen expression, only (id, 8-byte
@@ -70,20 +72,21 @@ object AudioDedup {
 
     /** [[decodeSamples]] with the rejection class (r10 ADVICE
       * discipline): a well-formed RIFF/WAVE whose sample format is
-      * outside the decode scope — MS-ADPCM, MP3-in-WAV, an extensible
+      * outside the decode scope — MP3-in-WAV, GSM, an extensible
       * GUID that is not the fixed media subtype, or a recognized
       * format at an unhandled width (e.g. 12-bit PCM, 16-bit "float",
       * an ADPCM tag on a 16-bit fmt) — routes out as "unsupported";
       * "corrupt" is reserved for broken structure (truncated/
       * overrunning chunks, missing fmt/data, a short extensible fmt,
-      * an ADPCM partial block or out-of-range step index, zero
-      * frames).
+      * an ADPCM partial block, out-of-range step/predictor index,
+      * zero frames).
       *
       * Decode scope (all pure JVM): PCM at 8/16/24/32 bits (format 1),
       * IEEE float at 32/64 bits (format 3), G.711 a-law (6) and µ-law
-      * (7) at 8 bits, IMA ADPCM at 4 bits (format 0x11, block decode),
-      * and WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolving to the PCM/float
-      * subtypes through its SubFormat GUID.
+      * (7) at 8 bits, IMA ADPCM (format 0x11) and MS-ADPCM (format 2)
+      * block decodes at 4 bits, and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+      * resolving to the PCM/float subtypes through its SubFormat
+      * GUID.
       *
       * Decoded output is budget-capped at [[MaxSamples]] BEFORE
       * allocation ("oversized" — the video paths' policy-rejection
@@ -152,6 +155,14 @@ object AudioDedup {
         val (off, len) = data.get
         return decodeImaAdpcm(p, channels, le16(fmtOff + 12), off, len)
       }
+      if (format == FormatMsAdpcm) {
+        // the other classic WAV block codec (r11): 2-tap linear
+        // predictors from the fmt coefficient table + adaptive delta
+        if (bits != 4) return Left("unsupported")
+        val (off, len) = data.get
+        return decodeMsAdpcm(p, channels, le16(fmtOff + 12), fmtOff,
+          fmtSz, off, len)
+      }
       // Bytes per stored sample for each in-scope (format, bits) pair;
       // everything else well-formed routes "unsupported"
       val sampleBytes = format match {
@@ -210,11 +221,101 @@ object AudioDedup {
     private[operators] final val MaxSamples = 1L << 26
 
     private final val FormatPcm = 1
+    private final val FormatMsAdpcm = 2
     private final val FormatFloat = 3
     private final val FormatAlaw = 6
     private final val FormatUlaw = 7
     private final val FormatImaAdpcm = 0x11
     private final val FormatExtensible = 0xfffe
+
+    /** MS-ADPCM adaptation table (public Microsoft constants;
+      * exposed for fixture-side independent expansions like
+      * [[ImaStep]]). */
+    final val MsAdapt: Array[Int] = Array(
+      230, 230, 230, 230, 307, 409, 512, 614,
+      768, 614, 512, 409, 307, 230, 230, 230)
+
+    /** MS-ADPCM (format 2) block decode: the fmt extension carries
+      * wSamplesPerBlock, wNumCoef, and wNumCoef (coef1, coef2) int16
+      * predictor pairs; each block opens per channel with a predictor
+      * index (validated against wNumCoef), an int16 initial delta, and
+      * the two seed samples iSamp1/iSamp2 (which are ALSO the block's
+      * first two output samples, in iSamp2-then-iSamp1 order), then
+      * 4-bit nibbles HIGH-first, channels alternating per nibble. Per
+      * nibble: predict (samp1·coef1 + samp2·coef2)/256 + signed4·delta
+      * (clamped int16), shift the taps, adapt
+      * delta = max(16, adapt[nibble]·delta/256). */
+    private def decodeMsAdpcm(p: Array[Byte], channels: Int,
+        blockAlign: Int, fmtOff: Int, fmtSz: Int, off: Int, len: Int)
+        : Either[String, Array[Int]] = {
+      def u8(i: Int): Int = p(i) & 0xff
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def s16(i: Int): Int = le16(i).toShort.toInt
+      // fmt extension: cbSize(2) + samplesPerBlock(2) + numCoef(2) + pairs
+      if (fmtSz < 22) return Left("corrupt")
+      val numCoef = le16(fmtOff + 20)
+      if (numCoef < 1 || fmtSz < 22 + 4 * numCoef) return Left("corrupt")
+      val coef1 = Array.tabulate(numCoef)(k => s16(fmtOff + 22 + 4 * k))
+      val coef2 = Array.tabulate(numCoef)(k => s16(fmtOff + 24 + 4 * k))
+      val headBytes = 7 * channels
+      if (blockAlign <= headBytes) return Left("corrupt")
+      val nibblesPerChannel = (blockAlign - headBytes) * 2 / channels
+      val samplesPerBlock = 2 + nibblesPerChannel
+      val nBlocks = len / blockAlign
+      if (nBlocks == 0 || len % blockAlign != 0) return Left("corrupt")
+      val totalSamples = nBlocks.toLong * samplesPerBlock
+      if (totalSamples > MaxSamples) return Left("oversized")
+      val out = new Array[Int](totalSamples.toInt)
+      val c1 = new Array[Int](channels); val c2 = new Array[Int](channels)
+      val delta = new Array[Int](channels)
+      val s1 = new Array[Int](channels); val s2 = new Array[Int](channels)
+      var b = 0
+      while (b < nBlocks) {
+        val boff = off + b * blockAlign
+        var c = 0
+        var sum2 = 0; var sum1 = 0
+        while (c < channels) {
+          val pred = u8(boff + c)
+          if (pred >= numCoef) return Left("corrupt")
+          c1(c) = coef1(pred); c2(c) = coef2(pred)
+          delta(c) = s16(boff + channels + 2 * c)
+          s1(c) = s16(boff + 3 * channels + 2 * c)
+          s2(c) = s16(boff + 5 * channels + 2 * c)
+          sum2 += s2(c); sum1 += s1(c)
+          c += 1
+        }
+        val outBase = b * samplesPerBlock
+        out(outBase) = sum2 / channels
+        out(outBase + 1) = sum1 / channels
+        var k = 0
+        val nibbleBase = boff + headBytes
+        while (k < nibblesPerChannel) {
+          var sum = 0
+          c = 0
+          while (c < channels) {
+            val idx = k * channels + c
+            val byte = u8(nibbleBase + idx / 2)
+            val nib = if ((idx & 1) == 0) byte >> 4 else byte & 0x0f
+            val signed = (nib << 28) >> 28 // sign-extend 4 bits
+            // Long arithmetic: a crafted coef table at ±32768 with
+            // ±32768 seed samples overflows the Int product sum
+            val predicted =
+              (s1(c).toLong * c1(c) + s2(c).toLong * c2(c)) / 256 +
+                signed.toLong * delta(c)
+            val samp =
+              math.max(-32768L, math.min(32767L, predicted)).toInt
+            s2(c) = s1(c); s1(c) = samp
+            delta(c) = math.max(16, MsAdapt(nib) * delta(c) / 256)
+            sum += samp
+            c += 1
+          }
+          out(outBase + 2 + k) = sum / channels
+          k += 1
+        }
+        b += 1
+      }
+      Right(out)
+    }
 
     /** IMA/DVI ADPCM step-size and index-adaptation tables (the public
       * IMA reference constants; the step table is exposed for
@@ -700,6 +801,46 @@ object AudioDedup {
       blocks.foreach { case (pred, idx, nibbles) =>
         require(idx >= 0 && idx <= 88, "step index in 0..88")
         data.putShort(pred.toShort).put(idx.toByte).put(0.toByte)
+        data.put(nibbles)
+      }
+      riff(fmtB.array(), data.array())
+    }
+
+    /** The seven standard MS-ADPCM predictor pairs (public Microsoft
+      * constants, written into every format-2 fmt chunk). */
+    val MsCoefs: Array[(Int, Int)] = Array(
+      (256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+      (460, -208), (392, -232))
+
+    /** MS-ADPCM (format 2) mono payload from raw wire state: one block
+      * per (predictorIdx, delta, samp1, samp2, nibbleBytes) — the
+      * format-2 twin of [[imaAdpcmMono]]. Writes the standard
+      * seven-pair coefficient table. */
+    def msAdpcmMono(blocks: Seq[(Int, Int, Int, Int, Array[Byte])],
+        sampleRate: Int = 16000): Array[Byte] = {
+      require(blocks.nonEmpty)
+      val nb = blocks.head._5.length
+      require(nb > 0 && blocks.forall(_._5.length == nb),
+        "uniform nibble-byte blocks")
+      val blockAlign = 7 + nb
+      require(blockAlign <= 0xffff, "blockAlign is a 16-bit fmt field")
+      val samplesPerBlock = 2 + nb * 2
+      val fmtB = java.nio.ByteBuffer.allocate(22 + 4 * MsCoefs.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fmtB.putShort(2).putShort(1).putInt(sampleRate)
+        .putInt(sampleRate * blockAlign / samplesPerBlock) // nominal
+        .putShort(blockAlign.toShort).putShort(4)
+      fmtB.putShort((4 + 4 * MsCoefs.length).toShort) // cbSize
+      fmtB.putShort(samplesPerBlock.toShort)
+      fmtB.putShort(MsCoefs.length.toShort)
+      MsCoefs.foreach { case (a, b) =>
+        fmtB.putShort(a.toShort); fmtB.putShort(b.toShort) }
+      val data = java.nio.ByteBuffer.allocate(blocks.size * blockAlign)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      blocks.foreach { case (pred, delta, samp1, samp2, nibbles) =>
+        require(pred >= 0 && pred < MsCoefs.length, "predictor in 0..6")
+        data.put(pred.toByte).putShort(delta.toShort)
+          .putShort(samp1.toShort).putShort(samp2.toShort)
         data.put(nibbles)
       }
       riff(fmtB.array(), data.array())

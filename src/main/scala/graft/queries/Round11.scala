@@ -72,7 +72,7 @@ object Round11 {
     mean.unionByName(ordered).orderBy("form", "id_a", "id_b")
   }
 
-  /** q109: media quarantine-reason CENSUS — thirty-three payload
+  /** q109: media quarantine-reason CENSUS — thirty-four payload
     * variants per doc spanning every reason class of
     * [[Multimodal.contentReason]] ([[graft.functions.MediaReason]],
     * exercised through its whole-stage-codegen path), grouped to
@@ -216,7 +216,11 @@ object Round11 {
             AudioDedup.AuBuild.build(1, g711Codes.map(c =>
               (~(c & 0x7f)).toByte))),
           (id + 32000000L, "au_g721",
-            AudioDedup.AuBuild.build(23, g711Codes)))
+            AudioDedup.AuBuild.build(23, g711Codes)),
+          // r11: MS-ADPCM (format 2) decodes too
+          (id + 33000000L, "wav_ms",
+            AudioDedup.WavBuild.msAdpcmMono(Seq((2, 100, 50, -50,
+              Array.tabulate(64)(i => (Round9.frameAmp(id, i) % 256).toByte))))))
       }
       .toDF("media_id", "variant", "payload")
     media
@@ -382,7 +386,8 @@ object Round11 {
         |  ('avi_mjpeg', 'ok'), ('avi_nodht', 'ok'),
         |  ('avi_xvid', 'unsupported'), ('avi_trunc', 'corrupt'),
         |  ('wav_ima', 'ok'), ('aiff', 'ok'), ('aiff_trunc', 'corrupt'),
-        |  ('au_ulaw', 'ok'), ('au_g721', 'unsupported'))
+        |  ('au_ulaw', 'ok'), ('au_g721', 'unsupported'),
+        |  ('wav_ms', 'ok'))
         |SELECT v.variant, v.reason, n.c AS cnt FROM v, n
         |ORDER BY variant, reason""".stripMargin,
     "q110_jpeg_neardup" ->

@@ -220,6 +220,9 @@ object Round9 {
     *    AIFF PCM16 (+12M) and Sun .au PCM16 (+13M), which join the
     *    base collision group — the quintet becomes a septet
     *    (21 pairs/doc);
+    *  - (r11) the MS-ADPCM pair (+14M/+15M): the IMA discipline for
+    *    format 2 — planted (predictor, delta, seeds, nibbles) wire
+    *    state and its inline format-2 expansion (1 more pair/doc);
     *  - the doc's text as an opaque payload (+3M): skipped, never
     *    paired or thrown on. */
   def q104AudioNearDup(s: SparkSession, dir: String): DataFrame = {
@@ -307,6 +310,36 @@ object Round9 {
           }
           out
         }
+        // MS-ADPCM wire state + the inline format-2 expansion (reuses
+        // the IMA nibble stream; the recurrences differ entirely)
+        val msPred = java.lang.Math.floorMod(id * 13L, 7L).toInt
+        val msDelta0 = 16 + java.lang.Math.floorMod(id * 17L, 400L).toInt
+        val msSamp1 = (java.lang.Math.floorMod(id * 19L, 4001L) - 2000L).toInt
+        val msSamp2 = (java.lang.Math.floorMod(id * 23L, 4001L) - 2000L).toInt
+        val msLinear = {
+          val coefs = graft.operators.AudioDedup.WavBuild.MsCoefs
+          val adapt = Array(230, 230, 230, 230, 307, 409, 512, 614,
+            768, 614, 512, 409, 307, 230, 230, 230)
+          val out = new Array[Int](2 + 520)
+          out(0) = msSamp2; out(1) = msSamp1
+          var samp1 = msSamp1; var samp2 = msSamp2; var delta = msDelta0
+          val (c1v, c2v) = coefs(msPred)
+          var k = 0
+          while (k < 520) {
+            val b = adpcmNibbles(k / 2) & 0xff
+            val nib = if ((k & 1) == 0) b >> 4 else b & 0x0f // HIGH first
+            val signed = (nib << 28) >> 28
+            val predicted =
+              (samp1.toLong * c1v + samp2.toLong * c2v) / 256 +
+                signed.toLong * delta
+            val samp = math.max(-32768L, math.min(32767L, predicted)).toInt
+            samp2 = samp1; samp1 = samp
+            delta = math.max(16, adapt(nib) * delta / 256)
+            out(2 + k) = samp
+            k += 1
+          }
+          out
+        }
         Seq(
           Multimodal.MediaRecord(id, "audio", clip(1, 1)),
           Multimodal.MediaRecord(id + 1000000L, "audio", clip(2, 1)),
@@ -335,7 +368,14 @@ object Round9 {
           Multimodal.MediaRecord(id + 12000000L, "audio",
             graft.operators.AudioDedup.AiffBuild.pcm16(base)),
           Multimodal.MediaRecord(id + 13000000L, "audio",
-            graft.operators.AudioDedup.AuBuild.pcm16(base)))
+            graft.operators.AudioDedup.AuBuild.pcm16(base)),
+          // +14M/+15M (r11): the MS-ADPCM pair — same discipline as
+          // the IMA pair, with the format-2 recurrence inlined
+          Multimodal.MediaRecord(id + 14000000L, "audio",
+            WavBuild.msAdpcmMono(Seq((msPred, msDelta0, msSamp1,
+              msSamp2, adpcmNibbles)))),
+          Multimodal.MediaRecord(id + 15000000L, "audio",
+            WavBuild.pcm16(msLinear)))
       }
       .toDF("media_id", "kind", "payload")
     graft.operators.AudioDedup.nearDupPairs(media, "media_id", "payload",
@@ -478,6 +518,8 @@ object Round9 {
         |FROM t, g711 a, g711 b WHERE a.k < b.k
         |UNION ALL
         |SELECT t.id + 10000000, t.id + 11000000, CAST(0 AS INTEGER) FROM t
+        |UNION ALL
+        |SELECT t.id + 14000000, t.id + 15000000, CAST(0 AS INTEGER) FROM t
         |ORDER BY id_a, id_b""".stripMargin,
     "q106_video_neardup" ->
       """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)

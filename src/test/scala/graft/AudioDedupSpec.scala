@@ -195,6 +195,64 @@ class AudioDedupSpec extends SparkSuite {
     }
   }
 
+  test("MS-ADPCM: known-value expansion, seeds-first output order, " +
+      "corrupt classes") {
+    // predictor 0 -> coefs (256, 0): predict = samp1; delta 16.
+    // nibbles HIGH-first: byte 0x21 -> nib 2 then nib 1.
+    // samp1=100, samp2=-50: out starts [-50, 100] (samp2 FIRST).
+    // nib 2: predict 100 + 2*16 = 132; delta = max(16, 230*16/256)=16
+    // nib 1: predict 132 + 1*16 = 148
+    val one = WavBuild.msAdpcmMono(Seq((0, 16, 100, -50,
+      Array[Byte](0x21, 0x00))))
+    val Some(got) = WavPcm.decodeSamples(one)
+    assert(got.length === 6) // 2 seeds + 4 nibbles
+    assert(got.take(4).toSeq === Seq(-50, 100, 132, 148))
+    // predictor index past the coef table: corrupt
+    val dataOff = 12 + 8 + 50 + 8 // RIFF + fmt hdr + 50-byte fmt + data hdr
+    val badPred = one.clone
+    assert((badPred(dataOff) & 0xff) === 0)
+    badPred(dataOff) = 7
+    assert(WavPcm.decodeReason(badPred) === Left("corrupt"))
+    // negative nibble: nib 0x9 = -7
+    val neg = WavBuild.msAdpcmMono(Seq((0, 16, 0, 0,
+      Array[Byte](0x90.toByte, 0x00))))
+    // nib 9: predict 0 + (-7)*16 = -112; adapt(9)=614 -> delta 38
+    // nib 0: predict -112 + 0 = -112
+    assert(WavPcm.decodeSamples(neg).get.toSeq.slice(2, 4) ===
+      Seq(-112, -112))
+  }
+
+  test("MS-ADPCM: fixture-independent expansion parity on random wire " +
+      "state (the q104 +14M/+15M pair, operator side)") {
+    val rnd = new scala.util.Random(0x11ab)
+    for (_ <- 1 to 5) {
+      val nibbles = Array.fill(260)(rnd.nextInt(256).toByte)
+      val pred = rnd.nextInt(7)
+      val d0 = 16 + rnd.nextInt(400)
+      val sa = rnd.nextInt(4001) - 2000
+      val sb = rnd.nextInt(4001) - 2000
+      val wire = WavBuild.msAdpcmMono(Seq((pred, d0, sa, sb, nibbles)))
+      val (c1, c2) = WavBuild.MsCoefs(pred)
+      val adapt = WavPcm.MsAdapt
+      val want = new Array[Int](2 + 520)
+      want(0) = sb; want(1) = sa
+      var s1 = sa; var s2 = sb; var delta = d0
+      for (k <- 0 until 520) {
+        val b = nibbles(k / 2) & 0xff
+        val nib = if ((k & 1) == 0) b >> 4 else b & 0x0f
+        val signed = (nib << 28) >> 28
+        val p0 = (s1.toLong * c1 + s2.toLong * c2) / 256 +
+          signed.toLong * delta
+        val samp = math.max(-32768L, math.min(32767L, p0)).toInt
+        s2 = s1; s1 = samp
+        delta = math.max(16, adapt(nib) * delta / 256)
+        want(2 + k) = samp
+      }
+      assert(WavPcm.decodeSamples(wire).get.toSeq === want.toSeq)
+      assert(WavPcm.hashOf(wire) === WavPcm.hashOf(WavBuild.pcm16(want)))
+    }
+  }
+
   test("cross-container parity: WAV, AIFF, and AU PCM16 of the same " +
       "samples decode and hash identically (the q104 septet)") {
     import AudioDedup.{AiffBuild, AuBuild}

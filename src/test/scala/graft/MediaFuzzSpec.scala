@@ -75,6 +75,10 @@ class MediaFuzzSpec extends SparkSuite {
     val wavIma = AudioDedup.WavBuild.imaAdpcmMono(Seq.fill(2)((
       rnd.nextInt(65536) - 32768, rnd.nextInt(89),
       Array.fill(32)(rnd.nextInt(256).toByte))))
+    val wavMs = AudioDedup.WavBuild.msAdpcmMono(Seq.fill(2)((
+      rnd.nextInt(7), rnd.nextInt(65536) - 32768,
+      rnd.nextInt(65536) - 32768, rnd.nextInt(65536) - 32768,
+      Array.fill(32)(rnd.nextInt(256).toByte))))
     // r11 audio containers: AIFF (big-endian IFF walk) and Sun .au
     val aiff = AudioDedup.AiffBuild.pcm16(
       Array.fill(520)(rnd.nextInt(65536) - 32768))
@@ -90,7 +94,8 @@ class MediaFuzzSpec extends SparkSuite {
         writeDht = false)((x, y) => img(y)(x))),
       recWrap = rnd.nextBoolean())
     Seq(bmp, wav, gif, png, pngPal, pngAdam, deltaGif, jpg, jpgRst,
-      jpgProg, wavF32, wavP24, wavUlaw, wavExt, wavIma, avi, aiff, au)
+      jpgProg, wavF32, wavP24, wavUlaw, wavExt, wavIma, wavMs, avi,
+      aiff, au)
   }
 
   test("pure random garbage never throws (1000 payloads)") {
