@@ -72,14 +72,16 @@ object ImageDedup {
     /** [[decodeGray]] with the rejection class: "corrupt" (broken
       * structure), "oversized" (decode-bound policy rejection),
       * "unsupported" (a valid feature outside the decode scope — BMP
-      * non-24bpp / RLE / core-header classes; JPEG progressive /
-      * 12-bit / CMYK / multi-scan per [[JpegPixels]]; PNG decodes
-      * every legal static combination since r11), or "unrecognized"
-      * (no BMP/PNG/JPEG magic at all). */
+      * non-24bpp / RLE / core-header classes; JPEG 12-bit / CMYK /
+      * lossless per [[JpegPixels]]; TIFF LZW/JPEG/tiled per
+      * [[TiffPixels]]; PNG decodes every legal static combination
+      * since r11), or "unrecognized" (no BMP/PNG/JPEG/TIFF magic at
+      * all). */
     def decodeGrayReason(p: Array[Byte])
         : Either[String, (Int, Int, Array[Int])] =
       if (PngPixels.hasMagic(p)) PngPixels.decodeGray(p)
       else if (JpegPixels.hasMagic(p)) JpegPixels.decodeGray(p)
+      else if (TiffPixels.hasMagic(p)) TiffPixels.decodeGray(p)
       else if (p.length >= 2 && (p(0) & 0xff) == 'B' && (p(1) & 0xff) == 'M')
         decodeBmpReason(p)
       else Left("unrecognized")

@@ -1,0 +1,392 @@
+package graft.operators
+
+/** Pure-JVM baseline-TIFF decode, luma only — the fourth still-image
+  * pixel path next to BMP/PNG/JPEG ([[ImageDedup.ImagePixels]]
+  * dispatches here on the `II…42` / `MM…42` magic). TIFF is the
+  * scan/dataset
+  * interchange format a crawl actually meets; this decoder covers the
+  * baseline profile (TIFF 6.0 Part 1):
+  *  - both byte orders (II little-endian, MM big-endian);
+  *  - the first IFD's image: grayscale (PhotometricInterpretation
+  *    0 = WhiteIsZero inverted, 1 = BlackIsZero) at 1/2/4/8/16 bits,
+  *    RGB (2) at 8 bits per sample (extra samples — alpha — skipped),
+  *    and palette-color (3) through the 16-bit-per-channel ColorMap;
+  *  - chunky planar configuration, MSB-first fill order, strip
+  *    layout (any RowsPerStrip), Compression 1 (none) and 32773
+  *    (PackBits byte RLE).
+  * Out of scope — "unsupported", the external-codec seam: LZW (5),
+  * old/new JPEG (6/7), Deflate (8), CCITT fax codes, planar
+  * configuration 2, YCbCr/CMYK/LogL photometrics, tiled layout
+  * (TileWidth present), FillOrder 2, Predictor 2. Broken structure is
+  * "corrupt"; dimension/pixel budgets past the policy caps (or a
+  * pixel count no PackBits stream this size could carry) are
+  * "oversized", refused BEFORE the luma plane allocates.
+  *
+  * Luma mapping is shared with the other paths: gray samples scale
+  * to 0..255 by v·255/(2^bits−1); RGB and palette go through the
+  * integer BT.601 (77r+150g+29b)>>8 — so a TIFF rendering of the
+  * same gray pixels hashes bit-identically to its BMP/PNG twins
+  * (the q102 population argument). Never throws
+  * (bounds-checked + the family's catch wrapper); fuzz-pinned. */
+object TiffPixels {
+
+  private final val MaxPixels = 1 << 24
+  /** PackBits expands ≤ 64× (2-byte repeat packet → 128 bytes) and
+    * 1-bit rows pack 8 px/byte, so 512 px per payload byte bounds any
+    * decodable image; a header claiming more is refused pre-alloc. */
+  private final val MaxPixelsPerByte = 512
+
+  def hasMagic(p: Array[Byte]): Boolean =
+    p.length >= 8 &&
+      ((p(0) == 'I' && p(1) == 'I' && p(2) == 42 && p(3) == 0) ||
+       (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && p(3) == 42))
+
+  def decodeGray(p: Array[Byte]): Either[String, (Int, Int, Array[Int])] = {
+    try inner(p)
+    catch { case _: ArrayIndexOutOfBoundsException |
+                 _: NegativeArraySizeException => Left("corrupt") }
+  }
+
+  private final val Corrupt = Left("corrupt")
+  private final val Unsupported = Left("unsupported")
+  private final val Oversized = Left("oversized")
+
+  private def inner(p: Array[Byte]): Either[String, (Int, Int, Array[Int])] = {
+    if (!hasMagic(p)) return Corrupt
+    val le = p(0) == 'I'
+    def u8(i: Int): Int = p(i) & 0xff
+    def u16(i: Int): Int =
+      if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long = {
+      val v = if (le)
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      else
+        (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      v & 0xffffffffL
+    }
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > p.length) return Corrupt
+    val nEntries = u16(ifd.toInt)
+    val entriesOff = ifd.toInt + 2
+    if (entriesOff + nEntries * 12 + 4 > p.length) return Corrupt
+
+    // tag -> values (BYTE/SHORT/LONG widths; everything else skipped)
+    def values(tag: Int): Option[Array[Long]] = {
+      var e = 0
+      while (e < nEntries) {
+        val off = entriesOff + e * 12
+        if (u16(off) == tag) {
+          val tpe = u16(off + 2)
+          val count = u32(off + 4)
+          val width = tpe match {
+            case 1 => 1; case 3 => 2; case 4 => 4
+            case _ => return None // RATIONAL etc: not needed here
+          }
+          if (count <= 0 || count > (1L << 20)) return None
+          val total = count * width
+          val at =
+            if (total <= 4) off + 8
+            else {
+              val ptr = u32(off + 8)
+              if (ptr + total > p.length) return None
+              ptr.toInt
+            }
+          val out = new Array[Long](count.toInt)
+          var k = 0
+          while (k < out.length) {
+            out(k) = width match {
+              case 1 => u8(at + k)
+              case 2 => u16(at + k * 2)
+              case _ => u32(at + k * 4)
+            }
+            k += 1
+          }
+          return Some(out)
+        }
+        e += 1
+      }
+      None
+    }
+    def scalar(tag: Int, default: Long): Long =
+      values(tag).flatMap(_.headOption).getOrElse(default)
+
+    if (values(322).isDefined || values(323).isDefined)
+      return Unsupported // tiled layout
+    val w = scalar(256, 0).toInt
+    val h = scalar(257, 0).toInt
+    if (w < 1 || h < 1) return Corrupt
+    if (w.toLong * h > MaxPixels ||
+        w.toLong * h > p.length.toLong * MaxPixelsPerByte)
+      return Oversized
+    val compression = scalar(259, 1).toInt
+    if (compression != 1 && compression != 32773) return Unsupported
+    if (scalar(284, 1) != 1) return Unsupported // planar config 2
+    if (scalar(266, 1) != 1) return Unsupported // FillOrder 2
+    if (scalar(317, 1) != 1) return Unsupported // Predictor 2
+    val photometric = scalar(262, 1).toInt
+    val samplesPerPixel = scalar(277, 1).toInt
+    if (samplesPerPixel < 1 || samplesPerPixel > 8) return Corrupt
+    val bitsArr = values(258).getOrElse(Array(1L))
+    if (bitsArr.isEmpty || bitsArr.exists(_ != bitsArr(0))) return Unsupported
+    val bits = bitsArr(0).toInt
+    val usable = photometric match {
+      case 0 | 1 => samplesPerPixel >= 1 &&
+        (bits == 1 || bits == 2 || bits == 4 || bits == 8 || bits == 16)
+      case 2 => samplesPerPixel >= 3 && bits == 8
+      case 3 => samplesPerPixel == 1 && bits >= 1 && bits <= 8
+      case _ => return Unsupported // YCbCr, CMYK, LogL…
+    }
+    if (!usable) return Unsupported
+    val colorMap: Array[Long] =
+      if (photometric == 3) values(320).getOrElse(return Corrupt)
+      else null
+    if (photometric == 3 && colorMap.length < 3 * (1 << bits))
+      return Corrupt
+
+    val stripOffsets = values(273).getOrElse(return Corrupt)
+    val stripCounts = values(279).getOrElse(return Corrupt)
+    if (stripOffsets.isEmpty || stripOffsets.length != stripCounts.length)
+      return Corrupt
+    val rowsPerStrip = math.min(scalar(278, h.toLong), h.toLong).toInt
+    if (rowsPerStrip < 1) return Corrupt
+    if ((h + rowsPerStrip - 1) / rowsPerStrip != stripOffsets.length)
+      return Corrupt
+
+    val rowBytes = (w.toLong * samplesPerPixel * bits + 7) / 8
+    if (rowBytes > Int.MaxValue / math.max(1, rowsPerStrip)) return Oversized
+    val out = new Array[Int](w * h)
+    def luma(r: Int, g: Int, b: Int): Int = (77 * r + 150 * g + 29 * b) >> 8
+    val maxV = (1 << bits) - 1
+    var strip = 0
+    var row0 = 0
+    while (strip < stripOffsets.length) {
+      val rows = math.min(rowsPerStrip, h - row0)
+      val need = (rowBytes * rows).toInt
+      val soff = stripOffsets(strip)
+      val scount = stripCounts(strip)
+      if (soff < 0 || scount < 0 || soff + scount > p.length) return Corrupt
+      val raw: Array[Byte] =
+        if (compression == 1) {
+          if (scount < need) return Corrupt
+          java.util.Arrays.copyOfRange(p, soff.toInt, soff.toInt + need)
+        } else { // PackBits
+          val outB = new Array[Byte](need)
+          var i = soff.toInt
+          val end = (soff + scount).toInt
+          var o = 0
+          while (o < need) {
+            if (i >= end) return Corrupt
+            val n = p(i); i += 1
+            if (n >= 0) { // n+1 literal bytes
+              val cnt = n + 1
+              if (i + cnt > end || o + cnt > need) return Corrupt
+              System.arraycopy(p, i, outB, o, cnt)
+              i += cnt; o += cnt
+            } else if (n != -128) { // repeat next byte 1-n times
+              val cnt = 1 - n
+              if (i >= end || o + cnt > need) return Corrupt
+              java.util.Arrays.fill(outB, o, o + cnt, p(i))
+              i += 1; o += cnt
+            } // -128: noop
+          }
+          outB
+        }
+      var r = 0
+      while (r < rows) {
+        val rb = (r.toLong * rowBytes).toInt
+        var x = 0
+        while (x < w) {
+          val v: Int = photometric match {
+            case 2 => // chunky RGB8 (+ skipped extra samples)
+              val o = rb + x * samplesPerPixel
+              luma(raw(o) & 0xff, raw(o + 1) & 0xff, raw(o + 2) & 0xff)
+            case _ =>
+              val bitPos = x.toLong * bits
+              val sample =
+                if (bits == 16) {
+                  val o = rb + x * 2
+                  val b0 = raw(o) & 0xff; val b1 = raw(o + 1) & 0xff
+                  if (le) b0 | (b1 << 8) else (b0 << 8) | b1
+                } else if (bits == 8) raw(rb + x) & 0xff
+                else { // sub-byte, MSB-first packing
+                  val byte = raw(rb + (bitPos >> 3).toInt) & 0xff
+                  (byte >> (8 - bits - (bitPos & 7)).toInt) & maxV
+                }
+              if (photometric == 3) {
+                val n = 1 << bits
+                luma((colorMap(sample) >> 8).toInt,
+                  (colorMap(n + sample) >> 8).toInt,
+                  (colorMap(2 * n + sample) >> 8).toInt)
+              } else {
+                val scaled =
+                  if (bits == 16) sample * 255 / 65535
+                  else sample * 255 / maxV
+                if (photometric == 0) 255 - scaled else scaled
+              }
+          }
+          out((row0 + r) * w + x) = v
+          x += 1
+        }
+        r += 1
+      }
+      row0 += rows
+      strip += 1
+    }
+    Right((w, h, out))
+  }
+
+  /** Fixture-side builder: real baseline-TIFF bytes (header + pixel
+    * strips + a sorted IFD), both byte orders, optional PackBits,
+    * any RowsPerStrip — what [[decodeGray]] parses back. */
+  object TiffBuild {
+
+    /** Encode with a real PackBits packer (runs ≥ 3 become repeat
+      * packets, the rest literal packets ≤ 128). */
+    private[operators] def packBits(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < data.length) {
+        var run = 1
+        while (i + run < data.length && run < 128 &&
+          data(i + run) == data(i)) run += 1
+        if (run >= 3) {
+          out.write(1 - run) // repeat packet
+          out.write(data(i))
+          i += run
+        } else {
+          // literal packet: extend until a run of ≥ 3 starts (or 128)
+          var lit = i + 1
+          var stop = false
+          while (!stop && lit < data.length && lit - i < 128) {
+            if (lit + 2 < data.length && data(lit) == data(lit + 1) &&
+                data(lit) == data(lit + 2)) stop = true
+            else lit += 1
+          }
+          val n = lit - i
+          out.write(n - 1)
+          out.write(data, i, n)
+          i += n
+        }
+      }
+      out.toByteArray
+    }
+
+    /** One image: `photometric` 0/1 gray (`bits` 1/2/4/8/16), 2 RGB8
+      * (px returns gray; r=g=b), or 3 palette (`bits` ≤ 8, identity
+      * gray map). Pixels spread over ⌈h/rowsPerStrip⌉ strips. */
+    def build(w: Int, h: Int, bits: Int = 8, photometric: Int = 1,
+        le: Boolean = true, compressed: Boolean = false,
+        rowsPerStrip: Int = Int.MaxValue)(px: (Int, Int) => Int)
+        : Array[Byte] = {
+      require(w >= 1 && h >= 1)
+      val spp = if (photometric == 2) 3 else 1
+      val rps = math.min(rowsPerStrip, h)
+      val rowBytes = ((w.toLong * spp * bits + 7) / 8).toInt
+      val maxV = (1 << bits) - 1
+      def rawRow(y: Int): Array[Byte] = {
+        val row = new Array[Byte](rowBytes)
+        var x = 0
+        while (x < w) {
+          val v = px(x, y)
+          photometric match {
+            case 2 =>
+              row(x * 3) = v.toByte; row(x * 3 + 1) = v.toByte
+              row(x * 3 + 2) = v.toByte
+            case _ if bits == 16 =>
+              val v16 = v * 65535 / 255
+              if (le) { row(x * 2) = (v16 & 0xff).toByte
+                row(x * 2 + 1) = ((v16 >> 8) & 0xff).toByte }
+              else { row(x * 2) = ((v16 >> 8) & 0xff).toByte
+                row(x * 2 + 1) = (v16 & 0xff).toByte }
+            case _ if bits == 8 =>
+              row(x) = (if (photometric == 0) 255 - v else v).toByte
+            case _ =>
+              val s0 = if (photometric == 0) maxV - v else v
+              require(s0 >= 0 && s0 <= maxV, s"sample $s0 at $bits bits")
+              val bitPos = x * bits
+              row(bitPos >> 3) = (row(bitPos >> 3) |
+                (s0 << (8 - bits - (bitPos & 7)))).toByte
+          }
+          x += 1
+        }
+        row
+      }
+      val strips = (0 until h).grouped(rps).map { ys =>
+        val raw = ys.toArray.flatMap(rawRow)
+        if (compressed) packBits(raw) else raw
+      }.toArray
+
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit =
+        if (le) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+        else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      def w32(v: Long): Unit =
+        if (le) { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+        else { w16(((v >> 16) & 0xffff).toInt); w16((v & 0xffff).toInt) }
+      // header
+      out.write(if (le) 'I' else 'M'); out.write(if (le) 'I' else 'M')
+      w16(42)
+      // layout: header(8) | strip data | [colormap] | IFD
+      var at = 8L
+      val stripOffs = strips.map { s => val o = at; at += s.length; o }
+      val mapOff = at
+      val mapWords = if (photometric == 3) 3 * (1 << bits) else 0
+      at += 2L * mapWords
+      val ifdOff = at
+      w32(ifdOff)
+      strips.foreach(out.write)
+      if (photometric == 3) {
+        // identity gray palette: index i -> (i·65535/maxV) each channel
+        for (_ <- 0 until 3; i <- 0 to maxV) w16(i * 65535 / maxV)
+      }
+      // IFD: entries must be tag-sorted
+      case class E(tag: Int, tpe: Int, count: Long, inline: Option[Long],
+        arr: Array[Long] = null)
+      val multiStrip = strips.length > 1
+      val entries = scala.collection.mutable.ArrayBuffer[E]()
+      entries += E(256, 3, 1, Some(w.toLong))
+      entries += E(257, 3, 1, Some(h.toLong))
+      entries += E(258, 3, spp.toLong,
+        if (spp == 1) Some(bits.toLong) else None,
+        if (spp == 1) null else Array.fill(spp)(bits.toLong))
+      entries += E(259, 3, 1, Some(if (compressed) 32773L else 1L))
+      entries += E(262, 3, 1, Some(photometric.toLong))
+      entries += E(273, 4, strips.length.toLong,
+        if (multiStrip) None else Some(stripOffs(0)),
+        if (multiStrip) stripOffs else null)
+      if (spp > 1) entries += E(277, 3, 1, Some(spp.toLong))
+      entries += E(278, 3, 1, Some(rps.toLong))
+      entries += E(279, 4, strips.length.toLong,
+        if (multiStrip) None else Some(strips(0).length.toLong),
+        if (multiStrip) strips.map(_.length.toLong) else null)
+      if (photometric == 3) entries += E(320, 3, mapWords.toLong, None,
+        null) // values live at mapOff, written above
+      val sorted = entries.sortBy(_.tag)
+      // out-of-line arrays land after the IFD
+      var extraOff = ifdOff + 2 + sorted.length * 12 + 4
+      val extras = scala.collection.mutable.ArrayBuffer[(Long, Array[Long], Int)]()
+      w16(sorted.length)
+      sorted.foreach { e =>
+        w16(e.tag); w16(e.tpe); w32(e.count)
+        e.inline match {
+          case Some(v) =>
+            // SHORT inline values occupy the first two value bytes
+            if (e.tpe == 3) { w16(v.toInt); w16(0) } else w32(v)
+          case None =>
+            if (e.tag == 320) w32(mapOff)
+            else {
+              w32(extraOff)
+              val width = if (e.tpe == 3) 2 else 4
+              extras += ((extraOff, e.arr, width))
+              extraOff += e.arr.length * width
+            }
+        }
+      }
+      w32(0) // next-IFD pointer
+      extras.foreach { case (_, arr, width) =>
+        arr.foreach(v => if (width == 2) w16(v.toInt) else w32(v))
+      }
+      out.toByteArray
+    }
+  }
+}

@@ -72,7 +72,7 @@ object Round11 {
     mean.unionByName(ordered).orderBy("form", "id_a", "id_b")
   }
 
-  /** q109: media quarantine-reason CENSUS — thirty-four payload
+  /** q109: media quarantine-reason CENSUS — thirty-eight payload
     * variants per doc spanning every reason class of
     * [[Multimodal.contentReason]] ([[graft.functions.MediaReason]],
     * exercised through its whole-stage-codegen path), grouped to
@@ -113,7 +113,12 @@ object Round11 {
     * r11 AIFF/AU rows ([[AudioDedup.AiffPcm]]/[[AudioDedup.AuPcm]]):
     * big-endian AIFF PCM16 and a µ-law .au → "ok"; a .au declaring
     * G.721 ADPCM (encoding 23) → "unsupported"; a 40-byte AIFF
-    * prefix → "corrupt". */
+    * prefix → "corrupt".
+    *
+    * r11 TIFF rows ([[graft.operators.TiffPixels]]): plain gray8 and
+    * a PackBits big-endian variant → "ok"; the same IFD with
+    * Compression=5 (LZW) → "unsupported" (external-codec seam); a
+    * 40-byte prefix → "corrupt". */
   def q109MediaReasonCensus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
@@ -144,6 +149,25 @@ object Round11 {
         val g711Codes = pcm16Samples.map(s => (s % 128).toByte)
         val aviFrames = Seq(JpegBuild.gray(w, h)((x, y) => px(x, y)))
         val avi = graft.operators.MotionJpeg.AviBuild.mjpeg(w, h, aviFrames)
+        val tiff = graft.operators.TiffPixels.TiffBuild.build(w, h)(
+          (x, y) => px(x, y))
+        // compression tag 5 (LZW): well-formed, outside the baseline
+        // scope. The builder writes Compression as the 7th sorted IFD
+        // entry's value word; patch it through the IFD walk.
+        val tiffLzw = {
+          val c = tiff.clone
+          def u16(i: Int): Int = (c(i) & 0xff) | ((c(i + 1) & 0xff) << 8)
+          def u32(i: Int): Int = u16(i) | (u16(i + 2) << 16)
+          val ifd = u32(4)
+          val n = u16(ifd)
+          var e = 0
+          while (e < n) {
+            val o = ifd + 2 + e * 12
+            if (u16(o) == 259) { c(o + 8) = 5; c(o + 9) = 0 }
+            e += 1
+          }
+          c
+        }
         val pngHuge = ImageDedup.ImageBuild.pngGray(1, 1)((_, _) => 0)
         // IHDR dims at 16/20 (BE): claim 8192x8192 > the 2^24 pixel cap
         pngHuge(17) = 0; pngHuge(18) = 0x20; pngHuge(19) = 0
@@ -220,7 +244,14 @@ object Round11 {
           // r11: MS-ADPCM (format 2) decodes too
           (id + 33000000L, "wav_ms",
             AudioDedup.WavBuild.msAdpcmMono(Seq((2, 100, 50, -50,
-              Array.tabulate(64)(i => (Round9.frameAmp(id, i) % 256).toByte))))))
+              Array.tabulate(64)(i => (Round9.frameAmp(id, i) % 256).toByte))))),
+          // r11: baseline TIFF pixel path (q102's +6M container)
+          (id + 34000000L, "tiff_gray", tiff),
+          (id + 35000000L, "tiff_packbits",
+            graft.operators.TiffPixels.TiffBuild.build(w, h,
+              le = false, compressed = true)((x, y) => px(x, y))),
+          (id + 36000000L, "tiff_lzw", tiffLzw),
+          (id + 37000000L, "tiff_trunc", tiff.take(40)))
       }
       .toDF("media_id", "variant", "payload")
     media
@@ -387,7 +418,8 @@ object Round11 {
         |  ('avi_xvid', 'unsupported'), ('avi_trunc', 'corrupt'),
         |  ('wav_ima', 'ok'), ('aiff', 'ok'), ('aiff_trunc', 'corrupt'),
         |  ('au_ulaw', 'ok'), ('au_g721', 'unsupported'),
-        |  ('wav_ms', 'ok'))
+        |  ('wav_ms', 'ok'), ('tiff_gray', 'ok'), ('tiff_packbits', 'ok'),
+        |  ('tiff_lzw', 'unsupported'), ('tiff_trunc', 'corrupt'))
         |SELECT v.variant, v.reason, n.c AS cnt FROM v, n
         |ORDER BY variant, reason""".stripMargin,
     "q110_jpeg_neardup" ->

@@ -69,8 +69,11 @@ object Round9 {
     * Adam7-INTERLACED PALETTE PNG (identity-ramp PLTE, filters cycling
     * per image row inside each pass), covering the r11 decode
     * completion — PLTE lookup, per-pass filtering, and the 7-pass
-    * deinterlace scatter must all reproduce the exact luma, or the
-    * quintet's C(5,2)=10 hamming-0 pairs per doc break the gate. */
+    * deinterlace scatter must all reproduce the exact luma; and a
+    * SEVENTH (+6M ids): a PackBits-compressed BIG-ENDIAN multi-strip
+    * TIFF of the same pixels ([[graft.operators.TiffPixels]]) — IFD
+    * walk, strip assembly, and RLE expansion join the collision group,
+    * making the expected set C(6,2)=15 hamming-0 pairs per doc. */
   def q102ImageNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
@@ -94,7 +97,12 @@ object Round9 {
               filterOf = y => y % 5)(px(1, 0))),
           Multimodal.MediaRecord(id + 5000000L, "image",
             ImageDedup.ImageBuild.pngGray(imgW, imgH, colorType = 3,
-              interlace = true, filterOf = y => (y + 2) % 5)(px(1, 0))))
+              interlace = true, filterOf = y => (y + 2) % 5)(px(1, 0))),
+          // +6M (r11): the same pixels as a PackBits big-endian TIFF —
+          // the fourth still container joins the collision sextet
+          Multimodal.MediaRecord(id + 6000000L, "image",
+            graft.operators.TiffPixels.TiffBuild.build(imgW, imgH,
+              le = false, compressed = true, rowsPerStrip = 5)(px(1, 0))))
       }
       .toDF("media_id", "kind", "payload")
     ImageDedup.nearDupPairs(media, "media_id", "payload",
@@ -463,7 +471,8 @@ object Round9 {
   val oracles: Map[String, String] = Map(
     "q102_image_neardup" ->
       """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
-        |o(k) AS (VALUES (0), (1000000), (2000000), (4000000), (5000000))
+        |o(k) AS (VALUES (0), (1000000), (2000000), (4000000),
+        |                (5000000), (6000000))
         |SELECT t.id + a.k AS id_a, t.id + b.k AS id_b,
         |  CAST(0 AS INTEGER) AS hamming
         |FROM t, o a, o b WHERE a.k < b.k

@@ -85,6 +85,12 @@ class MediaFuzzSpec extends SparkSuite {
     val au = AudioDedup.AuBuild.build(
       Seq(1, 2, 3, 27)(rnd.nextInt(4)),
       Array.fill(520)(rnd.nextInt(256).toByte))
+    // r11 image container: baseline TIFF (IFD walk, strips, PackBits)
+    val tiff = graft.operators.TiffPixels.TiffBuild.build(18, 16,
+      bits = Seq(1, 4, 8, 16)(rnd.nextInt(4)),
+      photometric = rnd.nextInt(2), le = rnd.nextBoolean(),
+      compressed = rnd.nextBoolean(), rowsPerStrip = 1 + rnd.nextInt(16))(
+      (x, y) => img(y)(x) % 2) // in-range for every bit depth
     // r11 video surface: MJPEG-AVI (RIFF walk, per-frame JPEG decode,
     // DHT-less frames, dropped-frame repeats, rec grouping)
     val avi = graft.operators.MotionJpeg.AviBuild.mjpeg(18, 16, Seq(
@@ -95,7 +101,7 @@ class MediaFuzzSpec extends SparkSuite {
       recWrap = rnd.nextBoolean())
     Seq(bmp, wav, gif, png, pngPal, pngAdam, deltaGif, jpg, jpgRst,
       jpgProg, wavF32, wavP24, wavUlaw, wavExt, wavIma, wavMs, avi,
-      aiff, au)
+      aiff, au, tiff)
   }
 
   test("pure random garbage never throws (1000 payloads)") {
@@ -110,6 +116,8 @@ class MediaFuzzSpec extends SparkSuite {
     val magics = Seq("BM", "RIFF", "GIF89a", "GIF87a",
       "FORMxxxxAIFF", "FORMxxxxAIFC", ".snd").map(
       _.getBytes("US-ASCII")) :+
+      Array[Byte]('I', 'I', 42, 0) :+ // TIFF little-endian
+      Array[Byte]('M', 'M', 0, 42) :+ // TIFF big-endian
       Array(0xff.toByte, 0xd8.toByte, 0xff.toByte) :+ // JPEG SOI
       ("RIFF".getBytes("US-ASCII") ++
         Array[Byte](-16, 0, 0, 0) ++ // declared size 240: an AVI shell

@@ -1,0 +1,197 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import java.awt.image.BufferedImage
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ImageDedup, TiffPixels}
+import graft.operators.TiffPixels.TiffBuild
+
+class TiffPixelsSpec extends AnyFunSuite {
+
+  private def img(seed: Int): (Int, Int) => Int = { (x, y) =>
+    var z = seed * 977L + y * 18L + x + 0x9e37L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z ^= z >>> 31
+    java.lang.Math.floorMod(z, 256L).toInt
+  }
+
+  private def decode(p: Array[Byte]): (Int, Int, Seq[Int]) = {
+    val Right((w, h, px)) = TiffPixels.decodeGray(p)
+    (w, h, px.toSeq)
+  }
+
+  test("gray8 roundtrip, both byte orders, multi-strip, PackBits") {
+    val f = img(1)
+    val want = Array.tabulate(16, 18)((y, x) => f(x, y)).flatten.toSeq
+    for (le <- Seq(true, false); comp <- Seq(false, true);
+         rps <- Seq(Int.MaxValue, 5, 1)) {
+      val bytes = TiffBuild.build(18, 16, le = le, compressed = comp,
+        rowsPerStrip = rps)(f)
+      assert(decode(bytes) === ((18, 16, want)),
+        s"le=$le comp=$comp rps=$rps")
+    }
+  }
+
+  test("sub-byte gray (1/2/4 bits), 16-bit gray, WhiteIsZero inversion") {
+    // 1-bit: values 0/1 scale to 0/255
+    val bw = TiffBuild.build(18, 16, bits = 1)((x, y) => (x + y) % 2)
+    assert(decode(bw)._3 === Array.tabulate(16, 18)((y, x) =>
+      ((x + y) % 2) * 255).flatten.toSeq)
+    // 4-bit: v in 0..15 scales by 255/15 = 17
+    val f4 = (x: Int, y: Int) => img(2)(x, y) % 16
+    val g4 = TiffBuild.build(18, 16, bits = 4)(f4)
+    assert(decode(g4)._3 === Array.tabulate(16, 18)((y, x) =>
+      f4(x, y) * 17).flatten.toSeq)
+    // 2-bit under PackBits
+    val f2 = (x: Int, y: Int) => img(3)(x, y) % 4
+    val g2 = TiffBuild.build(18, 16, bits = 2, compressed = true)(f2)
+    assert(decode(g2)._3 === Array.tabulate(16, 18)((y, x) =>
+      f2(x, y) * 255 / 3).flatten.toSeq)
+    // 16-bit: builder stores v*65535/255, decoder scales back exactly
+    val f = img(4)
+    val g16 = TiffBuild.build(18, 16, bits = 16, le = false)(f)
+    assert(decode(g16)._3 === Array.tabulate(16, 18)((y, x) =>
+      f(x, y)).flatten.toSeq)
+    // photometric 0: builder inverts, decoder re-inverts -> identity
+    val w0 = TiffBuild.build(18, 16, photometric = 0)(f)
+    assert(decode(w0)._3 === Array.tabulate(16, 18)((y, x) =>
+      f(x, y)).flatten.toSeq)
+  }
+
+  test("RGB8 and palette photometrics map through the shared luma") {
+    val f = img(5)
+    // r=g=b=v -> luma v exactly (the BT.601 identity)
+    val rgb = TiffBuild.build(18, 16, photometric = 2)(f)
+    assert(decode(rgb)._3 === Array.tabulate(16, 18)((y, x) =>
+      f(x, y)).flatten.toSeq)
+    // 8-bit identity palette: i -> i*65535/255 = i*257, >>8 = i
+    val pal = TiffBuild.build(18, 16, photometric = 3)(f)
+    assert(decode(pal)._3 === Array.tabulate(16, 18)((y, x) =>
+      f(x, y)).flatten.toSeq)
+    // 4-bit palette under PackBits, big-endian
+    val f4 = (x: Int, y: Int) => img(6)(x, y) % 16
+    val pal4 = TiffBuild.build(18, 16, bits = 4, photometric = 3,
+      le = false, compressed = true)(f4)
+    val expect4 = Array.tabulate(16, 18) { (y, x) =>
+      (f4(x, y) * 65535 / 15) >> 8 }.flatten.toSeq
+    assert(decode(pal4)._3 === expect4)
+  }
+
+  test("cross-format parity: TIFF gray8 hashes identically to its BMP twin") {
+    val f = img(7)
+    val tiff = TiffBuild.build(18, 16)(f)
+    val bmp = ImageDedup.ImageBuild.bmp24Gray(18, 16)(f)
+    assert(ImageDedup.ImagePixels.dhashOf(tiff) ===
+      ImageDedup.ImagePixels.dhashOf(bmp))
+    assert(ImageDedup.ImagePixels.dhashOf(tiff).nonEmpty)
+    assert(ImageDedup.ImagePixels.decodeGrayReason(tiff).isRight)
+  }
+
+  test("ImageIO cross-validation: our TIFFs decode identically there; " +
+      "JDK-written TIFFs (gray + RGB) decode exactly here") {
+    val rnd = new scala.util.Random(0x71ff)
+    // ours -> ImageIO
+    for (le <- Seq(true, false); comp <- Seq(false, true)) {
+      val f = img(if (le) 8 else 9)
+      val bytes = TiffBuild.build(18, 16, le = le, compressed = comp,
+        rowsPerStrip = 7)(f)
+      val bi = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(bi != null, s"ImageIO rejected our TIFF le=$le comp=$comp")
+      val theirs = Array.tabulate(16, 18)((y, x) =>
+        bi.getRaster.getSample(x, y, 0)).flatten.toSeq
+      assert(theirs === Array.tabulate(16, 18)((y, x) =>
+        f(x, y)).flatten.toSeq)
+    }
+    // ImageIO -> ours
+    for (gray <- Seq(true, false)) {
+      val bi = new BufferedImage(20, 14,
+        if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 14; x <- 0 until 20) {
+        val v = rnd.nextInt(256)
+        if (gray) bi.getRaster.setSample(x, y, 0, v)
+        else bi.setRGB(x, y, (v << 16) | (v << 8) | v) // r=g=b
+      }
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(bi, "tiff", bos), "no tiff writer")
+      val theirs = bos.toByteArray
+      val Right((w, h, px)) = TiffPixels.decodeGray(theirs)
+      assert((w, h) === ((20, 14)))
+      val want = Array.tabulate(14, 20)((y, x) =>
+        bi.getRaster.getSample(x, y, 0)).flatten.toSeq
+      assert(px.toSeq === want, s"gray=$gray")
+    }
+  }
+
+  test("reason classes: LZW/planar/tiled/YCbCr unsupported; truncation " +
+      "and bad structure corrupt; huge dims oversized") {
+    val f = img(10)
+    val good = TiffBuild.build(18, 16)(f)
+    def patched(tag: Int, v: Int): Array[Byte] = {
+      // entries start at IFD+2; walk and patch the tag's value word
+      val c = good.clone
+      def u16(i: Int): Int = (c(i) & 0xff) | ((c(i + 1) & 0xff) << 8)
+      def u32(i: Int): Int = u16(i) | (u16(i + 2) << 16)
+      val ifd = u32(4)
+      val n = u16(ifd)
+      var e = 0
+      while (e < n) {
+        val off = ifd + 2 + e * 12
+        if (u16(off) == tag) {
+          c(off + 8) = (v & 0xff).toByte
+          c(off + 9) = ((v >> 8) & 0xff).toByte
+          return c
+        }
+        e += 1
+      }
+      fail(s"tag $tag not present to patch")
+    }
+    assert(TiffPixels.decodeGray(patched(259, 5)) === Left("unsupported")) // LZW
+    assert(TiffPixels.decodeGray(patched(262, 6)) === Left("unsupported")) // YCbCr
+    assert(TiffPixels.decodeGray(good.take(60)) === Left("corrupt"))
+    assert(TiffPixels.decodeGray(good.take(9)) === Left("corrupt"))
+    // dims past the pixel budget: refused before allocation
+    val huge = patched(256, 0x4000)
+    val huge2 = {
+      val c = huge.clone
+      def u16(i: Int): Int = (c(i) & 0xff) | ((c(i + 1) & 0xff) << 8)
+      def u32(i: Int): Int = u16(i) | (u16(i + 2) << 16)
+      val ifd = u32(4)
+      val n = u16(ifd)
+      var e = 0
+      while (e < n) {
+        val off = ifd + 2 + e * 12
+        if (u16(off) == 257) { c(off + 8) = 0; c(off + 9) = 0x40 }
+        e += 1
+      }
+      c
+    }
+    assert(TiffPixels.decodeGray(huge2) === Left("oversized"))
+  }
+
+  test("PackBits encoder round-trips arbitrary data through the decoder's " +
+      "expander (runs, literals, 128-boundaries)") {
+    val rnd = new scala.util.Random(0x9b17)
+    for (trial <- 1 to 20) {
+      val n = 1 + rnd.nextInt(700)
+      val data = new Array[Byte](n)
+      var i = 0
+      while (i < n) { // runs and literals mixed
+        if (rnd.nextBoolean()) {
+          val run = 1 + rnd.nextInt(200)
+          val b = rnd.nextInt(256).toByte
+          var k = 0
+          while (k < run && i < n) { data(i) = b; i += 1; k += 1 }
+        } else { data(i) = rnd.nextInt(256).toByte; i += 1 }
+      }
+      // drive through a real 1-row image of that byte width
+      val tiff = TiffBuild.build(n, 1, compressed = true)((x, _) =>
+        data(x) & 0xff)
+      val Right((_, _, px)) = TiffPixels.decodeGray(tiff)
+      assert(px.toSeq === data.map(_ & 0xff).toSeq, s"trial $trial n=$n")
+    }
+  }
+}
