@@ -12,10 +12,11 @@ package graft.operators
   *    RGB (2) at 8 bits per sample (extra samples — alpha — skipped),
   *    and palette-color (3) through the 16-bit-per-channel ColorMap;
   *  - chunky planar configuration, MSB-first fill order, strip
-  *    layout (any RowsPerStrip), Compression 1 (none) and 32773
-  *    (PackBits byte RLE).
-  * Out of scope — "unsupported", the external-codec seam: LZW (5),
-  * old/new JPEG (6/7), Deflate (8), CCITT fax codes, planar
+  *    layout (any RowsPerStrip), Compression 1 (none), 32773
+  *    (PackBits byte RLE), 5 (the TIFF LZW variant — MSB-first codes,
+  *    EARLY width change), and 8/32946 (Deflate zlib streams).
+  * Out of scope — "unsupported", the external-codec seam:
+  * old/new JPEG (6/7), CCITT fax codes, planar
   * configuration 2, YCbCr/CMYK/LogL photometrics, tiled layout
   * (TileWidth present), FillOrder 2, Predictor 2. Broken structure is
   * "corrupt"; dimension/pixel budgets past the policy caps (or a
@@ -119,7 +120,8 @@ object TiffPixels {
         w.toLong * h > p.length.toLong * MaxPixelsPerByte)
       return Oversized
     val compression = scalar(259, 1).toInt
-    if (compression != 1 && compression != 32773) return Unsupported
+    if (compression != 1 && compression != 32773 && compression != 5 &&
+        compression != 8 && compression != 32946) return Unsupported
     if (scalar(284, 1) != 1) return Unsupported // planar config 2
     if (scalar(266, 1) != 1) return Unsupported // FillOrder 2
     if (scalar(317, 1) != 1) return Unsupported // Predictor 2
@@ -169,6 +171,29 @@ object TiffPixels {
         if (compression == 1) {
           if (scount < need) return Corrupt
           java.util.Arrays.copyOfRange(p, soff.toInt, soff.toInt + need)
+        } else if (compression == 5) {
+          lzwDecode(p, soff.toInt, scount.toInt, need) match {
+            case null => return Corrupt
+            case b => b
+          }
+        } else if (compression == 8 || compression == 32946) {
+          // Deflate (official 8 / legacy 32946): one zlib stream/strip
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(p, soff.toInt, scount.toInt)
+          val outB = new Array[Byte](need)
+          try {
+            var o = 0
+            while (o < need && !inf.finished()) {
+              val n = inf.inflate(outB, o, need - o)
+              if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+                return Corrupt
+              o += n
+            }
+            if (o < need) return Corrupt
+            outB
+          } catch {
+            case _: java.util.zip.DataFormatException => return Corrupt
+          } finally inf.end()
         } else { // PackBits
           val outB = new Array[Byte](need)
           var i = soff.toInt
@@ -235,6 +260,83 @@ object TiffPixels {
     Right((w, h, out))
   }
 
+  /** TIFF-variant LZW decode (TIFF 6.0 §13): MSB-first code packing,
+    * Clear=256 / EOI=257, dictionary from 258, 9→12-bit codes with
+    * the EARLY width change (bump when the next entry to be added
+    * would be 2^width−1 — one code earlier than GIF's variant).
+    * Returns exactly `need` bytes or null on any structural error
+    * (bad code, overrun, missing data). The dictionary is the
+    * GIF-decoder chain representation: prefix pointer + first/last
+    * byte per entry, output written back-to-front per chain. */
+  private def lzwDecode(p: Array[Byte], off: Int, len: Int,
+      need: Int): Array[Byte] = {
+    if (len <= 0) return null
+    val out = new Array[Byte](need)
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096) // last byte of the entry
+    val first = new Array[Byte](4096) // first byte of the entry
+    val length = new Array[Int](4096)
+    var i = 0
+    while (i < 256) {
+      prefix(i) = -1; suffix(i) = i.toByte; first(i) = i.toByte
+      length(i) = 1; i += 1
+    }
+    var pos = off
+    val end = off + len
+    var acc = 0L
+    var cnt = 0
+    var width = 9
+    var next = 258
+    var prev = -1
+    var o = 0
+    def readCode(): Int = {
+      while (cnt < width) {
+        if (pos >= end) return -1
+        acc = (acc << 8) | (p(pos) & 0xffL)
+        pos += 1; cnt += 8
+      }
+      cnt -= width
+      ((acc >>> cnt) & ((1L << width) - 1L)).toInt
+    }
+    /** Write code's string; optionally append one byte after it. */
+    def emit(code: Int, extra: Int): Boolean = {
+      val n = length(code) + (if (extra >= 0) 1 else 0)
+      if (o + n > need) return false
+      if (extra >= 0) out(o + n - 1) = extra.toByte
+      var at = o + length(code) - 1
+      var c = code
+      while (c >= 0) { out(at) = suffix(c); at -= 1; c = prefix(c) }
+      o += n
+      true
+    }
+    while (o < need) {
+      val code = readCode()
+      if (code < 0 || code == 257) return null // truncation / early EOI
+      if (code == 256) { // Clear
+        width = 9; next = 258; prev = -1
+      } else if (prev < 0) {
+        if (code > 255) return null // first code after clear: literal
+        if (!emit(code, -1)) return null
+        prev = code
+      } else {
+        if (code > next) return null
+        if (code == next) { // KwKwK: string(prev) + first(prev)
+          if (!emit(prev, first(prev) & 0xff)) return null
+        } else if (!emit(code, -1)) return null
+        if (next < 4096) {
+          prefix(next) = prev
+          first(next) = first(prev)
+          suffix(next) = if (code == next) first(prev) else first(code)
+          length(next) = length(prev) + 1
+          next += 1
+        }
+        if (next == (1 << width) - 1 && width < 12) width += 1 // EARLY
+        prev = code
+      }
+    }
+    out
+  }
+
   /** Fixture-side builder: real baseline-TIFF bytes (header + pixel
     * strips + a sorted IFD), both byte orders, optional PackBits,
     * any RowsPerStrip — what [[decodeGray]] parses back. */
@@ -271,14 +373,82 @@ object TiffPixels {
       out.toByteArray
     }
 
+    /** TIFF-variant LZW encoder (greedy longest-match): MSB-first
+      * packing, leading Clear, EARLY width change mirroring
+      * [[TiffPixels.lzwDecode]], a mid-stream Clear before the
+      * dictionary can outgrow 12 bits, trailing EOI. */
+    private[operators] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L
+      var cnt = 0
+      var width = 9
+      def put(code: Int): Unit = {
+        acc = (acc << width) | code
+        cnt += width
+        while (cnt >= 8) {
+          cnt -= 8
+          out.write(((acc >>> cnt) & 0xff).toInt)
+        }
+      }
+      def flush(): Unit =
+        if (cnt > 0) { out.write(((acc << (8 - cnt)) & 0xff).toInt); cnt = 0 }
+      var map = new java.util.HashMap[Integer, Integer]()
+      var next = 258
+      put(256) // spec: streams begin with Clear
+      var prev = -1
+      var i = 0
+      while (i < data.length) {
+        val b = data(i) & 0xff
+        if (prev < 0) prev = b
+        else {
+          val key = Integer.valueOf((prev << 8) | b)
+          val hit = map.get(key)
+          if (hit != null) prev = hit.intValue()
+          else {
+            put(prev)
+            map.put(key, Integer.valueOf(next))
+            next += 1
+            // the encoder runs ONE entry ahead of the decoder (it adds
+            // while emitting; the decoder adds only from the second
+            // code on), so it bumps at 2^w where the decoder bumps at
+            // 2^w - 1 — the libtiff pairing for the TIFF early change
+            if (next == (1 << width) && width < 12) width += 1
+            if (next >= 4093) { // table nearly full: restart
+              put(256)
+              map = new java.util.HashMap[Integer, Integer]()
+              width = 9; next = 258
+            }
+            prev = b
+          }
+        }
+        i += 1
+      }
+      if (prev >= 0) put(prev)
+      put(257) // EOI
+      flush()
+      out.toByteArray
+    }
+
+    private def deflate(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+
     /** One image: `photometric` 0/1 gray (`bits` 1/2/4/8/16), 2 RGB8
       * (px returns gray; r=g=b), or 3 palette (`bits` ≤ 8, identity
-      * gray map). Pixels spread over ⌈h/rowsPerStrip⌉ strips. */
+      * gray map). Pixels spread over ⌈h/rowsPerStrip⌉ strips.
+      * `compression`: 1 none, 5 LZW, 8 Deflate, 32773 PackBits. */
     def build(w: Int, h: Int, bits: Int = 8, photometric: Int = 1,
-        le: Boolean = true, compressed: Boolean = false,
+        le: Boolean = true, compression: Int = 1,
         rowsPerStrip: Int = Int.MaxValue)(px: (Int, Int) => Int)
         : Array[Byte] = {
       require(w >= 1 && h >= 1)
+      require(Set(1, 5, 8, 32773)(compression), "unknown compression")
       val spp = if (photometric == 2) 3 else 1
       val rps = math.min(rowsPerStrip, h)
       val rowBytes = ((w.toLong * spp * bits + 7) / 8).toInt
@@ -313,7 +483,12 @@ object TiffPixels {
       }
       val strips = (0 until h).grouped(rps).map { ys =>
         val raw = ys.toArray.flatMap(rawRow)
-        if (compressed) packBits(raw) else raw
+        compression match {
+          case 5 => lzwEncode(raw)
+          case 8 => deflate(raw)
+          case 32773 => packBits(raw)
+          case _ => raw
+        }
       }.toArray
 
       val out = new java.io.ByteArrayOutputStream()
@@ -349,7 +524,7 @@ object TiffPixels {
       entries += E(258, 3, spp.toLong,
         if (spp == 1) Some(bits.toLong) else None,
         if (spp == 1) null else Array.fill(spp)(bits.toLong))
-      entries += E(259, 3, 1, Some(if (compressed) 32773L else 1L))
+      entries += E(259, 3, 1, Some(compression.toLong))
       entries += E(262, 3, 1, Some(photometric.toLong))
       entries += E(273, 4, strips.length.toLong,
         if (multiStrip) None else Some(stripOffs(0)),

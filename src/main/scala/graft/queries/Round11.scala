@@ -72,7 +72,7 @@ object Round11 {
     mean.unionByName(ordered).orderBy("form", "id_a", "id_b")
   }
 
-  /** q109: media quarantine-reason CENSUS — thirty-eight payload
+  /** q109: media quarantine-reason CENSUS — forty payload
     * variants per doc spanning every reason class of
     * [[Multimodal.contentReason]] ([[graft.functions.MediaReason]],
     * exercised through its whole-stage-codegen path), grouped to
@@ -115,10 +115,11 @@ object Round11 {
     * G.721 ADPCM (encoding 23) → "unsupported"; a 40-byte AIFF
     * prefix → "corrupt".
     *
-    * r11 TIFF rows ([[graft.operators.TiffPixels]]): plain gray8 and
-    * a PackBits big-endian variant → "ok"; the same IFD with
-    * Compression=5 (LZW) → "unsupported" (external-codec seam); a
-    * 40-byte prefix → "corrupt". */
+    * r11 TIFF rows ([[graft.operators.TiffPixels]]): plain gray8,
+    * PackBits big-endian, real LZW, and Deflate variants → "ok" (all
+    * four baseline compressions decode); the same IFD declaring YCbCr
+    * → "unsupported" (external-codec seam); a 40-byte prefix →
+    * "corrupt". */
   def q109MediaReasonCensus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
@@ -151,10 +152,9 @@ object Round11 {
         val avi = graft.operators.MotionJpeg.AviBuild.mjpeg(w, h, aviFrames)
         val tiff = graft.operators.TiffPixels.TiffBuild.build(w, h)(
           (x, y) => px(x, y))
-        // compression tag 5 (LZW): well-formed, outside the baseline
-        // scope. The builder writes Compression as the 7th sorted IFD
-        // entry's value word; patch it through the IFD walk.
-        val tiffLzw = {
+        // photometric 6 (YCbCr): well-formed, outside the baseline
+        // scope — patch tag 262's value word through the IFD walk
+        val tiffYcbcr = {
           val c = tiff.clone
           def u16(i: Int): Int = (c(i) & 0xff) | ((c(i + 1) & 0xff) << 8)
           def u32(i: Int): Int = u16(i) | (u16(i + 2) << 16)
@@ -163,7 +163,7 @@ object Round11 {
           var e = 0
           while (e < n) {
             val o = ifd + 2 + e * 12
-            if (u16(o) == 259) { c(o + 8) = 5; c(o + 9) = 0 }
+            if (u16(o) == 262) { c(o + 8) = 6; c(o + 9) = 0 }
             e += 1
           }
           c
@@ -245,13 +245,20 @@ object Round11 {
           (id + 33000000L, "wav_ms",
             AudioDedup.WavBuild.msAdpcmMono(Seq((2, 100, 50, -50,
               Array.tabulate(64)(i => (Round9.frameAmp(id, i) % 256).toByte))))),
-          // r11: baseline TIFF pixel path (q102's +6M container)
+          // r11: baseline TIFF pixel path (q102's +6M container) —
+          // all four in-scope compressions decode; YCbCr routes out
           (id + 34000000L, "tiff_gray", tiff),
           (id + 35000000L, "tiff_packbits",
             graft.operators.TiffPixels.TiffBuild.build(w, h,
-              le = false, compressed = true)((x, y) => px(x, y))),
-          (id + 36000000L, "tiff_lzw", tiffLzw),
-          (id + 37000000L, "tiff_trunc", tiff.take(40)))
+              le = false, compression = 32773)((x, y) => px(x, y))),
+          (id + 36000000L, "tiff_lzw",
+            graft.operators.TiffPixels.TiffBuild.build(w, h,
+              compression = 5)((x, y) => px(x, y))),
+          (id + 37000000L, "tiff_trunc", tiff.take(40)),
+          (id + 38000000L, "tiff_deflate",
+            graft.operators.TiffPixels.TiffBuild.build(w, h,
+              le = false, compression = 8)((x, y) => px(x, y))),
+          (id + 39000000L, "tiff_ycbcr", tiffYcbcr))
       }
       .toDF("media_id", "variant", "payload")
     media
@@ -419,7 +426,8 @@ object Round11 {
         |  ('wav_ima', 'ok'), ('aiff', 'ok'), ('aiff_trunc', 'corrupt'),
         |  ('au_ulaw', 'ok'), ('au_g721', 'unsupported'),
         |  ('wav_ms', 'ok'), ('tiff_gray', 'ok'), ('tiff_packbits', 'ok'),
-        |  ('tiff_lzw', 'unsupported'), ('tiff_trunc', 'corrupt'))
+        |  ('tiff_lzw', 'ok'), ('tiff_trunc', 'corrupt'),
+        |  ('tiff_deflate', 'ok'), ('tiff_ycbcr', 'unsupported'))
         |SELECT v.variant, v.reason, n.c AS cnt FROM v, n
         |ORDER BY variant, reason""".stripMargin,
     "q110_jpeg_neardup" ->

@@ -102,7 +102,7 @@ object Round9 {
           // the fourth still container joins the collision sextet
           Multimodal.MediaRecord(id + 6000000L, "image",
             graft.operators.TiffPixels.TiffBuild.build(imgW, imgH,
-              le = false, compressed = true, rowsPerStrip = 5)(px(1, 0))))
+              le = false, compression = 32773, rowsPerStrip = 5)(px(1, 0))))
       }
       .toDF("media_id", "kind", "payload")
     ImageDedup.nearDupPairs(media, "media_id", "payload",

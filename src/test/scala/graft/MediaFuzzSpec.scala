@@ -89,7 +89,8 @@ class MediaFuzzSpec extends SparkSuite {
     val tiff = graft.operators.TiffPixels.TiffBuild.build(18, 16,
       bits = Seq(1, 4, 8, 16)(rnd.nextInt(4)),
       photometric = rnd.nextInt(2), le = rnd.nextBoolean(),
-      compressed = rnd.nextBoolean(), rowsPerStrip = 1 + rnd.nextInt(16))(
+      compression = Seq(1, 5, 8, 32773)(rnd.nextInt(4)),
+      rowsPerStrip = 1 + rnd.nextInt(16))(
       (x, y) => img(y)(x) % 2) // in-range for every bit depth
     // r11 video surface: MJPEG-AVI (RIFF walk, per-frame JPEG decode,
     // DHT-less frames, dropped-frame repeats, rec grouping)

@@ -27,10 +27,10 @@ class TiffPixelsSpec extends AnyFunSuite {
   test("gray8 roundtrip, both byte orders, multi-strip, PackBits") {
     val f = img(1)
     val want = Array.tabulate(16, 18)((y, x) => f(x, y)).flatten.toSeq
-    for (le <- Seq(true, false); comp <- Seq(false, true);
+    for (le <- Seq(true, false); comp <- Seq(1, 32773);
          rps <- Seq(Int.MaxValue, 5, 1)) {
-      val bytes = TiffBuild.build(18, 16, le = le, compressed = comp,
-        rowsPerStrip = rps)(f)
+      val bytes = TiffBuild.build(18, 16, le = le,
+        compression = comp, rowsPerStrip = rps)(f)
       assert(decode(bytes) === ((18, 16, want)),
         s"le=$le comp=$comp rps=$rps")
     }
@@ -48,7 +48,7 @@ class TiffPixelsSpec extends AnyFunSuite {
       f4(x, y) * 17).flatten.toSeq)
     // 2-bit under PackBits
     val f2 = (x: Int, y: Int) => img(3)(x, y) % 4
-    val g2 = TiffBuild.build(18, 16, bits = 2, compressed = true)(f2)
+    val g2 = TiffBuild.build(18, 16, bits = 2, compression = 32773)(f2)
     assert(decode(g2)._3 === Array.tabulate(16, 18)((y, x) =>
       f2(x, y) * 255 / 3).flatten.toSeq)
     // 16-bit: builder stores v*65535/255, decoder scales back exactly
@@ -75,7 +75,7 @@ class TiffPixelsSpec extends AnyFunSuite {
     // 4-bit palette under PackBits, big-endian
     val f4 = (x: Int, y: Int) => img(6)(x, y) % 16
     val pal4 = TiffBuild.build(18, 16, bits = 4, photometric = 3,
-      le = false, compressed = true)(f4)
+      le = false, compression = 32773)(f4)
     val expect4 = Array.tabulate(16, 18) { (y, x) =>
       (f4(x, y) * 65535 / 15) >> 8 }.flatten.toSeq
     assert(decode(pal4)._3 === expect4)
@@ -95,10 +95,10 @@ class TiffPixelsSpec extends AnyFunSuite {
       "JDK-written TIFFs (gray + RGB) decode exactly here") {
     val rnd = new scala.util.Random(0x71ff)
     // ours -> ImageIO
-    for (le <- Seq(true, false); comp <- Seq(false, true)) {
+    for (le <- Seq(true, false); comp <- Seq(1, 32773)) {
       val f = img(if (le) 8 else 9)
-      val bytes = TiffBuild.build(18, 16, le = le, compressed = comp,
-        rowsPerStrip = 7)(f)
+      val bytes = TiffBuild.build(18, 16, le = le,
+        compression = comp, rowsPerStrip = 7)(f)
       val bi = ImageIO.read(new ByteArrayInputStream(bytes))
       assert(bi != null, s"ImageIO rejected our TIFF le=$le comp=$comp")
       val theirs = Array.tabulate(16, 18)((y, x) =>
@@ -149,7 +149,7 @@ class TiffPixelsSpec extends AnyFunSuite {
       }
       fail(s"tag $tag not present to patch")
     }
-    assert(TiffPixels.decodeGray(patched(259, 5)) === Left("unsupported")) // LZW
+    assert(TiffPixels.decodeGray(patched(259, 6)) === Left("unsupported")) // old JPEG
     assert(TiffPixels.decodeGray(patched(262, 6)) === Left("unsupported")) // YCbCr
     assert(TiffPixels.decodeGray(good.take(60)) === Left("corrupt"))
     assert(TiffPixels.decodeGray(good.take(9)) === Left("corrupt"))
@@ -172,6 +172,85 @@ class TiffPixelsSpec extends AnyFunSuite {
     assert(TiffPixels.decodeGray(huge2) === Left("oversized"))
   }
 
+  test("LZW and Deflate roundtrips across depths, endianness, strips") {
+    for (comp <- Seq(5, 8); le <- Seq(true, false);
+         (bits, mod) <- Seq((8, 256), (4, 16), (16, 256));
+         rps <- Seq(Int.MaxValue, 3)) {
+      val f = (x: Int, y: Int) => img(11)(x, y) % mod
+      val bytes = TiffBuild.build(18, 16, bits = bits, le = le,
+        compression = comp, rowsPerStrip = rps)(f)
+      val Right((w, h, px)) = TiffPixels.decodeGray(bytes)
+      assert((w, h) === ((18, 16)))
+      val want = Array.tabulate(16, 18) { (y, x) =>
+        val v = f(x, y)
+        if (bits == 16) (v * 65535 / 255) * 255 / 65535
+        else v * 255 / ((1 << bits) - 1)
+      }.flatten.toSeq
+      assert(px.toSeq === want, s"comp=$comp le=$le bits=$bits rps=$rps")
+    }
+  }
+
+  test("LZW: KwKwK patterns and a dictionary-full mid-stream restart " +
+      "round-trip exactly") {
+    // aaa... prefixes force KwKwK immediately
+    val kwk = TiffBuild.build(64, 1, compression = 5)((x, _) =>
+      if (x < 40) 7 else x % 256)
+    assert(decode(kwk)._3 === (0 until 64).map(x =>
+      if (x < 40) 7 else x % 256))
+    // a long high-entropy row drives the table past the restart point
+    val rnd = new scala.util.Random(0x12f7)
+    val data = Array.fill(12000)(rnd.nextInt(256))
+    val long = TiffBuild.build(12000, 1, compression = 5)((x, _) => data(x))
+    assert(decode(long)._3 === data.toSeq)
+  }
+
+  test("ImageIO LZW/Deflate-written TIFFs decode exactly here; ours " +
+      "decode identically there") {
+    import javax.imageio.ImageWriteParam
+    val rnd = new scala.util.Random(0x12f8)
+    // 80×60 random pixels: the LZW table crosses the 9->10 and 10->11
+    // bit boundaries, so an encoder/decoder width-rule mismatch (the
+    // libtiff one-entry asymmetry) cannot hide behind small fixtures
+    for (ctype <- Seq("LZW", "ZLib")) {
+      val bi = new BufferedImage(80, 60, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 60; x <- 0 until 80)
+        bi.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionType(ctype)
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      ios.close(); writer.dispose()
+      val theirs = bos.toByteArray
+      val Right((w, h, px)) = TiffPixels.decodeGray(theirs)
+      assert((w, h) === ((80, 60)), ctype)
+      val want = Array.tabulate(60, 80)((y, x) =>
+        bi.getRaster.getSample(x, y, 0)).flatten.toSeq
+      assert(px.toSeq === want, ctype)
+    }
+    // ours -> ImageIO, both new compressions, boundary-crossing size
+    for (comp <- Seq(5, 8)) {
+      val f = img(12)
+      val data = Array.fill(80 * 60)(rnd.nextInt(256))
+      val bytes = TiffBuild.build(80, 60, compression = comp)(
+        (x, y) => data(y * 80 + x))
+      val bi = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(bi != null, s"ImageIO rejected our comp=$comp TIFF")
+      assert(Array.tabulate(60, 80)((y, x) =>
+        bi.getRaster.getSample(x, y, 0)).flatten.toSeq ===
+        data.toSeq)
+      val small = TiffBuild.build(18, 16, compression = comp,
+        rowsPerStrip = 6)(f)
+      val bi2 = ImageIO.read(new ByteArrayInputStream(small))
+      assert(Array.tabulate(16, 18)((y, x) =>
+        bi2.getRaster.getSample(x, y, 0)).flatten.toSeq ===
+        Array.tabulate(16, 18)((y, x) => f(x, y)).flatten.toSeq)
+    }
+  }
+
   test("PackBits encoder round-trips arbitrary data through the decoder's " +
       "expander (runs, literals, 128-boundaries)") {
     val rnd = new scala.util.Random(0x9b17)
@@ -188,7 +267,7 @@ class TiffPixelsSpec extends AnyFunSuite {
         } else { data(i) = rnd.nextInt(256).toByte; i += 1 }
       }
       // drive through a real 1-row image of that byte width
-      val tiff = TiffBuild.build(n, 1, compressed = true)((x, _) =>
+      val tiff = TiffBuild.build(n, 1, compression = 32773)((x, _) =>
         data(x) & 0xff)
       val Right((_, _, px)) = TiffPixels.decodeGray(tiff)
       assert(px.toSeq === data.map(_ & 0xff).toSeq, s"trial $trial n=$n")
