@@ -116,12 +116,17 @@ object TiffPixels {
     val w = scalar(256, 0).toInt
     val h = scalar(257, 0).toInt
     if (w < 1 || h < 1) return Corrupt
-    if (w.toLong * h > MaxPixels ||
-        w.toLong * h > p.length.toLong * MaxPixelsPerByte)
-      return Oversized
+    if (w.toLong * h > MaxPixels) return Oversized
     val compression = scalar(259, 1).toInt
     if (compression != 1 && compression != 32773 && compression != 5 &&
         compression != 8 && compression != 32946) return Unsupported
+    // the per-payload-byte pixel bound holds only for the codecs with
+    // bounded expansion (none: 8 px/byte at 1 bit; PackBits: ×64 on
+    // top) — LZW/Deflate legitimately expand further and are bounded
+    // by MaxPixels alone (≤ 64 MB of luma ints, refused above)
+    if ((compression == 1 || compression == 32773) &&
+        w.toLong * h > p.length.toLong * MaxPixelsPerByte)
+      return Oversized
     if (scalar(284, 1) != 1) return Unsupported // planar config 2
     if (scalar(266, 1) != 1) return Unsupported // FillOrder 2
     if (scalar(317, 1) != 1) return Unsupported // Predictor 2
@@ -132,10 +137,17 @@ object TiffPixels {
     if (bitsArr.isEmpty || bitsArr.exists(_ != bitsArr(0))) return Unsupported
     val bits = bitsArr(0).toInt
     val usable = photometric match {
-      case 0 | 1 => samplesPerPixel >= 1 &&
-        (bits == 1 || bits == 2 || bits == 4 || bits == 8 || bits == 16)
+      // gray (+ extra samples, e.g. alpha — skipped via the sample
+      // stride below); sub-byte packing only for single-sample pixels
+      case 0 | 1 => (bits == 8 || bits == 16 ||
+        (samplesPerPixel == 1 &&
+          (bits == 1 || bits == 2 || bits == 4)))
       case 2 => samplesPerPixel >= 3 && bits == 8
-      case 3 => samplesPerPixel == 1 && bits >= 1 && bits <= 8
+      // palette: baseline depths only — the sub-byte extractor reads
+      // power-of-two-aligned fields (a 3/5/6/7-bit index would
+      // straddle bytes)
+      case 3 => samplesPerPixel == 1 &&
+        (bits == 1 || bits == 2 || bits == 4 || bits == 8)
       case _ => return Unsupported // YCbCr, CMYK, LogL…
     }
     if (!usable) return Unsupported
@@ -226,14 +238,16 @@ object TiffPixels {
               val o = rb + x * samplesPerPixel
               luma(raw(o) & 0xff, raw(o + 1) & 0xff, raw(o + 2) & 0xff)
             case _ =>
-              val bitPos = x.toLong * bits
+              // first sample of the pixel is the gray/index channel;
+              // extra samples (alpha) ride behind it at the spp stride
               val sample =
                 if (bits == 16) {
-                  val o = rb + x * 2
+                  val o = rb + x * samplesPerPixel * 2
                   val b0 = raw(o) & 0xff; val b1 = raw(o + 1) & 0xff
                   if (le) b0 | (b1 << 8) else (b0 << 8) | b1
-                } else if (bits == 8) raw(rb + x) & 0xff
-                else { // sub-byte, MSB-first packing
+                } else if (bits == 8) raw(rb + x * samplesPerPixel) & 0xff
+                else { // sub-byte, MSB-first packing (spp == 1 here)
+                  val bitPos = x.toLong * bits
                   val byte = raw(rb + (bitPos >> 3).toInt) & 0xff
                   (byte >> (8 - bits - (bitPos & 7)).toInt) & maxV
                 }
@@ -243,9 +257,7 @@ object TiffPixels {
                   (colorMap(n + sample) >> 8).toInt,
                   (colorMap(2 * n + sample) >> 8).toInt)
               } else {
-                val scaled =
-                  if (bits == 16) sample * 255 / 65535
-                  else sample * 255 / maxV
+                val scaled = sample * 255 / maxV
                 if (photometric == 0) 255 - scaled else scaled
               }
           }
@@ -463,7 +475,9 @@ object TiffPixels {
               row(x * 3) = v.toByte; row(x * 3 + 1) = v.toByte
               row(x * 3 + 2) = v.toByte
             case _ if bits == 16 =>
-              val v16 = v * 65535 / 255
+              // WhiteIsZero inverts here too (review regression: the
+              // 8-bit/sub-byte branches inverted, this one did not)
+              val v16 = (if (photometric == 0) 255 - v else v) * 65535 / 255
               if (le) { row(x * 2) = (v16 & 0xff).toByte
                 row(x * 2 + 1) = ((v16 >> 8) & 0xff).toByte }
               else { row(x * 2) = ((v16 >> 8) & 0xff).toByte
@@ -501,15 +515,23 @@ object TiffPixels {
       // header
       out.write(if (le) 'I' else 'M'); out.write(if (le) 'I' else 'M')
       w16(42)
-      // layout: header(8) | strip data | [colormap] | IFD
+      // layout: header(8) | strip data | [colormap] | IFD — each strip
+      // padded to even length so every offset lands on the word
+      // boundary TIFF 6.0 requires (strict libtiff-lineage readers
+      // reject odd IFD/value offsets)
       var at = 8L
-      val stripOffs = strips.map { s => val o = at; at += s.length; o }
+      val stripOffs = strips.map { s =>
+        val o = at; at += s.length + (s.length & 1); o
+      }
       val mapOff = at
       val mapWords = if (photometric == 3) 3 * (1 << bits) else 0
       at += 2L * mapWords
       val ifdOff = at
       w32(ifdOff)
-      strips.foreach(out.write)
+      strips.foreach { s =>
+        out.write(s)
+        if ((s.length & 1) == 1) out.write(0)
+      }
       if (photometric == 3) {
         // identity gray palette: index i -> (i·65535/maxV) each channel
         for (_ <- 0 until 3; i <- 0 to maxV) w16(i * 65535 / maxV)

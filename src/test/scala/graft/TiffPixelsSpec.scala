@@ -172,6 +172,51 @@ class TiffPixelsSpec extends AnyFunSuite {
     assert(TiffPixels.decodeGray(huge2) === Left("oversized"))
   }
 
+  test("review regressions: gray-with-alpha stride, odd palette depth, " +
+      "16-bit WhiteIsZero, LZW/Deflate exempt from the per-byte bound") {
+    val f = img(13)
+    // an RGB image re-tagged photometric=1 becomes gray+2-extra-samples;
+    // the first-channel stride must be honored (r=g=b=v, so gray = v)
+    val rgb = TiffBuild.build(18, 16, photometric = 2)(f)
+    val grayAlpha = patchTag(rgb, 262, 1)
+    assert(TiffPixels.decodeGray(grayAlpha).map(_._3.toSeq) ===
+      Right(Array.tabulate(16, 18)((y, x) => f(x, y)).flatten.toSeq))
+    // palette at a non-power-of-two depth: fields would straddle bytes
+    val pal = TiffBuild.build(18, 16, photometric = 3)(f)
+    assert(TiffPixels.decodeGray(patchTag(pal, 258, 3)) ===
+      Left("unsupported"))
+    // 16-bit WhiteIsZero roundtrips to identity (builder now inverts)
+    val w16 = TiffBuild.build(18, 16, bits = 16, photometric = 0)(f)
+    assert(decode(w16)._3 === Array.tabulate(16, 18)((y, x) =>
+      f(x, y)).flatten.toSeq)
+    // a constant 2048x2048 Deflate image compresses to ~4KB: far past
+    // the 512-px/byte RLE bound, but legitimate for zlib — must decode
+    val big = TiffBuild.build(2048, 2048, compression = 8)((_, _) => 77)
+    assert(big.length * 512L < 2048L * 2048, "fixture must beat the bound")
+    val Right((bw, bh, bpx)) = TiffPixels.decodeGray(big)
+    assert((bw, bh) === ((2048, 2048)))
+    assert(bpx.forall(_ == 77))
+  }
+
+  private def patchTag(bytes: Array[Byte], tag: Int, v: Int): Array[Byte] = {
+    val c = bytes.clone
+    def u16(i: Int): Int = (c(i) & 0xff) | ((c(i + 1) & 0xff) << 8)
+    def u32(i: Int): Int = u16(i) | (u16(i + 2) << 16)
+    val ifd = u32(4)
+    val n = u16(ifd)
+    var e = 0
+    while (e < n) {
+      val off = ifd + 2 + e * 12
+      if (u16(off) == tag) {
+        c(off + 8) = (v & 0xff).toByte
+        c(off + 9) = ((v >> 8) & 0xff).toByte
+        return c
+      }
+      e += 1
+    }
+    fail(s"tag $tag not present to patch")
+  }
+
   test("LZW and Deflate roundtrips across depths, endianness, strips") {
     for (comp <- Seq(5, 8); le <- Seq(true, false);
          (bits, mod) <- Seq((8, 256), (4, 16), (16, 256));
