@@ -162,10 +162,11 @@ object ScaleBench {
     "q100_rewritten_distinct",
     // q101 is a per-key bitmask aggregate + a global sum of N counters.
     "q101_retention_conditions",
-    // r9: q102 plants 3 BMPs + 1 opaque payload per doc from doc_id
-    // (copy offsets < 1M keep the +1M/+2M/+3M populations disjoint and
-    // per-copy patterns independent), so images, band rows and the
-    // in-trio pair set all scale linearly; only (id, sig) rows shuffle.
+    // r9: q102 plants 7 payloads per doc from doc_id — 3 BMPs, 2 PNGs,
+    // a PackBits TIFF (r11), and 1 opaque (copy offsets < 1M keep the
+    // derived populations disjoint and per-copy patterns independent),
+    // so images, band rows and the in-group pair set all scale
+    // linearly; only (id, sig) rows shuffle.
     "q102_image_neardup",
     // q103 is five bounded-state aggregates on ONE user-hash exchange
     // (the q91 shape): per-user gathers bounded by that user's history.
