@@ -18,12 +18,16 @@ import graft.functions.ColumnBridge
   * (colorType, bitDepth) combination, non-interlaced and Adam7, all
   * five scanline filters, zlib via the JDK-bundled
   * `java.util.zip.Inflater` (r9 directive #3 + the r10 #7 completion)
-  * — AND baseline-JFIF JPEG via the from-scratch luma-only
-  * [[JpegPixels]] (r10 directive #8): SOF0/SOF1, grayscale and YCbCr,
-  * any sampling, restart intervals. All three paths stay pure JVM
-  * with no codec dependency. Progressive JPEG / WEBP / TIFF et al.
-  * probe their headers in [[Multimodal.MediaDecoder]] but have no
-  * pixel path; a real deployment drops TwelveMonkeys/JavaCV into
+  * — AND baseline+progressive JPEG via the from-scratch luma-only
+  * [[JpegPixels]] (r10 directive #8, widened r11): SOF0/SOF1/SOF2,
+  * grayscale and YCbCr, any sampling, restart intervals, spectral
+  * selection + successive approximation — AND baseline TIFF via
+  * [[TiffPixels]] (r11, widened r12): none/PackBits/LZW/Deflate
+  * compression, both byte orders and fill orders, Predictor 2,
+  * gray/RGB/palette photometrics. All four paths stay pure JVM
+  * with no codec dependency. WEBP et al. probe their headers in
+  * [[Multimodal.MediaDecoder]] but have no pixel path; a real
+  * deployment drops TwelveMonkeys/JavaCV into
   * [[ImagePixels.decodeGray]] without touching anything downstream —
   * the hash, banding, and join shapes are payload-format-agnostic.
   *

@@ -191,10 +191,11 @@ object Multimodal {
       *    valid file — retry on a bigger-budget path;
       *  - "unsupported": valid feature outside the decoder's scope
       *    (12-bit/lossless/arithmetic/CMYK JPEG per [[JpegPixels]];
-      *    LZW/JPEG-compressed or tiled TIFF per
-      *    [[graft.operators.TiffPixels]] — the baseline TIFF profile
-      *    decodes since r11; WEBP, which has a header probe but no
-      *    pixel path here) — route to an external-codec stage;
+      *    JPEG-compressed/CCITT, tiled, or YCbCr TIFF per
+      *    [[graft.operators.TiffPixels]] — the baseline profile plus
+      *    LZW/Deflate, Predictor 2 and FillOrder 2 decode; WEBP,
+      *    which has a header probe but no pixel path here) — route
+      *    to an external-codec stage;
       *  - "opaque": no recognized container magic at all.
       * Exposed as the codegen expression
       * [[graft.functions.MediaReason]] and gated by q109's census. */

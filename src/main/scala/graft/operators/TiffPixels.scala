@@ -11,17 +11,27 @@ package graft.operators
   *    0 = WhiteIsZero inverted, 1 = BlackIsZero) at 1/2/4/8/16 bits,
   *    RGB (2) at 8 bits per sample (extra samples — alpha — skipped),
   *    and palette-color (3) through the 16-bit-per-channel ColorMap;
-  *  - chunky planar configuration, MSB-first fill order, strip
-  *    layout (any RowsPerStrip), Compression 1 (none), 32773
-  *    (PackBits byte RLE), 5 (the TIFF LZW variant — MSB-first codes,
-  *    EARLY width change), and 8/32946 (Deflate zlib streams).
+  *  - chunky planar configuration, strip layout (any RowsPerStrip),
+  *    Compression 1 (none), 32773 (PackBits byte RLE), 5 (the TIFF
+  *    LZW variant — MSB-first codes, EARLY width change), and
+  *    8/32946 (Deflate zlib streams);
+  *  - both FillOrders (2 = LSB-first: the raw strip bytes are
+  *    bit-reversed before decompression, libtiff's convention);
+  *  - Predictor 2 (horizontal differencing, TIFF 6.0 §14 — the shape
+  *    real encoders emit WITH LZW/Deflate by default) at 8/16 bits:
+  *    per-row, per-channel delta accumulation after decompression.
   * Out of scope — "unsupported", the external-codec seam:
   * old/new JPEG (6/7), CCITT fax codes, planar
   * configuration 2, YCbCr/CMYK/LogL photometrics, tiled layout
-  * (TileWidth present), FillOrder 2, Predictor 2. Broken structure is
-  * "corrupt"; dimension/pixel budgets past the policy caps (or a
-  * pixel count no PackBits stream this size could carry) are
-  * "oversized", refused BEFORE the luma plane allocates.
+  * (TileWidth present), Predictor 3 (floating-point differencing),
+  * Predictor 2 at sub-byte depths. Broken structure is
+  * "corrupt"; dimension/pixel budgets past the policy caps (a
+  * pixel count no PackBits stream this size could carry, or total
+  * decoded strip bytes past the 64 MB `MaxDecodedBytes` — the r11
+  * ADVICE close: LZW/Deflate are exempt from the per-payload-byte
+  * pixel bound, so without the byte cap a few-KB payload claiming 8
+  * 16-bit samples/px at the pixel cap could force ~268 MB of strip
+  * allocations) are "oversized", refused BEFORE anything allocates.
   *
   * Luma mapping is shared with the other paths: gray samples scale
   * to 0..255 by v·255/(2^bits−1); RGB and palette go through the
@@ -36,6 +46,25 @@ object TiffPixels {
     * 1-bit rows pack 8 px/byte, so 512 px per payload byte bounds any
     * decodable image; a header claiming more is refused pre-alloc. */
   private final val MaxPixelsPerByte = 512
+  /** Cap on TOTAL decoded strip bytes (rowBytes × h), matching the
+    * 64 MB luma-plane budget: every in-scope shape at the pixel cap
+    * still decodes (gray16+alpha and RGBA8 land exactly ON the
+    * boundary — the check is strict; RGB8 is 48 MB) while the
+    * pathological spp=8 × 16-bit header (~268 MB) that the
+    * unbounded-expansion codecs (LZW/Deflate) could otherwise be
+    * made to allocate from a few-KB payload is refused. */
+  private final val MaxDecodedBytes = 1L << 26
+
+  /** Bit-reversal table for FillOrder 2 (LSB-first byte packing). */
+  private val RevByte: Array[Byte] =
+    Array.tabulate(256)(i => (Integer.reverse(i) >>> 24).toByte)
+
+  private def reverseBits(p: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    var i = 0
+    while (i < len) { out(i) = RevByte(p(off + i) & 0xff); i += 1 }
+    out
+  }
 
   def hasMagic(p: Array[Byte]): Boolean =
     p.length >= 8 &&
@@ -128,8 +157,10 @@ object TiffPixels {
         w.toLong * h > p.length.toLong * MaxPixelsPerByte)
       return Oversized
     if (scalar(284, 1) != 1) return Unsupported // planar config 2
-    if (scalar(266, 1) != 1) return Unsupported // FillOrder 2
-    if (scalar(317, 1) != 1) return Unsupported // Predictor 2
+    val fillOrder = scalar(266, 1).toInt
+    if (fillOrder != 1 && fillOrder != 2) return Corrupt // 1/2 only per spec
+    val predictor = scalar(317, 1).toInt
+    if (predictor != 1 && predictor != 2) return Unsupported // 3 = float diff
     val photometric = scalar(262, 1).toInt
     val samplesPerPixel = scalar(277, 1).toInt
     if (samplesPerPixel < 1 || samplesPerPixel > 8) return Corrupt
@@ -151,6 +182,9 @@ object TiffPixels {
       case _ => return Unsupported // YCbCr, CMYK, LogL…
     }
     if (!usable) return Unsupported
+    // horizontal differencing at sub-byte depths would accumulate
+    // across bit-packed fields — real encoders never emit it
+    if (predictor == 2 && bits != 8 && bits != 16) return Unsupported
     val colorMap: Array[Long] =
       if (photometric == 3) values(320).getOrElse(return Corrupt)
       else null
@@ -168,6 +202,7 @@ object TiffPixels {
 
     val rowBytes = (w.toLong * samplesPerPixel * bits + 7) / 8
     if (rowBytes > Int.MaxValue / math.max(1, rowsPerStrip)) return Oversized
+    if (rowBytes * h > MaxDecodedBytes) return Oversized
     val out = new Array[Int](w * h)
     def luma(r: Int, g: Int, b: Int): Int = (77 * r + 150 * g + 29 * b) >> 8
     val maxV = (1 << bits) - 1
@@ -179,19 +214,26 @@ object TiffPixels {
       val soff = stripOffsets(strip)
       val scount = stripCounts(strip)
       if (soff < 0 || scount < 0 || soff + scount > p.length) return Corrupt
+      // FillOrder 2: the STORED bytes (compressed or not) carry the
+      // logical bit stream LSB-first — recover MSB-first by reversing
+      // each byte before any codec sees it (libtiff reverses the raw
+      // strip the same way)
+      val (src, srcOff) =
+        if (fillOrder == 1) (p, soff.toInt)
+        else (reverseBits(p, soff.toInt, scount.toInt), 0)
       val raw: Array[Byte] =
         if (compression == 1) {
           if (scount < need) return Corrupt
-          java.util.Arrays.copyOfRange(p, soff.toInt, soff.toInt + need)
+          java.util.Arrays.copyOfRange(src, srcOff, srcOff + need)
         } else if (compression == 5) {
-          lzwDecode(p, soff.toInt, scount.toInt, need) match {
+          lzwDecode(src, srcOff, scount.toInt, need) match {
             case null => return Corrupt
             case b => b
           }
         } else if (compression == 8 || compression == 32946) {
           // Deflate (official 8 / legacy 32946): one zlib stream/strip
           val inf = new java.util.zip.Inflater()
-          inf.setInput(p, soff.toInt, scount.toInt)
+          inf.setInput(src, srcOff, scount.toInt)
           val outB = new Array[Byte](need)
           try {
             var o = 0
@@ -208,26 +250,28 @@ object TiffPixels {
           } finally inf.end()
         } else { // PackBits
           val outB = new Array[Byte](need)
-          var i = soff.toInt
-          val end = (soff + scount).toInt
+          var i = srcOff
+          val end = srcOff + scount.toInt
           var o = 0
           while (o < need) {
             if (i >= end) return Corrupt
-            val n = p(i); i += 1
+            val n = src(i); i += 1
             if (n >= 0) { // n+1 literal bytes
               val cnt = n + 1
               if (i + cnt > end || o + cnt > need) return Corrupt
-              System.arraycopy(p, i, outB, o, cnt)
+              System.arraycopy(src, i, outB, o, cnt)
               i += cnt; o += cnt
             } else if (n != -128) { // repeat next byte 1-n times
               val cnt = 1 - n
               if (i >= end || o + cnt > need) return Corrupt
-              java.util.Arrays.fill(outB, o, o + cnt, p(i))
+              java.util.Arrays.fill(outB, o, o + cnt, src(i))
               i += 1; o += cnt
             } // -128: noop
           }
           outB
         }
+      if (predictor == 2)
+        undiff(raw, rows, rowBytes.toInt, samplesPerPixel, bits, le)
       var r = 0
       while (r < rows) {
         val rb = (r.toLong * rowBytes).toInt
@@ -349,6 +393,42 @@ object TiffPixels {
     out
   }
 
+  /** Predictor-2 accumulation (TIFF 6.0 §14), in place: each sample
+    * adds its left neighbour of the SAME channel (stride = samples per
+    * pixel), per row, modulo the sample width. 16-bit samples add as
+    * 16-bit ints in the file's byte order — byte-wise adds would drop
+    * the carry between the two halves. */
+  private def undiff(raw: Array[Byte], rows: Int, rowBytes: Int,
+      spp: Int, bits: Int, le: Boolean): Unit = {
+    var r = 0
+    while (r < rows) {
+      val o = r * rowBytes
+      if (bits == 8) {
+        var i = spp
+        while (i < rowBytes) {
+          raw(o + i) = (raw(o + i) + raw(o + i - spp)).toByte
+          i += 1
+        }
+      } else { // 16-bit
+        val stride = spp * 2
+        var i = stride
+        while (i + 1 < rowBytes) {
+          def rd(at: Int): Int = {
+            val b0 = raw(o + at) & 0xff; val b1 = raw(o + at + 1) & 0xff
+            if (le) b0 | (b1 << 8) else (b0 << 8) | b1
+          }
+          val v = (rd(i) + rd(i - stride)) & 0xffff
+          if (le) { raw(o + i) = (v & 0xff).toByte
+            raw(o + i + 1) = ((v >> 8) & 0xff).toByte }
+          else { raw(o + i) = ((v >> 8) & 0xff).toByte
+            raw(o + i + 1) = (v & 0xff).toByte }
+          i += 2
+        }
+      }
+      r += 1
+    }
+  }
+
   /** Fixture-side builder: real baseline-TIFF bytes (header + pixel
     * strips + a sorted IFD), both byte orders, optional PackBits,
     * any RowsPerStrip — what [[decodeGray]] parses back. */
@@ -454,13 +534,21 @@ object TiffPixels {
     /** One image: `photometric` 0/1 gray (`bits` 1/2/4/8/16), 2 RGB8
       * (px returns gray; r=g=b), or 3 palette (`bits` ≤ 8, identity
       * gray map). Pixels spread over ⌈h/rowsPerStrip⌉ strips.
-      * `compression`: 1 none, 5 LZW, 8 Deflate, 32773 PackBits. */
+      * `compression`: 1 none, 5 LZW, 8 Deflate, 32773 PackBits.
+      * `predictor` 2 = horizontal differencing before compression
+      * (8/16-bit only); `fillOrder` 2 = every stored byte
+      * bit-reversed after compression. */
     def build(w: Int, h: Int, bits: Int = 8, photometric: Int = 1,
         le: Boolean = true, compression: Int = 1,
-        rowsPerStrip: Int = Int.MaxValue)(px: (Int, Int) => Int)
+        rowsPerStrip: Int = Int.MaxValue, predictor: Int = 1,
+        fillOrder: Int = 1)(px: (Int, Int) => Int)
         : Array[Byte] = {
       require(w >= 1 && h >= 1)
       require(Set(1, 5, 8, 32773)(compression), "unknown compression")
+      require(predictor == 1 || predictor == 2, "predictor 1/2 only")
+      require(predictor == 1 || bits == 8 || bits == 16,
+        "predictor 2 needs 8/16-bit samples")
+      require(fillOrder == 1 || fillOrder == 2, "fillOrder 1/2 only")
       val spp = if (photometric == 2) 3 else 1
       val rps = math.min(rowsPerStrip, h)
       val rowBytes = ((w.toLong * spp * bits + 7) / 8).toInt
@@ -495,14 +583,48 @@ object TiffPixels {
         }
         row
       }
+      // forward differencing: the exact inverse of the decoder's
+      // undiff — per row, per channel, right-to-left so each
+      // subtraction sees the ORIGINAL left neighbour
+      def diffRows(raw: Array[Byte], rows: Int): Unit = {
+        var r = 0
+        while (r < rows) {
+          val o = r * rowBytes
+          if (bits == 8) {
+            var i = rowBytes - 1
+            while (i >= spp) {
+              raw(o + i) = (raw(o + i) - raw(o + i - spp)).toByte
+              i -= 1
+            }
+          } else { // 16-bit
+            val stride = spp * 2
+            var i = rowBytes - 2
+            while (i >= stride) {
+              def rd(at: Int): Int = {
+                val b0 = raw(o + at) & 0xff; val b1 = raw(o + at + 1) & 0xff
+                if (le) b0 | (b1 << 8) else (b0 << 8) | b1
+              }
+              val v = (rd(i) - rd(i - stride)) & 0xffff
+              if (le) { raw(o + i) = (v & 0xff).toByte
+                raw(o + i + 1) = ((v >> 8) & 0xff).toByte }
+              else { raw(o + i) = ((v >> 8) & 0xff).toByte
+                raw(o + i + 1) = (v & 0xff).toByte }
+              i -= 2
+            }
+          }
+          r += 1
+        }
+      }
       val strips = (0 until h).grouped(rps).map { ys =>
         val raw = ys.toArray.flatMap(rawRow)
-        compression match {
+        if (predictor == 2) diffRows(raw, ys.length)
+        val comp = compression match {
           case 5 => lzwEncode(raw)
           case 8 => deflate(raw)
           case 32773 => packBits(raw)
           case _ => raw
         }
+        if (fillOrder == 2) reverseBits(comp, 0, comp.length) else comp
       }.toArray
 
       val out = new java.io.ByteArrayOutputStream()
@@ -548,6 +670,8 @@ object TiffPixels {
         if (spp == 1) null else Array.fill(spp)(bits.toLong))
       entries += E(259, 3, 1, Some(compression.toLong))
       entries += E(262, 3, 1, Some(photometric.toLong))
+      if (fillOrder != 1) entries += E(266, 3, 1, Some(fillOrder.toLong))
+      if (predictor != 1) entries += E(317, 3, 1, Some(predictor.toLong))
       entries += E(273, 4, strips.length.toLong,
         if (multiStrip) None else Some(stripOffs(0)),
         if (multiStrip) stripOffs else null)

@@ -4,8 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AudioDedup, ImageDedup, JpegBuild, Multimodal,
-  VideoDedup}
+import graft.operators.{ImageDedup, JpegBuild, Multimodal, VideoDedup}
 
 /** Round-11 queries: the gates for the round-10 surface that shipped
   * ungated (r10 judge directive #1) — order-sensitive video near-dup
@@ -72,194 +71,25 @@ object Round11 {
     mean.unionByName(ordered).orderBy("form", "id_a", "id_b")
   }
 
-  /** q109: media quarantine-reason CENSUS — forty payload
-    * variants per doc spanning every reason class of
+  /** q109: media quarantine-reason CENSUS — every payload variant of
+    * [[MediaCensusFixtures]] per doc, spanning every reason class of
     * [[Multimodal.contentReason]] ([[graft.functions.MediaReason]],
     * exercised through its whole-stage-codegen path), grouped to
-    * (variant, reason, cnt). The oracle is arithmetic: each variant
-    * maps to exactly ONE reason with cnt = count(documents) — any
-    * variant that decodes to a different reason (or splits across
-    * reasons) produces a row the oracle does not have.
-    *
-    * Variants: good BMP / gray-8 PNG / palette-Adam7 PNG / gray-16
-    * PNG / GIF / WAV / baseline JPEG / PROGRESSIVE JPEG (r11:
-    * [[graft.operators.JpegPixels]] decodes both JPEG modes now) →
-    * "ok"; an 8-bpp BMP header, an IEEE-float WAV (well-formed, out
-    * of decode scope), and a 12-bit-precision JPEG (the remaining
-    * external-codec seam) → "unsupported"; a truncated BMP and the
-    * scan-less SOI+SOF0+EOI header twin (a broken FILE even though
-    * every marker parses — reclassified from "unsupported" when the
-    * pixel path landed) → "corrupt"; a PNG claiming 8192×8192 on a
-    * tiny body → "oversized" (refused pre-allocation); magic-free
-    * bytes → "opaque"; a NULL payload → "missing" (the r10 ADVICE NPE
-    * class, now a first-class census row).
-    *
-    * r11 WAV-scope rows (the widened [[AudioDedup.WavPcm]] decode):
-    * 8-bit PCM, 64-bit IEEE float, G.711 µ-law and a-law,
-    * WAVE_FORMAT_EXTENSIBLE-wrapping-PCM16, and real 4-bit IMA ADPCM
-    * → "ok"; an ADPCM tag on a 16-bit fmt and an extensible SubFormat
-    * whose GUID is not the fixed media subtype →
-    * "unsupported" (well-formed, outside the pure-JVM scope);
-    * the extensible tag on a 16-byte fmt chunk → "corrupt" (the
-    * mandatory SubFormat field cannot exist). The pre-r11 'wav_float'
-    * row (format 3 at 16 bits) stays "unsupported" — the float scope
-    * is 32/64-bit only.
-    *
-    * r11 MJPEG-AVI rows ([[graft.operators.MotionJpeg]]): a one-frame
-    * MJPEG AVI and its DHT-less standard-table twin → "ok"; the same
-    * container declaring an xvid codec → "unsupported" (route to the
-    * external-codec path); the MJPEG file cut in half → "corrupt".
-    *
-    * r11 AIFF/AU rows ([[AudioDedup.AiffPcm]]/[[AudioDedup.AuPcm]]):
-    * big-endian AIFF PCM16 and a µ-law .au → "ok"; a .au declaring
-    * G.721 ADPCM (encoding 23) → "unsupported"; a 40-byte AIFF
-    * prefix → "corrupt".
-    *
-    * r11 TIFF rows ([[graft.operators.TiffPixels]]): plain gray8,
-    * PackBits big-endian, real LZW, and Deflate variants → "ok" (all
-    * four baseline compressions decode); the same IFD declaring YCbCr
-    * → "unsupported" (external-codec seam); a 40-byte prefix →
-    * "corrupt". */
+    * (variant, reason, cnt). The oracle is arithmetic and RENDERED
+    * FROM THE SAME TABLE as the plant
+    * ([[MediaCensusFixtures.Expected]]): each variant maps to exactly
+    * ONE reason with cnt = count(documents) — any variant that decodes
+    * to a different reason (or splits across reasons) produces a row
+    * the oracle does not have. The per-variant rationale (which
+    * features are in scope, which route "unsupported" vs "corrupt")
+    * lives with the fixtures; r12 adds the predictor-2 LZW/Deflate and
+    * FillOrder-2 TIFF rows the r11 decoder routed out. */
   def q109MediaReasonCensus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
     val media = docs.select(col("doc_id"))
       .as[Long]
-      .flatMap { id0 =>
-        val id = Round9.guardMediaId(id0)
-        def px(x: Int, y: Int): Int =
-          Round9.cellValue(id, (y / 2) * 9 + x / 2)
-        val w = Round9.imgW; val h = Round9.imgH
-        val bmp = ImageDedup.ImageBuild.bmp24Gray(w, h)(px)
-        val pcm16Samples = Array.tabulate(520)(i => Round9.frameAmp(id, i / 8))
-        val wav = AudioDedup.WavBuild.pcm16(pcm16Samples)
-        val bmpRle = bmp.clone; bmpRle(28) = 8 // 8-bpp: valid, o-o-scope
-        // format 3 + bits 16: a "float" width the r11 scope does NOT
-        // cover (32/64 only) — stays "unsupported", oracle unchanged
-        val wavFloat = wav.clone; wavFloat(20) = 3
-        // ADPCM tag on a 16-bit fmt: recognized codec, wrong width
-        // (real 4-bit IMA ADPCM decodes since r11 — the wav_ima row)
-        val wavAdpcm = wav.clone; wavAdpcm(20) = 17
-        // extensible tag on a 16-byte fmt: structurally broken
-        val wavExtShort = wav.clone
-        wavExtShort(20) = 0xfe.toByte; wavExtShort(21) = 0xff.toByte
-        val wavExt = AudioDedup.WavBuild.extensiblePcm16(
-          pcm16Samples, channels = 2, channelMask = 3)
-        // extensible with a non-media SubFormat GUID tail: valid, o-o-scope
-        val wavExtGuid = wavExt.clone; wavExtGuid(50) = 0x11
-        val g711Codes = pcm16Samples.map(s => (s % 128).toByte)
-        val aviFrames = Seq(JpegBuild.gray(w, h)((x, y) => px(x, y)))
-        val avi = graft.operators.MotionJpeg.AviBuild.mjpeg(w, h, aviFrames)
-        val tiff = graft.operators.TiffPixels.TiffBuild.build(w, h)(
-          (x, y) => px(x, y))
-        // photometric 6 (YCbCr): well-formed, outside the baseline
-        // scope — patch tag 262's value word through the IFD walk
-        val tiffYcbcr = {
-          val c = tiff.clone
-          def u16(i: Int): Int = (c(i) & 0xff) | ((c(i + 1) & 0xff) << 8)
-          def u32(i: Int): Int = u16(i) | (u16(i + 2) << 16)
-          val ifd = u32(4)
-          val n = u16(ifd)
-          var e = 0
-          while (e < n) {
-            val o = ifd + 2 + e * 12
-            if (u16(o) == 262) { c(o + 8) = 6; c(o + 9) = 0 }
-            e += 1
-          }
-          c
-        }
-        val pngHuge = ImageDedup.ImageBuild.pngGray(1, 1)((_, _) => 0)
-        // IHDR dims at 16/20 (BE): claim 8192x8192 > the 2^24 pixel cap
-        pngHuge(17) = 0; pngHuge(18) = 0x20; pngHuge(19) = 0
-        pngHuge(21) = 0; pngHuge(22) = 0x20; pngHuge(23) = 0
-        Seq[(Long, String, Array[Byte])](
-          (id, "bmp", bmp),
-          (id + 1000000L, "png_gray8",
-            ImageDedup.ImageBuild.pngGray(w, h)(px)),
-          (id + 2000000L, "png_palette_adam7",
-            ImageDedup.ImageBuild.pngGray(w, h, colorType = 3, depth = 4,
-              interlace = true)((x, y) => px(x, y) % 16)),
-          (id + 3000000L, "png_gray16",
-            ImageDedup.ImageBuild.pngGray(w, h, depth = 16)(px)),
-          (id + 4000000L, "gif",
-            VideoDedup.GifBuild.animatedGray(w, h, Seq(px _))),
-          (id + 5000000L, "wav", wav),
-          (id + 6000000L, "bmp_8bpp", bmpRle),
-          (id + 7000000L, "wav_float", wavFloat),
-          (id + 8000000L, "jpeg_hdr",
-            Multimodal.MediaBuild.jpeg(w, h)),
-          (id + 9000000L, "bmp_trunc", bmp.take(40)),
-          (id + 10000000L, "png_huge", pngHuge),
-          (id + 11000000L, "no_magic",
-            Array[Byte](0x01, 0x7f, 0x03, 0x00, 0x42, 0x42)),
-          (id + 12000000L, "missing", null),
-          (id + 13000000L, "jpeg_base",
-            JpegBuild.gray(w, h)((x, y) => px(x, y))),
-          (id + 14000000L, "jpeg_prog",
-            JpegBuild.grayProgressive(w, h)((x, y) => px(x, y))),
-          (id + 15000000L, "jpeg_12bit", JpegBuild.precision12Twin(
-            JpegBuild.gray(w, h)((x, y) => px(x, y)))),
-          // r11 WAV-scope census rows (q104's widened decode)
-          (id + 16000000L, "wav_pcm8",
-            AudioDedup.WavBuild.pcm(
-              Array.tabulate(520)(i => Round9.frameAmp(id, i / 8) % 256),
-              bits = 8)),
-          (id + 17000000L, "wav_f64",
-            AudioDedup.WavBuild.float64(
-              pcm16Samples.map(_ / 32768.0))),
-          (id + 18000000L, "wav_ulaw",
-            AudioDedup.WavBuild.g711(g711Codes, alaw = false)),
-          (id + 19000000L, "wav_alaw",
-            AudioDedup.WavBuild.g711(g711Codes, alaw = true)),
-          (id + 20000000L, "wav_ext", wavExt),
-          (id + 21000000L, "wav_adpcm", wavAdpcm),
-          (id + 22000000L, "wav_ext_guid", wavExtGuid),
-          (id + 23000000L, "wav_ext_short", wavExtShort),
-          // r11 MJPEG-AVI census rows (q111's container)
-          (id + 24000000L, "avi_mjpeg", avi),
-          (id + 25000000L, "avi_nodht",
-            graft.operators.MotionJpeg.AviBuild.mjpeg(w, h, Seq(
-              JpegBuild.gray(w, h, standardTables = true,
-                writeDht = false)((x, y) => px(x, y))))),
-          (id + 26000000L, "avi_xvid",
-            graft.operators.MotionJpeg.AviBuild.mjpeg(w, h,
-              aviFrames, handler = "xvid")),
-          (id + 27000000L, "avi_trunc", avi.take(avi.length / 2)),
-          // r11: real IMA ADPCM decodes now; 'wav_adpcm' above keeps
-          // pinning the 16-bit-tagged twin as unsupported
-          (id + 28000000L, "wav_ima",
-            AudioDedup.WavBuild.imaAdpcmMono(Seq((100, 30,
-              Array.tabulate(64)(i => (Round9.frameAmp(id, i) % 256).toByte))))),
-          // r11: the other two audio containers (AIFF big-endian, Sun
-          // .au) — q104's +12M/+13M cross-container twins
-          (id + 29000000L, "aiff",
-            AudioDedup.AiffBuild.pcm16(pcm16Samples)),
-          (id + 30000000L, "aiff_trunc",
-            AudioDedup.AiffBuild.pcm16(pcm16Samples).take(40)),
-          (id + 31000000L, "au_ulaw",
-            AudioDedup.AuBuild.build(1, g711Codes.map(c =>
-              (~(c & 0x7f)).toByte))),
-          (id + 32000000L, "au_g721",
-            AudioDedup.AuBuild.build(23, g711Codes)),
-          // r11: MS-ADPCM (format 2) decodes too
-          (id + 33000000L, "wav_ms",
-            AudioDedup.WavBuild.msAdpcmMono(Seq((2, 100, 50, -50,
-              Array.tabulate(64)(i => (Round9.frameAmp(id, i) % 256).toByte))))),
-          // r11: baseline TIFF pixel path (q102's +6M container) —
-          // all four in-scope compressions decode; YCbCr routes out
-          (id + 34000000L, "tiff_gray", tiff),
-          (id + 35000000L, "tiff_packbits",
-            graft.operators.TiffPixels.TiffBuild.build(w, h,
-              le = false, compression = 32773)((x, y) => px(x, y))),
-          (id + 36000000L, "tiff_lzw",
-            graft.operators.TiffPixels.TiffBuild.build(w, h,
-              compression = 5)((x, y) => px(x, y))),
-          (id + 37000000L, "tiff_trunc", tiff.take(40)),
-          (id + 38000000L, "tiff_deflate",
-            graft.operators.TiffPixels.TiffBuild.build(w, h,
-              le = false, compression = 8)((x, y) => px(x, y))),
-          (id + 39000000L, "tiff_ycbcr", tiffYcbcr))
-      }
+      .flatMap(id0 => MediaCensusFixtures.variants(Round9.guardMediaId(id0)))
       .toDF("media_id", "variant", "payload")
     media
       .select(col("variant"),
@@ -406,30 +236,7 @@ object Round11 {
         |UNION ALL
         |SELECT id, id + 2000000, 'ordered', CAST(1 AS DOUBLE) FROM t
         |ORDER BY form, id_a, id_b""".stripMargin,
-    "q109_media_reason_census" ->
-      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
-        |v(variant, reason) AS (VALUES
-        |  ('bmp', 'ok'), ('bmp_8bpp', 'unsupported'),
-        |  ('bmp_trunc', 'corrupt'), ('gif', 'ok'),
-        |  ('jpeg_12bit', 'unsupported'), ('jpeg_base', 'ok'),
-        |  ('jpeg_hdr', 'corrupt'), ('jpeg_prog', 'ok'),
-        |  ('missing', 'missing'), ('no_magic', 'opaque'),
-        |  ('png_gray16', 'ok'), ('png_gray8', 'ok'),
-        |  ('png_huge', 'oversized'), ('png_palette_adam7', 'ok'),
-        |  ('wav', 'ok'), ('wav_float', 'unsupported'),
-        |  ('wav_pcm8', 'ok'), ('wav_f64', 'ok'),
-        |  ('wav_ulaw', 'ok'), ('wav_alaw', 'ok'),
-        |  ('wav_ext', 'ok'), ('wav_adpcm', 'unsupported'),
-        |  ('wav_ext_guid', 'unsupported'), ('wav_ext_short', 'corrupt'),
-        |  ('avi_mjpeg', 'ok'), ('avi_nodht', 'ok'),
-        |  ('avi_xvid', 'unsupported'), ('avi_trunc', 'corrupt'),
-        |  ('wav_ima', 'ok'), ('aiff', 'ok'), ('aiff_trunc', 'corrupt'),
-        |  ('au_ulaw', 'ok'), ('au_g721', 'unsupported'),
-        |  ('wav_ms', 'ok'), ('tiff_gray', 'ok'), ('tiff_packbits', 'ok'),
-        |  ('tiff_lzw', 'ok'), ('tiff_trunc', 'corrupt'),
-        |  ('tiff_deflate', 'ok'), ('tiff_ycbcr', 'unsupported'))
-        |SELECT v.variant, v.reason, n.c AS cnt FROM v, n
-        |ORDER BY variant, reason""".stripMargin,
+    "q109_media_reason_census" -> MediaCensusFixtures.oracleSql,
     "q110_jpeg_neardup" ->
       """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
         |m(a_k, b_k) AS (VALUES (0, 1000000), (0, 2000000),

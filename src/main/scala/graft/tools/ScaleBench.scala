@@ -187,7 +187,7 @@ object ScaleBench {
     // the gram-blocked ordered join (decode pinned by localCheckpoint,
     // only (id, ng, g) longs shuffle); gram-match volume is in-trio
     // only (cross-copy ids never share planted frame patterns), so
-    // candidates scale linearly. q109 is a pure map + a 28×reason
+    // candidates scale linearly. q109 is a pure map + a per-variant
     // groupBy — constant-width aggregate, rows ×10. q110 is q102's
     // shape with the JPEG Huffman+IDCT decode as the map-side CPU.
     "q108_video_ordered", "q109_media_reason_census",

@@ -92,6 +92,15 @@ class MediaFuzzSpec extends SparkSuite {
       compression = Seq(1, 5, 8, 32773)(rnd.nextInt(4)),
       rowsPerStrip = 1 + rnd.nextInt(16))(
       (x, y) => img(y)(x) % 2) // in-range for every bit depth
+    // r12: predictor-2 + FillOrder-2 shapes (8/16-bit only — the
+    // builder refuses sub-byte differencing like the decoder does)
+    val tiffP2 = graft.operators.TiffPixels.TiffBuild.build(18, 16,
+      bits = Seq(8, 16)(rnd.nextInt(2)),
+      le = rnd.nextBoolean(),
+      compression = Seq(1, 5, 8, 32773)(rnd.nextInt(4)),
+      rowsPerStrip = 1 + rnd.nextInt(16),
+      predictor = 2, fillOrder = 1 + rnd.nextInt(2))(
+      (x, y) => img(y)(x))
     // r11 video surface: MJPEG-AVI (RIFF walk, per-frame JPEG decode,
     // DHT-less frames, dropped-frame repeats, rec grouping)
     val avi = graft.operators.MotionJpeg.AviBuild.mjpeg(18, 16, Seq(
@@ -102,7 +111,7 @@ class MediaFuzzSpec extends SparkSuite {
       recWrap = rnd.nextBoolean())
     Seq(bmp, wav, gif, png, pngPal, pngAdam, deltaGif, jpg, jpgRst,
       jpgProg, wavF32, wavP24, wavUlaw, wavExt, wavIma, wavMs, avi,
-      aiff, au, tiff)
+      aiff, au, tiff, tiffP2)
   }
 
   test("pure random garbage never throws (1000 payloads)") {

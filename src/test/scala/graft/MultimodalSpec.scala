@@ -248,4 +248,23 @@ class MultimodalSpec extends SparkSuite {
     assert(e.eval(null).toString === "missing")
     assert(!e.nullable)
   }
+
+  test("MediaCensusFixtures: every variant decodes to its Expected " +
+      "reason (the q109 gate, pinned without Spark)") {
+    import graft.queries.MediaCensusFixtures
+    val expected = MediaCensusFixtures.Expected.toMap
+    assert(MediaCensusFixtures.Expected.map(_._1).distinct.size ===
+      MediaCensusFixtures.Expected.size, "duplicate variant name")
+    for (id <- Seq(0L, 17L, 999999L)) {
+      val vs = MediaCensusFixtures.variants(id)
+      assert(vs.map(_._2).toSet === expected.keySet)
+      assert(vs.map(_._1).distinct.size === vs.size, "media_id collision")
+      vs.foreach { case (_, variant, p) =>
+        val reason =
+          if (p == null) "missing"
+          else Multimodal.MediaDecoder.contentReason(p)
+        assert(reason === expected(variant), variant)
+      }
+    }
+  }
 }
