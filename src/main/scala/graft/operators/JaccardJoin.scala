@@ -104,7 +104,9 @@ object JaccardJoin {
     val cands = buckets
       .groupBy(col("__bucket"))
       .agg(collect_list(struct(col("__id"), col("__n"))).as("__members"))
-      .filter(size(col("__members")) > 1)
+      // the > 1 filter doubles as the hot-bucket probe (SkewWarn)
+      .filter(SkewTools.monitoredSize(size(col("__members")),
+        "JaccardJoin.nearDupPairs") > 1)
       // lazy Generator: pair expansion + length filter stream per bucket
       .select(pairs.as(Seq("id_a", "id_b")))
       .distinct()

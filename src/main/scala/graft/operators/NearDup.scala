@@ -75,7 +75,9 @@ object MinHashLsh {
     buckets
       .groupBy(col("__band"), col("__bucket"))
       .agg(collect_list(col("__id")).as("__ids"))
-      .filter(size(col("__ids")) > 1)
+      // the > 1 filter doubles as the hot-bucket probe (SkewWarn)
+      .filter(SkewTools.monitoredSize(size(col("__ids")),
+        "MinHashLsh.candidatePairs") > 1)
       // SortedPairs is a lazy Generator: selected directly (no explode),
       // a mega-bucket's pair set streams instead of materializing
       .select(pairs.as(Seq("id_a", "id_b")))

@@ -47,4 +47,15 @@ object SkewTools {
       explode(sequence(lit(0L), lit(nSalts - 1L))))
     l.join(r, Seq(keyCol, "__salt"), joinType).drop("__salt")
   }
+
+  /** Wrap a bucket-size column with the hot-bucket warning
+    * ([[graft.functions.WarnHotBucket]] → [[graft.functions.SkewWarn]]):
+    * value passes through unchanged; a population at or past
+    * `SkewWarn.threshold` logs a named skew warning from the task that
+    * owns the bucket. Used by every collect-shaped blocking self-join
+    * (HammingBand / MinHashLsh / JaccardJoin) on the size their `> 1`
+    * filter already evaluates — zero extra cost. */
+  def monitoredSize(size: Column, tag: String): Column =
+    graft.functions.ColumnBridge.col(graft.functions.WarnHotBucket(
+      graft.functions.ColumnBridge.expr(size), tag))
 }

@@ -632,6 +632,12 @@ object VideoDedup {
         explode(col("__gs")).as("g"))
       .localCheckpoint() // pin: decode once, not once per join side
       // (MATERIALIZES — see the scaladoc contract above)
+    // hot-bucket census BEFORE the gram join: this path's buckets are
+    // join-implicit (never collected as arrays), so the probe is a
+    // driver-side top-N count over the ALREADY-PINNED (id, ng, gram)
+    // longs — one cheap job on checkpointed data, no decode re-run
+    graft.functions.SkewWarn.logTopBuckets(sets, "g",
+      "VideoDedup.orderedNearDupPairs")
     val a = sets.select(col("id").as("id_a"), col("ng").as("na"), col("g"))
     val b = sets.select(col("id").as("id_b"), col("ng").as("nb"), col("g"))
     a.join(b, Seq("g"))

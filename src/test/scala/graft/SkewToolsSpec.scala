@@ -62,4 +62,110 @@ class SkewToolsSpec extends SparkSuite {
       assert(e.getMessage.contains("inner/left"), s"wrong error for $jt")
     }
   }
+
+  // ---- hot-bucket diagnostic (r11 directive #3) ----
+
+  import graft.functions.SkewWarn
+
+  /** Capture warnings, run `body`, restore the log sink + threshold. */
+  private def capturing(threshold: Long)(body: => Unit)
+      : Seq[(String, Long)] = {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val oldSink = SkewWarn.sink
+    val oldThr = SkewWarn.threshold
+    SkewWarn.reset()
+    SkewWarn.sink = (tag, size, _) => { got.add((tag, size)); () }
+    SkewWarn.threshold = threshold
+    try body
+    finally { SkewWarn.sink = oldSink; SkewWarn.threshold = oldThr
+      SkewWarn.reset() }
+    import scala.jdk.CollectionConverters._
+    got.asScala.toSeq
+  }
+
+  test("hot-bucket warning fires on a planted mega-clique in every " +
+      "blocking path and names the operator") {
+    import spark.implicits._
+    // 300 identical docs: every MinHash band bucket and every Jaccard
+    // prefix bucket is one 300-member clique
+    val clique = (1L to 300L).map(i =>
+      (i, "the same duplicated boilerplate sentence appears everywhere"))
+      .toDF("doc_id", "text")
+    val minhash = capturing(200) {
+      graft.operators.MinHashLsh
+        .nearDupPairs(clique, "doc_id", "text").count()
+      ()
+    }
+    assert(minhash.nonEmpty)
+    assert(minhash.forall(w =>
+      w._1 == "MinHashLsh.candidatePairs" && w._2 == 300L))
+    val jaccard = capturing(200) {
+      graft.operators.JaccardJoin
+        .nearDupPairs(clique, "doc_id", "text").count()
+      ()
+    }
+    assert(jaccard.nonEmpty)
+    assert(jaccard.forall(w =>
+      w._1 == "JaccardJoin.nearDupPairs" && w._2 == 300L))
+    // 300 identical signatures through the Hamming-band path
+    val sigs = (1L to 300L).map(i => (i, 0x5a5a5a5a5a5a5a5aL))
+      .toDF("id", "sig")
+    val hamming = capturing(200) {
+      graft.operators.HammingBand
+        .pairs(sigs, "id", col("sig"), maxHamming = 3, bands = 4).count()
+      ()
+    }
+    assert(hamming.nonEmpty)
+    assert(hamming.forall(w =>
+      w._1 == "HammingBand.pairs" && w._2 == 300L))
+  }
+
+  test("hot-bucket warning stays silent on non-skewed populations") {
+    import spark.implicits._
+    // every word doc-unique, so no two docs share a single shingle
+    val docs = (1L to 300L).map(i =>
+      (i, (1 to 8).map(k => s"w${i}v$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = capturing(200) {
+      graft.operators.MinHashLsh.nearDupPairs(docs, "doc_id", "text").count()
+      graft.operators.JaccardJoin.nearDupPairs(docs, "doc_id", "text").count()
+      ()
+    }
+    assert(got.isEmpty)
+  }
+
+  test("WarnHotBucket passes values through unchanged (codegen + " +
+      "interpreted) and rate-limits to ascending maxima") {
+    import spark.implicits._
+    val got = capturing(10) {
+      // codegen path: values must survive the wrap bit-for-bit
+      val out = (1L to 20L).toDF("n")
+        .select(SkewTools.monitoredSize(col("n"), "t1").as("n"))
+        .as[Long].collect().sorted
+      assert(out === (1L to 20L).toArray)
+    }
+    // ascending scan 10..20 past threshold 10: each is a new max
+    assert(got.map(_._2) === (10L to 20L))
+    // interpreted path
+    val e = graft.functions.WarnHotBucket(
+      org.apache.spark.sql.catalyst.expressions.Literal(7), "t2")
+    val got2 = capturing(5) { assert(e.eval(null) === 7) }
+    assert(got2 === Seq(("t2", 7L)))
+  }
+
+  test("logTopBuckets surfaces the top-N hot keys, silent below " +
+      "threshold") {
+    import spark.implicits._
+    val rows = (Seq.fill(50)("hot") ++ Seq.fill(30)("warm") ++
+      (1 to 40).map(i => s"k$i")).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "g")
+    val got = capturing(25) {
+      SkewWarn.logTopBuckets(rows, "g", "grams")
+    }
+    assert(got.toSet === Set(("grams", 50L), ("grams", 30L)))
+    val silent = capturing(100) {
+      SkewWarn.logTopBuckets(rows, "g", "grams")
+    }
+    assert(silent.isEmpty)
+  }
 }
