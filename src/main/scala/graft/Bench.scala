@@ -270,6 +270,16 @@ object Bench {
     System.err.println(
       f"[bench] stream intake: $STREAM_ROWS rows in $streamSec%.2f s = ${STREAM_ROWS / streamSec}%.0f rows/s")
     val canaryEnd = canaryOnce()
+    // Per-format single-core decode throughput (r11 judge finding #1 /
+    // directive #2): the media-gate query rows (q108-q111) are
+    // PLANT-ENCODE dominated — the fixture encodes cost more than the
+    // decoders under test — so a decoder regression would be invisible
+    // in the query timings. This block is the tracked number that moves
+    // instead. Single-threaded by design: per-core rate × cluster cores
+    // is the scan budget at 100 TB.
+    val decodeRates = graft.tools.MediaDecodeBench.measure()
+    decodeRates.foreach(r => System.err.println(
+      f"[bench] decode ${r.name}%-16s ${r.mpPerSec}%8.1f MP/s  ${r.mbPerSec}%8.1f MB/s"))
     def canaryJson(c: (Double, Double)): String =
       s"""{"scan_agg":${c._1},"shuffle_agg":${c._2}}"""
     val canaries = s""""canaries":{"start":${canaryJson(canaryStart)},""" +
@@ -299,7 +309,10 @@ object Bench {
       "rows-per-trigger by StatefulDedup.statePartitionsFor), " +
       "parquet sink + checkpoint in the timed region; canaries: fixed " +
       "lineitem scan-agg + shuffle-agg timed at run start/mid/end for " +
-      "host-band normalization (never change across rounds)"
+      "host-band normalization (never change across rounds); decode_mps: " +
+      "single-core MediaDecodeBench decode rates in megapixels/s " +
+      "(mega-samples/s for wav), side=256 reps=200 - tracked because the " +
+      "media-gate query rows are plant-encode-bound (PLANS.md r12)"
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window (BENCH_r05/r06 shipped parsed:null when
     // the full-name, full-precision line outgrew it). The stdout line
@@ -316,9 +329,21 @@ object Bench {
       "ingest_2m_parquet_write" -> "ingest_pq",
       "ingest_200k_jdbc_derby" -> "ingest_jdbc",
       "stream_intake_500k" -> "stream")
+    // 2-decimal seconds in the SHORT line only (ranking precision; the
+    // full-precision numbers are in BENCH_FULL) — the r12 dmps block
+    // must fit the same 2000-char stdout window
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val shortQs = results.map { case (k, v) =>
-      "\"" + shortKey.getOrElse(k, k.takeWhile(_ != '_')) + "\":" + f3(v)
+      "\"" + shortKey.getOrElse(k, k.takeWhile(_ != '_')) + "\":" + f2(v)
     }.mkString("{", ",", "}")
+    val decodeShort = decodeRates.map(r =>
+      "\"" + r.name + "\":" + String.format(java.util.Locale.ROOT, "%.1f",
+        Double.box(r.mpPerSec))).mkString("{", ",", "}")
+    val decodeFull = decodeRates.map(r =>
+      "\"" + r.name + "\":{\"mp_s\":" + r.mpPerSec + ",\"mb_s\":" +
+        r.mbPerSec + ",\"dec_s\":" + r.decPerSec + ",\"bytes\":" +
+        r.bytes + "}").mkString("{", ",", "}")
     val rates =
       s""""ingest_rows_per_sec":${(INGEST_ROWS / ingestSec).toLong},""" +
         s""""ingest_parquet_rows_per_sec":${(INGEST_ROWS / ingestPqSec).toLong},""" +
@@ -339,13 +364,13 @@ object Bench {
     java.nio.file.Files.writeString(
       fullPath,
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
-        s""""passes":$fullPasses,$canaries,""" +
+        s""""passes":$fullPasses,$canaries,"decode_mps":$decodeFull,""" +
         s"""$rates,"protocol":"$protocol","sf":"$sfDir"}""")
     System.err.println(s"[bench] full-precision record written to $fullPath")
     System.out.println(
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-        s""""queries":$shortQs,$rates,""" +
-        s""""protocol":"short keys = qNN prefix of SparkEntry.queries names; full-precision record in repo BENCH_FULL.json","sf":"$sfDir"}""")
+        s""""queries":$shortQs,"decode_mps":$decodeShort,$rates,""" +
+        s""""protocol":"qNN short keys; decode_mps=MP/s 1 core; full record in BENCH_FULL.json","sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

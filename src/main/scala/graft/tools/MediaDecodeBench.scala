@@ -1,21 +1,37 @@
 package graft.tools
 
-import graft.operators.{AudioDedup, ImageDedup, JpegBuild, VideoDedup}
+import graft.operators.{AudioDedup, ImageDedup, JpegBuild, MotionJpeg,
+  TiffPixels, VideoDedup}
 import graft.operators.ImageDedup.{ImageBuild, ImagePixels}
 
 /** Single-thread decode-throughput probe for the media family — the
   * map-side CPU that dominates the content near-dup queries at crawl
   * scale (the shuffles move only (id, 8-byte sig) rows, so per-core
-  * decode rate IS the scaling constant). Run with larger images than
-  * the oracle plants to measure the decoders, not the dispatch:
+  * decode rate IS the scaling constant). Runs with larger images than
+  * the oracle plants to measure the decoders, not the dispatch.
+  *
+  * r11 judge finding #1: the q108–q111 BENCH rows are PLANT-ENCODE
+  * dominated (building 15 JPEG fixtures per doc inside the gate costs
+  * more than the operator under test), so a decoder regression was
+  * invisible in any tracked artifact. [[measure]] is therefore called
+  * by [[graft.Bench]] every round and lands in BENCH_FULL.json as the
+  * `decode_mps` block — a decoder slowdown now moves a tracked number.
   *
   *   java -cp ... graft.tools.MediaDecodeBench [sidePx] [reps]
   *
-  * Prints one line per format: payload bytes, decodes/s, MB/s. */
+  * Prints one line per format: payload bytes, decodes/s, MB/s, MP/s. */
 object MediaDecodeBench {
-  def main(args: Array[String]): Unit = {
-    val side = if (args.nonEmpty) args(0).toInt else 256
-    val reps = if (args.length > 1) args(1).toInt else 200
+
+  /** One format's decode rate: payload size, decodes/s, payload MB/s,
+    * and megapixels/s (mega-SAMPLES/s for the audio row — one 16-bit
+    * sample plays the role of one pixel). */
+  final case class Rate(name: String, bytes: Int, decPerSec: Double,
+      mbPerSec: Double, mpPerSec: Double)
+
+  /** Build the fixture set and time `reps` decodes of each, after a
+    * warm-up. Single-threaded on purpose: per-core rate is the number
+    * that multiplies by the cluster's cores. */
+  def measure(side: Int = 256, reps: Int = 200): Seq[Rate] = {
     val rnd = new scala.util.Random(11)
     val img = Array.fill(side, side)(rnd.nextInt(256))
     def px(x: Int, y: Int): Int = img(y)(x)
@@ -31,26 +47,51 @@ object MediaDecodeBench {
         quant = JpegBuild.LossyQuant)(px),
       "jpeg_prog_lossy" -> JpegBuild.grayProgressive(side, side,
         quant = JpegBuild.LossyQuant)(px),
+      // r12: the realistic compressed-TIFF wire shapes (predictor-2
+      // LZW is what real encoders emit by default) and MJPEG-AVI
+      "tiff_pred_lzw" -> TiffPixels.TiffBuild.build(side, side,
+        compression = 5, predictor = 2)(px),
+      "tiff_deflate" -> TiffPixels.TiffBuild.build(side, side,
+        compression = 8)(px),
+      "avi_mjpeg_2f" -> MotionJpeg.AviBuild.mjpeg(side, side, Seq(
+        JpegBuild.gray(side, side, quant = JpegBuild.LossyQuant)(px),
+        JpegBuild.gray(side, side, quant = JpegBuild.LossyQuant)(
+          (x, y) => px(x, y) ^ 1))),
       "wav_pcm16" -> AudioDedup.WavBuild.pcm16(
         Array.fill(side * side / 2)(rnd.nextInt(65536) - 32768)))
 
+    // logical decoded units per payload (pixels; samples for audio)
+    def units(name: String): Long = name match {
+      case "avi_mjpeg_2f" => 2L * side * side
+      case "wav_pcm16" => side.toLong * side / 2
+      case _ => side.toLong * side
+    }
     def decode(name: String, p: Array[Byte]): Unit = name match {
-      case n if n.startsWith("gif") =>
-        require(VideoDedup.GifPixels.avgHashOf(p).nonEmpty)
+      case n if n.startsWith("gif") || n.startsWith("avi") =>
+        require(VideoDedup.avgHashOf(p).nonEmpty)
       case n if n.startsWith("wav") =>
         require(AudioDedup.WavPcm.hashOf(p).nonEmpty)
       case _ => require(ImagePixels.dhashOf(p).nonEmpty)
     }
 
-    payloads.foreach { case (name, p) =>
+    payloads.map { case (name, p) =>
       (1 to math.max(reps / 10, 3)).foreach(_ => decode(name, p)) // warm
       val t0 = System.nanoTime()
       (1 to reps).foreach(_ => decode(name, p))
       val dt = (System.nanoTime() - t0) / 1e9
-      val perSec = reps / dt
-      val mbs = reps.toDouble * p.length / dt / 1e6
-      println(f"[mediabench] $name%-16s ${p.length}%9d B  " +
-        f"$perSec%8.1f dec/s  $mbs%8.1f MB/s")
+      Rate(name, p.length, reps / dt,
+        reps.toDouble * p.length / dt / 1e6,
+        reps.toDouble * units(name) / dt / 1e6)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val side = if (args.nonEmpty) args(0).toInt else 256
+    val reps = if (args.length > 1) args(1).toInt else 200
+    measure(side, reps).foreach { r =>
+      println(f"[mediabench] ${r.name}%-16s ${r.bytes}%9d B  " +
+        f"${r.decPerSec}%8.1f dec/s  ${r.mbPerSec}%8.1f MB/s  " +
+        f"${r.mpPerSec}%8.1f MP/s")
     }
   }
 }

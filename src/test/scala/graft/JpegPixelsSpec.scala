@@ -218,6 +218,126 @@ class JpegPixelsSpec extends AnyFunSuite {
       s"mean luma deviation ${total.toDouble / (w * h)}")
   }
 
+  // ---- sampling + Huffman breadth (r11 directive #7) -----------------
+
+  /** ImageIO JPEG with EXPLICIT luma sampling factors (via the native
+    * metadata's sof/componentSpec node) and optionally writer-counted
+    * (non-Annex-K) Huffman tables. */
+  private def imageIoBytesSampled(bi: BufferedImage, quality: Float,
+      hs: Int, vs: Int, optimizedHuffman: Boolean): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    p.asInstanceOf[javax.imageio.plugins.jpeg.JPEGImageWriteParam]
+      .setOptimizeHuffmanTables(optimizedHuffman)
+    val spec =
+      javax.imageio.ImageTypeSpecifier.createFromRenderedImage(bi)
+    val meta = writer.getDefaultImageMetadata(spec, p)
+    val fmt = "javax_imageio_jpeg_image_1.0"
+    val tree = meta.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+    val comps = tree.getElementsByTagName("componentSpec")
+    assert(comps.getLength >= 1, "no componentSpec in default metadata")
+    val yComp = comps.item(0).asInstanceOf[org.w3c.dom.Element]
+    yComp.setAttribute("HsamplingFactor", hs.toString)
+    yComp.setAttribute("VsamplingFactor", vs.toString)
+    meta.setFromTree(fmt, tree)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(bi, null, meta), p)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  /** First component's (h<<4 | v) sampling byte from the stream's SOF —
+    * pins that the writer honored the requested factors, so the matrix
+    * below cannot silently degenerate to one sampling. */
+  private def sofSampling(p: Array[Byte]): Int = {
+    var i = 2
+    while (i + 3 < p.length) {
+      val marker = p(i + 1) & 0xff
+      if ((p(i) & 0xff) != 0xff) fail("lost marker sync")
+      if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 &&
+          marker != 0xc8 && marker != 0xcc)
+        return p(i + 11) & 0xff // SOF: len(2) prec(1) h(2) w(2) id(1) samp
+      val len = ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+      i += 2 + len
+    }
+    fail("no SOF marker")
+  }
+
+  /** Raw bytes of the first DHT segment (to pin that optimized streams
+    * really carry writer-counted tables, not Annex-K). */
+  private def firstDht(p: Array[Byte]): Seq[Byte] = {
+    var i = 2
+    while (i + 3 < p.length) {
+      val marker = p(i + 1) & 0xff
+      val len = ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+      if (marker == 0xc4) return p.slice(i + 4, i + 2 + len).toSeq
+      i += 2 + len
+    }
+    fail("no DHT marker")
+  }
+
+  test("ImageIO RGB at 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 and optimized " +
+      "(writer-counted) Huffman tables all decode: Y plane matches " +
+      "ImageIO's luma") {
+    val rnd = new scala.util.Random(0x422444)
+    val w = 37; val h = 26 // non-MCU-aligned for every sampling
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = rnd.nextInt(256); val g = rnd.nextInt(256)
+      val b = rnd.nextInt(256)
+      bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    // (hs, vs, optimized): the sampling matrix plus optimized-Huffman
+    // runs at the two extreme samplings
+    val cases = Seq((1, 1, false), (2, 1, false), (1, 2, false),
+      (2, 2, false), (1, 1, true), (2, 2, true))
+    for ((hs, vs, opt) <- cases) {
+      val bytes = imageIoBytesSampled(bi, 0.9f, hs, vs, opt)
+      assert(sofSampling(bytes) === ((hs << 4) | vs),
+        s"writer ignored sampling $hs x$vs")
+      if (opt) // counted tables must differ from the standard ones
+        assert(firstDht(bytes) !==
+          firstDht(imageIoBytesSampled(bi, 0.9f, hs, vs, false)),
+          "optimized stream carries the default tables")
+      val (dw, dh, ours) = decodeOrFail(bytes)
+      assert((dw, dh) === ((w, h)), s"$hs x$vs opt=$opt")
+      val back = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var worst = 0
+      var total = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = back.getRGB(x, y)
+        val luma = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+          29 * (rgb & 0xff)) >> 8
+        val d = math.abs(ours(y * w + x) - luma)
+        worst = math.max(worst, d)
+        total += d
+      }
+      // same bound family as the 4:2:0 test above: saturated random
+      // colors clip in the oracle's YCbCr->RGB leg, and the clip
+      // residue is sampling-dependent (measured worst: 16 at 4:2:2) —
+      // the MEAN bound is the real assertion, the tail is just capped
+      assert(worst <= 20, s"$hs x$vs opt=$opt max deviation $worst")
+      assert(total.toDouble / (w * h) <= 1.5,
+        s"$hs x$vs opt=$opt mean deviation ${total.toDouble / (w * h)}")
+    }
+  }
+
+  test("ImageIO grayscale with optimized Huffman tables decodes (+-1)") {
+    val rnd = new scala.util.Random(0x422445)
+    val img = Array.fill(26, 37)(rnd.nextInt(256))
+    val bytes = imageIoBytesSampled(grayImage(img), 0.95f, 1, 1,
+      optimizedHuffman = true)
+    val (dw, dh, ours) = decodeOrFail(bytes)
+    assert((dw, dh) === ((37, 26)))
+    val (_, _, theirs) = imageIoGray(bytes)
+    val worst = ours.lazyZip(theirs).map((a, b) => math.abs(a - b)).max
+    assert(worst <= 1, s"gray optimized-Huffman deviation $worst")
+  }
+
   // ---- rejection classes --------------------------------------------
 
   // ---- progressive (r11 second slice) -------------------------------
