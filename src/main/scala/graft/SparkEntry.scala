@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.PipelineExtras.queries ++
       graft.queries.Round8.queries ++
       graft.queries.Round9.queries ++
-      graft.queries.Round11.queries
+      graft.queries.Round11.queries ++
+      graft.queries.Round12.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.PipelineExtras.oracles ++
       graft.queries.Round8.oracles ++
       graft.queries.Round9.oracles ++
-      graft.queries.Round11.oracles
+      graft.queries.Round11.oracles ++
+      graft.queries.Round12.oracles
 }

@@ -24,8 +24,12 @@ import graft.functions.ColumnBridge
   * selection + successive approximation — AND baseline TIFF via
   * [[TiffPixels]] (r11, widened r12): none/PackBits/LZW/Deflate
   * compression, both byte orders and fill orders, Predictor 2,
-  * gray/RGB/palette photometrics. All four paths stay pure JVM
-  * with no codec dependency. WEBP et al. probe their headers in
+  * gray/RGB/palette photometrics — AND lossless WEBP via
+  * [[WebpPixels]] (r12, VP8L: canonical-Huffman entropy coding, LZ77
+  * backward references, color cache, subtract-green/predictor/
+  * palette transforms). All five paths stay pure JVM
+  * with no codec dependency. Lossy WEBP (VP8) and the VP8X extended
+  * container probe their headers in
   * [[Multimodal.MediaDecoder]] but have no pixel path; a real
   * deployment drops TwelveMonkeys/JavaCV into
   * [[ImagePixels.decodeGray]] without touching anything downstream —
@@ -77,15 +81,17 @@ object ImageDedup {
       * structure), "oversized" (decode-bound policy rejection),
       * "unsupported" (a valid feature outside the decode scope — BMP
       * non-24bpp / RLE / core-header classes; JPEG 12-bit / CMYK /
-      * lossless per [[JpegPixels]]; TIFF LZW/JPEG/tiled per
-      * [[TiffPixels]]; PNG decodes every legal static combination
-      * since r11), or "unrecognized" (no BMP/PNG/JPEG/TIFF magic at
-      * all). */
+      * lossless per [[JpegPixels]]; TIFF JPEG/CCITT/tiled/YCbCr per
+      * [[TiffPixels]]; WEBP lossy VP8 / VP8X / cross-color /
+      * meta-Huffman per [[WebpPixels]] — VP8L lossless decodes since
+      * r12; PNG decodes every legal static combination since r11), or
+      * "unrecognized" (no BMP/PNG/JPEG/TIFF/WEBP magic at all). */
     def decodeGrayReason(p: Array[Byte])
         : Either[String, (Int, Int, Array[Int])] =
       if (PngPixels.hasMagic(p)) PngPixels.decodeGray(p)
       else if (JpegPixels.hasMagic(p)) JpegPixels.decodeGray(p)
       else if (TiffPixels.hasMagic(p)) TiffPixels.decodeGray(p)
+      else if (WebpPixels.hasMagic(p)) WebpPixels.decodeGray(p)
       else if (p.length >= 2 && (p(0) & 0xff) == 'B' && (p(1) & 0xff) == 'M')
         decodeBmpReason(p)
       else Left("unrecognized")

@@ -193,9 +193,10 @@ object Multimodal {
       *    (12-bit/lossless/arithmetic/CMYK JPEG per [[JpegPixels]];
       *    JPEG-compressed/CCITT, tiled, or YCbCr TIFF per
       *    [[graft.operators.TiffPixels]] — the baseline profile plus
-      *    LZW/Deflate, Predictor 2 and FillOrder 2 decode; WEBP,
-      *    which has a header probe but no pixel path here) — route
-      *    to an external-codec stage;
+      *    LZW/Deflate, Predictor 2 and FillOrder 2 decode; lossy-VP8/
+      *    VP8X/cross-color/meta-Huffman WEBP per
+      *    [[graft.operators.WebpPixels]] — VP8L lossless decodes
+      *    since r12) — route to an external-codec stage;
       *  - "opaque": no recognized container magic at all.
       * Exposed as the codegen expression
       * [[graft.functions.MediaReason]] and gated by q109's census. */

@@ -1,0 +1,925 @@
+package graft.operators
+
+/** Pure-JVM lossless-WEBP (VP8L) decode, luma only — the fifth
+  * still-image pixel path next to BMP/PNG/JPEG/TIFF
+  * ([[ImageDedup.ImagePixels]] dispatches here on the RIFF/WEBP
+  * magic). Built from the public "WebP Lossless Bitstream
+  * Specification" (the VP8L format: canonical-Huffman entropy coding
+  * borrowed from DEFLATE, LZ77 backward references over ARGB pixels,
+  * a color cache, and four reversible spatial transforms).
+  *
+  * Decode scope (the r12 COVERAGE.md scope-decision slice):
+  *  - the VP8L chunk inside a plain RIFF/WEBP container (chunk walk,
+  *    even-padded sizes);
+  *  - both Huffman code forms (simple 1-2-symbol codes and normal
+  *    codes with the 19-symbol code-length code, repeats 16/17/18,
+  *    and the optional max-symbol early stop);
+  *  - literals, LZ77 backward references (the full 120-entry
+  *    close-neighborhood distance map + direct distances, overlapping
+  *    copies included), and the color cache (1-11 bits);
+  *  - transforms: subtract-green, the predictor transform (all 14
+  *    modes, spec edge rules incl. the rightmost-column top-right
+  *    wrap), and color indexing (palette, incl. the mandatory sub-byte
+  *    pixel packing at <=16 colors; out-of-range palette indices
+  *    resolve to transparent black exactly as libwebp's zero-padded
+  *    color map does).
+  * Out of scope — "unsupported", the external-codec seam: lossy VP8
+  * ("VP8 " chunk) and anything reached only through a VP8X extended
+  * container, the cross-color transform, meta-Huffman (multiple
+  * entropy groups), palette combined with other transforms, and
+  * nonzero stream versions. Broken structure (bit-stream overrun, bad
+  * codes, over/under-subscribed Huffman lengths) is "corrupt"; a pixel
+  * budget past the 2^24 policy cap is "oversized", refused BEFORE the
+  * ARGB plane allocates. Never throws (bounds-checked + the family's
+  * catch wrapper); fuzz-pinned.
+  *
+  * Cross-validation caveat: no JDK codec reads WEBP, so unlike the
+  * PNG/JPEG/TIFF/WAV paths there is no third-party oracle in this
+  * sandbox. The conformance pins are therefore (a) builder/decoder
+  * roundtrips across the full feature matrix — the builder
+  * ([[WebpBuild]]) writes spec-shaped streams, not a private dialect:
+  * canonical code assignment, LSB-first bit packing with MSB-first
+  * code bits, spec prefix coding, spec transform order — and (b) the
+  * q112 hash-parity gate against the BMP twin (lossless: bit-exact,
+  * the q110 discipline).
+  *
+  * Luma mapping is shared with the other paths (integer BT.601,
+  * alpha ignored), so a VP8L rendering of the same gray pixels hashes
+  * bit-identically to its BMP/PNG/TIFF twins. */
+object WebpPixels {
+
+  private final val MaxPixels = 1 << 24
+
+  def hasMagic(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == 'F' && p(8) == 'W' && p(9) == 'E' && p(10) == 'B' &&
+      p(11) == 'P'
+
+  private final val Corrupt = Left("corrupt")
+  private final val Unsupported = Left("unsupported")
+  private final val Oversized = Left("oversized")
+
+  def decodeGray(p: Array[Byte]): Either[String, (Int, Int, Array[Int])] = {
+    try inner(p)
+    catch { case _: ArrayIndexOutOfBoundsException |
+                 _: NegativeArraySizeException => Corrupt }
+  }
+
+  // ---- bit reader (LSB-first within bytes, like DEFLATE/GIF) --------
+
+  private final class Reader(p: Array[Byte], var pos: Int, val end: Int) {
+    private var acc = 0L
+    private var cnt = 0
+    var overrun = false
+    def bits(n: Int): Int = {
+      while (cnt < n) {
+        if (pos >= end) { overrun = true; return 0 }
+        acc |= (p(pos) & 0xffL) << cnt
+        pos += 1; cnt += 8
+      }
+      val v = (acc & ((1L << n) - 1)).toInt
+      acc >>>= n; cnt -= n
+      v
+    }
+    def bit(): Int = bits(1)
+  }
+
+  // ---- canonical Huffman ---------------------------------------------
+
+  /** Decoder for one canonical code: `single` >= 0 short-circuits to a
+    * 0-bit code; otherwise `count(len)`/`first(len)`/`symAt` implement
+    * the classic first-code-per-length walk (codes transmitted
+    * MSB-first, DEFLATE convention). */
+  private final class Code(lengths: Array[Int]) {
+    private final val MaxLen = 15
+    var single: Int = -1
+    var valid = false
+    private val count = new Array[Int](MaxLen + 1)
+    private val first = new Array[Int](MaxLen + 1)
+    private val offset = new Array[Int](MaxLen + 1)
+    private var symbols: Array[Int] = null
+    locally {
+      var nz = 0
+      var last = -1
+      var bad = false
+      var i = 0
+      while (i < lengths.length) {
+        val l = lengths(i)
+        if (l < 0 || l > MaxLen) bad = true
+        else if (l > 0) { nz += 1; last = i; count(l) += 1 }
+        i += 1
+      }
+      if (!bad && nz == 1) { single = last; valid = true }
+      else if (!bad && nz > 1) {
+        // Kraft sum must hit exactly 1 (complete code)
+        var code = 0
+        var total = 0L
+        var l = 1
+        while (l <= MaxLen) {
+          first(l) = code
+          code = (code + count(l)) << 1
+          total += count(l).toLong << (MaxLen - l)
+          l += 1
+        }
+        if (total == (1L << MaxLen)) {
+          valid = true
+          var off = 0
+          l = 1
+          while (l <= MaxLen) { offset(l) = off; off += count(l); l += 1 }
+          symbols = new Array[Int](off)
+          val fill = offset.clone()
+          i = 0
+          while (i < lengths.length) {
+            val len = lengths(i)
+            if (len > 0) { symbols(fill(len)) = i; fill(len) += 1 }
+            i += 1
+          }
+        }
+      }
+    }
+    /** -1 on a broken stream. */
+    def read(r: Reader): Int = {
+      if (single >= 0) return single
+      var code = 0
+      var len = 0
+      while (len < MaxLen) {
+        code = (code << 1) | r.bit()
+        len += 1
+        if (r.overrun) return -1
+        val c = count(len)
+        if (c > 0 && code - first(len) < c)
+          return symbols(offset(len) + code - first(len))
+      }
+      -1
+    }
+  }
+
+  private val ClOrder =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** Read one Huffman code (simple or normal form); null = corrupt,
+    * throws nothing. */
+  private def readCode(r: Reader, alphabet: Int): Code = {
+    if (r.bit() == 1) { // simple
+      val numSymbols = r.bit() + 1
+      val first8 = r.bit()
+      val lengths = new Array[Int](alphabet)
+      val s0 = r.bits(if (first8 == 1) 8 else 1)
+      if (s0 >= alphabet) return null
+      lengths(s0) = 1
+      if (numSymbols == 2) {
+        val s1 = r.bits(8)
+        if (s1 >= alphabet || s1 == s0) return null
+        lengths(s1) = 1
+      }
+      if (r.overrun) return null
+      // a 1-symbol simple code is complete by special case (0 bits)
+      val c = new Code(lengths)
+      if (numSymbols == 1 && c.single < 0) return null
+      if (!c.valid) return null
+      c
+    } else { // normal: code-length code, then run-length-coded lengths
+      val numClLens = 4 + r.bits(4)
+      val clLens = new Array[Int](19)
+      var i = 0
+      while (i < numClLens) { clLens(ClOrder(i)) = r.bits(3); i += 1 }
+      if (r.overrun) return null
+      val clCode = new Code(clLens)
+      if (!clCode.valid) return null
+      var maxSymbol =
+        if (r.bit() == 1) {
+          val nbits = 2 + 2 * r.bits(3)
+          2 + r.bits(nbits)
+        } else alphabet
+      if (maxSymbol > alphabet || r.overrun) return null
+      val lengths = new Array[Int](alphabet)
+      var symbol = 0
+      var prevLen = 8
+      var ok = true
+      while (ok && symbol < alphabet && maxSymbol > 0) {
+        maxSymbol -= 1
+        val cl = clCode.read(r)
+        if (cl < 0) ok = false
+        else if (cl < 16) {
+          lengths(symbol) = cl; symbol += 1
+          if (cl != 0) prevLen = cl
+        } else {
+          val (extraBits, offset, usePrev) = cl match {
+            case 16 => (2, 3, true)
+            case 17 => (3, 3, false)
+            case _ => (7, 11, false)
+          }
+          val repeat = offset + r.bits(extraBits)
+          if (symbol + repeat > alphabet || r.overrun) ok = false
+          else {
+            val v = if (usePrev) prevLen else 0
+            var k = 0
+            while (k < repeat) { lengths(symbol) = v; symbol += 1; k += 1 }
+          }
+        }
+      }
+      if (!ok || r.overrun) return null
+      val c = new Code(lengths)
+      if (!c.valid) return null
+      c
+    }
+  }
+
+  // ---- LZ77 prefix coding + distance map ------------------------------
+
+  /** Prefix-coded value (length and distance share the scheme). -1 on
+    * stream overrun. */
+  private def prefixValue(r: Reader, code: Int): Int = {
+    if (code < 4) return code + 1
+    val extraBits = (code - 2) >> 1
+    val offset = (2 + (code & 1)) << extraBits
+    val v = offset + r.bits(extraBits) + 1
+    if (r.overrun) -1 else v
+  }
+
+  /** The spec's 120-entry close-neighborhood map as (dx, dy) pairs —
+    * matches libwebp's packed kCodeToPlane (y<<4 | 8-x) table. No
+    * external WEBP oracle exists in this sandbox; the first rows are
+    * pinned against the packed constants in WebpPixelsSpec. */
+  private val DistMap: Array[(Int, Int)] = Array(
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
+
+  private[graft] def planeCodeToDistance(w: Int, planeCode: Int): Int =
+    if (planeCode > 120) planeCode - 120
+    else {
+      val (dx, dy) = DistMap(planeCode - 1)
+      val d = dy * w + dx
+      if (d >= 1) d else 1
+    }
+
+  // ---- entropy-coded image (shared by main image and subimages) ------
+
+  /** Decode one entropy-coded ARGB image; Left(reason) on failure.
+    * `level0` gates the meta-Huffman bit (entropy images never carry
+    * it). Transforms are handled by the caller. */
+  private def decodeEntropyImage(r: Reader, w: Int, h: Int,
+      level0: Boolean): Either[String, Array[Int]] = {
+    var cacheBits = 0
+    if (r.bit() == 1) {
+      cacheBits = r.bits(4)
+      if (cacheBits < 1 || cacheBits > 11) return Corrupt
+    }
+    if (level0 && r.bit() == 1)
+      return Unsupported // meta-Huffman (multiple entropy groups)
+    if (r.overrun) return Corrupt
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val green = readCode(r, 256 + 24 + cacheSize)
+    if (green == null) return Corrupt
+    val red = readCode(r, 256)
+    if (red == null) return Corrupt
+    val blue = readCode(r, 256)
+    if (blue == null) return Corrupt
+    val alpha = readCode(r, 256)
+    if (alpha == null) return Corrupt
+    val dist = readCode(r, 40)
+    if (dist == null) return Corrupt
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    def cacheIdx(argb: Int): Int = (0x1e35a7bd * argb) >>> (32 - cacheBits)
+    val out = new Array[Int](w * h)
+    val total = out.length
+    var pos = 0
+    while (pos < total) {
+      val s = green.read(r)
+      if (s < 0 || r.overrun) return Corrupt
+      if (s < 256) {
+        val rr = red.read(r); val bb = blue.read(r); val aa = alpha.read(r)
+        if (rr < 0 || bb < 0 || aa < 0 || r.overrun) return Corrupt
+        val argb = (aa << 24) | (rr << 16) | (s << 8) | bb
+        out(pos) = argb
+        if (cache != null) cache(cacheIdx(argb)) = argb
+        pos += 1
+      } else if (s < 256 + 24) {
+        val length = prefixValue(r, s - 256)
+        val dCode = dist.read(r)
+        if (length < 0 || dCode < 0) return Corrupt
+        val planeCode = prefixValue(r, dCode)
+        if (planeCode < 0) return Corrupt
+        val d = planeCodeToDistance(w, planeCode)
+        if (d > pos || pos + length > total) return Corrupt
+        var k = 0
+        while (k < length) {
+          val v = out(pos - d)
+          out(pos) = v
+          if (cache != null) cache(cacheIdx(v)) = v
+          pos += 1; k += 1
+        }
+      } else {
+        val idx = s - 256 - 24
+        if (cache == null || idx >= cacheSize) return Corrupt
+        out(pos) = cache(idx)
+        pos += 1
+      }
+    }
+    Right(out)
+  }
+
+  // ---- inverse transforms ---------------------------------------------
+
+  private def avg2(a: Int, b: Int): Int = {
+    // per-channel (a+b)/2 without unpacking: mask the carry bits
+    (((a ^ b) & 0xfefefefe) >>> 1) + (a & b)
+  }
+  private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+  private def addPixels(a: Int, b: Int): Int = {
+    // componentwise add mod 256
+    val ag = (a & 0xff00ff00) >>> 8; val bg = (b & 0xff00ff00) >>> 8
+    val rb = ((a & 0x00ff00ff) + (b & 0x00ff00ff)) & 0x00ff00ff
+    val gAlpha = (((ag + bg) & 0x00ff00ff) << 8) & 0xff00ff00.toInt
+    gAlpha | rb
+  }
+  private def ch(p: Int, sh: Int): Int = (p >>> sh) & 0xff
+
+  private def predict(mode: Int, l: Int, t: Int, tl: Int, tr: Int): Int =
+    mode match {
+      case 0 => 0xff000000
+      case 1 => l
+      case 2 => t
+      case 3 => tr
+      case 4 => tl
+      case 5 => avg2(avg2(l, tr), t)
+      case 6 => avg2(l, tl)
+      case 7 => avg2(l, t)
+      case 8 => avg2(tl, t)
+      case 9 => avg2(t, tr)
+      case 10 => avg2(avg2(l, tl), avg2(t, tr))
+      case 11 => // Select
+        var pL = 0; var pT = 0
+        var sh = 0
+        while (sh < 32) {
+          val pr = ch(l, sh) + ch(t, sh) - ch(tl, sh)
+          pL += math.abs(pr - ch(l, sh))
+          pT += math.abs(pr - ch(t, sh))
+          sh += 8
+        }
+        if (pL < pT) l else t
+      case 12 => // ClampAddSubtractFull
+        var out = 0
+        var sh = 0
+        while (sh < 32) {
+          out |= clip255(ch(l, sh) + ch(t, sh) - ch(tl, sh)) << sh
+          sh += 8
+        }
+        out
+      case _ => // 13: ClampAddSubtractHalf
+        val a = avg2(l, t)
+        var out = 0
+        var sh = 0
+        while (sh < 32) {
+          val m = ch(a, sh)
+          out |= clip255(m + (m - ch(tl, sh)) / 2) << sh
+          sh += 8
+        }
+        out
+    }
+
+  private[operators] def applyInversePredictor(pix: Array[Int], w: Int,
+      h: Int, modes: Array[Int], sizeBits: Int): Boolean = {
+    val blockW = (w + (1 << sizeBits) - 1) >> sizeBits
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pred =
+          if (x == 0 && y == 0) 0xff000000
+          else if (y == 0) pix(x - 1) // forced mode 1 (left)
+          else if (x == 0) pix((y - 1) * w) // forced mode 2 (top)
+          else {
+            val mode = (modes((y >> sizeBits) * blockW + (x >> sizeBits))
+              >>> 8) & 0xff
+            if (mode > 13) return false
+            val l = pix(y * w + x - 1)
+            val t = pix((y - 1) * w + x)
+            val tl = pix((y - 1) * w + x - 1)
+            // spec edge rule: TR of the rightmost column is the first
+            // pixel of the SAME row (one past the previous row's end)
+            val tr = if (x + 1 < w) pix((y - 1) * w + x + 1)
+                     else pix(y * w)
+            predict(mode, l, t, tl, tr)
+          }
+        pix(y * w + x) = addPixels(pix(y * w + x), pred)
+        x += 1
+      }
+      y += 1
+    }
+    true
+  }
+
+  private def applyAddGreen(pix: Array[Int]): Unit = {
+    var i = 0
+    while (i < pix.length) {
+      val p = pix(i)
+      val g = (p >>> 8) & 0xff
+      val r = ((p >>> 16) + g) & 0xff
+      val b = (p + g) & 0xff
+      pix(i) = (p & 0xff00ff00.toInt) | (r << 16) | b
+      i += 1
+    }
+  }
+
+  // ---- top level -------------------------------------------------------
+
+  private def inner(p: Array[Byte]): Either[String, (Int, Int, Array[Int])] = {
+    if (!hasMagic(p)) return Corrupt
+    // RIFF chunk walk to the VP8L payload
+    var at = 12
+    var vp8lOff = -1
+    var vp8lLen = 0
+    var sawLossyOrExtended = false
+    while (vp8lOff < 0 && at + 8 <= p.length) {
+      val fourcc = new String(p, at, 4, "US-ASCII")
+      val size = (p(at + 4) & 0xff) | ((p(at + 5) & 0xff) << 8) |
+        ((p(at + 6) & 0xff) << 16) | ((p(at + 7) & 0xff) << 24)
+      if (size < 0 || at + 8 + size > p.length) return Corrupt
+      if (fourcc == "VP8L") { vp8lOff = at + 8; vp8lLen = size }
+      else if (fourcc == "VP8 " || fourcc == "VP8X")
+        // lossy frame, or the extended container (animation/alpha
+        // framing): the external-codec seam
+        sawLossyOrExtended = true
+      at += 8 + size + (size & 1)
+    }
+    if (vp8lOff < 0)
+      return if (sawLossyOrExtended) Unsupported else Corrupt
+    if (vp8lLen < 5 || (p(vp8lOff) & 0xff) != 0x2f) return Corrupt
+    val r = new Reader(p, vp8lOff + 1, vp8lOff + vp8lLen)
+    val w = r.bits(14) + 1
+    val h = r.bits(14) + 1
+    r.bit() // alpha hint
+    val version = r.bits(3)
+    if (r.overrun) return Corrupt
+    if (version != 0) return Unsupported
+    if (w.toLong * h > MaxPixels) return Oversized
+
+    // transforms (read order = forward-application order; inverses
+    // apply in reverse read order)
+    var subtractGreen = false
+    var predModes: Array[Int] = null
+    var predSizeBits = 0
+    var palette: Array[Int] = null
+    var seen = 0
+    while (r.bit() == 1) {
+      if (r.overrun) return Corrupt
+      val ttype = r.bits(2)
+      if ((seen & (1 << ttype)) != 0) return Corrupt // each at most once
+      seen |= 1 << ttype
+      ttype match {
+        case 2 => subtractGreen = true
+        case 0 =>
+          val sizeBits = r.bits(3) + 2
+          val bw = (w + (1 << sizeBits) - 1) >> sizeBits
+          val bh = (h + (1 << sizeBits) - 1) >> sizeBits
+          decodeEntropyImage(r, bw, bh, level0 = false) match {
+            case Left(reason) => return Left(reason)
+            case Right(modes) => predModes = modes; predSizeBits = sizeBits
+          }
+        case 1 => return Unsupported // cross-color transform
+        case _ =>
+          val n = r.bits(8) + 1
+          if (r.overrun) return Corrupt
+          decodeEntropyImage(r, n, 1, level0 = false) match {
+            case Left(reason) => return Left(reason)
+            case Right(deltas) =>
+              // palette entries are componentwise deltas off the
+              // previous entry (first off transparent black)
+              val pal = new Array[Int](n)
+              var prev = 0
+              var i = 0
+              while (i < n) {
+                prev = addPixels(prev, deltas(i)); pal(i) = prev; i += 1
+              }
+              palette = pal
+          }
+      }
+    }
+    if (r.overrun) return Corrupt
+    if (palette != null && (subtractGreen || predModes != null))
+      return Unsupported // scope: palette alone
+    // palette packing shrinks the coded width
+    val widthBits =
+      if (palette == null) 0
+      else if (palette.length <= 2) 3
+      else if (palette.length <= 4) 2
+      else if (palette.length <= 16) 1
+      else 0
+    val codedW = (w + (1 << widthBits) - 1) >> widthBits
+
+    val pix = decodeEntropyImage(r, codedW, h, level0 = true) match {
+      case Left(reason) => return Left(reason)
+      case Right(arr) => arr
+    }
+    // inverse transforms, reverse read order: palette unpack last-read
+    // (it is read last only when alone — scope enforces that), then
+    // predictor, then add-green
+    val full: Array[Int] =
+      if (palette == null) pix
+      else {
+        val out = new Array[Int](w * h)
+        val bitsPer = 8 >> widthBits
+        val mask = (1 << bitsPer) - 1
+        val sub = (1 << widthBits) - 1
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val packed = (pix(y * codedW + (x >> widthBits)) >>> 8) & 0xff
+            val idx = (packed >>> ((x & sub) * bitsPer)) & mask
+            out(y * w + x) =
+              if (idx < palette.length) palette(idx) else 0 // libwebp pad
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    if (predModes != null && !applyInversePredictor(full, w, h,
+        predModes, predSizeBits)) return Corrupt
+    if (subtractGreen) applyAddGreen(full)
+    // luma in place (alpha ignored, the family contract)
+    var i = 0
+    while (i < full.length) {
+      val v = full(i)
+      full(i) = (77 * ((v >>> 16) & 0xff) + 150 * ((v >>> 8) & 0xff) +
+        29 * (v & 0xff)) >> 8
+      i += 1
+    }
+    Right((w, h, full))
+  }
+
+  /** Fixture-side builder: real VP8L bytes in a RIFF/WEBP container —
+    * spec-shaped streams (canonical code assignment, LSB-first bit
+    * packing with MSB-first code bits, spec prefix coding, forward
+    * transforms in the order the decoder inverts), not a private
+    * dialect. Feature dials cover the decoder's whole scope:
+    * subtract-green, the predictor transform (any fixed mode or the
+    * per-block mixed pattern), palette (packed and unpacked), LZ77
+    * runs (direct AND neighborhood-mapped distance codes, overlapping
+    * dist-1 copies), and the color cache. */
+  object WebpBuild {
+
+    private final class Writer {
+      private val out = new java.io.ByteArrayOutputStream()
+      private var acc = 0L
+      private var cnt = 0
+      def bits(v: Int, n: Int): Unit = {
+        acc |= (v.toLong & ((1L << n) - 1)) << cnt
+        cnt += n
+        while (cnt >= 8) {
+          out.write((acc & 0xff).toInt); acc >>>= 8; cnt -= 8
+        }
+      }
+      /** Huffman code bits: MSB of the code value first. */
+      def code(c: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) { bits((c >> i) & 1, 1); i -= 1 }
+      }
+      def toBytes: Array[Byte] = {
+        if (cnt > 0) { out.write((acc & 0xff).toInt); acc = 0; cnt = 0 }
+        out.toByteArray
+      }
+    }
+
+    /** Canonical code values from lengths (symbol order, like the
+      * decoder's reconstruction). */
+    private def canonical(lengths: Array[Int]): Array[Int] = {
+      val maxLen = lengths.max
+      val count = new Array[Int](maxLen + 1)
+      lengths.foreach(l => if (l > 0) count(l) += 1)
+      val next = new Array[Int](maxLen + 1)
+      var code = 0
+      var l = 1
+      while (l <= maxLen) {
+        next(l) = code
+        code = (code + count(l)) << 1
+        l += 1
+      }
+      lengths.map { len =>
+        if (len == 0) 0 else { val c = next(len); next(len) += 1; c }
+      }
+    }
+
+    /** Complete code over n >= 2 symbols: (2^L − n) symbols at L−1,
+      * the rest at L (Kraft sum exactly 1; all lengths equal when n is
+      * a power of two). */
+    private def flatLengths(n: Int): Array[Int] = {
+      require(n >= 2)
+      var l = 1
+      while ((1 << l) < n) l += 1
+      val nShort = (1 << l) - n
+      Array.tabulate(n)(i => if (i < nShort) l - 1 else l)
+    }
+
+    /** Serialize a normal (non-simple) code: a code-length code over
+      * the distinct length values, then one CL symbol per alphabet
+      * symbol (no repeats — fixture size is irrelevant). */
+    private def writeNormalCode(w: Writer, lengths: Array[Int]): Unit = {
+      w.bits(0, 1) // not simple
+      val used = lengths.distinct.sorted
+      require(used.forall(v => v >= 0 && v <= 15), "CL symbol range")
+      val clLens = new Array[Int](19)
+      if (used.size == 1) clLens(used.head) = 1 // 0-bit single-symbol CL
+      else {
+        val ls = flatLengths(used.size)
+        used.zipWithIndex.foreach { case (v, i) => clLens(v) = ls(i) }
+      }
+      val maxOrderIdx = ClOrder.zipWithIndex
+        .filter { case (sym, _) => clLens(sym) > 0 }.map(_._2).max
+      val numClLens = math.max(4, maxOrderIdx + 1)
+      w.bits(numClLens - 4, 4)
+      var i = 0
+      while (i < numClLens) { w.bits(clLens(ClOrder(i)), 3); i += 1 }
+      w.bits(0, 1) // no max-symbol early stop
+      // a single-value length table makes the CL code single-symbol,
+      // which reads ZERO bits per symbol (the libwebp special case) —
+      // emit nothing and the decoder's fill loop self-completes
+      if (used.size > 1) {
+        val clCodes = canonical(clLens)
+        lengths.foreach(len => w.code(clCodes(len), clLens(len)))
+      }
+    }
+
+    /** One emitter (symbol → bits) for an alphabet, either simple (≤ 2
+      * distinct symbols) or a flat normal code over the alphabet. */
+    private def writeSimpleCode(w: Writer, alphabet: Int,
+        symbols: Seq[Int]): Int => Unit = {
+      require(symbols.nonEmpty && symbols.size <= 2 &&
+        symbols == symbols.distinct)
+      w.bits(1, 1)
+      w.bits(symbols.size - 1, 1)
+      val first8 = if (symbols.head > 1) 1 else 0
+      w.bits(first8, 1)
+      w.bits(symbols.head, if (first8 == 1) 8 else 1)
+      if (symbols.size == 2) w.bits(symbols(1), 8)
+      val lengths = new Array[Int](alphabet)
+      symbols.foreach(s => lengths(s) = 1)
+      if (symbols.size == 1) { _ => () } // 0-bit code
+      else {
+        val codes = canonical(lengths)
+        s => w.code(codes(s), 1)
+      }
+    }
+
+    private def writeFlatCode(w: Writer, alphabet: Int): Int => Unit = {
+      val lengths = flatLengths(alphabet)
+      writeNormalCode(w, lengths)
+      val codes = canonical(lengths)
+      s => w.code(codes(s), lengths(s))
+    }
+
+    /** (prefixCode, extraBits, extraValue) for v >= 1 — inverse of the
+      * decoder's prefixValue. */
+    private def prefixCode(v: Int): (Int, Int, Int) = {
+      require(v >= 1)
+      if (v <= 4) return (v - 1, 0, 0)
+      var c = 4
+      while (c < 40) {
+        val extraBits = (c - 2) >> 1
+        val offset = (2 + (c & 1)) << extraBits
+        if (v >= offset + 1 && v <= offset + (1 << extraBits))
+          return (c, extraBits, v - 1 - offset)
+        c += 1
+      }
+      sys.error(s"value $v not prefix-codable")
+    }
+
+    private def subPixels(a: Int, b: Int): Int = {
+      var out = 0
+      var sh = 0
+      while (sh < 32) {
+        out |= (((a >>> sh) - (b >>> sh)) & 0xff) << sh
+        sh += 8
+      }
+      out
+    }
+
+    /** Emit one entropy-coded image (the decoder's
+      * decodeEntropyImage counterpart). `mapDistances` alternates the
+      * dist-1 runs between the direct plane code (121) and the
+      * neighborhood-map code (2 = (dx 1, dy 0)) so both decoder
+      * branches see traffic. */
+    private def writeEntropyImage(w: Writer, pix: Array[Int],
+        cacheBits: Int, backrefs: Boolean, level0: Boolean,
+        mapDistances: Boolean): Unit = {
+      w.bits(if (cacheBits > 0) 1 else 0, 1)
+      if (cacheBits > 0) w.bits(cacheBits, 4)
+      if (level0) w.bits(0, 1) // one entropy group
+      val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+      val emitGreen = writeFlatCode(w, 256 + 24 + cacheSize)
+      val emitRed = writeFlatCode(w, 256)
+      val emitBlue = writeFlatCode(w, 256)
+      val alphas = pix.map(p => (p >>> 24) & 0xff).distinct.sorted.toSeq
+      val emitAlpha = writeSimpleCode(w, 256, alphas)
+      val distSyms = if (backrefs) Seq(1, 13) else Seq(0)
+      val emitDist = writeSimpleCode(w, 40, distSyms)
+      val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+      def cacheIdx(argb: Int): Int = (0x1e35a7bd * argb) >>> (32 - cacheBits)
+      var pos = 0
+      var runToggle = false
+      while (pos < pix.length) {
+        val p = pix(pos)
+        var run = 0
+        if (backrefs && pos > 0 && pix(pos - 1) == p) {
+          while (run < 4096 && pos + run < pix.length &&
+            pix(pos + run) == p) run += 1
+        }
+        if (run >= 3) {
+          val (lc, leb, lev) = prefixCode(run)
+          emitGreen(256 + lc)
+          w.bits(lev, leb)
+          // dist 1, via the direct plane code or the (1, 0) map entry
+          if (mapDistances && runToggle) emitDist(1) // planeCode 2 → d 1
+          else { emitDist(13); w.bits(24, 5) }       // planeCode 121
+          runToggle = !runToggle
+          var k = 0
+          while (k < run) {
+            if (cache != null) cache(cacheIdx(p)) = p
+            k += 1
+          }
+          pos += run
+        } else if (cache != null && cache(cacheIdx(p)) == p) {
+          emitGreen(256 + 24 + cacheIdx(p))
+          pos += 1
+        } else {
+          emitGreen((p >>> 8) & 0xff)
+          emitRed((p >>> 16) & 0xff)
+          emitBlue(p & 0xff)
+          emitAlpha((p >>> 24) & 0xff)
+          if (cache != null) cache(cacheIdx(p)) = p
+          pos += 1
+        }
+      }
+    }
+
+    /** One gray image as VP8L: a=255, r=g=b=px(x,y)&0xff.
+      * `predictorMode`: -1 none, 0..13 that fixed mode everywhere,
+      * 14 = per-block mixed modes ((bx+by) % 14). `paletted` forces
+      * the color-indexing transform (requires ≤ 256 distinct colors;
+      * packing kicks in automatically at ≤ 16). */
+    def vp8lGray(w0: Int, h0: Int, subtractGreen: Boolean = false,
+        predictorMode: Int = -1, paletted: Boolean = false,
+        backrefs: Boolean = false, cacheBits: Int = 0,
+        mapDistances: Boolean = false)(px: (Int, Int) => Int)
+        : Array[Byte] = {
+      require(w0 >= 1 && h0 >= 1 && w0 <= 16384 && h0 <= 16384)
+      require(predictorMode >= -1 && predictorMode <= 14)
+      require(!paletted || (!subtractGreen && predictorMode < 0),
+        "palette composes with no other transform in this scope")
+      val argb = Array.tabulate(h0, w0) { (y, x) =>
+        val v = px(x, y) & 0xff
+        0xff000000 | (v << 16) | (v << 8) | v
+      }.flatten
+      val w = new Writer()
+      w.bits(0x2f, 8)
+      w.bits(w0 - 1, 14); w.bits(h0 - 1, 14)
+      w.bits(0, 1) // alpha hint
+      w.bits(0, 3) // version
+
+      var main = argb
+      var codedW = w0
+      if (paletted) {
+        val colors = scala.collection.mutable.LinkedHashMap[Int, Int]()
+        argb.foreach(c => if (!colors.contains(c)) colors(c) = colors.size)
+        require(colors.size <= 256, "palette overflow")
+        val pal = colors.keys.toArray
+        w.bits(1, 1); w.bits(3, 2) // transform: color indexing
+        w.bits(pal.length - 1, 8)
+        val deltas = Array.tabulate(pal.length)(i =>
+          if (i == 0) pal(0) else subPixels(pal(i), pal(i - 1)))
+        writeEntropyImage(w, deltas, cacheBits = 0, backrefs = false,
+          level0 = false, mapDistances = false)
+        val widthBits =
+          if (pal.length <= 2) 3
+          else if (pal.length <= 4) 2
+          else if (pal.length <= 16) 1
+          else 0
+        codedW = (w0 + (1 << widthBits) - 1) >> widthBits
+        val bitsPer = 8 >> widthBits
+        val sub = (1 << widthBits) - 1
+        main = Array.tabulate(h0, codedW) { (y, cx) =>
+          var packed = 0
+          var k = 0
+          while (k <= sub) {
+            val x = (cx << widthBits) + k
+            if (x < w0) packed |= colors(argb(y * w0 + x)) << (k * bitsPer)
+            k += 1
+          }
+          0xff000000 | (packed << 8)
+        }.flatten
+      } else {
+        if (subtractGreen) {
+          w.bits(1, 1); w.bits(2, 2) // transform: subtract green
+          main = main.map { p =>
+            val g = (p >>> 8) & 0xff
+            val r = (((p >>> 16) & 0xff) - g) & 0xff
+            val b = ((p & 0xff) - g) & 0xff
+            (p & 0xff00ff00.toInt) | (r << 16) | b
+          }
+        }
+        if (predictorMode >= 0) {
+          val sizeBits = 3 // 8×8 blocks
+          w.bits(1, 1); w.bits(0, 2) // transform: predictor
+          w.bits(sizeBits - 2, 3)
+          val bw = (w0 + (1 << sizeBits) - 1) >> sizeBits
+          val bh = (h0 + (1 << sizeBits) - 1) >> sizeBits
+          def blockMode(bx: Int, by: Int): Int =
+            if (predictorMode < 14) predictorMode else (bx + by) % 14
+          val modeImg = Array.tabulate(bh, bw)((by, bx) =>
+            0xff000000 | (blockMode(bx, by) << 8)).flatten
+          writeEntropyImage(w, modeImg, cacheBits = 0, backrefs = false,
+            level0 = false, mapDistances = false)
+          // forward pass: residual = pixel − predict(original neighbors)
+          val src = main
+          val res = new Array[Int](src.length)
+          var y = 0
+          while (y < h0) {
+            var x = 0
+            while (x < w0) {
+              val pred =
+                if (x == 0 && y == 0) 0xff000000
+                else if (y == 0) src(x - 1)
+                else if (x == 0) src((y - 1) * w0)
+                else {
+                  val l = src(y * w0 + x - 1)
+                  val t = src((y - 1) * w0 + x)
+                  val tl = src((y - 1) * w0 + x - 1)
+                  val tr = if (x + 1 < w0) src((y - 1) * w0 + x + 1)
+                           else src(y * w0)
+                  predict(blockMode(x >> sizeBits, y >> sizeBits),
+                    l, t, tl, tr)
+                }
+              res(y * w0 + x) = subPixels(src(y * w0 + x), pred)
+              x += 1
+            }
+            y += 1
+          }
+          main = res
+        }
+      }
+      w.bits(0, 1) // end of transforms
+      writeEntropyImage(w, main, cacheBits, backrefs, level0 = true,
+        mapDistances)
+      riff(w.toBytes) // byte 0 is the 0x2F signature written above
+    }
+
+    /** Wrap a VP8L payload (0x2F + bitstream) in RIFF/WEBP. */
+    private def riff(payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+      }
+      val padded = payload.length + (payload.length & 1)
+      out.write("RIFF".getBytes("US-ASCII"))
+      le32(4 + 8 + padded)
+      out.write("WEBP".getBytes("US-ASCII"))
+      out.write("VP8L".getBytes("US-ASCII"))
+      le32(payload.length)
+      out.write(payload)
+      if ((payload.length & 1) == 1) out.write(0)
+      out.toByteArray
+    }
+
+    /** A minimal lossy ("VP8 ") container: the header probe parses it
+      * (sync code + dims) but the pixel path routes "unsupported" —
+      * the census's lossy row. */
+    def lossyHeader(w0: Int, h0: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      // 10-byte mock frame header: 3-byte frame tag, sync 9D 01 2A,
+      // 14-bit LE dims
+      out.write(Array[Byte](0, 0, 0))
+      out.write(Array(0x9d, 0x01, 0x2a).map(_.toByte))
+      out.write(w0 & 0xff); out.write((w0 >> 8) & 0x3f)
+      out.write(h0 & 0xff); out.write((h0 >> 8) & 0x3f)
+      val payload = out.toByteArray
+      val full = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = {
+        full.write(v & 0xff); full.write((v >> 8) & 0xff)
+        full.write((v >> 16) & 0xff); full.write((v >> 24) & 0xff)
+      }
+      full.write("RIFF".getBytes("US-ASCII"))
+      le32(4 + 8 + payload.length)
+      full.write("WEBP".getBytes("US-ASCII"))
+      full.write("VP8 ".getBytes("US-ASCII"))
+      le32(payload.length)
+      full.write(payload)
+      full.toByteArray
+    }
+  }
+}

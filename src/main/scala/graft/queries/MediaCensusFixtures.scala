@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.operators.{AudioDedup, ImageDedup, JpegBuild, MotionJpeg,
-  Multimodal, TiffPixels, VideoDedup}
+  Multimodal, TiffPixels, VideoDedup, WebpPixels}
 
 /** The q109 census plant: every payload variant, its byte-patching, and
   * the expected (variant → reason) table — in ONE place so the Spark
@@ -81,7 +81,12 @@ object MediaCensusFixtures {
     "tiff_gray" -> "ok", "tiff_packbits" -> "ok", "tiff_lzw" -> "ok",
     "tiff_deflate" -> "ok", "tiff_pred_lzw" -> "ok",
     "tiff_pred_deflate" -> "ok", "tiff_fillorder2" -> "ok",
-    "tiff_ycbcr" -> "unsupported", "tiff_trunc" -> "corrupt")
+    "tiff_ycbcr" -> "unsupported", "tiff_trunc" -> "corrupt",
+    // WEBP (r12, q112's container): lossless decodes; lossy VP8 and
+    // the VP8X extended container are the external-codec seam
+    "webp_vp8l" -> "ok", "webp_vp8l_pal" -> "ok",
+    "webp_lossy" -> "unsupported", "webp_vp8x" -> "unsupported",
+    "webp_trunc" -> "corrupt")
 
   /** DuckDB oracle: the same [[Expected]] table crossed with
     * count(documents) — each variant maps to exactly ONE reason with
@@ -201,7 +206,16 @@ object MediaCensusFixtures {
       "tiff_pred_deflate" -> TiffPixels.TiffBuild.build(w, h,
         le = false, compression = 8, predictor = 2)((x, y) => px(x, y)),
       "tiff_fillorder2" -> TiffPixels.TiffBuild.build(w, h,
-        fillOrder = 2)((x, y) => px(x, y)))
+        fillOrder = 2)((x, y) => px(x, y)),
+      // r12: the VP8L pixel path (q112's container)
+      "webp_vp8l" -> WebpPixels.WebpBuild.vp8lGray(w, h,
+        subtractGreen = true)((x, y) => px(x, y)),
+      "webp_vp8l_pal" -> WebpPixels.WebpBuild.vp8lGray(w, h,
+        paletted = true)((x, y) => px(x, y)),
+      "webp_lossy" -> WebpPixels.WebpBuild.lossyHeader(w, h),
+      "webp_vp8x" -> Multimodal.MediaBuild.webp(w, h),
+      "webp_trunc" -> WebpPixels.WebpBuild.vp8lGray(w, h)(
+        (x, y) => px(x, y)).take(24))
 
     require(payloads.map(_._1).sorted == Expected.map(_._1).sorted,
       "census variants and Expected reasons diverged")

@@ -57,6 +57,8 @@ object MediaDecodeBench {
         JpegBuild.gray(side, side, quant = JpegBuild.LossyQuant)(px),
         JpegBuild.gray(side, side, quant = JpegBuild.LossyQuant)(
           (x, y) => px(x, y) ^ 1))),
+      "webp_vp8l_sg" -> graft.operators.WebpPixels.WebpBuild.vp8lGray(
+        side, side, subtractGreen = true)(px),
       "wav_pcm16" -> AudioDedup.WavBuild.pcm16(
         Array.fill(side * side / 2)(rnd.nextInt(65536) - 32768)))
 

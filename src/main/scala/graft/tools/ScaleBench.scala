@@ -195,7 +195,11 @@ object ScaleBench {
     // q111 is q108's two-form shape with the plant encode (5 GIF/JPEG
     // frames × 4 video populations per doc) plus the MJPEG-AVI decode
     // as the map-side CPU; pair volume stays in-quintet, linear.
-    "q111_cross_container_video")
+    "q111_cross_container_video",
+    // r12: q112 is q102's shape over VP8L payloads (bit-stream
+    // Huffman + transforms as the map-side CPU; lossless plant, pair
+    // volume in-sextet, linear; only (id, sig) rows shuffle).
+    "q112_webp_neardup")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

@@ -109,9 +109,21 @@ class MediaFuzzSpec extends SparkSuite {
       JpegBuild.gray(18, 16, standardTables = true,
         writeDht = false)((x, y) => img(y)(x))),
       recWrap = rnd.nextBoolean())
+    // r12 image container: VP8L lossless WEBP (bit-stream Huffman,
+    // transforms, LZ77, cache — randomized dials)
+    val palettedWebp = rnd.nextBoolean()
+    val webp = graft.operators.WebpPixels.WebpBuild.vp8lGray(18, 16,
+      subtractGreen = !palettedWebp && rnd.nextBoolean(),
+      predictorMode =
+        if (palettedWebp) -1 else rnd.nextInt(16) - 1, // -1..14
+      paletted = palettedWebp,
+      backrefs = rnd.nextBoolean(),
+      cacheBits = rnd.nextInt(7), // 0 = off
+      mapDistances = rnd.nextBoolean())(
+      (x, y) => img(y)(x) % (if (palettedWebp) 16 else 256))
     Seq(bmp, wav, gif, png, pngPal, pngAdam, deltaGif, jpg, jpgRst,
       jpgProg, wavF32, wavP24, wavUlaw, wavExt, wavIma, wavMs, avi,
-      aiff, au, tiff, tiffP2)
+      aiff, au, tiff, tiffP2, webp)
   }
 
   test("pure random garbage never throws (1000 payloads)") {

@@ -1,0 +1,201 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ImageDedup, WebpPixels}
+import graft.operators.WebpPixels.WebpBuild
+
+/** VP8L decoder/builder pins. No JDK WEBP codec exists, so unlike the
+  * PNG/JPEG/TIFF/WAV suites there is no third-party oracle here; the
+  * conformance evidence is (a) the full feature-matrix roundtrip
+  * against the spec-shaped builder, (b) hash parity with the BMP twin
+  * (lossless → bit-exact, the q110 discipline), and (c) the
+  * distance-map pin against libwebp's published packed constants. */
+class WebpPixelsSpec extends AnyFunSuite {
+
+  private def img(seed: Int): (Int, Int) => Int = { (x, y) =>
+    var z = seed * 977L + y * 18L + x + 0x9e37L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z ^= z >>> 31
+    java.lang.Math.floorMod(z, 256L).toInt
+  }
+
+  private def expect(w: Int, h: Int, f: (Int, Int) => Int): Seq[Int] =
+    Array.tabulate(h, w)((y, x) => f(x, y)).flatten.toSeq
+
+  private def decode(p: Array[Byte]): (Int, Int, Seq[Int]) = {
+    val Right((w, h, px)) = WebpPixels.decodeGray(p)
+    (w, h, px.toSeq)
+  }
+
+  test("plain literal stream roundtrips exactly (odd dims, 1x1, 1-row)") {
+    for ((w, h, seed) <- Seq((18, 16, 1), (19, 13, 2), (1, 1, 3),
+        (37, 1, 4), (1, 29, 5))) {
+      val f = img(seed)
+      val bytes = WebpBuild.vp8lGray(w, h)(f)
+      assert(decode(bytes) === ((w, h, expect(w, h, f))), s"$w x$h")
+    }
+  }
+
+  test("subtract-green transform roundtrips (gray: r,b residuals 0)") {
+    val f = img(6)
+    val bytes = WebpBuild.vp8lGray(18, 16, subtractGreen = true)(f)
+    assert(decode(bytes) === ((18, 16, expect(18, 16, f))))
+    // and genuinely differs on the wire from the plain encoding
+    assert(!java.util.Arrays.equals(bytes, WebpBuild.vp8lGray(18, 16)(f)))
+  }
+
+  test("predictor transform roundtrips for EVERY mode 0..13, the mixed " +
+      "per-block pattern, and composed with subtract-green") {
+    val f = img(7)
+    for (mode <- 0 to 14) { // 14 = per-block mixed
+      val bytes = WebpBuild.vp8lGray(21, 19, predictorMode = mode)(f)
+      assert(decode(bytes) === ((21, 19, expect(21, 19, f))), s"mode $mode")
+      val both = WebpBuild.vp8lGray(21, 19, subtractGreen = true,
+        predictorMode = mode)(f)
+      assert(decode(both) === ((21, 19, expect(21, 19, f))), s"SG+$mode")
+    }
+  }
+
+  test("palette roundtrips at every packing width (2/4/16/256 colors)") {
+    for ((mod, label) <- Seq((2, "1-bit"), (4, "2-bit"), (16, "4-bit"),
+        (200, "unpacked"))) {
+      val f = (x: Int, y: Int) => img(8)(x, y) % mod
+      // odd width: the last packed byte of each row carries filler bits
+      val bytes = WebpBuild.vp8lGray(19, 16, paletted = true)(f)
+      assert(decode(bytes) === ((19, 16, expect(19, 16, f))), label)
+    }
+  }
+
+  test("LZ77 runs roundtrip: direct and neighborhood-mapped dist-1 " +
+      "(overlapping copies), run crossing row boundaries") {
+    // long constant spans force dist-1 length-coded copies
+    val f = (x: Int, y: Int) => if ((x / 9 + y) % 2 == 0) 40 else 200
+    for (mapDist <- Seq(false, true)) {
+      val bytes = WebpBuild.vp8lGray(36, 24, backrefs = true,
+        mapDistances = mapDist)(f)
+      assert(decode(bytes) === ((36, 24, expect(36, 24, f))),
+        s"mapDistances=$mapDist")
+    }
+    // an entirely constant image is one literal + one max-length-ish run
+    val const = WebpBuild.vp8lGray(64, 64, backrefs = true)((_, _) => 77)
+    assert(decode(const) === ((64, 64, Seq.fill(64 * 64)(77))))
+  }
+
+  test("color cache roundtrips at several sizes and composes with runs") {
+    val f = (x: Int, y: Int) => img(9)(x, y) % 7 * 36 // few distinct values
+    for (bits <- Seq(1, 4, 11)) {
+      val bytes = WebpBuild.vp8lGray(18, 16, cacheBits = bits)(f)
+      assert(decode(bytes) === ((18, 16, expect(18, 16, f))), s"bits=$bits")
+    }
+    val both = WebpBuild.vp8lGray(36, 24, backrefs = true, cacheBits = 6)(
+      (x, y) => if ((x / 9 + y) % 2 == 0) 40 else 200)
+    assert(decode(both)._3 === expect(36, 24,
+      (x, y) => if ((x / 9 + y) % 2 == 0) 40 else 200))
+  }
+
+  test("distance map matches libwebp's packed kCodeToPlane constants " +
+      "on the published prefix") {
+    // first ten entries of libwebp's kCodeToPlane: (y<<4) | (8-x)
+    val packed = Seq(0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29,
+      0x16, 0x1a)
+    for ((pc, i) <- packed.zipWithIndex) {
+      val y = pc >> 4
+      val x = 8 - (pc & 0xf)
+      val w = 100
+      val want = math.max(1, y * w + x)
+      assert(WebpPixels.planeCodeToDistance(w, i + 1) === want, s"code ${i + 1}")
+    }
+    // direct codes pass through
+    assert(WebpPixels.planeCodeToDistance(100, 121) === 1)
+    assert(WebpPixels.planeCodeToDistance(100, 500) === 380)
+    // a mapped code whose offset would be non-positive clamps to 1
+    assert(WebpPixels.planeCodeToDistance(1, 4) === 1) // (-1,1): 1*1-1=0 -> 1
+  }
+
+  test("cross-format parity: VP8L hashes bit-identically to the BMP twin " +
+      "whatever the encoding dials") {
+    val f = img(10)
+    val bmp = ImageDedup.ImageBuild.bmp24Gray(18, 16)(f)
+    val want = ImageDedup.ImagePixels.dhashOf(bmp)
+    assert(want.nonEmpty)
+    val variants = Seq(
+      WebpBuild.vp8lGray(18, 16)(f),
+      WebpBuild.vp8lGray(18, 16, subtractGreen = true)(f),
+      WebpBuild.vp8lGray(18, 16, predictorMode = 11)(f),
+      WebpBuild.vp8lGray(18, 16, paletted = true)(f),
+      WebpBuild.vp8lGray(18, 16, backrefs = true, cacheBits = 5)(f))
+    variants.foreach { v =>
+      assert(ImageDedup.ImagePixels.dhashOf(v) === want)
+      assert(ImageDedup.ImagePixels.decodeGrayReason(v).isRight)
+    }
+  }
+
+  test("reason classes: lossy/extended unsupported, cross-color and " +
+      "meta-Huffman unsupported, truncation corrupt, huge dims oversized") {
+    import graft.operators.Multimodal
+    // lossy VP8 frame: probe parses it, pixel path routes out
+    val lossy = WebpBuild.lossyHeader(640, 480)
+    assert(WebpPixels.decodeGray(lossy) === Left("unsupported"))
+    assert(Multimodal.MediaDecoder.contentReason(lossy) === "unsupported")
+    // VP8X extended container (header-only builder from MediaBuild)
+    assert(WebpPixels.decodeGray(
+      Multimodal.MediaBuild.webp(64, 48)) === Left("unsupported"))
+    val good = WebpBuild.vp8lGray(18, 16)(img(11))
+    assert(Multimodal.MediaDecoder.contentReason(good) === "ok")
+    // truncations: never throw; and (away from the final pad/flush
+    // bytes, which may carry no load-bearing bits) never Right
+    for (n <- 0 until good.length - 2)
+      assert(WebpPixels.decodeGray(good.take(n)).isLeft, s"take($n)")
+    WebpPixels.decodeGray(good.take(good.length - 1))
+    WebpPixels.decodeGray(good.take(good.length - 2))
+    // cross-color transform (type 1): patch the first transform bits.
+    // VP8L header = byte 0x2F then 32 bits (14+14+1+3) -> the transform
+    // marker starts at bit 32 of the bitstream, i.e. the low bits of
+    // payload byte 5 (RIFF 20 + signature 1 + 4 = offset 25 in file)
+    val sg = WebpBuild.vp8lGray(18, 16, subtractGreen = true)(img(11))
+    val crossColor = sg.clone
+    // transform bit (1) + type (2 bits LSB-first): SG wrote 1,0,1 ->
+    // bits 0..2 of byte 25 are 1,0,1 (0b101); cross-color = type 1 ->
+    // bits 1,1,0 (0b011)
+    assert((crossColor(25) & 0x07) === 0x05, "fixture layout moved")
+    crossColor(25) = ((crossColor(25) & ~0x07) | 0x03).toByte
+    assert(WebpPixels.decodeGray(crossColor) === Left("unsupported"))
+    // meta-Huffman bit: plain stream wrote transform-end(0), cache(0),
+    // meta(0) as bits 0..2 of byte 25; set the meta bit
+    val plain = WebpBuild.vp8lGray(18, 16)(img(11))
+    assert((plain(25) & 0x07) === 0x00, "fixture layout moved")
+    val meta = plain.clone
+    meta(25) = (meta(25) | 0x04).toByte
+    assert(WebpPixels.decodeGray(meta) === Left("unsupported"))
+    // nonzero version: future format, route out not drop
+    val ver = plain.clone
+    // version = bits 29..31 of the 32-bit header word = top 3 bits of
+    // byte 24 (file offset 21+3)
+    ver(24) = (ver(24) | 0x20).toByte
+    assert(WebpPixels.decodeGray(ver) === Left("unsupported"))
+    // dims past the 2^24 pixel cap: 8192x8192 claimed on a tiny body
+    val huge = plain.clone
+    // width-1 / height-1 are 14-bit LSB-first at bits 0..27 of bytes
+    // 21..24: set both to 8191 (0x1FFF)
+    huge(21) = 0xff.toByte
+    huge(22) = (0x1f | ((8191 & 0x3) << 6)).toByte
+    huge(23) = ((8191 >> 2) & 0xff).toByte
+    huge(24) = ((huge(24) & 0xf0) | ((8191 >> 10) & 0x0f)).toByte
+    assert(WebpPixels.decodeGray(huge) === Left("oversized"))
+    // garbage behind the magic
+    val junk = "RIFF????WEBP but not actually a chunk".getBytes("US-ASCII")
+    assert(WebpPixels.decodeGray(junk) === Left("corrupt"))
+  }
+
+  test("single-byte mutations of a valid VP8L payload never throw") {
+    val rnd = new scala.util.Random(0xeb91)
+    val base = WebpBuild.vp8lGray(18, 16, backrefs = true, cacheBits = 4)(
+      (x, y) => if ((x + y) % 3 == 0) 10 else img(12)(x, y) % 32)
+    for (_ <- 1 to 4000) {
+      val m = base.clone
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      WebpPixels.decodeGray(m) // must not throw
+    }
+  }
+}
