@@ -311,8 +311,9 @@ object Bench {
       "lineitem scan-agg + shuffle-agg timed at run start/mid/end for " +
       "host-band normalization (never change across rounds); decode_mps: " +
       "single-core MediaDecodeBench decode rates in megapixels/s " +
-      "(mega-samples/s for wav), side=256 reps=200 - tracked because the " +
-      "media-gate query rows are plant-encode-bound (PLANS.md r12)"
+      "(mega-samples/s for wav), side=256 reps=200, best of two timed " +
+      "blocks per format - tracked because the media-gate query rows are " +
+      "plant-encode-bound (PLANS.md r12)"
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window (BENCH_r05/r06 shipped parsed:null when
     // the full-name, full-precision line outgrew it). The stdout line

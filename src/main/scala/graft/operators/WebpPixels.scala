@@ -82,22 +82,41 @@ object WebpPixels {
       v
     }
     def bit(): Int = bits(1)
+    /** Look at the next n bits without consuming; zero-padded past the
+      * stream end (a code decoded from padding fails at [[consume]]). */
+    def peek(n: Int): Int = {
+      while (cnt < n && pos < end) {
+        acc |= (p(pos) & 0xffL) << cnt
+        pos += 1; cnt += 8
+      }
+      (acc & ((1L << n) - 1)).toInt
+    }
+    /** Drop n peeked bits; false (+ overrun) if they never existed. */
+    def consume(n: Int): Boolean =
+      if (cnt < n) { overrun = true; false }
+      else { acc >>>= n; cnt -= n; true }
   }
 
   // ---- canonical Huffman ---------------------------------------------
 
   /** Decoder for one canonical code: `single` >= 0 short-circuits to a
-    * 0-bit code; otherwise `count(len)`/`first(len)`/`symAt` implement
-    * the classic first-code-per-length walk (codes transmitted
-    * MSB-first, DEFLATE convention). */
+    * 0-bit code; otherwise a ROOT LOOKUP TABLE indexed by the next
+    * `RootBits` stream bits resolves every code of length ≤ RootBits
+    * in one peek+consume (the libwebp two-level scheme: the table is
+    * built at REVERSED-code indices because the stream is LSB-first
+    * while code bits transmit MSB-first), with the classic
+    * first-code-per-length bit walk as the long-code fallback. */
   private final class Code(lengths: Array[Int]) {
     private final val MaxLen = 15
+    private final val RootBits = 10
     var single: Int = -1
     var valid = false
     private val count = new Array[Int](MaxLen + 1)
     private val first = new Array[Int](MaxLen + 1)
     private val offset = new Array[Int](MaxLen + 1)
     private var symbols: Array[Int] = null
+    // root(idx) = (symbol << 4) | len, 0 = no short code with this prefix
+    private var root: Array[Int] = null
     locally {
       var nz = 0
       var last = -1
@@ -134,12 +153,39 @@ object WebpPixels {
             if (len > 0) { symbols(fill(len)) = i; fill(len) += 1 }
             i += 1
           }
+          root = new Array[Int](1 << RootBits)
+          val next = first.clone()
+          i = 0
+          while (i < lengths.length) {
+            val len = lengths(i)
+            if (len > 0) {
+              val c = next(len); next(len) += 1
+              if (len <= RootBits) {
+                // stream bit j carries code bit (len-1-j): index by the
+                // bit-reversed code, replicated over the free high bits
+                var rev = 0
+                var b = 0
+                while (b < len) { rev |= ((c >> b) & 1) << (len - 1 - b); b += 1 }
+                val entry = (i << 4) | len
+                var k = rev
+                while (k < root.length) { root(k) = entry; k += 1 << len }
+              }
+            }
+            i += 1
+          }
         }
       }
     }
     /** -1 on a broken stream. */
     def read(r: Reader): Int = {
       if (single >= 0) return single
+      val entry = root(r.peek(RootBits))
+      if (entry != 0) {
+        if (!r.consume(entry & 0xf)) return -1
+        return entry >>> 4
+      }
+      // long code (len > RootBits): bit-by-bit walk from the start —
+      // peek consumed nothing
       var code = 0
       var len = 0
       while (len < MaxLen) {

@@ -188,6 +188,32 @@ class WebpPixelsSpec extends AnyFunSuite {
     assert(WebpPixels.decodeGray(junk) === Left("corrupt"))
   }
 
+  test("randomized dial/image property: 120 random (dims, transform, " +
+      "cache, backref) combinations all roundtrip exactly") {
+    val rnd = new scala.util.Random(0x7eb1)
+    for (trial <- 1 to 120) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      val paletted = rnd.nextBoolean()
+      val mod = if (paletted) Seq(2, 4, 16, 200)(rnd.nextInt(4)) else 256
+      val img = Array.fill(h, w)(rnd.nextInt(mod))
+      // runs make backrefs fire sometimes
+      if (rnd.nextBoolean() && w > 3)
+        for (y <- 0 until h; x <- 1 until w if x % 7 != 0)
+          img(y)(x) = img(y)(x - 1)
+      val bytes = WebpBuild.vp8lGray(w, h,
+        subtractGreen = !paletted && rnd.nextBoolean(),
+        predictorMode = if (paletted) -1 else rnd.nextInt(16) - 1,
+        paletted = paletted,
+        backrefs = rnd.nextBoolean(),
+        cacheBits = rnd.nextInt(8),
+        mapDistances = rnd.nextBoolean())((x, y) => img(y)(x))
+      assert(decode(bytes) === ((w, h,
+        Array.tabulate(h, w)((y, x) => img(y)(x)).flatten.toSeq)),
+        s"trial $trial ${w}x$h paletted=$paletted")
+    }
+  }
+
   test("single-byte mutations of a valid VP8L payload never throw") {
     val rnd = new scala.util.Random(0xeb91)
     val base = WebpBuild.vp8lGray(18, 16, backrefs = true, cacheBits = 4)(
