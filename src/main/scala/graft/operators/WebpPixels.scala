@@ -729,6 +729,20 @@ object WebpPixels {
       s => w.code(codes(s), lengths(s))
     }
 
+    /** Degenerate "comb" code: symbols 0..15 at lengths 1,2,…,14,15,15
+      * (Kraft sum exactly 1) — produces codes LONGER than the
+      * decoder's 10-bit root table, so the long-code fallback walk
+      * sees traffic. Usable only when every emitted symbol is ≤ 15. */
+    private def writeCombCode(w: Writer, alphabet: Int): Int => Unit = {
+      val lengths = new Array[Int](alphabet)
+      var i = 0
+      while (i < 15) { lengths(i) = i + 1; i += 1 }
+      lengths(15) = 15
+      writeNormalCode(w, lengths)
+      val codes = canonical(lengths)
+      s => { require(s <= 15, s"comb code symbol $s"); w.code(codes(s), lengths(s)) }
+    }
+
     /** (prefixCode, extraBits, extraValue) for v >= 1 — inverse of the
       * decoder's prefixValue. */
     private def prefixCode(v: Int): (Int, Int, Int) = {
@@ -762,14 +776,19 @@ object WebpPixels {
       * branches see traffic. */
     private def writeEntropyImage(w: Writer, pix: Array[Int],
         cacheBits: Int, backrefs: Boolean, level0: Boolean,
-        mapDistances: Boolean): Unit = {
+        mapDistances: Boolean, combLiterals: Boolean = false): Unit = {
+      require(!combLiterals || (!backrefs && cacheBits == 0),
+        "comb literals carry no length/cache symbols")
       w.bits(if (cacheBits > 0) 1 else 0, 1)
       if (cacheBits > 0) w.bits(cacheBits, 4)
       if (level0) w.bits(0, 1) // one entropy group
       val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
-      val emitGreen = writeFlatCode(w, 256 + 24 + cacheSize)
-      val emitRed = writeFlatCode(w, 256)
-      val emitBlue = writeFlatCode(w, 256)
+      def literalCode(alphabet: Int): Int => Unit =
+        if (combLiterals) writeCombCode(w, alphabet)
+        else writeFlatCode(w, alphabet)
+      val emitGreen = literalCode(256 + 24 + cacheSize)
+      val emitRed = literalCode(256)
+      val emitBlue = literalCode(256)
       val alphas = pix.map(p => (p >>> 24) & 0xff).distinct.sorted.toSeq
       val emitAlpha = writeSimpleCode(w, 256, alphas)
       val distSyms = if (backrefs) Seq(1, 13) else Seq(0)
@@ -821,8 +840,12 @@ object WebpPixels {
     def vp8lGray(w0: Int, h0: Int, subtractGreen: Boolean = false,
         predictorMode: Int = -1, paletted: Boolean = false,
         backrefs: Boolean = false, cacheBits: Int = 0,
-        mapDistances: Boolean = false)(px: (Int, Int) => Int)
+        mapDistances: Boolean = false, combLiterals: Boolean = false)
+        (px: (Int, Int) => Int)
         : Array[Byte] = {
+      require(!combLiterals || (!subtractGreen && predictorMode < 0 &&
+        !paletted && !backrefs && cacheBits == 0),
+        "comb literals: plain literal stream with all values <= 15")
       require(w0 >= 1 && h0 >= 1 && w0 <= 16384 && h0 <= 16384)
       require(predictorMode >= -1 && predictorMode <= 14)
       require(!paletted || (!subtractGreen && predictorMode < 0),
@@ -920,7 +943,7 @@ object WebpPixels {
       }
       w.bits(0, 1) // end of transforms
       writeEntropyImage(w, main, cacheBits, backrefs, level0 = true,
-        mapDistances)
+        mapDistances, combLiterals)
       riff(w.toBytes) // byte 0 is the 0x2F signature written above
     }
 

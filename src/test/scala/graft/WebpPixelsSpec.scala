@@ -82,6 +82,17 @@ class WebpPixelsSpec extends AnyFunSuite {
     assert(decode(const) === ((64, 64, Seq.fill(64 * 64)(77))))
   }
 
+  test("comb-code streams (11-15-bit codes) roundtrip: the long-code " +
+      "fallback past the 10-bit root table sees traffic") {
+    val f = (x: Int, y: Int) => img(19)(x, y) % 16 // symbols 0..15 incl. deep
+    val bytes = WebpBuild.vp8lGray(23, 17, combLiterals = true)(f)
+    assert(decode(bytes) === ((23, 17, expect(23, 17, f))))
+    // force traffic on the deepest codes specifically
+    val deep = WebpBuild.vp8lGray(16, 2, combLiterals = true)(
+      (x, _) => x) // one pixel of every symbol incl. 14 and 15
+    assert(decode(deep) === ((16, 2, expect(16, 2, (x, _) => x))))
+  }
+
   test("color cache roundtrips at several sizes and composes with runs") {
     val f = (x: Int, y: Int) => img(9)(x, y) % 7 * 36 // few distinct values
     for (bits <- Seq(1, 4, 11)) {
