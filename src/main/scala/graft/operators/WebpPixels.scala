@@ -485,25 +485,28 @@ object WebpPixels {
 
   private def inner(p: Array[Byte]): Either[String, (Int, Int, Array[Int])] = {
     if (!hasMagic(p)) return Corrupt
-    // RIFF chunk walk to the VP8L payload
-    var at = 12
+    // RIFF chunk walk to the VP8L payload. Offsets in LONG: a chunk
+    // declaring size near Int.MaxValue would otherwise wrap `at + 8 +
+    // size` past the bounds check and index negative (r12 review).
+    var at = 12L
     var vp8lOff = -1
     var vp8lLen = 0
-    var sawLossyOrExtended = false
     while (vp8lOff < 0 && at + 8 <= p.length) {
-      val fourcc = new String(p, at, 4, "US-ASCII")
-      val size = (p(at + 4) & 0xff) | ((p(at + 5) & 0xff) << 8) |
-        ((p(at + 6) & 0xff) << 16) | ((p(at + 7) & 0xff) << 24)
+      val a = at.toInt
+      val fourcc = new String(p, a, 4, "US-ASCII")
+      val size = (p(a + 4) & 0xff) | ((p(a + 5) & 0xff) << 8) |
+        ((p(a + 6) & 0xff) << 16) | ((p(a + 7) & 0xff) << 24)
       if (size < 0 || at + 8 + size > p.length) return Corrupt
-      if (fourcc == "VP8L") { vp8lOff = at + 8; vp8lLen = size }
+      if (fourcc == "VP8L") { vp8lOff = a + 8; vp8lLen = size }
       else if (fourcc == "VP8 " || fourcc == "VP8X")
-        // lossy frame, or the extended container (animation/alpha
-        // framing): the external-codec seam
-        sawLossyOrExtended = true
-      at += 8 + size + (size & 1)
+        // lossy frame, or the extended container (animation/alpha/
+        // metadata framing — even when a VP8L chunk follows, the VP8X
+        // canvas governs the image and this decoder does not honor
+        // it): the external-codec seam, immediately
+        return Unsupported
+      at += 8L + size + (size & 1)
     }
-    if (vp8lOff < 0)
-      return if (sawLossyOrExtended) Unsupported else Corrupt
+    if (vp8lOff < 0) return Corrupt
     if (vp8lLen < 5 || (p(vp8lOff) & 0xff) != 0x2f) return Corrupt
     val r = new Reader(p, vp8lOff + 1, vp8lOff + vp8lLen)
     val w = r.bits(14) + 1
@@ -514,9 +517,12 @@ object WebpPixels {
     if (version != 0) return Unsupported
     if (w.toLong * h > MaxPixels) return Oversized
 
-    // transforms (read order = forward-application order; inverses
-    // apply in reverse read order)
-    var subtractGreen = false
+    // transforms: record READ order — the spec applies inverses in
+    // REVERSE read order, and subtract-green does not commute with the
+    // predictor (avg2/clip are non-linear), so a stream reading
+    // [predictor, subtract-green] must invert add-green FIRST
+    // (r12 review: the order used to be hard-coded)
+    var readOrder: List[Int] = Nil
     var predModes: Array[Int] = null
     var predSizeBits = 0
     var palette: Array[Int] = null
@@ -526,8 +532,9 @@ object WebpPixels {
       val ttype = r.bits(2)
       if ((seen & (1 << ttype)) != 0) return Corrupt // each at most once
       seen |= 1 << ttype
+      readOrder = ttype :: readOrder // head = last-read
       ttype match {
-        case 2 => subtractGreen = true
+        case 2 => ()
         case 0 =>
           val sizeBits = r.bits(3) + 2
           val bw = (w + (1 << sizeBits) - 1) >> sizeBits
@@ -556,7 +563,7 @@ object WebpPixels {
       }
     }
     if (r.overrun) return Corrupt
-    if (palette != null && (subtractGreen || predModes != null))
+    if (palette != null && readOrder.size > 1)
       return Unsupported // scope: palette alone
     // palette packing shrinks the coded width
     val widthBits =
@@ -571,9 +578,9 @@ object WebpPixels {
       case Left(reason) => return Left(reason)
       case Right(arr) => arr
     }
-    // inverse transforms, reverse read order: palette unpack last-read
-    // (it is read last only when alone — scope enforces that), then
-    // predictor, then add-green
+    // inverse transforms in reverse READ order (readOrder's head is
+    // the last-read transform, so plain traversal is the right order);
+    // palette is alone by the scope guard above and unpacks first
     val full: Array[Int] =
       if (palette == null) pix
       else {
@@ -595,9 +602,17 @@ object WebpPixels {
         }
         out
       }
-    if (predModes != null && !applyInversePredictor(full, w, h,
-        predModes, predSizeBits)) return Corrupt
-    if (subtractGreen) applyAddGreen(full)
+    var t = readOrder
+    while (t.nonEmpty) {
+      t.head match {
+        case 0 =>
+          if (!applyInversePredictor(full, w, h, predModes, predSizeBits))
+            return Corrupt
+        case 2 => applyAddGreen(full)
+        case _ => () // 3 = palette, already unpacked above
+      }
+      t = t.tail
+    }
     // luma in place (alpha ignored, the family contract)
     var i = 0
     while (i < full.length) {
@@ -840,7 +855,8 @@ object WebpPixels {
     def vp8lGray(w0: Int, h0: Int, subtractGreen: Boolean = false,
         predictorMode: Int = -1, paletted: Boolean = false,
         backrefs: Boolean = false, cacheBits: Int = 0,
-        mapDistances: Boolean = false, combLiterals: Boolean = false)
+        mapDistances: Boolean = false, combLiterals: Boolean = false,
+        predictorFirst: Boolean = false)
         (px: (Int, Int) => Int)
         : Array[Byte] = {
       require(!combLiterals || (!subtractGreen && predictorMode < 0 &&
@@ -892,16 +908,16 @@ object WebpPixels {
           0xff000000 | (packed << 8)
         }.flatten
       } else {
-        if (subtractGreen) {
+        def sgForward(src: Array[Int]): Array[Int] = {
           w.bits(1, 1); w.bits(2, 2) // transform: subtract green
-          main = main.map { p =>
+          src.map { p =>
             val g = (p >>> 8) & 0xff
             val r = (((p >>> 16) & 0xff) - g) & 0xff
             val b = ((p & 0xff) - g) & 0xff
             (p & 0xff00ff00.toInt) | (r << 16) | b
           }
         }
-        if (predictorMode >= 0) {
+        def predForward(src: Array[Int]): Array[Int] = {
           val sizeBits = 3 // 8×8 blocks
           w.bits(1, 1); w.bits(0, 2) // transform: predictor
           w.bits(sizeBits - 2, 3)
@@ -913,8 +929,10 @@ object WebpPixels {
             0xff000000 | (blockMode(bx, by) << 8)).flatten
           writeEntropyImage(w, modeImg, cacheBits = 0, backrefs = false,
             level0 = false, mapDistances = false)
-          // forward pass: residual = pixel − predict(original neighbors)
-          val src = main
+          // forward pass: residual = pixel − predict(source neighbors);
+          // the source here is whatever earlier transforms produced,
+          // which is exactly what the decoder's inverse reconstructs
+          // before ITS predictor pass (reverse read order)
           val res = new Array[Int](src.length)
           var y = 0
           while (y < h0) {
@@ -938,7 +956,19 @@ object WebpPixels {
             }
             y += 1
           }
-          main = res
+          res
+        }
+        // transform entries are written in forward-application order;
+        // the decoder inverts in reverse read order, so both orders of
+        // the SG/predictor pair are spec-valid wire shapes
+        val order =
+          (if (predictorFirst) Seq(0, 2) else Seq(2, 0)).filter {
+            case 2 => subtractGreen
+            case _ => predictorMode >= 0
+          }
+        order.foreach {
+          case 2 => main = sgForward(main)
+          case _ => main = predForward(main)
         }
       }
       w.bits(0, 1) // end of transforms

@@ -30,17 +30,24 @@ object MediaDecodeBench {
 
   /** Best-of-two timed blocks per format (the repo's min-of-two-passes
     * protocol: one GC stall inside a ~1 s block otherwise lands on an
-    * arbitrary format's number). */
+    * arbitrary format's number). The fixture set is built ONCE — the
+    * plant encodes are the expensive part, and re-encoding them per
+    * block would double exactly the cost this probe exists to factor
+    * out of the query rows. */
   def measure(side: Int = 256, reps: Int = 200): Seq[Rate] = {
-    val a = measureOnce(side, reps)
-    val b = measureOnce(side, reps)
+    val payloads = buildPayloads(side)
+    val a = timeBlock(payloads, side, reps)
+    val b = timeBlock(payloads, side, reps)
     a.zip(b).map { case (x, y) => if (y.mpPerSec > x.mpPerSec) y else x }
   }
 
-  /** Build the fixture set and time `reps` decodes of each, after a
-    * warm-up. Single-threaded on purpose: per-core rate is the number
-    * that multiplies by the cluster's cores. */
-  def measureOnce(side: Int = 256, reps: Int = 200): Seq[Rate] = {
+  /** One warm-up + timed decode block over prebuilt payloads.
+    * Single-threaded on purpose: per-core rate is the number that
+    * multiplies by the cluster's cores. */
+  def measureOnce(side: Int = 256, reps: Int = 200): Seq[Rate] =
+    timeBlock(buildPayloads(side), side, reps)
+
+  private def buildPayloads(side: Int): Seq[(String, Array[Byte])] = {
     val rnd = new scala.util.Random(11)
     val img = Array.fill(side, side)(rnd.nextInt(256))
     def px(x: Int, y: Int): Int = img(y)(x)
@@ -70,7 +77,11 @@ object MediaDecodeBench {
         side, side, subtractGreen = true)(px),
       "wav_pcm16" -> AudioDedup.WavBuild.pcm16(
         Array.fill(side * side / 2)(rnd.nextInt(65536) - 32768)))
+    payloads
+  }
 
+  private def timeBlock(payloads: Seq[(String, Array[Byte])], side: Int,
+      reps: Int): Seq[Rate] = {
     // logical decoded units per payload (pixels; samples for audio)
     def units(name: String): Long = name match {
       case "avi_mjpeg_2f" => 2L * side * side

@@ -225,6 +225,51 @@ class WebpPixelsSpec extends AnyFunSuite {
     }
   }
 
+  test("r12 review pins: chunk-size Int overflow stays corrupt (never " +
+      "throws), VP8X-then-VP8L routes unsupported, and BOTH transform " +
+      "read orders decode (inverses run in reverse read order)") {
+    // a chunk declaring size 0x7FFFFFEC: 'at + 8 + size' wraps in Int
+    // arithmetic past the bounds check and used to index negative
+    val overflow = ("RIFF" + "    " + "WEBP" +
+      "XXXX").getBytes("US-ASCII") ++
+      Array[Byte](0xec.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte) ++
+      Array.fill[Byte](16)(0)
+    assert(WebpPixels.decodeGray(overflow) === Left("corrupt"))
+    // VP8X extended container with a trailing VP8L chunk (the shape a
+    // lossless-with-metadata writer emits): the VP8X canvas governs,
+    // this decoder does not honor it -> unsupported, not a silent
+    // decode at the VP8L dims
+    val vp8l = WebpBuild.vp8lGray(18, 16)(img(13))
+    val vp8x = graft.operators.Multimodal.MediaBuild.webp(18, 16)
+    val combined = {
+      val chunks = vp8x.drop(12) ++ vp8l.drop(12) // both chunk lists
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII"))
+      val size = 4 + chunks.length
+      out.write(size & 0xff); out.write((size >> 8) & 0xff)
+      out.write((size >> 16) & 0xff); out.write((size >> 24) & 0xff)
+      out.write("WEBP".getBytes("US-ASCII"))
+      out.write(chunks)
+      out.toByteArray
+    }
+    assert(WebpPixels.decodeGray(combined) === Left("unsupported"))
+    // reverse transform order: stream reads [predictor, subtract-green]
+    // -> the decoder must add green FIRST, then invert the predictor
+    // (the two do not commute); pinned for a mode where avg2/clip are
+    // genuinely non-linear
+    val f = img(14)
+    for (mode <- Seq(5, 11, 12, 13)) {
+      val pFirst = WebpBuild.vp8lGray(21, 19, subtractGreen = true,
+        predictorMode = mode, predictorFirst = true)(f)
+      assert(decode(pFirst) === ((21, 19, expect(21, 19, f))),
+        s"predictorFirst mode $mode")
+      // and the two orders are genuinely different wire bytes
+      assert(!java.util.Arrays.equals(pFirst,
+        WebpBuild.vp8lGray(21, 19, subtractGreen = true,
+          predictorMode = mode)(f)), s"orders collapsed, mode $mode")
+    }
+  }
+
   test("single-byte mutations of a valid VP8L payload never throw") {
     val rnd = new scala.util.Random(0xeb91)
     val base = WebpBuild.vp8lGray(18, 16, backrefs = true, cacheBits = 4)(
