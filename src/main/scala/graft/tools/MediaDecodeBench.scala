@@ -41,12 +41,6 @@ object MediaDecodeBench {
     a.zip(b).map { case (x, y) => if (y.mpPerSec > x.mpPerSec) y else x }
   }
 
-  /** One warm-up + timed decode block over prebuilt payloads.
-    * Single-threaded on purpose: per-core rate is the number that
-    * multiplies by the cluster's cores. */
-  def measureOnce(side: Int = 256, reps: Int = 200): Seq[Rate] =
-    timeBlock(buildPayloads(side), side, reps)
-
   private def buildPayloads(side: Int): Seq[(String, Array[Byte])] = {
     val rnd = new scala.util.Random(11)
     val img = Array.fill(side, side)(rnd.nextInt(256))

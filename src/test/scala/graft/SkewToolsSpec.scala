@@ -153,6 +153,21 @@ class SkewToolsSpec extends SparkSuite {
     assert(got2 === Seq(("t2", 7L)))
   }
 
+  test("WarnHotBucket stays inside whole-stage codegen (no interpreted " +
+      "fallback in the band filter)") {
+    // spark.range, not a local Seq: ConvertToLocalRelation would fold
+    // the filter (and the expression) away at optimization time
+    val df = spark.range(1, 101).toDF("n")
+      .filter(SkewTools.monitoredSize(col("n"), "cg") > 1)
+    val plan = df.queryExecution.executedPlan.toString
+    // the '*(n)' prefix is the whole-stage-codegen marker in the
+    // compact plan string: the Filter carrying warnhotbucket must be
+    // inside a codegen stage, not an interpreted fallback
+    assert("""\*\(\d+\) Filter \(warnhotbucket""".r
+      .findFirstIn(plan).isDefined, plan)
+    assert(df.count() === 99)
+  }
+
   test("logTopBuckets surfaces the top-N hot keys, silent below " +
       "threshold") {
     import spark.implicits._
