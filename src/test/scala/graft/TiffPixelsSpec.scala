@@ -449,6 +449,56 @@ class TiffPixelsSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized dial/image property: 120 random (dims, depth, " +
+      "photometric, compression, predictor, fillOrder, strips) " +
+      "combinations all roundtrip exactly") {
+    val rnd = new scala.util.Random(0x71f3)
+    for (trial <- 1 to 120) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      val photometric = rnd.nextInt(4)
+      val bits = photometric match {
+        case 2 => 8 // RGB is 8-bit in scope
+        case 3 => Seq(1, 2, 4, 8)(rnd.nextInt(4)) // palette depths
+        case _ => Seq(1, 2, 4, 8, 16)(rnd.nextInt(5))
+      }
+      val predictor = // builder refuses sub-byte differencing
+        if ((bits == 8 || bits == 16) && rnd.nextBoolean()) 2 else 1
+      val comp = Seq(1, 5, 8, 32773)(rnd.nextInt(4))
+      val fo = 1 + rnd.nextInt(2)
+      val rps = 1 + rnd.nextInt(h + 4)
+      val maxV = (1 << bits) - 1
+      // the builder's px contract: 0..255 gray for 8/16-bit and RGB
+      // (16-bit stores v*65535/255), raw sample values only below 8
+      val valRange = photometric match {
+        case 2 => 256
+        case 3 => maxV + 1 // palette indices
+        case _ => math.min(256, maxV + 1)
+      }
+      val img = Array.fill(h, w)(rnd.nextInt(valRange))
+      val bytes = TiffBuild.build(w, h, bits = bits,
+        photometric = photometric, le = rnd.nextBoolean(),
+        compression = comp, rowsPerStrip = rps, predictor = predictor,
+        fillOrder = fo)((x, y) => img(y)(x))
+      val Right((dw, dh, px)) = TiffPixels.decodeGray(bytes)
+      assert((dw, dh) === ((w, h)), s"trial $trial")
+      // expected luma mirrors the decoder's scaling per photometric
+      val want = Array.tabulate(h, w) { (y, x) =>
+        val v = img(y)(x)
+        photometric match {
+          case 2 => v // r=g=b -> BT.601 identity
+          case 3 => (v * 65535 / maxV) >> 8 // identity gray palette
+          case _ if bits == 16 => (v * 65535 / 255) * 255 / 65535
+          case _ if bits == 8 => v
+          case _ => v * 255 / maxV
+        }
+      }.flatten.toSeq
+      assert(px.toSeq === want,
+        s"trial $trial ${w}x$h pm=$photometric bits=$bits comp=$comp " +
+          s"pred=$predictor fo=$fo rps=$rps")
+    }
+  }
+
   test("PackBits encoder round-trips arbitrary data through the decoder's " +
       "expander (runs, literals, 128-boundaries)") {
     val rnd = new scala.util.Random(0x9b17)
