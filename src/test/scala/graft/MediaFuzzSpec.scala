@@ -9,6 +9,13 @@ import graft.operators.{AudioDedup, ImageDedup, JpegBuild, VideoDedup}
   * found two such overflow paths; this keeps the class closed). */
 class MediaFuzzSpec extends SparkSuite {
 
+  /** Iteration multiplier for one-off endurance runs
+    * (`GRAFT_FUZZ_MULT=20 sbt "testOnly graft.MediaFuzzSpec"`);
+    * default 1 keeps the suite fast. The rnd seed is fixed, so a
+    * failure found at a higher multiplier reproduces at it. */
+  private val Mult =
+    math.max(1, sys.env.getOrElse("GRAFT_FUZZ_MULT", "1").toInt)
+
   private val rnd = new scala.util.Random(0xf022)
 
   private def decodeAll(p: Array[Byte]): Unit = {
@@ -127,7 +134,7 @@ class MediaFuzzSpec extends SparkSuite {
   }
 
   test("pure random garbage never throws (1000 payloads)") {
-    for (_ <- 1 to 1000) {
+    for (_ <- 1 to 1000 * Mult) {
       val p = new Array[Byte](rnd.nextInt(400))
       rnd.nextBytes(p)
       decodeAll(p)
@@ -143,8 +150,11 @@ class MediaFuzzSpec extends SparkSuite {
       Array(0xff.toByte, 0xd8.toByte, 0xff.toByte) :+ // JPEG SOI
       ("RIFF".getBytes("US-ASCII") ++
         Array[Byte](-16, 0, 0, 0) ++ // declared size 240: an AVI shell
-        "AVI ".getBytes("US-ASCII"))
-    for (_ <- 1 to 500; m <- magics) {
+        "AVI ".getBytes("US-ASCII")) :+
+      ("RIFF".getBytes("US-ASCII") ++
+        Array[Byte](-16, 0, 0, 0) ++ // a WEBP shell (r12: VP8L walk)
+        "WEBP".getBytes("US-ASCII"))
+    for (_ <- 1 to 500 * Mult; m <- magics) {
       val tail = new Array[Byte](rnd.nextInt(200))
       rnd.nextBytes(tail)
       decodeAll(m ++ tail)
@@ -162,6 +172,7 @@ class MediaFuzzSpec extends SparkSuite {
   }
 
   test("single-byte mutations of valid payloads never throw") {
+    (1 to Mult).foreach { _ =>
     validPayloads().foreach { p =>
       for (_ <- 1 to 400) {
         val m = p.clone
@@ -169,9 +180,11 @@ class MediaFuzzSpec extends SparkSuite {
         decodeAll(m)
       }
     }
+    }
   }
 
   test("multi-byte header stomps of valid payloads never throw") {
+    (1 to Mult).foreach { _ =>
     validPayloads().foreach { p =>
       for (_ <- 1 to 300) {
         val m = p.clone
@@ -180,6 +193,7 @@ class MediaFuzzSpec extends SparkSuite {
           m(rnd.nextInt(math.min(m.length, 64))) = rnd.nextInt(256).toByte
         decodeAll(m)
       }
+    }
     }
   }
 }
