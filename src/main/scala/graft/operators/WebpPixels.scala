@@ -285,8 +285,12 @@ object WebpPixels {
 
   /** The spec's 120-entry close-neighborhood map as (dx, dy) pairs —
     * matches libwebp's packed kCodeToPlane (y<<4 | 8-x) table. No
-    * external WEBP oracle exists in this sandbox; the first rows are
-    * pinned against the packed constants in WebpPixelsSpec. */
+    * external WEBP oracle exists in this sandbox; WebpPixelsSpec pins
+    * the leading rows against the packed libwebp constants AND the
+    * WHOLE table against its structural derivation (the closest
+    * {dx ∈ [-7,8], dy ∈ [0,7]} neighborhood sorted by squared
+    * distance, then |dx|, positive dx first — the rule reproduces all
+    * 120 entries exactly). */
   private val DistMap: Array[(Int, Int)] = Array(
     (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
     (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),

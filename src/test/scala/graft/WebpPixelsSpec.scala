@@ -124,6 +124,26 @@ class WebpPixelsSpec extends AnyFunSuite {
     assert(WebpPixels.planeCodeToDistance(1, 4) === 1) // (-1,1): 1*1-1=0 -> 1
   }
 
+  test("the FULL 120-entry distance map equals its structural " +
+      "derivation (closest neighborhood sorted by squared distance, " +
+      "then |dx|, positive dx first)") {
+    // the spec's table is exactly: {(dx,0): 1<=dx<=8} ∪
+    // {(dx,dy): 1<=dy<=7, -7<=dx<=8}, ordered by (dx²+dy², |dx|, sign)
+    // — an independent derivation, so the hand-entered table cannot
+    // hide a transposed row
+    val candidates =
+      (1 to 8).map(dx => (dx, 0)) ++
+        (for (dy <- 1 to 7; dx <- -7 to 8) yield (dx, dy))
+    val sorted = candidates.sortBy { case (dx, dy) =>
+      (dx * dx + dy * dy, math.abs(dx), if (dx < 0) 1 else 0) }
+    assert(sorted.size === 120)
+    val w = 1000
+    sorted.zipWithIndex.foreach { case ((dx, dy), i) =>
+      assert(WebpPixels.planeCodeToDistance(w, i + 1) ===
+        math.max(1, dy * w + dx), s"entry ${i + 1} ($dx, $dy)")
+    }
+  }
+
   test("cross-format parity: VP8L hashes bit-identically to the BMP twin " +
       "whatever the encoding dials") {
     val f = img(10)
