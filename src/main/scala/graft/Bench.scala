@@ -25,6 +25,60 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // ---- per-query contamination guard (r12 judge directive #1) ----
+    // BENCH_r12 shipped q11 4.28 s / q12 2.78 s — an apparent 11×
+    // regression on untouched code that a judge re-run disproved (0.77 /
+    // 0.34 s): localized host contamination inside the run window, which
+    // the GLOBAL canaries cannot catch. Guard: the previous round's
+    // BENCH_FULL.json (read BEFORE this run overwrites it) supplies a
+    // per-query comparison row; any row whose min-of-2 lands > 2.5×
+    // its prior gets ONE automatic third pass appended, and a row still
+    // past the ratio after that carries a "suspect" flag in the
+    // artifact so a false regression can never ship as silent fact.
+    val fullPath = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "."), "BENCH_FULL.json")
+      .toAbsolutePath.normalize
+    val SuspectRatio = 2.5
+    val priorQueries: Map[String, Double] =
+      try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(fullPath), "UTF-8")
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(txt).get("queries")
+        if (node == null) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          node.fields().asScala
+            .filter(_.getValue.isNumber)
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    if (priorQueries.isEmpty)
+      System.err.println("[bench] no prior BENCH_FULL.json - " +
+        "contamination guard inactive this run")
+    var suspects = List.empty[String]
+    /** Append one guarded third pass when min(passes) > 2.5× the prior
+      * round's row; flags the name as suspect if the slowdown persists. */
+    def guardPasses(name: String, passes: Seq[Double],
+        rerun: () => Double): Seq[Double] = {
+      val ok = passes.filter(_ >= 0)
+      if (ok.isEmpty) return passes
+      priorQueries.get(name) match {
+        case Some(p) if p > 0 && ok.min > p * SuspectRatio =>
+          System.err.println(f"[bench] $name min ${ok.min}%.2f s is >" +
+            f" ${SuspectRatio}x prior ${p}%.2f s - third pass")
+          val third = rerun()
+          val all = passes :+ third
+          if (third < 0 || third > p * SuspectRatio) {
+            suspects ::= name
+            System.err.println(s"[bench] $name still past the ratio - " +
+              "flagged suspect")
+          }
+          all
+        case _ => passes
+      }
+    }
+
     // Host-band canaries (never change these across rounds): two fixed
     // queries — a parquet scan-agg and a shuffle-agg — timed at run
     // start, middle (after the per-query block) and end, recorded in
@@ -118,7 +172,9 @@ object Bench {
     val queryPasses = names.map { n =>
       releaseLeftovers()
       System.gc()
-      n -> Seq(runOnce(n), runOnce(n))
+      val two = Seq(runOnce(n), runOnce(n))
+      n -> guardPasses(n, two,
+        () => { releaseLeftovers(); System.gc(); runOnce(n) })
     }
     val queryResults = queryPasses.map { case (n, ps) =>
       val ok = ps.filter(_ >= 0)
@@ -139,7 +195,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     ingestOnce() // warm-up
-    val ingestSec = (1 to 2).map { _ => System.gc(); ingestOnce() }.min
+    val ingestSec = guardPasses("ingest_2m_jsonlog",
+      (1 to 2).map { _ => System.gc(); ingestOnce() },
+      () => { System.gc(); ingestOnce() }).min
     System.err.println(
       f"[bench] ingest: $INGEST_ROWS rows in $ingestSec%.2f s = ${INGEST_ROWS / ingestSec}%.0f rows/s")
 
@@ -157,7 +215,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     ingestParquetOnce(0L) // warm-up
-    val ingestPqSec = (1 to 2).map { p => System.gc(); ingestParquetOnce(p.toLong) }.min
+    val ingestPqSec = guardPasses("ingest_2m_parquet_write",
+      (1 to 2).map { p => System.gc(); ingestParquetOnce(p.toLong) },
+      () => { System.gc(); ingestParquetOnce(3L) }).min
     System.err.println(
       f"[bench] ingest+parquet: $INGEST_ROWS rows in $ingestPqSec%.2f s = ${INGEST_ROWS / ingestPqSec}%.0f rows/s")
     ingestInput.unpersist()
@@ -202,9 +262,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     ingestJdbcOnce() // warm-up
-    val ingestJdbcSec = (1 to 2).map { _ =>
-      jdbcTruncate(); System.gc(); ingestJdbcOnce()
-    }.min
+    val ingestJdbcSec = guardPasses("ingest_200k_jdbc_derby",
+      (1 to 2).map { _ => jdbcTruncate(); System.gc(); ingestJdbcOnce() },
+      () => { jdbcTruncate(); System.gc(); ingestJdbcOnce() }).min
     jdbcInput.unpersist()
     graft.streaming.ConnectionPool.drain()
     System.err.println(
@@ -266,7 +326,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     streamOnce(0) // warm-up
-    val streamSec = (1 to 2).map { p => System.gc(); streamOnce(p) }.min
+    val streamSec = guardPasses("stream_intake_500k",
+      (1 to 2).map { p => System.gc(); streamOnce(p) },
+      () => { System.gc(); streamOnce(3) }).min
     System.err.println(
       f"[bench] stream intake: $STREAM_ROWS rows in $streamSec%.2f s = ${STREAM_ROWS / streamSec}%.0f rows/s")
     val canaryEnd = canaryOnce()
@@ -313,7 +375,11 @@ object Bench {
       "single-core MediaDecodeBench decode rates in megapixels/s " +
       "(mega-samples/s for wav), side=256 reps=200, best of two timed " +
       "blocks per format - tracked because the media-gate query rows are " +
-      "plant-encode-bound (PLANS.md r12)"
+      "plant-encode-bound (PLANS.md r12); contamination guard: each " +
+      "row's min-of-2 compared against the previous round's BENCH_FULL " +
+      "queries row, >2.5x slower gets one automatic third pass and a " +
+      "suspect flag if it persists (r12 directive #1 - localized host " +
+      "contamination the global canaries cannot catch)"
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window (BENCH_r05/r06 shipped parsed:null when
     // the full-name, full-precision line outgrew it). The stdout line
@@ -355,23 +421,26 @@ object Bench {
     val fullPasses = queryPasses
       .map { case (k, ps) => "\"" + k + "\":[" + ps.mkString(",") + "]" }
       .mkString("{", ",", "}")
-    // resolve against an explicit base (env override, else the JVM cwd
-    // made absolute) and SAY where it went — launched outside the repo
-    // root a bare relative path would silently land elsewhere while the
-    // stdout protocol line still claimed "in repo BENCH_FULL.json"
-    val fullPath = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "."), "BENCH_FULL.json")
-      .toAbsolutePath.normalize
+    // fullPath resolved at run start (the guard reads the PRIOR
+    // artifact from it before this overwrite); env override else the
+    // JVM cwd made absolute, and SAY where it went — launched outside
+    // the repo root a bare relative path would silently land elsewhere
+    // while the stdout protocol line still claimed "in repo
+    // BENCH_FULL.json"
+    val suspectJson = suspects.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       fullPath,
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
-        s""""passes":$fullPasses,$canaries,"decode_mps":$decodeFull,""" +
+        s""""passes":$fullPasses,"suspect":$suspectJson,$canaries,""" +
+        s""""decode_mps":$decodeFull,""" +
         s"""$rates,"protocol":"$protocol","sf":"$sfDir"}""")
     System.err.println(s"[bench] full-precision record written to $fullPath")
     System.out.println(
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
         s""""queries":$shortQs,"decode_mps":$decodeShort,$rates,""" +
-        s""""protocol":"qNN short keys; decode_mps=MP/s 1 core; full record in BENCH_FULL.json","sf":"$sfDir"}""")
+        s""""suspect":$suspectJson,""" +
+        s""""protocol":"qNN short keys; decode_mps=MP/s 1 core; suspect=rows >2.5x prior after a 3rd pass; full record in BENCH_FULL.json","sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

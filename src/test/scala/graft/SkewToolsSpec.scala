@@ -183,4 +183,59 @@ class SkewToolsSpec extends SparkSuite {
     }
     assert(silent.isEmpty)
   }
+
+  test("logTopBuckets reports the TRUE hot-bucket total, not the " +
+      "sampled top-N (r12 ADVICE)") {
+    import spark.implicits._
+    // 8 hot keys, census topN = 2: the hits figure must still say 8
+    val rows = (1 to 8).flatMap(k => Seq.fill(10)(s"hot$k"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "g")
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val oldSink = SkewWarn.sink
+    val oldThr = SkewWarn.threshold
+    SkewWarn.reset()
+    SkewWarn.sink = (_, _, h) => { hits.add(h); () }
+    SkewWarn.threshold = 10
+    try SkewWarn.logTopBuckets(rows, "g", "grams8", topN = 2)
+    finally { SkewWarn.sink = oldSink; SkewWarn.threshold = oldThr
+      SkewWarn.reset() }
+    import scala.jdk.CollectionConverters._
+    assert(hits.asScala.nonEmpty && hits.asScala.forall(_ == 8L))
+  }
+
+  test("hot-bucket warning fires on a planted clique in " +
+      "ContainmentJoin and EditDistanceJoin (r12 directive #3)") {
+    import spark.implicits._
+    val clique = (1L to 300L).map(i =>
+      (i, "the same duplicated boilerplate sentence appears everywhere"))
+      .toDF("doc_id", "text")
+    val contain = capturing(200) {
+      graft.operators.ContainmentJoin
+        .containedPairs(clique, "doc_id", "text").count()
+      ()
+    }
+    assert(contain.nonEmpty)
+    assert(contain.forall(w =>
+      w._1 == "ContainmentJoin.containedPairs" && w._2 == 300L))
+    val edit = capturing(200) {
+      graft.operators.EditDistanceJoin
+        .selfJoin(clique, "doc_id", "text", maxDist = 2).count()
+      ()
+    }
+    assert(edit.nonEmpty)
+    assert(edit.forall(w =>
+      w._1 == "EditDistanceJoin.selfJoin" && w._2 == 300L))
+    // non-skewed populations stay silent on both paths
+    val docs = (1L to 300L).map(i =>
+      (i, (1 to 8).map(k => s"w${i}v$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val quiet = capturing(200) {
+      graft.operators.ContainmentJoin
+        .containedPairs(docs, "doc_id", "text").count()
+      graft.operators.EditDistanceJoin
+        .selfJoin(docs, "doc_id", "text", maxDist = 2).count()
+      ()
+    }
+    assert(quiet.isEmpty)
+  }
 }
