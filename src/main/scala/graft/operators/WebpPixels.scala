@@ -17,21 +17,29 @@ package graft.operators
   *  - literals, LZ77 backward references (the full 120-entry
   *    close-neighborhood distance map + direct distances, overlapping
   *    copies included), and the color cache (1-11 bits);
+  *  - meta-Huffman (r13): the entropy-image indirection real encoders
+  *    emit by default — per-tile prefix-code groups, group index
+  *    (red << 8) | green, one GLOBAL color cache, LZ77 symbols coded
+  *    in the group of the position where the run starts;
   *  - transforms: subtract-green, the predictor transform (all 14
   *    modes, spec edge rules incl. the rightmost-column top-right
-  *    wrap), and color indexing (palette, incl. the mandatory sub-byte
-  *    pixel packing at <=16 colors; out-of-range palette indices
-  *    resolve to transparent black exactly as libwebp's zero-padded
-  *    color map does).
+  *    wrap; out-of-spec modes 14/15 resolve to the black predictor
+  *    exactly as libwebp's sentinel table does), cross-color (r13:
+  *    per-tile signed 3.5 fixed-point multipliers, libwebp's
+  *    VP8LTransformColorInverse arithmetic), and color indexing
+  *    (palette, incl. the mandatory sub-byte pixel packing at <=16
+  *    colors; out-of-range palette indices resolve to transparent
+  *    black exactly as libwebp's zero-padded color map does).
   * Out of scope — "unsupported", the external-codec seam: lossy VP8
   * ("VP8 " chunk) and anything reached only through a VP8X extended
-  * container, the cross-color transform, meta-Huffman (multiple
-  * entropy groups), palette combined with other transforms, and
-  * nonzero stream versions. Broken structure (bit-stream overrun, bad
-  * codes, over/under-subscribed Huffman lengths) is "corrupt"; a pixel
-  * budget past the 2^24 policy cap is "oversized", refused BEFORE the
-  * ARGB plane allocates. Never throws (bounds-checked + the family's
-  * catch wrapper); fuzz-pinned.
+  * container, palette combined with other transforms, and nonzero
+  * stream versions. Broken structure (bit-stream overrun, bad codes,
+  * over/under-subscribed Huffman lengths) is "corrupt"; a pixel
+  * budget past the 2^24 policy cap — or a meta-Huffman group count
+  * past the 1024 policy cap (the 16-bit index would admit ~1.3 GB of
+  * code tables from a kilobyte payload) — is "oversized", refused
+  * BEFORE the plane/table allocates. Never throws (bounds-checked +
+  * the family's catch wrapper); fuzz-pinned.
   *
   * Cross-validation caveat: no JDK codec reads WEBP, so unlike the
   * PNG/JPEG/TIFF/WAV paths there is no third-party oracle in this
@@ -318,9 +326,40 @@ object WebpPixels {
 
   // ---- entropy-coded image (shared by main image and subimages) ------
 
+  /** One prefix-code group: the five codes a meta-Huffman tile (or the
+    * whole image, when there is no meta indirection) decodes with. */
+  private final class Group(val green: Code, val red: Code,
+      val blue: Code, val alpha: Code, val dist: Code)
+
+  /** Read one group's five codes; null = corrupt. */
+  private def readGroup(r: Reader, cacheSize: Int): Group = {
+    val green = readCode(r, 256 + 24 + cacheSize)
+    if (green == null) return null
+    val red = readCode(r, 256)
+    if (red == null) return null
+    val blue = readCode(r, 256)
+    if (blue == null) return null
+    val alpha = readCode(r, 256)
+    if (alpha == null) return null
+    val dist = readCode(r, 40)
+    if (dist == null) return null
+    new Group(green, red, blue, alpha, dist)
+  }
+
+  /** Policy cap on meta-Huffman entropy groups: each group allocates
+    * five root-table codes (~20 KB), and the spec's 16-bit group index
+    * would admit 65,536 of them (~1.3 GB) from a kilobyte-scale
+    * payload — the same allocation-before-decode hole the 2^24 pixel
+    * cap closes. Real encoders cluster histograms to a few dozen
+    * groups; past the cap routes "oversized", refused BEFORE the
+    * group table allocates. */
+  private final val MaxMetaGroups = 1024
+
   /** Decode one entropy-coded ARGB image; Left(reason) on failure.
     * `level0` gates the meta-Huffman bit (entropy images never carry
-    * it). Transforms are handled by the caller. */
+    * it): when set, an entropy-image indirection (group index =
+    * (red << 8) | green per tile) selects one of several prefix-code
+    * groups per pixel. Transforms are handled by the caller. */
   private def decodeEntropyImage(r: Reader, w: Int, h: Int,
       level0: Boolean): Either[String, Array[Int]] = {
     var cacheBits = 0
@@ -328,38 +367,68 @@ object WebpPixels {
       cacheBits = r.bits(4)
       if (cacheBits < 1 || cacheBits > 11) return Corrupt
     }
-    if (level0 && r.bit() == 1)
-      return Unsupported // meta-Huffman (multiple entropy groups)
+    // meta-Huffman (level0 only): decode the huffman image, rewrite
+    // its pixels to bare group indices, then read max+1 groups
+    var metaImg: Array[Int] = null
+    var metaBits = 0
+    var metaW = 0
+    var numGroups = 1
+    if (level0 && r.bit() == 1) {
+      metaBits = r.bits(3) + 2
+      if (r.overrun) return Corrupt
+      metaW = (w + (1 << metaBits) - 1) >> metaBits
+      val metaH = (h + (1 << metaBits) - 1) >> metaBits
+      decodeEntropyImage(r, metaW, metaH, level0 = false) match {
+        case Left(reason) => return Left(reason)
+        case Right(img) =>
+          var i = 0
+          while (i < img.length) {
+            img(i) = (img(i) >>> 8) & 0xffff
+            if (img(i) + 1 > numGroups) numGroups = img(i) + 1
+            i += 1
+          }
+          metaImg = img
+      }
+      if (numGroups > MaxMetaGroups) return Oversized
+    }
     if (r.overrun) return Corrupt
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
-    val green = readCode(r, 256 + 24 + cacheSize)
-    if (green == null) return Corrupt
-    val red = readCode(r, 256)
-    if (red == null) return Corrupt
-    val blue = readCode(r, 256)
-    if (blue == null) return Corrupt
-    val alpha = readCode(r, 256)
-    if (alpha == null) return Corrupt
-    val dist = readCode(r, 40)
-    if (dist == null) return Corrupt
+    val groups = new Array[Group](numGroups)
+    var gi = 0
+    while (gi < numGroups) {
+      val g = readGroup(r, cacheSize)
+      if (g == null) return Corrupt
+      groups(gi) = g
+      gi += 1
+    }
+    // the color cache is GLOBAL across groups (one cache per image)
     val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
     def cacheIdx(argb: Int): Int = (0x1e35a7bd * argb) >>> (32 - cacheBits)
     val out = new Array[Int](w * h)
     val total = out.length
     var pos = 0
+    var col = 0
+    var row = 0
+    var g = groups(0)
     while (pos < total) {
-      val s = green.read(r)
+      // group of the CURRENT pixel position — LZ77 length/distance are
+      // coded in the group where the run starts, literals per pixel
+      if (metaImg != null)
+        g = groups(metaImg((row >> metaBits) * metaW + (col >> metaBits)))
+      val s = g.green.read(r)
       if (s < 0 || r.overrun) return Corrupt
       if (s < 256) {
-        val rr = red.read(r); val bb = blue.read(r); val aa = alpha.read(r)
+        val rr = g.red.read(r); val bb = g.blue.read(r)
+        val aa = g.alpha.read(r)
         if (rr < 0 || bb < 0 || aa < 0 || r.overrun) return Corrupt
         val argb = (aa << 24) | (rr << 16) | (s << 8) | bb
         out(pos) = argb
         if (cache != null) cache(cacheIdx(argb)) = argb
-        pos += 1
+        pos += 1; col += 1
+        if (col >= w) { col = 0; row += 1 }
       } else if (s < 256 + 24) {
         val length = prefixValue(r, s - 256)
-        val dCode = dist.read(r)
+        val dCode = g.dist.read(r)
         if (length < 0 || dCode < 0) return Corrupt
         val planeCode = prefixValue(r, dCode)
         if (planeCode < 0) return Corrupt
@@ -372,11 +441,14 @@ object WebpPixels {
           if (cache != null) cache(cacheIdx(v)) = v
           pos += 1; k += 1
         }
+        col += length
+        while (col >= w) { col -= w; row += 1 }
       } else {
         val idx = s - 256 - 24
         if (cache == null || idx >= cacheSize) return Corrupt
         out(pos) = cache(idx)
-        pos += 1
+        pos += 1; col += 1
+        if (col >= w) { col = 0; row += 1 }
       }
     }
     Right(out)
@@ -442,7 +514,7 @@ object WebpPixels {
     }
 
   private[operators] def applyInversePredictor(pix: Array[Int], w: Int,
-      h: Int, modes: Array[Int], sizeBits: Int): Boolean = {
+      h: Int, modes: Array[Int], sizeBits: Int): Unit = {
     val blockW = (w + (1 << sizeBits) - 1) >> sizeBits
     var y = 0
     while (y < h) {
@@ -453,9 +525,13 @@ object WebpPixels {
           else if (y == 0) pix(x - 1) // forced mode 1 (left)
           else if (x == 0) pix((y - 1) * w) // forced mode 2 (top)
           else {
-            val mode = (modes((y >> sizeBits) * blockW + (x >> sizeBits))
-              >>> 8) & 0xff
-            if (mode > 13) return false
+            // libwebp clamp: the mode is masked to 4 bits and the two
+            // out-of-spec values 14/15 resolve to the black predictor
+            // (its sentinel table entries), so a stream libwebp would
+            // decode is not refused here (r12 ADVICE)
+            val mode0 = (modes((y >> sizeBits) * blockW + (x >> sizeBits))
+              >>> 8) & 0xf
+            val mode = if (mode0 > 13) 0 else mode0
             val l = pix(y * w + x - 1)
             val t = pix((y - 1) * w + x)
             val tl = pix((y - 1) * w + x - 1)
@@ -470,7 +546,37 @@ object WebpPixels {
       }
       y += 1
     }
-    true
+  }
+
+  /** Inverse cross-color transform, libwebp's VP8LTransformColorInverse
+    * arithmetic: per tile, three SIGNED 3.5 fixed-point multipliers
+    * (green_to_red in the data pixel's blue channel, green_to_blue in
+    * green, red_to_blue in red); delta(t, c) = (int8 t × int8 c) >> 5.
+    * Red reconstructs first; blue's red delta uses the RECONSTRUCTED
+    * red reinterpreted as int8 — the exact mirror of the forward
+    * pass's original-red input. */
+  private[operators] def applyInverseCrossColor(pix: Array[Int], w: Int,
+      h: Int, data: Array[Int], sizeBits: Int): Unit = {
+    val tilesW = (w + (1 << sizeBits) - 1) >> sizeBits
+    var y = 0
+    while (y < h) {
+      val rowBase = (y >> sizeBits) * tilesW
+      var x = 0
+      while (x < w) {
+        val cc = data(rowBase + (x >> sizeBits))
+        val g2r = cc.toByte // blue channel, sign-interpreted
+        val g2b = (cc >> 8).toByte
+        val r2b = (cc >> 16).toByte
+        val p = pix(y * w + x)
+        val green = (p >>> 8).toByte
+        var red = (((p >>> 16) & 0xff) + ((g2r * green) >> 5)) & 0xff
+        var blue = ((p & 0xff) + ((g2b * green) >> 5)) & 0xff
+        blue = (blue + ((r2b * red.toByte) >> 5)) & 0xff
+        pix(y * w + x) = (p & 0xff00ff00) | (red << 16) | blue
+        x += 1
+      }
+      y += 1
+    }
   }
 
   private def applyAddGreen(pix: Array[Int]): Unit = {
@@ -529,6 +635,8 @@ object WebpPixels {
     var readOrder: List[Int] = Nil
     var predModes: Array[Int] = null
     var predSizeBits = 0
+    var ccData: Array[Int] = null
+    var ccSizeBits = 0
     var palette: Array[Int] = null
     var seen = 0
     while (r.bit() == 1) {
@@ -547,7 +655,14 @@ object WebpPixels {
             case Left(reason) => return Left(reason)
             case Right(modes) => predModes = modes; predSizeBits = sizeBits
           }
-        case 1 => return Unsupported // cross-color transform
+        case 1 => // cross-color: per-tile multipliers, same tiling shape
+          val sizeBits = r.bits(3) + 2
+          val bw = (w + (1 << sizeBits) - 1) >> sizeBits
+          val bh = (h + (1 << sizeBits) - 1) >> sizeBits
+          decodeEntropyImage(r, bw, bh, level0 = false) match {
+            case Left(reason) => return Left(reason)
+            case Right(data) => ccData = data; ccSizeBits = sizeBits
+          }
         case _ =>
           val n = r.bits(8) + 1
           if (r.overrun) return Corrupt
@@ -609,9 +724,8 @@ object WebpPixels {
     var t = readOrder
     while (t.nonEmpty) {
       t.head match {
-        case 0 =>
-          if (!applyInversePredictor(full, w, h, predModes, predSizeBits))
-            return Corrupt
+        case 0 => applyInversePredictor(full, w, h, predModes, predSizeBits)
+        case 1 => applyInverseCrossColor(full, w, h, ccData, ccSizeBits)
         case 2 => applyAddGreen(full)
         case _ => () // 3 = palette, already unpacked above
       }
@@ -634,9 +748,11 @@ object WebpPixels {
     * transforms in the order the decoder inverts), not a private
     * dialect. Feature dials cover the decoder's whole scope:
     * subtract-green, the predictor transform (any fixed mode or the
-    * per-block mixed pattern), palette (packed and unpacked), LZ77
-    * runs (direct AND neighborhood-mapped distance codes, overlapping
-    * dist-1 copies), and the color cache. */
+    * per-block mixed pattern), cross-color (per-tile multipliers over
+    * the signed range), palette (packed and unpacked), LZ77 runs
+    * (direct AND neighborhood-mapped distance codes, overlapping
+    * dist-1 copies), the color cache, and meta-Huffman (per-tile
+    * prefix-code groups, (tx+ty) % n assignment). */
   object WebpBuild {
 
     private final class Writer {
@@ -741,8 +857,15 @@ object WebpPixels {
       }
     }
 
-    private def writeFlatCode(w: Writer, alphabet: Int): Int => Unit = {
-      val lengths = flatLengths(alphabet)
+    /** `rotate` reassigns which symbols get the short lengths — still
+      * a complete canonical code, but a DIFFERENT symbol→bits mapping,
+      * so meta-Huffman groups built with distinct rotations produce
+      * distinguishable streams (a wrong group lookup cannot decode). */
+    private def writeFlatCode(w: Writer, alphabet: Int,
+        rotate: Int = 0): Int => Unit = {
+      val base = flatLengths(alphabet)
+      val lengths = Array.tabulate(alphabet)(i =>
+        base(java.lang.Math.floorMod(i + rotate, alphabet)))
       writeNormalCode(w, lengths)
       val codes = canonical(lengths)
       s => w.code(codes(s), lengths(s))
@@ -788,36 +911,78 @@ object WebpPixels {
       out
     }
 
+    /** One group's emitters (the builder twin of the decoder's Group). */
+    private final class Emitters(val green: Int => Unit,
+        val red: Int => Unit, val blue: Int => Unit,
+        val alpha: Int => Unit, val dist: Int => Unit)
+
     /** Emit one entropy-coded image (the decoder's
       * decodeEntropyImage counterpart). `mapDistances` alternates the
       * dist-1 runs between the direct plane code (121) and the
       * neighborhood-map code (2 = (dx 1, dy 0)) so both decoder
-      * branches see traffic. */
+      * branches see traffic. `metaGroups` > 1 (level0 only, needs
+      * `width`) writes the meta-Huffman indirection: a huffman image
+      * assigning tile (tx, ty) to group (tx + ty) % metaGroups, then
+      * that many code groups; every symbol is emitted with the group
+      * of its pixel position (runs: the start position). */
     private def writeEntropyImage(w: Writer, pix: Array[Int],
         cacheBits: Int, backrefs: Boolean, level0: Boolean,
-        mapDistances: Boolean, combLiterals: Boolean = false): Unit = {
-      require(!combLiterals || (!backrefs && cacheBits == 0),
-        "comb literals carry no length/cache symbols")
+        mapDistances: Boolean, combLiterals: Boolean = false,
+        width: Int = 0, metaGroups: Int = 1, metaBits: Int = 3): Unit = {
+      require(!combLiterals || (!backrefs && cacheBits == 0 &&
+        metaGroups == 1),
+        "comb literals carry no length/cache symbols and no meta groups")
+      require(metaGroups >= 1)
+      require(metaGroups == 1 || (level0 && width > 0),
+        "meta groups are a level-0 feature and need the image width")
       w.bits(if (cacheBits > 0) 1 else 0, 1)
       if (cacheBits > 0) w.bits(cacheBits, 4)
-      if (level0) w.bits(0, 1) // one entropy group
+      var metaW = 0
+      if (level0) {
+        if (metaGroups > 1) {
+          val h = pix.length / width
+          metaW = (width + (1 << metaBits) - 1) >> metaBits
+          val metaH = (h + (1 << metaBits) - 1) >> metaBits
+          require(metaGroups <= metaW + metaH - 1,
+            s"the (tx+ty)%$metaGroups tile pattern cannot reach every " +
+              "group index at these dims")
+          w.bits(1, 1) // meta-Huffman present
+          w.bits(metaBits - 2, 3)
+          val metaImg = Array.tabulate(metaH, metaW)((ty, tx) =>
+            0xff000000 | (((tx + ty) % metaGroups) << 8)).flatten
+          writeEntropyImage(w, metaImg, cacheBits = 0, backrefs = false,
+            level0 = false, mapDistances = false)
+        } else w.bits(0, 1) // one entropy group
+      }
       val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
-      def literalCode(alphabet: Int): Int => Unit =
-        if (combLiterals) writeCombCode(w, alphabet)
-        else writeFlatCode(w, alphabet)
-      val emitGreen = literalCode(256 + 24 + cacheSize)
-      val emitRed = literalCode(256)
-      val emitBlue = literalCode(256)
       val alphas = pix.map(p => (p >>> 24) & 0xff).distinct.sorted.toSeq
-      val emitAlpha = writeSimpleCode(w, 256, alphas)
       val distSyms = if (backrefs) Seq(1, 13) else Seq(0)
-      val emitDist = writeSimpleCode(w, 40, distSyms)
+      // groups are serialized in index order, 5 codes each (creation
+      // writes the code tables to the stream)
+      val groups = Array.tabulate(metaGroups) { g =>
+        def literalCode(alphabet: Int): Int => Unit =
+          if (combLiterals) writeCombCode(w, alphabet)
+          else writeFlatCode(w, alphabet, rotate = g * 7)
+        new Emitters(
+          literalCode(256 + 24 + cacheSize),
+          literalCode(256),
+          literalCode(256),
+          writeSimpleCode(w, 256, alphas),
+          writeSimpleCode(w, 40, distSyms))
+      }
+      def groupAt(pos: Int): Emitters =
+        if (metaGroups == 1) groups(0)
+        else {
+          val x = pos % width; val y = pos / width
+          groups(((x >> metaBits) + (y >> metaBits)) % metaGroups)
+        }
       val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
       def cacheIdx(argb: Int): Int = (0x1e35a7bd * argb) >>> (32 - cacheBits)
       var pos = 0
       var runToggle = false
       while (pos < pix.length) {
         val p = pix(pos)
+        val g = groupAt(pos)
         var run = 0
         if (backrefs && pos > 0 && pix(pos - 1) == p) {
           while (run < 4096 && pos + run < pix.length &&
@@ -825,11 +990,11 @@ object WebpPixels {
         }
         if (run >= 3) {
           val (lc, leb, lev) = prefixCode(run)
-          emitGreen(256 + lc)
+          g.green(256 + lc)
           w.bits(lev, leb)
           // dist 1, via the direct plane code or the (1, 0) map entry
-          if (mapDistances && runToggle) emitDist(1) // planeCode 2 → d 1
-          else { emitDist(13); w.bits(24, 5) }       // planeCode 121
+          if (mapDistances && runToggle) g.dist(1) // planeCode 2 → d 1
+          else { g.dist(13); w.bits(24, 5) }       // planeCode 121
           runToggle = !runToggle
           var k = 0
           while (k < run) {
@@ -838,13 +1003,13 @@ object WebpPixels {
           }
           pos += run
         } else if (cache != null && cache(cacheIdx(p)) == p) {
-          emitGreen(256 + 24 + cacheIdx(p))
+          g.green(256 + 24 + cacheIdx(p))
           pos += 1
         } else {
-          emitGreen((p >>> 8) & 0xff)
-          emitRed((p >>> 16) & 0xff)
-          emitBlue(p & 0xff)
-          emitAlpha((p >>> 24) & 0xff)
+          g.green((p >>> 8) & 0xff)
+          g.red((p >>> 16) & 0xff)
+          g.blue(p & 0xff)
+          g.alpha((p >>> 24) & 0xff)
           if (cache != null) cache(cacheIdx(p)) = p
           pos += 1
         }
@@ -855,20 +1020,26 @@ object WebpPixels {
       * `predictorMode`: -1 none, 0..13 that fixed mode everywhere,
       * 14 = per-block mixed modes ((bx+by) % 14). `paletted` forces
       * the color-indexing transform (requires ≤ 256 distinct colors;
-      * packing kicks in automatically at ≤ 16). */
+      * packing kicks in automatically at ≤ 16). `crossColor` applies
+      * the cross-color transform with per-tile multipliers spanning
+      * the signed range. `metaGroups` > 1 writes the meta-Huffman
+      * indirection on the main image ((tx+ty) % metaGroups tiles). */
     def vp8lGray(w0: Int, h0: Int, subtractGreen: Boolean = false,
         predictorMode: Int = -1, paletted: Boolean = false,
         backrefs: Boolean = false, cacheBits: Int = 0,
         mapDistances: Boolean = false, combLiterals: Boolean = false,
-        predictorFirst: Boolean = false)
+        predictorFirst: Boolean = false, crossColor: Boolean = false,
+        metaGroups: Int = 1, metaBits: Int = 3)
         (px: (Int, Int) => Int)
         : Array[Byte] = {
       require(!combLiterals || (!subtractGreen && predictorMode < 0 &&
-        !paletted && !backrefs && cacheBits == 0),
+        !paletted && !backrefs && cacheBits == 0 && !crossColor &&
+        metaGroups == 1),
         "comb literals: plain literal stream with all values <= 15")
       require(w0 >= 1 && h0 >= 1 && w0 <= 16384 && h0 <= 16384)
-      require(predictorMode >= -1 && predictorMode <= 14)
-      require(!paletted || (!subtractGreen && predictorMode < 0),
+      require(predictorMode >= -1 && predictorMode <= 15)
+      require(!paletted || (!subtractGreen && predictorMode < 0 &&
+        !crossColor),
         "palette composes with no other transform in this scope")
       val argb = Array.tabulate(h0, w0) { (y, x) =>
         val v = px(x, y) & 0xff
@@ -927,10 +1098,19 @@ object WebpPixels {
           w.bits(sizeBits - 2, 3)
           val bw = (w0 + (1 << sizeBits) - 1) >> sizeBits
           val bh = (h0 + (1 << sizeBits) - 1) >> sizeBits
-          def blockMode(bx: Int, by: Int): Int =
-            if (predictorMode < 14) predictorMode else (bx + by) % 14
+          // 15 = out-of-spec sentinel modes 14/15 on the wire; the
+          // decoder clamps them to mode 0 (libwebp's sentinel table),
+          // so the forward pass predicts with mode 0 to roundtrip
+          def wireMode(bx: Int, by: Int): Int =
+            if (predictorMode < 14) predictorMode
+            else if (predictorMode == 14) (bx + by) % 14
+            else 14 + ((bx + by) % 2)
+          def blockMode(bx: Int, by: Int): Int = {
+            val m = wireMode(bx, by)
+            if (m > 13) 0 else m
+          }
           val modeImg = Array.tabulate(bh, bw)((by, bx) =>
-            0xff000000 | (blockMode(bx, by) << 8)).flatten
+            0xff000000 | (wireMode(bx, by) << 8)).flatten
           writeEntropyImage(w, modeImg, cacheBits = 0, backrefs = false,
             level0 = false, mapDistances = false)
           // forward pass: residual = pixel − predict(source neighbors);
@@ -962,22 +1142,65 @@ object WebpPixels {
           }
           res
         }
+        // cross-color forward: libwebp's VP8LTransformColor — red loses
+        // delta(g2r, green); blue loses delta(g2b, green) AND
+        // delta(r2b, ORIGINAL red as int8); the decoder's inverse
+        // reconstructs red first and feeds it back as int8
+        def ccForward(src: Array[Int]): Array[Int] = {
+          val sizeBits = 3 // 8×8 tiles
+          w.bits(1, 1); w.bits(1, 2) // transform: cross-color
+          w.bits(sizeBits - 2, 3)
+          val bw = (w0 + (1 << sizeBits) - 1) >> sizeBits
+          val bh = (h0 + (1 << sizeBits) - 1) >> sizeBits
+          // per-tile multipliers walking the full signed byte range
+          def g2rOf(bx: Int, by: Int): Int = (bx * 37 + by * 11) & 0xff
+          def g2bOf(bx: Int, by: Int): Int = (bx * 5 + by * 73 + 128) & 0xff
+          def r2bOf(bx: Int, by: Int): Int = (bx * 101 + by * 29 + 64) & 0xff
+          val ccImg = Array.tabulate(bh, bw)((by, bx) =>
+            0xff000000 | (r2bOf(bx, by) << 16) | (g2bOf(bx, by) << 8) |
+              g2rOf(bx, by)).flatten
+          writeEntropyImage(w, ccImg, cacheBits = 0, backrefs = false,
+            level0 = false, mapDistances = false)
+          val out = new Array[Int](src.length)
+          var y = 0
+          while (y < h0) {
+            var x = 0
+            while (x < w0) {
+              val bx = x >> sizeBits; val by = y >> sizeBits
+              val p = src(y * w0 + x)
+              val green = (p >>> 8).toByte
+              val red8 = (p >>> 16).toByte
+              val nr = (((p >>> 16) & 0xff) -
+                ((g2rOf(bx, by).toByte * green) >> 5)) & 0xff
+              val nb = ((p & 0xff) -
+                ((g2bOf(bx, by).toByte * green) >> 5) -
+                ((r2bOf(bx, by).toByte * red8) >> 5)) & 0xff
+              out(y * w0 + x) = (p & 0xff00ff00) | (nr << 16) | nb
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
         // transform entries are written in forward-application order;
         // the decoder inverts in reverse read order, so both orders of
         // the SG/predictor pair are spec-valid wire shapes
         val order =
-          (if (predictorFirst) Seq(0, 2) else Seq(2, 0)).filter {
+          (if (predictorFirst) Seq(0, 1, 2) else Seq(2, 1, 0)).filter {
             case 2 => subtractGreen
+            case 1 => crossColor
             case _ => predictorMode >= 0
           }
         order.foreach {
           case 2 => main = sgForward(main)
+          case 1 => main = ccForward(main)
           case _ => main = predForward(main)
         }
       }
       w.bits(0, 1) // end of transforms
       writeEntropyImage(w, main, cacheBits, backrefs, level0 = true,
-        mapDistances, combLiterals)
+        mapDistances, combLiterals, width = codedW,
+        metaGroups = metaGroups, metaBits = metaBits)
       riff(w.toBytes) // byte 0 is the 0x2F signature written above
     }
 

@@ -83,8 +83,11 @@ object MediaCensusFixtures {
     "tiff_pred_deflate" -> "ok", "tiff_fillorder2" -> "ok",
     "tiff_ycbcr" -> "unsupported", "tiff_trunc" -> "corrupt",
     // WEBP (r12, q112's container): lossless decodes; lossy VP8 and
-    // the VP8X extended container are the external-codec seam
+    // the VP8X extended container are the external-codec seam. r13
+    // adds the two default-real-encoder shapes the r12 decoder routed
+    // out: meta-Huffman entropy groups and the cross-color transform.
     "webp_vp8l" -> "ok", "webp_vp8l_pal" -> "ok",
+    "webp_meta_huffman" -> "ok", "webp_cross_color" -> "ok",
     "webp_lossy" -> "unsupported", "webp_vp8x" -> "unsupported",
     "webp_trunc" -> "corrupt")
 
@@ -212,6 +215,15 @@ object MediaCensusFixtures {
         subtractGreen = true)((x, y) => px(x, y)),
       "webp_vp8l_pal" -> WebpPixels.WebpBuild.vp8lGray(w, h,
         paletted = true)((x, y) => px(x, y)),
+      // r13: the real-encoder default shapes — spatially-varying
+      // entropy groups and the cross-color transform (cwebp -lossless
+      // emits both by default on most images)
+      "webp_meta_huffman" -> WebpPixels.WebpBuild.vp8lGray(w, h,
+        metaGroups = 3, metaBits = 2, backrefs = true,
+        cacheBits = 4)((x, y) => px(x, y)),
+      "webp_cross_color" -> WebpPixels.WebpBuild.vp8lGray(w, h,
+        crossColor = true, subtractGreen = true,
+        predictorMode = 11)((x, y) => px(x, y)),
       "webp_lossy" -> WebpPixels.WebpBuild.lossyHeader(w, h),
       "webp_vp8x" -> Multimodal.MediaBuild.webp(w, h),
       "webp_trunc" -> WebpPixels.WebpBuild.vp8lGray(w, h)(

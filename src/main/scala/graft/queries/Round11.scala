@@ -40,7 +40,10 @@ object Round11 {
   def q108VideoOrdered(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
-    val media = docs.select(col("doc_id"), col("text"))
+    // plant served from the per-(sf, code-version) parquet cache
+    // (r12 directive #4): the GIF encodes run once, not per evaluation
+    val media = MediaPlantCache.cached(s, dir, "q108_video_ordered") {
+      docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id0, text) =>
         val id = Round9.guardMediaId(id0)
@@ -59,6 +62,7 @@ object Round11 {
             text.getBytes("UTF-8")))
       }
       .toDF("media_id", "kind", "payload")
+    }
     val mean = VideoDedup
       .nearDupPairs(media, "media_id", "payload", maxHamming = 3, bands = 4)
       .select(col("id_a"), col("id_b"), lit("mean").as("form"),
@@ -87,10 +91,13 @@ object Round11 {
   def q109MediaReasonCensus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
-    val media = docs.select(col("doc_id"))
-      .as[Long]
-      .flatMap(id0 => MediaCensusFixtures.variants(Round9.guardMediaId(id0)))
-      .toDF("media_id", "variant", "payload")
+    val media = MediaPlantCache.cached(s, dir, "q109_media_reason_census") {
+      docs.select(col("doc_id"))
+        .as[Long]
+        .flatMap(id0 =>
+          MediaCensusFixtures.variants(Round9.guardMediaId(id0)))
+        .toDF("media_id", "variant", "payload")
+    }
     media
       .select(col("variant"),
         Multimodal.contentReason(col("payload")).as("reason"))
@@ -125,7 +132,8 @@ object Round11 {
   def q110JpegNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
-    val media = docs.select(col("doc_id"), col("text"))
+    val media = MediaPlantCache.cached(s, dir, "q110_jpeg_neardup") {
+      docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id0, text) =>
         val id = Round9.guardMediaId(id0)
@@ -144,6 +152,7 @@ object Round11 {
             JpegBuild.grayProgressive(72, 64)(px(0))))
       }
       .toDF("media_id", "kind", "payload")
+    }
     ImageDedup.nearDupPairs(media, "media_id", "payload",
         maxHamming = 3, bands = 4)
       .orderBy("id_a", "id_b")
@@ -174,7 +183,8 @@ object Round11 {
     import s.implicits._
     import graft.operators.MotionJpeg
     val docs = Tables.parallel(s, dir, "documents")
-    val media = docs.select(col("doc_id"), col("text"))
+    val media = MediaPlantCache.cached(s, dir, "q111_cross_container_video") {
+      docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id0, text) =>
         val id = Round9.guardMediaId(id0)
@@ -200,13 +210,10 @@ object Round11 {
               jpegs((0 until 5).reverse, std = false))))
       }
       .toDF("media_id", "kind", "payload")
-      // Pin the plant: unlike q108 (where a pin measured as a wash —
-      // GIF builds are cheap), q111's plant runs 15 JPEG FDCT encodes
-      // per doc, and BOTH hash-form branches below re-evaluate the
-      // flatMap without it. MATERIALIZES EAGERLY at call time (the
-      // PLANS.md "Eager materialization points" contract, same as
-      // orderedNearDupPairs' gram table).
-      .localCheckpoint()
+    }
+    // the parquet cache replaces r11's localCheckpoint pin: both
+    // hash-form branches below now re-SCAN the cached plant (cheap)
+    // instead of re-ENCODING 15 JPEG frames per doc
     val mean = VideoDedup
       .nearDupPairs(media, "media_id", "payload", maxHamming = 3, bands = 4)
       .select(col("id_a"), col("id_b"), lit("mean").as("form"),

@@ -21,17 +21,22 @@ object Round12 {
     * (+1M); subtract-green + LZ77 runs + a 6-bit color cache (+2M —
     * the transform, backward-reference and cache decode paths all in
     * the gate); the predictor transform, Select mode (+3M); the
-    * color-indexing (palette) transform (+4M); and opaque text (+5M,
-    * decodes nowhere, pairs never).
-    * Expected: the ten in-quintet pairs per doc at hamming 0 — any
+    * color-indexing (palette) transform (+4M); meta-Huffman entropy
+    * groups with runs + cache (+5M, r13 — the indirection real
+    * encoders emit by default); the cross-color transform composed
+    * with subtract-green + predictor (+6M, r13); and opaque text
+    * (+7M, decodes nowhere, pairs never).
+    * Expected: the 21 in-septet pairs per doc at hamming 0 — any
     * drift in a transform inverse, the canonical Huffman
-    * reconstruction, the cache hash, or the distance map flips a
-    * gradient sign somewhere across the ~500-doc × 72-cell
-    * population and breaks the arithmetic oracle. */
+    * reconstruction, the group indirection, the cache hash, or the
+    * distance map flips a gradient sign somewhere across the
+    * ~500-doc × 72-cell population and breaks the arithmetic
+    * oracle. */
   def q112WebpNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
-    val media = docs.select(col("doc_id"), col("text"))
+    val media = MediaPlantCache.cached(s, dir, "q112_webp_neardup") {
+      docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id0, text) =>
         val id = Round9.guardMediaId(id0)
@@ -51,9 +56,16 @@ object Round12 {
           Multimodal.MediaRecord(id + 4000000L, "image",
             WebpBuild.vp8lGray(w, h, paletted = true)(px)),
           Multimodal.MediaRecord(id + 5000000L, "image",
+            WebpBuild.vp8lGray(w, h, metaGroups = 3, metaBits = 2,
+              backrefs = true, cacheBits = 4)(px)),
+          Multimodal.MediaRecord(id + 6000000L, "image",
+            WebpBuild.vp8lGray(w, h, crossColor = true,
+              subtractGreen = true, predictorMode = 11)(px)),
+          Multimodal.MediaRecord(id + 7000000L, "image",
             text.getBytes("UTF-8")))
       }
       .toDF("media_id", "kind", "payload")
+    }
     ImageDedup.nearDupPairs(media, "media_id", "payload",
         maxHamming = 3, bands = 4)
       .orderBy("id_a", "id_b")
@@ -65,7 +77,8 @@ object Round12 {
   val oracles: Map[String, String] = Map(
     "q112_webp_neardup" ->
       """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
-        |k(v) AS (VALUES (0), (1000000), (2000000), (3000000), (4000000)),
+        |k(v) AS (VALUES (0), (1000000), (2000000), (3000000), (4000000),
+        |                (5000000), (6000000)),
         |m AS (SELECT a.v AS a_k, b.v AS b_k FROM k a, k b WHERE a.v < b.v)
         |SELECT t.id + m.a_k AS id_a, t.id + m.b_k AS id_b,
         |  CAST(0 AS INTEGER) AS hamming

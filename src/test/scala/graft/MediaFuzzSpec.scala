@@ -117,16 +117,20 @@ class MediaFuzzSpec extends SparkSuite {
         writeDht = false)((x, y) => img(y)(x))),
       recWrap = rnd.nextBoolean())
     // r12 image container: VP8L lossless WEBP (bit-stream Huffman,
-    // transforms, LZ77, cache — randomized dials)
+    // transforms, LZ77, cache — randomized dials; r13 adds the
+    // meta-Huffman indirection, cross-color, and sentinel modes)
     val palettedWebp = rnd.nextBoolean()
     val webp = graft.operators.WebpPixels.WebpBuild.vp8lGray(18, 16,
       subtractGreen = !palettedWebp && rnd.nextBoolean(),
       predictorMode =
-        if (palettedWebp) -1 else rnd.nextInt(16) - 1, // -1..14
+        if (palettedWebp) -1 else rnd.nextInt(17) - 1, // -1..15
       paletted = palettedWebp,
       backrefs = rnd.nextBoolean(),
       cacheBits = rnd.nextInt(7), // 0 = off
-      mapDistances = rnd.nextBoolean())(
+      mapDistances = rnd.nextBoolean(),
+      crossColor = !palettedWebp && rnd.nextBoolean(),
+      metaGroups = if (palettedWebp) 1 else 1 + rnd.nextInt(3),
+      metaBits = 2)(
       (x, y) => img(y)(x) % (if (palettedWebp) 16 else 256))
     Seq(bmp, wav, gif, png, pngPal, pngAdam, deltaGif, jpg, jpgRst,
       jpgProg, wavF32, wavP24, wavUlaw, wavExt, wavIma, wavMs, avi,

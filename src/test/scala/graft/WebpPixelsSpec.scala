@@ -105,6 +105,86 @@ class WebpPixelsSpec extends AnyFunSuite {
       (x, y) => if ((x / 9 + y) % 2 == 0) 40 else 200))
   }
 
+  test("cross-color transform roundtrips: alone, composed with " +
+      "subtract-green + predictor (both read orders), with runs/cache") {
+    val f = img(21)
+    val alone = WebpBuild.vp8lGray(21, 19, crossColor = true)(f)
+    assert(decode(alone) === ((21, 19, expect(21, 19, f))))
+    // genuinely different wire bytes from the plain encoding
+    assert(!java.util.Arrays.equals(alone, WebpBuild.vp8lGray(21, 19)(f)))
+    // all three transforms together, in both forward orders (the
+    // decoder inverts in reverse read order; cross-color's red-feedback
+    // arithmetic does not commute with the predictor)
+    for (mode <- Seq(5, 11, 12, 13); pFirst <- Seq(false, true)) {
+      val bytes = WebpBuild.vp8lGray(21, 19, subtractGreen = true,
+        predictorMode = mode, crossColor = true,
+        predictorFirst = pFirst)(f)
+      assert(decode(bytes) === ((21, 19, expect(21, 19, f))),
+        s"mode $mode predictorFirst=$pFirst")
+    }
+    // cross-color under LZ77 runs + cache (transformed planes still
+    // carry runs on this striped image)
+    val striped = (x: Int, y: Int) => if ((x / 9 + y) % 2 == 0) 40 else 200
+    val rich = WebpBuild.vp8lGray(36, 24, crossColor = true,
+      backrefs = true, cacheBits = 5)(striped)
+    assert(decode(rich) === ((36, 24, expect(36, 24, striped))))
+  }
+
+  test("meta-Huffman roundtrips: 2-5 groups with per-group DISTINCT " +
+      "code assignments, with cache + runs, and composed with all " +
+      "three transforms") {
+    val f = img(22)
+    for (groups <- Seq(2, 3, 5)) {
+      val bytes = WebpBuild.vp8lGray(40, 24, metaGroups = groups,
+        metaBits = 2)(f)
+      assert(decode(bytes) === ((40, 24, expect(40, 24, f))),
+        s"$groups groups")
+    }
+    // wire differs from the single-group encoding (the indirection and
+    // the rotated per-group codes are really present)
+    assert(!java.util.Arrays.equals(
+      WebpBuild.vp8lGray(40, 24, metaGroups = 2, metaBits = 2)(f),
+      WebpBuild.vp8lGray(40, 24)(f)))
+    // the color cache is GLOBAL across groups; runs start in one tile
+    // and copy into the next, so group handoff around LZ77 is exercised
+    val striped = (x: Int, y: Int) => if ((x / 9 + y) % 2 == 0) 40 else 200
+    val rich = WebpBuild.vp8lGray(40, 24, metaGroups = 3, metaBits = 2,
+      backrefs = true, cacheBits = 5, mapDistances = true)(striped)
+    assert(decode(rich) === ((40, 24, expect(40, 24, striped))))
+    // meta + subtract-green + predictor + cross-color in one stream
+    val full = WebpBuild.vp8lGray(40, 24, metaGroups = 2, metaBits = 2,
+      subtractGreen = true, predictorMode = 11, crossColor = true)(f)
+    assert(decode(full) === ((40, 24, expect(40, 24, f))))
+  }
+
+  test("meta-Huffman group count past the 1024 policy cap routes " +
+      "oversized BEFORE the code tables allocate; 1024 decodes") {
+    val f = (x: Int, y: Int) => (x + y) % 256
+    // 4096 px wide at metaBits=2 -> 1024 tile columns, 2 tile rows:
+    // the (tx+ty)%n pattern reaches indices 0..1024
+    val over = WebpBuild.vp8lGray(4096, 8, metaGroups = 1025,
+      metaBits = 2)(f)
+    assert(WebpPixels.decodeGray(over) === Left("oversized"))
+    val atCap = WebpBuild.vp8lGray(4096, 8, metaGroups = 1024,
+      metaBits = 2)(f)
+    val Right((w, h, px)) = WebpPixels.decodeGray(atCap)
+    assert((w, h) === ((4096, 8)))
+    assert(px.toSeq === expect(4096, 8, f))
+  }
+
+  test("out-of-spec predictor modes 14/15 resolve to the black " +
+      "predictor like libwebp's sentinel table (r12 ADVICE)") {
+    val f = img(23)
+    // predictorMode 15 writes wire modes 14/15 per block while the
+    // forward pass predicts with mode 0 — decoding proves the clamp
+    val bytes = WebpBuild.vp8lGray(21, 19, predictorMode = 15)(f)
+    assert(decode(bytes) === ((21, 19, expect(21, 19, f))))
+    // and the wire really carries out-of-spec modes: it differs from
+    // the same image at fixed mode 0
+    assert(!java.util.Arrays.equals(bytes,
+      WebpBuild.vp8lGray(21, 19, predictorMode = 0)(f)))
+  }
+
   test("distance map matches libwebp's packed kCodeToPlane constants " +
       "on the published prefix") {
     // first ten entries of libwebp's kCodeToPlane: (y<<4) | (8-x)
@@ -155,15 +235,20 @@ class WebpPixelsSpec extends AnyFunSuite {
       WebpBuild.vp8lGray(18, 16, subtractGreen = true)(f),
       WebpBuild.vp8lGray(18, 16, predictorMode = 11)(f),
       WebpBuild.vp8lGray(18, 16, paletted = true)(f),
-      WebpBuild.vp8lGray(18, 16, backrefs = true, cacheBits = 5)(f))
+      WebpBuild.vp8lGray(18, 16, backrefs = true, cacheBits = 5)(f),
+      WebpBuild.vp8lGray(18, 16, crossColor = true)(f),
+      WebpBuild.vp8lGray(18, 16, metaGroups = 3, metaBits = 2)(f),
+      WebpBuild.vp8lGray(18, 16, subtractGreen = true, crossColor = true,
+        predictorMode = 12, metaGroups = 2, metaBits = 2,
+        backrefs = true, cacheBits = 4)(f))
     variants.foreach { v =>
       assert(ImageDedup.ImagePixels.dhashOf(v) === want)
       assert(ImageDedup.ImagePixels.decodeGrayReason(v).isRight)
     }
   }
 
-  test("reason classes: lossy/extended unsupported, cross-color and " +
-      "meta-Huffman unsupported, truncation corrupt, huge dims oversized") {
+  test("reason classes: lossy/extended unsupported, truncation corrupt, " +
+      "huge dims oversized") {
     import graft.operators.Multimodal
     // lossy VP8 frame: probe parses it, pixel path routes out
     val lossy = WebpBuild.lossyHeader(640, 480)
@@ -180,26 +265,8 @@ class WebpPixelsSpec extends AnyFunSuite {
       assert(WebpPixels.decodeGray(good.take(n)).isLeft, s"take($n)")
     WebpPixels.decodeGray(good.take(good.length - 1))
     WebpPixels.decodeGray(good.take(good.length - 2))
-    // cross-color transform (type 1): patch the first transform bits.
-    // VP8L header = byte 0x2F then 32 bits (14+14+1+3) -> the transform
-    // marker starts at bit 32 of the bitstream, i.e. the low bits of
-    // payload byte 5 (RIFF 20 + signature 1 + 4 = offset 25 in file)
-    val sg = WebpBuild.vp8lGray(18, 16, subtractGreen = true)(img(11))
-    val crossColor = sg.clone
-    // transform bit (1) + type (2 bits LSB-first): SG wrote 1,0,1 ->
-    // bits 0..2 of byte 25 are 1,0,1 (0b101); cross-color = type 1 ->
-    // bits 1,1,0 (0b011)
-    assert((crossColor(25) & 0x07) === 0x05, "fixture layout moved")
-    crossColor(25) = ((crossColor(25) & ~0x07) | 0x03).toByte
-    assert(WebpPixels.decodeGray(crossColor) === Left("unsupported"))
-    // meta-Huffman bit: plain stream wrote transform-end(0), cache(0),
-    // meta(0) as bits 0..2 of byte 25; set the meta bit
-    val plain = WebpBuild.vp8lGray(18, 16)(img(11))
-    assert((plain(25) & 0x07) === 0x00, "fixture layout moved")
-    val meta = plain.clone
-    meta(25) = (meta(25) | 0x04).toByte
-    assert(WebpPixels.decodeGray(meta) === Left("unsupported"))
     // nonzero version: future format, route out not drop
+    val plain = WebpBuild.vp8lGray(18, 16)(img(11))
     val ver = plain.clone
     // version = bits 29..31 of the 32-bit header word = top 3 bits of
     // byte 24 (file offset 21+3)
@@ -232,13 +299,20 @@ class WebpPixelsSpec extends AnyFunSuite {
       if (rnd.nextBoolean() && w > 3)
         for (y <- 0 until h; x <- 1 until w if x % 7 != 0)
           img(y)(x) = img(y)(x - 1)
+      // meta-Huffman needs the (tx+ty)%n pattern to reach every group
+      val metaCap = ((w + 3) >> 2) + ((h + 3) >> 2) - 1
+      val metaGroups =
+        if (paletted || rnd.nextBoolean()) 1
+        else 1 + rnd.nextInt(math.min(4, metaCap))
       val bytes = WebpBuild.vp8lGray(w, h,
         subtractGreen = !paletted && rnd.nextBoolean(),
-        predictorMode = if (paletted) -1 else rnd.nextInt(16) - 1,
+        predictorMode = if (paletted) -1 else rnd.nextInt(17) - 1,
         paletted = paletted,
         backrefs = rnd.nextBoolean(),
         cacheBits = rnd.nextInt(8),
-        mapDistances = rnd.nextBoolean())((x, y) => img(y)(x))
+        mapDistances = rnd.nextBoolean(),
+        crossColor = !paletted && rnd.nextBoolean(),
+        metaGroups = metaGroups, metaBits = 2)((x, y) => img(y)(x))
       assert(decode(bytes) === ((w, h,
         Array.tabulate(h, w)((y, x) => img(y)(x)).flatten.toSeq)),
         s"trial $trial ${w}x$h paletted=$paletted")
@@ -296,6 +370,16 @@ class WebpPixelsSpec extends AnyFunSuite {
       (x, y) => if ((x + y) % 3 == 0) 10 else img(12)(x, y) % 32)
     for (_ <- 1 to 4000) {
       val m = base.clone
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      WebpPixels.decodeGray(m) // must not throw
+    }
+    // same discipline over the r13 features: meta groups + cross-color
+    val rich = WebpBuild.vp8lGray(24, 20, metaGroups = 3, metaBits = 2,
+      crossColor = true, subtractGreen = true, backrefs = true,
+      cacheBits = 4)(
+      (x, y) => if ((x + y) % 3 == 0) 10 else img(15)(x, y) % 32)
+    for (_ <- 1 to 4000) {
+      val m = rich.clone
       m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
       WebpPixels.decodeGray(m) // must not throw
     }
