@@ -10,7 +10,13 @@ package graft.operators
   *
   * Decode scope (the r12 COVERAGE.md scope-decision slice):
   *  - the VP8L chunk inside a plain RIFF/WEBP container (chunk walk,
-  *    even-padded sizes);
+  *    even-padded sizes), AND inside a still VP8X extended container
+  *    (r13): EXIF/XMP/ICCP metadata chunks are skipped, the canvas
+  *    must match the image chunk's dims (composite/offset framing is
+  *    not honored — "unsupported"), the animation flag or ANIM/ANMF
+  *    chunks route "unsupported", and an extended header with no
+  *    image chunk at all violates the spec's mandatory image chunk
+  *    ("corrupt");
   *  - both Huffman code forms (simple 1-2-symbol codes and normal
   *    codes with the 19-symbol code-length code, repeats 16/17/18,
   *    and the optional max-symbol early stop);
@@ -31,9 +37,9 @@ package graft.operators
   *    colors; out-of-range palette indices resolve to transparent
   *    black exactly as libwebp's zero-padded color map does).
   * Out of scope — "unsupported", the external-codec seam: lossy VP8
-  * ("VP8 " chunk) and anything reached only through a VP8X extended
-  * container, palette combined with other transforms, and nonzero
-  * stream versions. Broken structure (bit-stream overrun, bad codes,
+  * ("VP8 " chunk, incl. its ALPH alpha-plane framing), animation,
+  * VP8X composite canvases, palette combined with other transforms,
+  * and nonzero stream versions. Broken structure (bit-stream overrun, bad codes,
   * over/under-subscribed Huffman lengths) is "corrupt"; a pixel
   * budget past the 2^24 policy cap — or a meta-Huffman group count
   * past the 1024 policy cap (the 16-bit index would admit ~1.3 GB of
@@ -595,27 +601,51 @@ object WebpPixels {
 
   private def inner(p: Array[Byte]): Either[String, (Int, Int, Array[Int])] = {
     if (!hasMagic(p)) return Corrupt
-    // RIFF chunk walk to the VP8L payload. Offsets in LONG: a chunk
-    // declaring size near Int.MaxValue would otherwise wrap `at + 8 +
-    // size` past the bounds check and index negative (r12 review).
+    // RIFF chunk walk — the WHOLE chunk list, so a still lossless
+    // image inside a VP8X extended container (the shape cwebp emits
+    // whenever EXIF/XMP/ICC metadata rides along, r13) decodes while
+    // animation and lossy frames still route out. Offsets in LONG: a
+    // chunk declaring size near Int.MaxValue would otherwise wrap
+    // `at + 8 + size` past the bounds check and index negative (r12
+    // review).
     var at = 12L
     var vp8lOff = -1
     var vp8lLen = 0
-    while (vp8lOff < 0 && at + 8 <= p.length) {
+    var sawLossy = false
+    var sawAlph = false
+    var anim = false
+    var canvasW = -1
+    var canvasH = -1
+    while (at + 8 <= p.length) {
       val a = at.toInt
       val fourcc = new String(p, a, 4, "US-ASCII")
       val size = (p(a + 4) & 0xff) | ((p(a + 5) & 0xff) << 8) |
         ((p(a + 6) & 0xff) << 16) | ((p(a + 7) & 0xff) << 24)
       if (size < 0 || at + 8 + size > p.length) return Corrupt
-      if (fourcc == "VP8L") { vp8lOff = a + 8; vp8lLen = size }
-      else if (fourcc == "VP8 " || fourcc == "VP8X")
-        // lossy frame, or the extended container (animation/alpha/
-        // metadata framing — even when a VP8L chunk follows, the VP8X
-        // canvas governs the image and this decoder does not honor
-        // it): the external-codec seam, immediately
-        return Unsupported
+      fourcc match {
+        case "VP8L" =>
+          if (vp8lOff < 0) { vp8lOff = a + 8; vp8lLen = size }
+        case "VP8 " => sawLossy = true
+        case "ALPH" => sawAlph = true // alpha plane framing (lossy-only)
+        case "VP8X" =>
+          if (size < 10) return Corrupt
+          // flags byte: Rsv(2) ICC Alpha EXIF XMP Animation Rsv —
+          // only the animation bit changes the routing; metadata
+          // flags just announce chunks the walk skips anyway
+          if ((p(a + 8) & 0x02) != 0) anim = true
+          def le24(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+            ((p(o + 2) & 0xff) << 16)
+          canvasW = le24(a + 12) + 1
+          canvasH = le24(a + 15) + 1
+        case "ANIM" | "ANMF" => anim = true
+        case _ => () // EXIF/XMP/ICCP/unknown metadata: skipped
+      }
       at += 8L + size + (size & 1)
     }
+    // animation, lossy frames, and the lossy-only ALPH framing are the
+    // external-codec seam; an extended container with NO image chunk
+    // violates the spec's mandatory image chunk (corrupt)
+    if (anim || sawLossy || sawAlph) return Unsupported
     if (vp8lOff < 0) return Corrupt
     if (vp8lLen < 5 || (p(vp8lOff) & 0xff) != 0x2f) return Corrupt
     val r = new Reader(p, vp8lOff + 1, vp8lOff + vp8lLen)
@@ -625,6 +655,9 @@ object WebpPixels {
     val version = r.bits(3)
     if (r.overrun) return Corrupt
     if (version != 0) return Unsupported
+    // a still VP8X canvas must match its one image chunk; a composite
+    // canvas (image offset/crop framing) is not honored here
+    if (canvasW >= 0 && (canvasW != w || canvasH != h)) return Unsupported
     if (w.toLong * h > MaxPixels) return Oversized
 
     // transforms: record READ order — the spec applies inverses in
@@ -1219,6 +1252,54 @@ object WebpPixels {
       le32(payload.length)
       out.write(payload)
       if ((payload.length & 1) == 1) out.write(0)
+      out.toByteArray
+    }
+
+    /** Re-wrap a plain VP8L file in a VP8X extended container — the
+      * shape cwebp emits whenever EXIF/XMP/ICC metadata rides along:
+      * VP8X (flags + canvas), an EXIF metadata chunk (odd-sized, so
+      * the walk's padding rule sees traffic), then the original VP8L
+      * chunk. `canvasW/H` default to the VP8L dims (the valid still
+      * shape); pass others to build the canvas-mismatch fixture;
+      * `anim` sets the animation flag. */
+    def vp8x(vp8lFile: Array[Byte], canvasW: Int = -1, canvasH: Int = -1,
+        anim: Boolean = false): Array[Byte] = {
+      require(hasMagic(vp8lFile) &&
+        new String(vp8lFile, 12, 4, "US-ASCII") == "VP8L",
+        "vp8x wraps a plain VP8L file")
+      // VP8L dims live in the 32-bit LSB-first word after the 0x2F
+      // signature (payload starts at file offset 20, signature at 20)
+      val b0 = vp8lFile(21) & 0xff; val b1 = vp8lFile(22) & 0xff
+      val b2 = vp8lFile(23) & 0xff; val b3 = vp8lFile(24) & 0xff
+      val word = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+      val w0 = (word & 0x3fff) + 1
+      val h0 = ((word >> 14) & 0x3fff) + 1
+      val cw = if (canvasW > 0) canvasW else w0
+      val chh = if (canvasH > 0) canvasH else h0
+      val vp8lChunk = java.util.Arrays.copyOfRange(
+        vp8lFile, 12, vp8lFile.length)
+      val exifBody = Array[Byte](0x4d, 0x4d, 0, 42, 0) // odd size: pad
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+      }
+      def le24(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff)
+      }
+      val exifPadded = exifBody.length + (exifBody.length & 1)
+      out.write("RIFF".getBytes("US-ASCII"))
+      le32(4 + 18 + 8 + exifPadded + vp8lChunk.length)
+      out.write("WEBP".getBytes("US-ASCII"))
+      out.write("VP8X".getBytes("US-ASCII")); le32(10)
+      out.write((if (anim) 0x02 else 0) | 0x08) // EXIF flag (+anim)
+      out.write(0); out.write(0); out.write(0) // reserved
+      le24(cw - 1); le24(chh - 1)
+      out.write("EXIF".getBytes("US-ASCII")); le32(exifBody.length)
+      out.write(exifBody)
+      if ((exifBody.length & 1) == 1) out.write(0)
+      out.write(vp8lChunk)
       out.toByteArray
     }
 

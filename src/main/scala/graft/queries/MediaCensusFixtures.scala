@@ -83,12 +83,22 @@ object MediaCensusFixtures {
     "tiff_pred_deflate" -> "ok", "tiff_fillorder2" -> "ok",
     "tiff_ycbcr" -> "unsupported", "tiff_trunc" -> "corrupt",
     // WEBP (r12, q112's container): lossless decodes; lossy VP8 and
-    // the VP8X extended container are the external-codec seam. r13
-    // adds the two default-real-encoder shapes the r12 decoder routed
-    // out: meta-Huffman entropy groups and the cross-color transform.
+    // animation are the external-codec seam. r13 adds the
+    // default-real-encoder shapes the r12 decoder routed out:
+    // meta-Huffman entropy groups, the cross-color transform, and the
+    // still VP8X extended container (metadata-carrying lossless files
+    // — the walk skips EXIF/XMP/ICCP and decodes the VP8L chunk when
+    // the canvas matches). A VP8X whose canvas differs from its image
+    // chunk (composite framing) routes unsupported; an extended header
+    // with NO image chunk violates the spec's mandatory image chunk
+    // and is corrupt (it was "unsupported" through r12, when any VP8X
+    // routed out wholesale).
     "webp_vp8l" -> "ok", "webp_vp8l_pal" -> "ok",
     "webp_meta_huffman" -> "ok", "webp_cross_color" -> "ok",
-    "webp_lossy" -> "unsupported", "webp_vp8x" -> "unsupported",
+    "webp_vp8x_lossless" -> "ok",
+    "webp_vp8x_anim" -> "unsupported",
+    "webp_vp8x_canvas" -> "unsupported",
+    "webp_lossy" -> "unsupported", "webp_vp8x" -> "corrupt",
     "webp_trunc" -> "corrupt")
 
   /** DuckDB oracle: the same [[Expected]] table crossed with
@@ -224,6 +234,17 @@ object MediaCensusFixtures {
       "webp_cross_color" -> WebpPixels.WebpBuild.vp8lGray(w, h,
         crossColor = true, subtractGreen = true,
         predictorMode = 11)((x, y) => px(x, y)),
+      // r13: VP8X extended container — still lossless + EXIF decodes;
+      // the animation flag and a composite canvas route out
+      "webp_vp8x_lossless" -> WebpPixels.WebpBuild.vp8x(
+        WebpPixels.WebpBuild.vp8lGray(w, h,
+          subtractGreen = true)((x, y) => px(x, y))),
+      "webp_vp8x_anim" -> WebpPixels.WebpBuild.vp8x(
+        WebpPixels.WebpBuild.vp8lGray(w, h)((x, y) => px(x, y)),
+        anim = true),
+      "webp_vp8x_canvas" -> WebpPixels.WebpBuild.vp8x(
+        WebpPixels.WebpBuild.vp8lGray(w, h)((x, y) => px(x, y)),
+        canvasW = w * 2, canvasH = h),
       "webp_lossy" -> WebpPixels.WebpBuild.lossyHeader(w, h),
       "webp_vp8x" -> Multimodal.MediaBuild.webp(w, h),
       "webp_trunc" -> WebpPixels.WebpBuild.vp8lGray(w, h)(

@@ -24,9 +24,11 @@ object Round12 {
     * color-indexing (palette) transform (+4M); meta-Huffman entropy
     * groups with runs + cache (+5M, r13 — the indirection real
     * encoders emit by default); the cross-color transform composed
-    * with subtract-green + predictor (+6M, r13); and opaque text
-    * (+7M, decodes nowhere, pairs never).
-    * Expected: the 21 in-septet pairs per doc at hamming 0 — any
+    * with subtract-green + predictor (+6M, r13); opaque text
+    * (+7M, decodes nowhere, pairs never); and the VP8X extended
+    * container wrapping the subtract-green encoding with an EXIF
+    * chunk (+8M, r13 — the metadata-carrying still shape).
+    * Expected: the 28 in-octet pairs per doc at hamming 0 — any
     * drift in a transform inverse, the canonical Huffman
     * reconstruction, the group indirection, the cache hash, or the
     * distance map flips a gradient sign somewhere across the
@@ -62,7 +64,10 @@ object Round12 {
             WebpBuild.vp8lGray(w, h, crossColor = true,
               subtractGreen = true, predictorMode = 11)(px)),
           Multimodal.MediaRecord(id + 7000000L, "image",
-            text.getBytes("UTF-8")))
+            text.getBytes("UTF-8")),
+          Multimodal.MediaRecord(id + 8000000L, "image",
+            WebpBuild.vp8x(
+              WebpBuild.vp8lGray(w, h, subtractGreen = true)(px))))
       }
       .toDF("media_id", "kind", "payload")
     }
@@ -78,7 +83,7 @@ object Round12 {
     "q112_webp_neardup" ->
       """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
         |k(v) AS (VALUES (0), (1000000), (2000000), (3000000), (4000000),
-        |                (5000000), (6000000)),
+        |                (5000000), (6000000), (8000000)),
         |m AS (SELECT a.v AS a_k, b.v AS b_k FROM k a, k b WHERE a.v < b.v)
         |SELECT t.id + m.a_k AS id_a, t.id + m.b_k AS id_b,
         |  CAST(0 AS INTEGER) AS hamming

@@ -69,6 +69,12 @@ object MediaDecodeBench {
           (x, y) => px(x, y) ^ 1))),
       "webp_vp8l_sg" -> graft.operators.WebpPixels.WebpBuild.vp8lGray(
         side, side, subtractGreen = true)(px),
+      // r13: the default-real-encoder VP8L shape — meta-Huffman groups
+      // + cross-color + predictor (what cwebp -lossless emits)
+      "webp_vp8l_meta_cc" -> graft.operators.WebpPixels.WebpBuild
+        .vp8lGray(side, side, subtractGreen = true, predictorMode = 11,
+          crossColor = true, metaGroups = 4, metaBits = 4,
+          backrefs = true, cacheBits = 6)(px),
       "wav_pcm16" -> AudioDedup.WavBuild.pcm16(
         Array.fill(side * side / 2)(rnd.nextInt(65536) - 32768)))
     payloads

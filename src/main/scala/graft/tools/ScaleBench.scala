@@ -198,7 +198,11 @@ object ScaleBench {
     "q111_cross_container_video",
     // r12: q112 is q102's shape over VP8L payloads (bit-stream
     // Huffman + transforms as the map-side CPU; lossless plant, pair
-    // volume in-sextet, linear; only (id, sig) rows shuffle).
+    // volume in-septet after the r13 meta-Huffman/cross-color
+    // populations, linear; only (id, sig) rows shuffle). r13: all
+    // media plants (q108-q112) serve from MediaPlantCache parquet —
+    // the sf1 rows now time plant-read + decode + join, not the
+    // fixture encode.
     "q112_webp_neardup")
 
   def generate(spark: SparkSession, base: String): Unit = {

@@ -132,9 +132,14 @@ class MediaFuzzSpec extends SparkSuite {
       metaGroups = if (palettedWebp) 1 else 1 + rnd.nextInt(3),
       metaBits = 2)(
       (x, y) => img(y)(x) % (if (palettedWebp) 16 else 256))
+    // r13: the VP8X extended wrapper (metadata walk + canvas check)
+    val webpX = graft.operators.WebpPixels.WebpBuild.vp8x(
+      graft.operators.WebpPixels.WebpBuild.vp8lGray(18, 16,
+        subtractGreen = rnd.nextBoolean())((x, y) => img(y)(x)),
+      anim = rnd.nextInt(4) == 0)
     Seq(bmp, wav, gif, png, pngPal, pngAdam, deltaGif, jpg, jpgRst,
       jpgProg, wavF32, wavP24, wavUlaw, wavExt, wavIma, wavMs, avi,
-      aiff, au, tiff, tiffP2, webp)
+      aiff, au, tiff, tiffP2, webp, webpX)
   }
 
   test("pure random garbage never throws (1000 payloads)") {

@@ -185,6 +185,44 @@ class WebpPixelsSpec extends AnyFunSuite {
       WebpBuild.vp8lGray(21, 19, predictorMode = 0)(f)))
   }
 
+  test("VP8X extended container (r13): still lossless + EXIF decodes " +
+      "bit-identically to the bare file; animation flag, ANMF chunks, " +
+      "composite canvas, and lossy-ALPH route unsupported") {
+    val f = img(24)
+    val bare = WebpBuild.vp8lGray(21, 19, subtractGreen = true,
+      predictorMode = 5)(f)
+    val wrapped = WebpBuild.vp8x(bare)
+    assert(decode(wrapped) === ((21, 19, expect(21, 19, f))))
+    assert(decode(wrapped) === decode(bare))
+    // the wrapper really added VP8X + EXIF chunks
+    assert(new String(wrapped, 12, 4, "US-ASCII") === "VP8X")
+    assert(wrapped.length > bare.length + 18)
+    // animation flag routes out even with a decodable VP8L inside
+    assert(WebpPixels.decodeGray(WebpBuild.vp8x(bare, anim = true)) ===
+      Left("unsupported"))
+    // composite canvas (offset/crop framing) is not honored
+    assert(WebpPixels.decodeGray(
+      WebpBuild.vp8x(bare, canvasW = 42, canvasH = 19)) ===
+      Left("unsupported"))
+    // an ANMF frame chunk routes out wherever it appears
+    val anmf = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(wrapped, 0, wrapped.length)
+      out.write("ANMF".getBytes("US-ASCII"))
+      out.write(Array[Byte](2, 0, 0, 0, 0, 0))
+      val b = out.toByteArray
+      // fix the RIFF size for the appended chunk
+      val size = b.length - 8
+      b(4) = (size & 0xff).toByte; b(5) = ((size >> 8) & 0xff).toByte
+      b(6) = ((size >> 16) & 0xff).toByte; b(7) = ((size >> 24) & 0xff).toByte
+      b
+    }
+    assert(WebpPixels.decodeGray(anmf) === Left("unsupported"))
+    // truncations of the wrapped file never throw
+    for (n <- 0 until wrapped.length - 2)
+      assert(WebpPixels.decodeGray(wrapped.take(n)).isLeft, s"take($n)")
+  }
+
   test("distance map matches libwebp's packed kCodeToPlane constants " +
       "on the published prefix") {
     // first ten entries of libwebp's kCodeToPlane: (y<<4) | (8-x)
@@ -254,9 +292,11 @@ class WebpPixelsSpec extends AnyFunSuite {
     val lossy = WebpBuild.lossyHeader(640, 480)
     assert(WebpPixels.decodeGray(lossy) === Left("unsupported"))
     assert(Multimodal.MediaDecoder.contentReason(lossy) === "unsupported")
-    // VP8X extended container (header-only builder from MediaBuild)
+    // VP8X header with NO image chunk (MediaBuild's header-only probe
+    // fixture): the spec mandates an image chunk — corrupt, not
+    // unsupported, now that still VP8X containers are in scope (r13)
     assert(WebpPixels.decodeGray(
-      Multimodal.MediaBuild.webp(64, 48)) === Left("unsupported"))
+      Multimodal.MediaBuild.webp(64, 48)) === Left("corrupt"))
     val good = WebpBuild.vp8lGray(18, 16)(img(11))
     assert(Multimodal.MediaDecoder.contentReason(good) === "ok")
     // truncations: never throw; and (away from the final pad/flush
@@ -330,9 +370,9 @@ class WebpPixelsSpec extends AnyFunSuite {
       Array.fill[Byte](16)(0)
     assert(WebpPixels.decodeGray(overflow) === Left("corrupt"))
     // VP8X extended container with a trailing VP8L chunk (the shape a
-    // lossless-with-metadata writer emits): the VP8X canvas governs,
-    // this decoder does not honor it -> unsupported, not a silent
-    // decode at the VP8L dims
+    // lossless-with-metadata writer emits): r13 — DECODES when the
+    // canvas matches the image chunk (the r12 wholesale route-out is
+    // gone); the hand-spliced container here is exactly that shape
     val vp8l = WebpBuild.vp8lGray(18, 16)(img(13))
     val vp8x = graft.operators.Multimodal.MediaBuild.webp(18, 16)
     val combined = {
@@ -346,7 +386,7 @@ class WebpPixelsSpec extends AnyFunSuite {
       out.write(chunks)
       out.toByteArray
     }
-    assert(WebpPixels.decodeGray(combined) === Left("unsupported"))
+    assert(decode(combined) === decode(vp8l))
     // reverse transform order: stream reads [predictor, subtract-green]
     // -> the decoder must add green FIRST, then invert the predictor
     // (the two do not commute); pinned for a mode where avg2/clip are
