@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.ImageDedup.ImagePixels
@@ -104,6 +104,36 @@ case class VideoFrameHashes(child: Expression)
     graft.operators.VideoDedup
       .frameHashesOf(input.asInstanceOf[Array[Byte]])
       .map(hs => new GenericArrayData(hs.toArray)).orNull
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** BOTH video surfaces from ONE decode pass (r13):
+  * struct(avg: long, fhs: array<long>) — the temporal-mean dHash and
+  * the per-frame dHash sequence [[graft.operators.VideoDedup
+  * .bothHashesOf]] accumulates in a single frame stream. NULL when
+  * undecodable. A dual-form video dedup ([[graft.operators.VideoDedup
+  * .bothFormsPairs]]) evaluates this once instead of [[VideoAvgHash]]
+  * AND [[VideoFrameHashes]] separately — at crawl scale the decode is
+  * the dominant map-side CPU, so one pass halves it. */
+case class VideoBothHashes(child: Expression)
+    extends UnaryExpression with UnaryEvalCodegen {
+  override def dataType: DataType = StructType(Seq(
+    StructField("avg", LongType, nullable = false),
+    StructField("fhs", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = true
+  override protected def castResult(x: String): String =
+    s"(org.apache.spark.sql.catalyst.InternalRow) $x"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.VideoDedup
+      .bothHashesOf(input.asInstanceOf[Array[Byte]])
+      .map { case (avg, fhs) =>
+        new GenericInternalRow(Array[Any](avg,
+          new GenericArrayData(fhs.toArray)))
+      }.orNull
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -389,6 +389,10 @@ object VideoDedup {
       * only 8 bytes retained per frame. */
     def frameHashesOf(payload: Array[Byte]): Option[Seq[Long]] =
       frameHashesOver(decodeCore(payload, _))
+
+    /** Both surfaces from ONE decode — [[VideoDedup.bothOver]]. */
+    def bothHashesOf(payload: Array[Byte]): Option[(Long, Seq[Long])] =
+      bothOver(decodeCore(payload, _))
   }
 
   /** Fixture-side builder: real GIF89a bytes with an identity grayscale
@@ -537,6 +541,36 @@ object VideoDedup {
     }
   }
 
+  /** BOTH surfaces from ONE streaming decode (r13): the temporal-mean
+    * dHash and the per-frame dHash sequence. The accumulation is the
+    * superposition of [[meanHashOver]] and [[frameHashesOver]] —
+    * bit-identical outputs (VideoDedupSpec pins parity), one decode.
+    * At crawl scale the decode IS the map-side cost of a dual-form
+    * video dedup, so this halves it. */
+  private[operators] def bothOver(
+      run: ((Int, Int, Array[Int]) => Unit) => Either[String, Int])
+      : Option[(Long, Seq[Long])] = {
+    var sum: Array[Long] = null
+    var w = 0; var h = 0; var n = 0
+    val hashes = Seq.newBuilder[Long]
+    run((cw, ch, luma) => {
+      if (sum == null) { w = cw; h = ch; sum = new Array[Long](cw * ch) }
+      var k = 0
+      while (k < sum.length) { sum(k) += luma(k); k += 1 }
+      n += 1
+      hashes += ImageDedup.ImagePixels.dhash64(
+        ImageDedup.ImagePixels.grid(luma, cw, ch, 9, 8))
+    }) match {
+      case Left(_) => None
+      case Right(_) =>
+        val mean = new Array[Int](w * h)
+        var k = 0
+        while (k < mean.length) { mean(k) = (sum(k) / n).toInt; k += 1 }
+        Some((ImageDedup.ImagePixels.dhash64(
+          ImageDedup.ImagePixels.grid(mean, w, h, 9, 8)), hashes.result()))
+    }
+  }
+
   /** Temporal-mean dHash with container dispatch — animated GIF
     * ([[GifPixels]]) or MJPEG-AVI ([[MotionJpeg.AviPixels]], r11);
     * None when the payload has no video path. This is what the
@@ -545,6 +579,13 @@ object VideoDedup {
     if (MotionJpeg.isAvi(payload))
       meanHashOver(MotionJpeg.AviPixels.decodeCore(payload, _))
     else GifPixels.avgHashOf(payload)
+
+  /** Both surfaces with the same container dispatch as [[avgHashOf]];
+    * None when undecodable. Backs [[bothHashes]]. */
+  def bothHashesOf(payload: Array[Byte]): Option[(Long, Seq[Long])] =
+    if (MotionJpeg.isAvi(payload))
+      bothOver(MotionJpeg.AviPixels.decodeCore(payload, _))
+    else GifPixels.bothHashesOf(payload)
 
   /** Per-frame dHash sequence with the same container dispatch as
     * [[avgHashOf]]; None when undecodable. Backs [[frameHashes]]. */
@@ -563,6 +604,12 @@ object VideoDedup {
     * undecodable. */
   def frameHashes(payload: Column): Column =
     ColumnBridge.col(graft.functions.VideoFrameHashes(
+      ColumnBridge.expr(payload)))
+
+  /** struct(avg, fhs): both video surfaces from one decode pass; NULL
+    * when undecodable. Backs [[bothFormsPairs]]. */
+  def bothHashes(payload: Column): Column =
+    ColumnBridge.col(graft.functions.VideoBothHashes(
       ColumnBridge.expr(payload)))
 
   /** All video pairs (id_a < id_b, hamming ≤ maxHamming) — EXACT over
@@ -607,10 +654,24 @@ object VideoDedup {
   def orderedNearDupPairs(
       df: DataFrame, idCol: String, payloadCol: String,
       q: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+    HammingBand.requireIntegralId(df, idCol)
+    val hashed = df.select(col(idCol).cast("long").as("id"),
+      frameHashes(col(payloadCol)).as("__fhs"))
+    orderedPairsFrom(hashed, q, minJaccard,
+      pinGrams = true, tag = "VideoDedup.orderedNearDupPairs")
+  }
+
+  /** Gram-blocked ordered-Jaccard pairs from an (id, __fhs) table —
+    * the join stage [[orderedNearDupPairs]] and [[bothFormsPairs]]
+    * share. `pinGrams` localCheckpoints the exploded gram table:
+    * required when the upstream carries the raw decode (one decode,
+    * not one per join side); skipped when the upstream is already
+    * pinned (grams recompute per side as cheap long arithmetic). */
+  private def orderedPairsFrom(hashed: DataFrame, q: Int,
+      minJaccard: Double, pinGrams: Boolean, tag: String): DataFrame = {
     require(q >= 1, s"q must be >= 1, got $q")
     require(minJaccard > 0.0, "minJaccard must be positive: at 0 the " +
       "gram-blocked join is no longer equivalent to all-pairs Jaccard")
-    HammingBand.requireIntegralId(df, idCol)
     val elems = (1 to q).map(k => s"element_at(__fhs, i + $k)")
     // TOTAL by construction: the size guard lives INSIDE the gram
     // expression, not in a separate Filter on the alias — a filter
@@ -624,20 +685,16 @@ object VideoDedup {
       s"transform(sequence(0, size(__fhs) - $q), i -> " +
       s"xxhash64(${elems.mkString(", ")})) " +
       "ELSE CAST(array() AS ARRAY<BIGINT>) END"
-    val sets = df
-      .select(col(idCol).cast("long").as("id"),
-        frameHashes(col(payloadCol)).as("__fhs"))
+    val sets0 = hashed
       .select(col("id"), array_distinct(expr(gramsExpr)).as("__gs"))
       .select(col("id"), size(col("__gs")).as("ng"),
         explode(col("__gs")).as("g"))
-      .localCheckpoint() // pin: decode once, not once per join side
-      // (MATERIALIZES — see the scaladoc contract above)
+    val sets = if (pinGrams) sets0.localCheckpoint() else sets0
     // hot-bucket census BEFORE the gram join: this path's buckets are
     // join-implicit (never collected as arrays), so the probe is a
-    // driver-side top-N count over the ALREADY-PINNED (id, ng, gram)
-    // longs — one cheap job on checkpointed data, no decode re-run
-    graft.functions.SkewWarn.logTopBuckets(sets, "g",
-      "VideoDedup.orderedNearDupPairs")
+    // driver-side top-N count over PINNED data (the gram table here,
+    // or the both-hashes table one projection up) — no decode re-run
+    graft.functions.SkewWarn.logTopBuckets(sets, "g", tag)
     val a = sets.select(col("id").as("id_a"), col("ng").as("na"), col("g"))
     val b = sets.select(col("id").as("id_b"), col("ng").as("nb"), col("g"))
     a.join(b, Seq("g"))
@@ -649,5 +706,43 @@ object VideoDedup {
           (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** BOTH dedup forms from ONE decode (r13): the frame-order-
+    * INSENSITIVE temporal-mean Hamming pairs ("mean") and the
+    * order-SENSITIVE gram-Jaccard pairs ("ordered"), as
+    * (id_a, id_b, form, score) — score is the Hamming distance
+    * (as double) for mean rows, the Jaccard for ordered rows.
+    * Bit-identical to running [[nearDupPairs]] and
+    * [[orderedNearDupPairs]] separately (VideoDedupSpec pins parity),
+    * but the payload decodes ONCE: a [[graft.functions
+    * .VideoBothHashes]] projection computes both surfaces in one
+    * streaming pass and is localCheckpoint-pinned, so at crawl scale
+    * — where the decode IS the map-side cost — a dual-form dedup
+    * halves its dominant term.
+    *
+    * MATERIALIZES EAGERLY (the pin), same call-time contract as
+    * [[orderedNearDupPairs]]. */
+  def bothFormsPairs(
+      df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3, bands: Int = 4,
+      q: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+    HammingBand.requireIntegralId(df, idCol)
+    val hashed = df
+      .select(col(idCol).cast("long").as("id"),
+        bothHashes(col(payloadCol)).as("__bh"))
+      .select(col("id"), col("__bh.avg").as("__avg"),
+        col("__bh.fhs").as("__fhs"))
+      .localCheckpoint() // pin: ONE decode serves both forms
+    val mean = HammingBand
+      .pairs(hashed, "id", col("__avg"), maxHamming, bands)
+      .select(col("id_a"), col("id_b"), lit("mean").as("form"),
+        col("hamming").cast("double").as("score"))
+    val ordered = orderedPairsFrom(
+        hashed.select(col("id"), col("__fhs")), q, minJaccard,
+        pinGrams = false, tag = "VideoDedup.bothFormsPairs")
+      .select(col("id_a"), col("id_b"), lit("ordered").as("form"),
+        col("jaccard").as("score"))
+    mean.unionByName(ordered)
   }
 }

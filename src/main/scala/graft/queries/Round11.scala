@@ -211,19 +211,14 @@ object Round11 {
       }
       .toDF("media_id", "kind", "payload")
     }
-    // the parquet cache replaces r11's localCheckpoint pin: both
-    // hash-form branches below now re-SCAN the cached plant (cheap)
-    // instead of re-ENCODING 15 JPEG frames per doc
-    val mean = VideoDedup
-      .nearDupPairs(media, "media_id", "payload", maxHamming = 3, bands = 4)
-      .select(col("id_a"), col("id_b"), lit("mean").as("form"),
-        col("hamming").cast("double").as("score"))
-    val ordered = VideoDedup
-      .orderedNearDupPairs(media, "media_id", "payload",
-        q = 2, minJaccard = 0.5)
-      .select(col("id_a"), col("id_b"), lit("ordered").as("form"),
-        col("jaccard").as("score"))
-    mean.unionByName(ordered).orderBy("form", "id_a", "id_b")
+    // the parquet cache replaces r11's localCheckpoint pin; r13: the
+    // FUSED both-forms operator decodes each payload ONCE for the two
+    // hash forms (q108 keeps gating the two separate operators, so
+    // all three surfaces stay oracle-covered; VideoDedupSpec pins the
+    // fused/separate parity)
+    VideoDedup.bothFormsPairs(media, "media_id", "payload",
+        maxHamming = 3, bands = 4, q = 2, minJaccard = 0.5)
+      .orderBy("form", "id_a", "id_b")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

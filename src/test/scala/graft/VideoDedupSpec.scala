@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit}
+
 import graft.operators.{ImageDedup, VideoDedup}
 import graft.operators.VideoDedup.{GifBuild, GifPixels}
 
@@ -292,6 +294,50 @@ class VideoDedupSpec extends SparkSuite {
         vids.toDF("id", "payload"), "id", "payload", 3, 4)
       .as[(Long, Long, Int)].collect().toSet
     assert(meanPairs.contains((1L, 3L, 0)), "mean hash catches reorder")
+  }
+
+  test("bothFormsPairs (r13): one decode, bit-identical to the two " +
+      "separate operators, and the both-hashes accumulation matches " +
+      "the separate evaluators on every payload") {
+    val rnd = new scala.util.Random(9)
+    val pool = Vector.fill(6)(rndFrame(rnd))
+    def clip(ix: Int*): Array[Byte] = gifOf(ix.map(pool))
+    val vids = Seq[(Long, Array[Byte])](
+      (1L, clip(0, 1, 2, 3)),
+      (2L, clip(0, 1, 2, 3)),
+      (3L, clip(3, 2, 1, 0)),
+      (4L, clip(0, 1, 2, 4)),
+      (5L, clip(5)),
+      (6L, "not a gif at all".getBytes("UTF-8")))
+    // evaluator parity: bothHashesOf == (avgHashOf, frameHashesOf)
+    vids.foreach { case (id, p) =>
+      assert(VideoDedup.bothHashesOf(p) ===
+        VideoDedup.avgHashOf(p).map(a =>
+          (a, VideoDedup.frameHashesOf(p).get)), s"payload $id")
+    }
+    // operator parity: the fused pairs equal the union of the two
+    // separate operators' pairs (the q111 gate shape)
+    val df = vids.toDF("id", "payload").repartition(4)
+    val want =
+      VideoDedup.nearDupPairs(df, "id", "payload", 3, 4)
+        .select(col("id_a"), col("id_b"), lit("mean").as("form"),
+          col("hamming").cast("double").as("score"))
+        .unionByName(
+          VideoDedup.orderedNearDupPairs(df, "id", "payload", 2, 0.5)
+            .select(col("id_a"), col("id_b"), lit("ordered").as("form"),
+              col("jaccard").as("score")))
+        .as[(Long, Long, String, Double)].collect().toSet
+    val got = VideoDedup.bothFormsPairs(df, "id", "payload",
+        maxHamming = 3, bands = 4, q = 2, minJaccard = 0.5)
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(got === want)
+    assert(got.exists(_._3 == "mean") && got.exists(_._3 == "ordered"))
+    // the fused plan carries exactly ONE decode expression
+    val plan = VideoDedup.bothFormsPairs(df, "id", "payload")
+      .queryExecution.analyzed.toString
+    assert(!plan.toLowerCase.contains("videoavghash") &&
+      !plan.toLowerCase.contains("videoframehashes"),
+      "fused path must not fall back to the separate decodes")
   }
 
   test("orderedNearDupPairs rejects non-integral id columns loudly") {
