@@ -42,9 +42,10 @@ package graft.operators
   * and nonzero stream versions. Broken structure (bit-stream overrun, bad codes,
   * over/under-subscribed Huffman lengths) is "corrupt"; a pixel
   * budget past the 2^24 policy cap — or a meta-Huffman group count
-  * past the 1024 policy cap (the 16-bit index would admit ~1.3 GB of
-  * code tables from a kilobyte payload) — is "oversized", refused
-  * BEFORE the plane/table allocates. Never throws (bounds-checked +
+  * past the 4096 policy cap (above libwebp's 2600-histogram encoder
+  * max; the 16-bit index would admit ~1.3 GB of code tables from a
+  * kilobyte payload) — is "oversized", refused BEFORE the
+  * plane/table allocates. Never throws (bounds-checked +
   * the family's catch wrapper); fuzz-pinned.
   *
   * Cross-validation caveat: no JDK codec reads WEBP, so unlike the
@@ -356,10 +357,14 @@ object WebpPixels {
     * five root-table codes (~20 KB), and the spec's 16-bit group index
     * would admit 65,536 of them (~1.3 GB) from a kilobyte-scale
     * payload — the same allocation-before-decode hole the 2^24 pixel
-    * cap closes. Real encoders cluster histograms to a few dozen
-    * groups; past the cap routes "oversized", refused BEFORE the
-    * group table allocates. */
-  private final val MaxMetaGroups = 1024
+    * cap closes. 4096 sits safely ABOVE libwebp's encoder maximum
+    * (its histogram clustering is bounded by MAX_HUFF_IMAGE_SIZE =
+    * 2600 histogram images), so no real-encoder stream is refused,
+    * while the worst admitted table cost stays ~80 MB and
+    * payload-proportional (every declared group must serialize its
+    * five codes in the stream). Past the cap routes "oversized",
+    * refused BEFORE the group table allocates. */
+  private final val MaxMetaGroups = 4096
 
   /** Decode one entropy-coded ARGB image; Left(reason) on failure.
     * `level0` gates the meta-Huffman bit (entropy images never carry

@@ -157,19 +157,20 @@ class WebpPixelsSpec extends AnyFunSuite {
     assert(decode(full) === ((40, 24, expect(40, 24, f))))
   }
 
-  test("meta-Huffman group count past the 1024 policy cap routes " +
-      "oversized BEFORE the code tables allocate; 1024 decodes") {
+  test("meta-Huffman group count past the 4096 policy cap routes " +
+      "oversized BEFORE the code tables allocate; 4096 (above " +
+      "libwebp's 2600-histogram encoder max) decodes") {
     val f = (x: Int, y: Int) => (x + y) % 256
-    // 4096 px wide at metaBits=2 -> 1024 tile columns, 2 tile rows:
-    // the (tx+ty)%n pattern reaches indices 0..1024
-    val over = WebpBuild.vp8lGray(4096, 8, metaGroups = 1025,
+    // 16384 px wide at metaBits=2 -> 4096 tile columns, 2 tile rows:
+    // the (tx+ty)%n pattern reaches indices 0..4096
+    val over = WebpBuild.vp8lGray(16384, 8, metaGroups = 4097,
       metaBits = 2)(f)
     assert(WebpPixels.decodeGray(over) === Left("oversized"))
-    val atCap = WebpBuild.vp8lGray(4096, 8, metaGroups = 1024,
+    val atCap = WebpBuild.vp8lGray(16384, 8, metaGroups = 4096,
       metaBits = 2)(f)
     val Right((w, h, px)) = WebpPixels.decodeGray(atCap)
-    assert((w, h) === ((4096, 8)))
-    assert(px.toSeq === expect(4096, 8, f))
+    assert((w, h) === ((16384, 8)))
+    assert(px.toSeq === expect(16384, 8, f))
   }
 
   test("out-of-spec predictor modes 14/15 resolve to the black " +
