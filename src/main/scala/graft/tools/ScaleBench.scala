@@ -198,11 +198,12 @@ object ScaleBench {
     "q111_cross_container_video",
     // r12: q112 is q102's shape over VP8L payloads (bit-stream
     // Huffman + transforms as the map-side CPU; lossless plant, pair
-    // volume in-septet after the r13 meta-Huffman/cross-color
+    // volume in-OCTET after the r13 meta-Huffman / cross-color / VP8X
     // populations, linear; only (id, sig) rows shuffle). r13: all
     // media plants (q108-q112) serve from MediaPlantCache parquet —
     // the sf1 rows now time plant-read + decode + join, not the
-    // fixture encode.
+    // fixture encode — and q111 runs the fused bothFormsPairs (one
+    // decode for both hash forms; ratio 8.24 -> 3.03).
     "q112_webp_neardup")
 
   def generate(spark: SparkSession, base: String): Unit = {
