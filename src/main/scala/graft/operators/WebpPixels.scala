@@ -566,7 +566,7 @@ object WebpPixels {
     * Red reconstructs first; blue's red delta uses the RECONSTRUCTED
     * red reinterpreted as int8 — the exact mirror of the forward
     * pass's original-red input. */
-  private[operators] def applyInverseCrossColor(pix: Array[Int], w: Int,
+  private[graft] def applyInverseCrossColor(pix: Array[Int], w: Int,
       h: Int, data: Array[Int], sizeBits: Int): Unit = {
     val tilesW = (w + (1 << sizeBits) - 1) >> sizeBits
     var y = 0

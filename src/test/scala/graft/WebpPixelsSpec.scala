@@ -157,6 +157,43 @@ class WebpPixelsSpec extends AnyFunSuite {
     assert(decode(full) === ((40, 24, expect(40, 24, f))))
   }
 
+  test("cross-color inverse arithmetic matches HAND-COMPUTED " +
+      "ColorTransformDelta vectors (evidence independent of the " +
+      "builder's forward pass)") {
+    // delta(t, c) = (int8 t * int8 c) >> 5, applied red-first with the
+    // RECONSTRUCTED red feeding blue's second delta (RFC 9649 /
+    // libwebp VP8LTransformColorInverse). Each case worked by hand:
+    def run(argb: Int, g2r: Int, g2b: Int, r2b: Int): Int = {
+      val pix = Array(argb)
+      val cc = 0xff000000 | (r2b << 16) | (g2b << 8) | g2r
+      WebpPixels.applyInverseCrossColor(pix, 1, 1, Array(cc), 2)
+      pix(0)
+    }
+    // identity multipliers: pixel unchanged
+    assert(run(0xff402010, 0, 0, 0) === 0xff402010)
+    // g2r=0x40 (+64), green=0x20 (32): dRed = (64*32)>>5 = +64 ->
+    //   red 0x40 + 64 = 0x80
+    // g2b=0xE0 (-32): dBlue1 = (-32*32)>>5 = -32 -> 0x10 - 32 = 0xF0
+    // r2b=0x10 (+16) on NEW red 0x80 (int8 -128):
+    //   dBlue2 = (16*-128)>>5 = -64 -> 0xF0 - 64 = 0xB0
+    assert(run(0xff402010, 0x40, 0xE0, 0x10) === 0xff8020B0)
+    // negative green: green=0x90 (int8 -112), g2r=0x30 (+48):
+    //   dRed = (48*-112)>>5 = floor(-5376/32) = -168 ->
+    //   red 0x00 - 168 = 0x58 (mod 256)
+    assert(run(0xff009000, 0x30, 0, 0) === 0xff589000)
+    // blue-only via r2b on an UNCHANGED red: red=0x7f (int8 +127),
+    //   r2b=0x81 (int8 -127): dBlue2 = (-127*127)>>5 =
+    //   floor(-16129/32) = -505 -> blue 0x00 - 505 = 7 (mod 256)
+    assert(run(0xff7f0000, 0, 0, 0x81) === 0xff7f0007)
+    // per-tile selection: two tiles at sizeBits=2 (tile width 4), the
+    // second tile's multipliers apply from x=4
+    val row = Array.fill(8)(0xff402010)
+    val ccs = Array(0xff000000, 0xff000000 | 0x40) // tile1: g2r=0x40
+    WebpPixels.applyInverseCrossColor(row, 8, 1, ccs, 2)
+    assert(row.take(4).forall(_ === 0xff402010))
+    assert(row.drop(4).forall(_ === 0xff802010))
+  }
+
   test("meta-Huffman group count past the 4096 policy cap routes " +
       "oversized BEFORE the code tables allocate; 4096 (above " +
       "libwebp's 2600-histogram encoder max) decodes") {
