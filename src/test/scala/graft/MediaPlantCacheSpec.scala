@@ -9,11 +9,41 @@ import graft.queries.MediaPlantCache
   * census's "missing" row rides this), stale-fingerprint cleanup, and
   * the fingerprint's shape. The correctness of the CONTENT served from
   * the cache is separately gated by q108–q112's DuckDB oracles. */
-class MediaPlantCacheSpec extends SparkSuite {
+class MediaPlantCacheSpec extends SparkSuite
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
 
   private def freshName(): String =
     s"spec_plant_${System.nanoTime()}"
+
+  // drop every spec_plant_* dir this suite created (cache dirs are
+  // per-name, so repeated test runs would otherwise accrete)
+  override def afterAll(): Unit = {
+    try {
+      val wh = java.nio.file.Paths.get(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
+        .resolve("media_plant")
+      if (java.nio.file.Files.isDirectory(wh)) {
+        import scala.jdk.CollectionConverters._
+        val ls = java.nio.file.Files.list(wh)
+        try ls.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("spec_plant_"))
+          .toSeq.foreach(deleteRec)
+        finally ls.close()
+      }
+    } finally super.afterAll()
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(p)) {
+      val ls = java.nio.file.Files.list(p)
+      try ls.iterator().asScala.toSeq.foreach(deleteRec)
+      finally ls.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+    ()
+  }
 
   test("builds once, then serves reads without re-evaluating the plant") {
     val name = freshName()
