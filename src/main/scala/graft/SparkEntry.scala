@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.Round8.queries ++
       graft.queries.Round9.queries ++
       graft.queries.Round11.queries ++
-      graft.queries.Round12.queries
+      graft.queries.Round12.queries ++
+      graft.queries.Round13.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.Round8.oracles ++
       graft.queries.Round9.oracles ++
       graft.queries.Round11.oracles ++
-      graft.queries.Round12.oracles
+      graft.queries.Round12.oracles ++
+      graft.queries.Round13.oracles
 }

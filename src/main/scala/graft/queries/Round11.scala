@@ -36,7 +36,12 @@ object Round11 {
     *    identical gram set.
     * A frame-hash bug, a gram that ignores order, a Jaccard
     * denominator error, or an undecodable payload leaking into either
-    * join changes the pair set and fails the gate. */
+    * join changes the pair set and fails the gate.
+    *
+    * r13: evaluated through the FUSED [[VideoDedup.bothFormsPairs]]
+    * (one decode per payload, identical output — parity pinned in
+    * VideoDedupSpec); the separate operators keep their own oracles
+    * at q106 (mean) and q113 (ordered). */
   def q108VideoOrdered(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
@@ -63,16 +68,15 @@ object Round11 {
       }
       .toDF("media_id", "kind", "payload")
     }
-    val mean = VideoDedup
-      .nearDupPairs(media, "media_id", "payload", maxHamming = 3, bands = 4)
-      .select(col("id_a"), col("id_b"), lit("mean").as("form"),
-        col("hamming").cast("double").as("score"))
-    val ordered = VideoDedup
-      .orderedNearDupPairs(media, "media_id", "payload",
-        q = 2, minJaccard = 0.5)
-      .select(col("id_a"), col("id_b"), lit("ordered").as("form"),
-        col("jaccard").as("score"))
-    mean.unionByName(ordered).orderBy("form", "id_a", "id_b")
+    // r13: the FUSED both-forms operator — one decode per payload for
+    // the two hash forms (this was the worst BENCH_SF1 ratio once the
+    // plant cache landed: the gate deliberately ran both separate
+    // operators and decoded twice). The separate operators keep their
+    // own oracles — q106 (mean) and q113 (ordered) — and
+    // VideoDedupSpec pins fused/separate bit-parity.
+    VideoDedup.bothFormsPairs(media, "media_id", "payload",
+        maxHamming = 3, bands = 4, q = 2, minJaccard = 0.5)
+      .orderBy("form", "id_a", "id_b")
   }
 
   /** q109: media quarantine-reason CENSUS — every payload variant of

@@ -202,9 +202,10 @@ object ScaleBench {
     // populations, linear; only (id, sig) rows shuffle). r13: all
     // media plants (q108-q112) serve from MediaPlantCache parquet —
     // the sf1 rows now time plant-read + decode + join, not the
-    // fixture encode — and q111 runs the fused bothFormsPairs (one
-    // decode for both hash forms; ratio 8.24 -> 3.03).
-    "q112_webp_neardup")
+    // fixture encode — and q108/q111 run the fused bothFormsPairs
+    // (one decode for both hash forms; q111 ratio 8.24 -> 3.03),
+    // with the order-sensitive operator's dedicated gate q113.
+    "q112_webp_neardup", "q113_video_ordered_solo")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")
