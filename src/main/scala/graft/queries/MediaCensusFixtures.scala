@@ -96,6 +96,11 @@ object MediaCensusFixtures {
     "webp_vp8l" -> "ok", "webp_vp8l_pal" -> "ok",
     "webp_meta_huffman" -> "ok", "webp_cross_color" -> "ok",
     "webp_vp8x_lossless" -> "ok",
+    // r14: palette COMPOSED with other transforms (the last named
+    // VP8L route-out) — both spec width regimes: SG read before the
+    // palette (inverse at full width, post-unpack) and the predictor
+    // read after it (tiles and inverts over the PACKED width)
+    "webp_pal_sg" -> "ok", "webp_pal_pred" -> "ok",
     "webp_vp8x_anim" -> "unsupported",
     "webp_vp8x_canvas" -> "unsupported",
     "webp_lossy" -> "unsupported", "webp_vp8x" -> "corrupt",
@@ -245,6 +250,12 @@ object MediaCensusFixtures {
       "webp_vp8x_canvas" -> WebpPixels.WebpBuild.vp8x(
         WebpPixels.WebpBuild.vp8lGray(w, h)((x, y) => px(x, y)),
         canvasW = w * 2, canvasH = h),
+      // r14: palette composition rows — mod-16 pixels so the 4-bit
+      // sub-byte packing is genuinely on the wire in both shapes
+      "webp_pal_sg" -> WebpPixels.WebpBuild.vp8lGray(w, h,
+        paletted = true, subtractGreen = true)((x, y) => px(x, y) % 16),
+      "webp_pal_pred" -> WebpPixels.WebpBuild.vp8lGray(w, h,
+        paletted = true, predictorMode = 11)((x, y) => px(x, y) % 16),
       "webp_lossy" -> WebpPixels.WebpBuild.lossyHeader(w, h),
       "webp_vp8x" -> Multimodal.MediaBuild.webp(w, h),
       "webp_trunc" -> WebpPixels.WebpBuild.vp8lGray(w, h)(

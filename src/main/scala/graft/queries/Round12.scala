@@ -25,10 +25,15 @@ object Round12 {
     * groups with runs + cache (+5M, r13 — the indirection real
     * encoders emit by default); the cross-color transform composed
     * with subtract-green + predictor (+6M, r13); opaque text
-    * (+7M, decodes nowhere, pairs never); and the VP8X extended
+    * (+7M, decodes nowhere, pairs never); the VP8X extended
     * container wrapping the subtract-green encoding with an EXIF
-    * chunk (+8M, r13 — the metadata-carrying still shape).
-    * Expected: the 28 in-octet pairs per doc at hamming 0 — any
+    * chunk (+8M, r13 — the metadata-carrying still shape); and the
+    * color-indexing transform COMPOSED with the predictor (+9M, r14
+    * — palette read first, predictor tiled over the post-palette
+    * width; the plant's ~72 distinct colors leave the width
+    * unpacked, and the packed-width regime is pinned in
+    * WebpPixelsSpec + the q109 census rows).
+    * Expected: the 36 in-nonet pairs per doc at hamming 0 — any
     * drift in a transform inverse, the canonical Huffman
     * reconstruction, the group indirection, the cache hash, or the
     * distance map flips a gradient sign somewhere across the
@@ -67,7 +72,10 @@ object Round12 {
             text.getBytes("UTF-8")),
           Multimodal.MediaRecord(id + 8000000L, "image",
             WebpBuild.vp8x(
-              WebpBuild.vp8lGray(w, h, subtractGreen = true)(px))))
+              WebpBuild.vp8lGray(w, h, subtractGreen = true)(px))),
+          Multimodal.MediaRecord(id + 9000000L, "image",
+            WebpBuild.vp8lGray(w, h, paletted = true,
+              predictorMode = 11)(px)))
       }
       .toDF("media_id", "kind", "payload")
     }
@@ -83,7 +91,7 @@ object Round12 {
     "q112_webp_neardup" ->
       """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
         |k(v) AS (VALUES (0), (1000000), (2000000), (3000000), (4000000),
-        |                (5000000), (6000000), (8000000)),
+        |                (5000000), (6000000), (8000000), (9000000)),
         |m AS (SELECT a.v AS a_k, b.v AS b_k FROM k a, k b WHERE a.v < b.v)
         |SELECT t.id + m.a_k AS id_a, t.id + m.b_k AS id_b,
         |  CAST(0 AS INTEGER) AS hamming

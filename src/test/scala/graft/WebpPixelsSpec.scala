@@ -67,6 +67,58 @@ class WebpPixelsSpec extends AnyFunSuite {
     }
   }
 
+  test("palette COMPOSED with subtract-green (SG read first: inverse " +
+      "at full width post-unpack) roundtrips at every packing width") {
+    for ((mod, label) <- Seq((2, "1-bit"), (4, "2-bit"), (16, "4-bit"),
+        (200, "unpacked"))) {
+      val f = (x: Int, y: Int) => img(25)(x, y) % mod
+      val bytes = WebpBuild.vp8lGray(19, 16, paletted = true,
+        subtractGreen = true)(f)
+      assert(decode(bytes) === ((19, 16, expect(19, 16, f))), label)
+      // the SG header is genuinely on the wire: differs from
+      // palette-alone
+      assert(!java.util.Arrays.equals(bytes,
+        WebpBuild.vp8lGray(19, 16, paletted = true)(f)), label)
+    }
+  }
+
+  test("palette COMPOSED with the predictor (palette read first: the " +
+      "predictor tiles and inverts over the PACKED width) roundtrips " +
+      "at every packing width and across modes") {
+    for ((mod, label) <- Seq((2, "1-bit"), (4, "2-bit"), (16, "4-bit"),
+        (200, "unpacked")); mode <- Seq(1, 2, 11, 14)) {
+      val f = (x: Int, y: Int) => img(26)(x, y) % mod
+      val bytes = WebpBuild.vp8lGray(19, 16, paletted = true,
+        predictorMode = mode)(f)
+      assert(decode(bytes) === ((19, 16, expect(19, 16, f))),
+        s"$label mode $mode")
+    }
+    // wide-enough image that the packed width spans >1 predictor block
+    val f16 = (x: Int, y: Int) => img(27)(x, y) % 16
+    val wide = WebpBuild.vp8lGray(70, 9, paletted = true,
+      predictorMode = 14)(f16)
+    assert(decode(wide) === ((70, 9, expect(70, 9, f16))))
+  }
+
+  test("trailing garbage after a complete VP8L chunk decodes ok " +
+      "(libwebp stops at the image chunk; r13 ADVICE)") {
+    val f = img(28)
+    val good = WebpBuild.vp8lGray(18, 16)(f)
+    // >= 8 bytes of non-chunk garbage: a malformed trailing header
+    val garbage = good ++ Array[Byte](0x47, 0x41, 0x52, 0x42,
+      0x7f, -1, -1, 0x7f, 1, 2, 3)
+    assert(decode(garbage) === decode(good))
+    // a truncated trailing metadata chunk header (valid fourcc, size
+    // past the file end) is also tolerated after the image chunk
+    val truncMeta = good ++ "EXIF".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0, 0, 0) // declares 64 bytes, none present
+    assert(decode(truncMeta) === decode(good))
+    // but BEFORE any image chunk the same shape stays corrupt
+    val noImage = ("RIFF" + "????" + "WEBP" +
+      "EXIF").getBytes("US-ASCII") ++ Array[Byte](0x40, 0, 0, 0)
+    assert(WebpPixels.decodeGray(noImage) === Left("corrupt"))
+  }
+
   test("LZ77 runs roundtrip: direct and neighborhood-mapped dist-1 " +
       "(overlapping copies), run crossing row boundaries") {
     // long constant spans force dist-1 length-coded copies
@@ -314,6 +366,8 @@ class WebpPixelsSpec extends AnyFunSuite {
       WebpBuild.vp8lGray(18, 16, backrefs = true, cacheBits = 5)(f),
       WebpBuild.vp8lGray(18, 16, crossColor = true)(f),
       WebpBuild.vp8lGray(18, 16, metaGroups = 3, metaBits = 2)(f),
+      WebpBuild.vp8lGray(18, 16, paletted = true, subtractGreen = true)(f),
+      WebpBuild.vp8lGray(18, 16, paletted = true, predictorMode = 11)(f),
       WebpBuild.vp8lGray(18, 16, subtractGreen = true, crossColor = true,
         predictorMode = 12, metaGroups = 2, metaBits = 2,
         backrefs = true, cacheBits = 4)(f))
@@ -382,9 +436,14 @@ class WebpPixelsSpec extends AnyFunSuite {
       val metaGroups =
         if (paletted || rnd.nextBoolean()) 1
         else 1 + rnd.nextInt(math.min(4, metaCap))
+      // r14: palette composes with ONE of SG / predictor
+      val palCompanion = if (paletted) rnd.nextInt(3) else -1
       val bytes = WebpBuild.vp8lGray(w, h,
-        subtractGreen = !paletted && rnd.nextBoolean(),
-        predictorMode = if (paletted) -1 else rnd.nextInt(17) - 1,
+        subtractGreen =
+          if (paletted) palCompanion == 1 else rnd.nextBoolean(),
+        predictorMode =
+          if (paletted) (if (palCompanion == 2) rnd.nextInt(16) else -1)
+          else rnd.nextInt(17) - 1,
         paletted = paletted,
         backrefs = rnd.nextBoolean(),
         cacheBits = rnd.nextInt(8),
@@ -458,6 +517,14 @@ class WebpPixelsSpec extends AnyFunSuite {
       (x, y) => if ((x + y) % 3 == 0) 10 else img(15)(x, y) % 32)
     for (_ <- 1 to 4000) {
       val m = rich.clone
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      WebpPixels.decodeGray(m) // must not throw
+    }
+    // r14: palette composed with the predictor (packed-width regime)
+    val palPred = WebpBuild.vp8lGray(24, 20, paletted = true,
+      predictorMode = 11)((x, y) => img(16)(x, y) % 16)
+    for (_ <- 1 to 4000) {
+      val m = palPred.clone
       m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
       WebpPixels.decodeGray(m) // must not throw
     }
