@@ -33,9 +33,14 @@ object MediaDecodeBench {
     * arbitrary format's number). The fixture set is built ONCE — the
     * plant encodes are the expensive part, and re-encoding them per
     * block would double exactly the cost this probe exists to factor
-    * out of the query rows. */
-  def measure(side: Int = 256, reps: Int = 200): Seq[Rate] = {
-    val payloads = buildPayloads(side)
+    * out of the query rows. `only` restricts to the named formats —
+    * the contamination guard's third-block re-measure path (r13 judge
+    * directive #1), so a suspect row re-runs without paying the whole
+    * matrix again. */
+  def measure(side: Int = 256, reps: Int = 200,
+      only: Set[String] = Set.empty): Seq[Rate] = {
+    val all = buildPayloads(side)
+    val payloads = if (only.isEmpty) all else all.filter(p => only(p._1))
     val a = timeBlock(payloads, side, reps)
     val b = timeBlock(payloads, side, reps)
     a.zip(b).map { case (x, y) => if (y.mpPerSec > x.mpPerSec) y else x }
