@@ -61,14 +61,25 @@ object ContainmentJoin {
     // are join-implicit (probe prefix × full index per gram, never
     // collected as arrays), but the stop-gram collect above ALREADY
     // holds every shared gram's index-side population in descending
-    // order — feed its head through the warning sink, zero extra jobs.
-    // The hot total is a floor when more than maxStopGrams grams pass
-    // the threshold (the collect is capped), which only understates.
+    // order — feed its head through the warning sink, zero extra jobs
+    // on the common path. When the capped collect is ENTIRELY hot
+    // (hot.length == maxStopGrams), the true threshold-passing count
+    // is unknowable from it, so recover it with one extra count job —
+    // recordCensus's contract is the TRUE hits figure, and that corner
+    // is exactly the heavily-skewed corpus the census exists for
+    // (r13 ADVICE; same rare-hot-path trade as logTopBuckets).
     locally {
       val hot = stopRows.takeWhile(_.getLong(1) >= graft.functions.SkewWarn.threshold)
+      val hotTotal =
+        if (hot.length == maxStopGrams)
+          g.select(explode(when(col("__g").isNotNull, col("__g"))).as("__gram"))
+            .groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+            .filter(col("__df") >= graft.functions.SkewWarn.threshold)
+            .count()
+        else hot.length.toLong
       hot.take(5).reverseIterator.foreach(r =>
         graft.functions.SkewWarn.recordCensus(
-          "ContainmentJoin.containedPairs", r.getLong(1), hot.length.toLong))
+          "ContainmentJoin.containedPairs", r.getLong(1), hotTotal))
     }
     val byKey = stopRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val prefix = ColumnBridge.col(graft.functions.RarestPrefix(
