@@ -28,10 +28,12 @@ object Round13 {
     * reversed cut share no gram either. A frame-hash drift, an
     * order-insensitive gram, or a Jaccard denominator error breaks
     * the oracle. */
-  def q113VideoOrderedSolo(s: SparkSession, dir: String): DataFrame = {
+  /** q113's plant, exposed for [[graft.tools.ProfileQ113]]'s stage
+    * decomposition (r13 judge directive #2). */
+  def q113Plant(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
-    val media = MediaPlantCache.cached(s, dir, "q113_video_ordered_solo") {
+    MediaPlantCache.cached(s, dir, "q113_video_ordered_solo") {
       docs.select(col("doc_id"))
         .as[Long]
         .flatMap { id0 =>
@@ -50,8 +52,11 @@ object Round13 {
         }
         .toDF("media_id", "kind", "payload")
     }
-    VideoDedup.orderedNearDupPairs(media, "media_id", "payload",
-        q = 2, minJaccard = 0.5)
+  }
+
+  def q113VideoOrderedSolo(s: SparkSession, dir: String): DataFrame = {
+    VideoDedup.orderedNearDupPairs(q113Plant(s, dir), "media_id",
+        "payload", q = 2, minJaccard = 0.5)
       .orderBy("id_a", "id_b")
   }
 
