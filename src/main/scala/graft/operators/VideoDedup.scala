@@ -636,39 +636,48 @@ object VideoDedup {
     * `minJaccard` over DISTINCT q-gram sets. Videos with fewer than
     * `q` frames or no video path are skipped.
     *
-    * Scale shape: the frame-hash decode runs once map-side (the gram
-    * table is localCheckpoint-pinned before the self-join, so the GIF
-    * decode is not re-evaluated per side); only (id, gram) longs
-    * shuffle, candidates are gram-blocked (never all-pairs), and the
-    * per-pair verify is a count aggregate on the join output — the
-    * same candidate-bounded shape as the text n-gram Jaccard join
-    * (q43).
+    * Scale shape: the frame-hash decode runs ONCE map-side — the
+    * (id, frame-hash array) projection is localCheckpoint-pinned
+    * BEFORE the gram arithmetic, because the gram expression
+    * references the hash array several times (two size() calls plus
+    * the element_at lambda) and Catalyst's collapsed projection
+    * re-runs the decode once per reference (r14 profile at sf1:
+    * 6.6 s of a 7.3 s evaluation was duplicated decode; pinning the
+    * decode projection — the shape [[bothFormsPairs]] already used —
+    * collapsed the gate's scale ratio). Downstream of the pin the
+    * grams recompute per join side as cheap long arithmetic; only
+    * (id, gram) longs shuffle, candidates are gram-blocked (never
+    * all-pairs), and the per-pair verify is a count aggregate on the
+    * join output — the same candidate-bounded shape as the text
+    * n-gram Jaccard join (q43).
     *
     * MATERIALIZES EAGERLY: calling this runs a Spark job immediately
-    * (the `localCheckpoint` that pins the decoded gram table), and the
-    * checkpointed blocks live on executors until the returned frame is
-    * garbage-collected — the same call-time contract as the conf-scoped
-    * operators (PLANS.md "Eager materialization points"). The
-    * alternative (a lazy plan) would re-run the GIF decode once per
-    * join side; decode dominates, so the pinned table wins. */
+    * (the `localCheckpoint` that pins the decoded frame-hash table),
+    * and the checkpointed blocks live on executors until the returned
+    * frame is garbage-collected — the same call-time contract as the
+    * conf-scoped operators (PLANS.md "Eager materialization points").
+    * The alternative (a lazy plan) would re-run the GIF decode once
+    * per __fhs reference AND once per join side; decode dominates, so
+    * the pinned table wins. */
   def orderedNearDupPairs(
       df: DataFrame, idCol: String, payloadCol: String,
       q: Int = 2, minJaccard: Double = 0.5): DataFrame = {
     HammingBand.requireIntegralId(df, idCol)
     val hashed = df.select(col(idCol).cast("long").as("id"),
-      frameHashes(col(payloadCol)).as("__fhs"))
+        frameHashes(col(payloadCol)).as("__fhs"))
+      .localCheckpoint() // pin the DECODE projection (see scaladoc)
     orderedPairsFrom(hashed, q, minJaccard,
-      pinGrams = true, tag = "VideoDedup.orderedNearDupPairs")
+      tag = "VideoDedup.orderedNearDupPairs")
   }
 
   /** Gram-blocked ordered-Jaccard pairs from an (id, __fhs) table —
     * the join stage [[orderedNearDupPairs]] and [[bothFormsPairs]]
-    * share. `pinGrams` localCheckpoints the exploded gram table:
-    * required when the upstream carries the raw decode (one decode,
-    * not one per join side); skipped when the upstream is already
-    * pinned (grams recompute per side as cheap long arithmetic). */
+    * share. CONTRACT: `hashed` must already be pinned (both callers
+    * localCheckpoint their decode projection), so the grams here
+    * recompute per reference and per join side as cheap long
+    * arithmetic over in-memory rows — never the payload decode. */
   private def orderedPairsFrom(hashed: DataFrame, q: Int,
-      minJaccard: Double, pinGrams: Boolean, tag: String): DataFrame = {
+      minJaccard: Double, tag: String): DataFrame = {
     require(q >= 1, s"q must be >= 1, got $q")
     require(minJaccard > 0.0, "minJaccard must be positive: at 0 the " +
       "gram-blocked join is no longer equivalent to all-pairs Jaccard")
@@ -685,15 +694,14 @@ object VideoDedup {
       s"transform(sequence(0, size(__fhs) - $q), i -> " +
       s"xxhash64(${elems.mkString(", ")})) " +
       "ELSE CAST(array() AS ARRAY<BIGINT>) END"
-    val sets0 = hashed
+    val sets = hashed
       .select(col("id"), array_distinct(expr(gramsExpr)).as("__gs"))
       .select(col("id"), size(col("__gs")).as("ng"),
         explode(col("__gs")).as("g"))
-    val sets = if (pinGrams) sets0.localCheckpoint() else sets0
     // hot-bucket census BEFORE the gram join: this path's buckets are
     // join-implicit (never collected as arrays), so the probe is a
-    // driver-side top-N count over PINNED data (the gram table here,
-    // or the both-hashes table one projection up) — no decode re-run
+    // driver-side top-N count over the PINNED decode projection — no
+    // decode re-run
     graft.functions.SkewWarn.logTopBuckets(sets, "g", tag)
     val a = sets.select(col("id").as("id_a"), col("ng").as("na"), col("g"))
     val b = sets.select(col("id").as("id_b"), col("ng").as("nb"), col("g"))
@@ -740,7 +748,7 @@ object VideoDedup {
         col("hamming").cast("double").as("score"))
     val ordered = orderedPairsFrom(
         hashed.select(col("id"), col("__fhs")), q, minJaccard,
-        pinGrams = false, tag = "VideoDedup.bothFormsPairs")
+        tag = "VideoDedup.bothFormsPairs")
       .select(col("id_a"), col("id_b"), lit("ordered").as("form"),
         col("jaccard").as("score"))
     mean.unionByName(ordered)

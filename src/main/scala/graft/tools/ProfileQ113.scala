@@ -22,8 +22,7 @@ object ProfileQ113 {
     spark.sparkContext.setLogLevel("ERROR")
 
     def time[A](label: String)(f: => A): A = {
-      f // warm-up
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      f // warm-up (no unpersist here: later stages read earlier pins)
       System.gc()
       val t0 = System.nanoTime()
       val r = f
@@ -36,23 +35,28 @@ object ProfileQ113 {
     val media = graft.queries.Round13.q113Plant(spark, dir)
     time("plant scan (cache read)")(media.count())
 
-    val hashed = media.select(col("media_id").cast("long").as("id"),
+    val hashed0 = media.select(col("media_id").cast("long").as("id"),
       VideoDedup.frameHashes(col("payload")).as("__fhs"))
-    time("decode (frameHashes)")(noop(hashed))
-
-    // gram stages: VideoDedup.orderedPairsFrom's exact expressions (q=2)
+    time("decode (frameHashes, no pin)")(noop(hashed0))
+    // the UNPINNED gram plan the r14 fix removed: Catalyst collapses
+    // the decode projection into the gram expression's ~4 __fhs
+    // references, re-running the GIF decode per reference (measured
+    // r14 at sf1: 6.6 s vs 0.93 s for one decode pass) — kept here as
+    // the regression probe for the pin
     val q = 2
     val elems = (1 to q).map(k => s"element_at(__fhs, i + $k)")
     val gramsExpr = s"CASE WHEN size(__fhs) >= $q THEN " +
       s"transform(sequence(0, size(__fhs) - $q), i -> " +
       s"xxhash64(${elems.mkString(", ")})) " +
       "ELSE CAST(array() AS ARRAY<BIGINT>) END"
-    val sets0 = hashed
+    def grams(src: org.apache.spark.sql.DataFrame) = src
       .select(col("id"), array_distinct(expr(gramsExpr)).as("__gs"))
       .select(col("id"), size(col("__gs")).as("ng"),
         explode(col("__gs")).as("g"))
-    time("grams explode (no pin)")(noop(sets0))
-    val sets = time("localCheckpoint pin")(sets0.localCheckpoint())
+    time("grams UNPINNED (dup decode)")(noop(grams(hashed0)))
+    val hashed = time("decode localCheckpoint pin")(hashed0.localCheckpoint())
+    val sets = grams(hashed)
+    time("grams explode (from pin)")(noop(sets))
     time("census logTopBuckets")(
       graft.functions.SkewWarn.logTopBuckets(sets, "g", "ProfileQ113"))
     val a = sets.select(col("id").as("id_a"), col("ng").as("na"), col("g"))
