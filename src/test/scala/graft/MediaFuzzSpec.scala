@@ -120,10 +120,15 @@ class MediaFuzzSpec extends SparkSuite {
     // transforms, LZ77, cache — randomized dials; r13 adds the
     // meta-Huffman indirection, cross-color, and sentinel modes)
     val palettedWebp = rnd.nextBoolean()
+    // r14: palette composes with ONE of SG / predictor (both width
+    // regimes fuzzed)
+    val palCompanion = if (palettedWebp) rnd.nextInt(3) else -1
     val webp = graft.operators.WebpPixels.WebpBuild.vp8lGray(18, 16,
-      subtractGreen = !palettedWebp && rnd.nextBoolean(),
+      subtractGreen =
+        if (palettedWebp) palCompanion == 1 else rnd.nextBoolean(),
       predictorMode =
-        if (palettedWebp) -1 else rnd.nextInt(17) - 1, // -1..15
+        if (palettedWebp) (if (palCompanion == 2) rnd.nextInt(16) else -1)
+        else rnd.nextInt(17) - 1, // -1..15
       paletted = palettedWebp,
       backrefs = rnd.nextBoolean(),
       cacheBits = rnd.nextInt(7), // 0 = off
