@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Pass-Join window-code generation as ONE compiled loop (r14): for a
+  * string of length `len` under threshold `d`, the DISTINCT packed
+  * codes `(i << 48) | (l << 24) | p` over every in-band partner length
+  * `La ∈ [len−d, len+d], La > d`, segment index `i ∈ [0, d]`, and the
+  * Lemma-3 start interval `p ∈ [max(p_c + max(−i, Δ−(d−i)), 1),
+  * min(p_c + min(i, Δ+(d−i)), len−l+1)]` — the exact value set of the
+  * nested `transform(filter(sequence…))` lambda it replaces in
+  * [[graft.operators.EditDistanceJoin]] (EditDistanceJoinSpec pins
+  * element-for-element parity against that SQL expression).
+  *
+  * Why an expression and not the lambda: the nested higher-order
+  * functions allocate ~(2d+1)·(d+1) intermediate arrays per ROW before
+  * `flatten`+`array_distinct` (at sf1: 442 K rows × ~150 allocations),
+  * which made the window-explode stage GC-hostage — profiled at
+  * 2.2–11.3 s for identical code and data depending on heap state
+  * (PLANS.md r14 notes). This loop emits into one long[] with an
+  * insertion-sorted de-dup bound by the code count (~100–250 per
+  * string), allocating exactly one result array per row. */
+case class WindowCodes(child: Expression, d: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with UnaryEvalCodegen {
+  require(d >= 1, s"maxDist must be >= 1, got $d")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"WindowCodes needs an INT length column, got ${child.dataType}")
+  }
+  override protected def castResult(x: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $x"
+
+  override def nullSafeEval(a: Any): Any =
+    WindowCodes.codes(a.asInstanceOf[Int], d)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WindowCodes {
+  def codes(len: Int, d: Int): ArrayData = {
+    val parts = d + 1
+    // upper bound: (2d+1) lengths x (d+1) indices x interval width <= d+1
+    val buf = new Array[Long](((2 * d + 1) * parts * parts))
+    var n = 0
+    var la = math.max(len - d, d + 1)
+    val laMax = len + d
+    while (la <= laMax) {
+      val kA = la / parts
+      val rA = la % parts
+      val delta = len - la
+      var i = 0
+      while (i <= d) {
+        val pc = i * kA + math.min(i, rA) + 1
+        val l = kA + (if (i < rA) 1 else 0)
+        val lo = math.max(pc + math.max(-i, delta - (d - i)), 1)
+        val hi = math.min(pc + math.min(i, delta + (d - i)), len - l + 1)
+        var p = lo
+        while (p <= hi) {
+          val code = i.toLong << 48 | l.toLong << 24 | p.toLong
+          // sorted-insert de-dup: codes arrive nearly ordered and the
+          // per-string count is ~100-250, so the backward scan is short
+          var j = n - 1
+          while (j >= 0 && buf(j) > code) j -= 1
+          if (j < 0 || buf(j) != code) {
+            var m = n
+            while (m > j + 1) { buf(m) = buf(m - 1); m -= 1 }
+            buf(j + 1) = code
+            n += 1
+          }
+          p += 1
+        }
+        i += 1
+      }
+      la += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(buf, n))
+  }
+}

@@ -87,6 +87,12 @@ object EditDistanceJoin {
       .filter(coalesce(assert_true(col("__len") <= lit(MaxStrLen),
         lit(s"EditDistanceJoin supports strings up to $MaxStrLen chars " +
           "(packed window-code bound)")), lit(true)))
+      // one 8-byte content digest per string rides the blocking rows:
+      // Pass-Join's content filter applied AT THE JOIN (r14) — see
+      // [[graft.functions.PackedHist]] for the soundness chain
+      .withColumn("__ph", graft.functions.ColumnBridge.col(
+        graft.functions.PackedHist(
+          graft.functions.ColumnBridge.expr(col("__s")))))
 
     // Segment i of a length-L string under the balanced split:
     // k = L div parts, r = L % parts; segments 0..r-1 have length k+1,
@@ -95,7 +101,7 @@ object EditDistanceJoin {
     val k = floor(col("__len") / parts).cast("int")
     val r = (col("__len") % parts).cast("int")
     val segs = base.select(
-      col("__id"), col("__len"),
+      col("__id"), col("__len"), col("__ph"),
       explode(transform(sequence(lit(0), lit(d)), i => {
         val start = (i * k + least(i, r) + lit(1)).cast("int")
         val slen = (k + when(i < r, 1).otherwise(0)).cast("int")
@@ -103,49 +109,32 @@ object EditDistanceJoin {
           xxhash64(col("__s").substr(start, slen)).as("h"))
       })).as("e"))
       .select(col("__id").as("id_a"), col("__len").as("len_a"),
+        col("__ph").as("ph_a"),
         col("e.i").as("i"), col("e.l").as("l"), col("e.p").as("p_a"),
         col("e.h").as("h"))
 
     // Window side: for each in-band partner length La (> d, or its
     // segments would be empty) and segment index i, emit ONLY the
-    // width-(d+1) L1-ball start interval around the expected position.
-    // Triples are packed into one long (i << 48 | l << 24 | p) so
-    // array_distinct collapses the heavy overlap between adjacent La
-    // through its fast atomic-type path (struct dedupe is quadratic),
-    // and the substring is hashed once per DISTINCT triple.
-    val winCodes = array_distinct(flatten(flatten(
-      transform(
-        filter(sequence(col("__len") - d, col("__len") + d), la => la > d),
-        la => {
-          val kA = floor(la / parts).cast("int")
-          val rA = (la % parts).cast("int")
-          val delta = (col("__len") - la).cast("int")
-          transform(sequence(lit(0), lit(d)), i => {
-            val pc = (i * kA + least(i, rA) + lit(1)).cast("int")
-            val l = (kA + when(i < rA, 1).otherwise(0)).cast("int")
-            // multi-match-aware selection (Pass-Join Lemma 3): the
-            // pair is caught at a segment i whose match ALSO satisfies
-            // |p - p_c| <= i and |p - p_c - delta| <= d - i, so the
-            // window narrows from width d+1 to min(2i+1, 2(d-i)+1)
-            val ii = i.cast("int")
-            val lo = greatest(
-              pc + greatest(-ii, delta - (lit(d) - ii)), lit(1))
-            val hi = least(
-              pc + least(ii, delta + (lit(d) - ii)),
-              col("__len") - l + 1)
-            // sequence() descends when lo > hi — clamp, then drop the
-            // clamped sentinel with the p <= hi filter
-            transform(
-              filter(sequence(lo, greatest(hi, lo)), p => p <= hi),
-              p => i.cast("long") * lit(1L << 48) +
-                l.cast("long") * lit(1L << 24) + p.cast("long"))
-          })
-        }))))
+    // Lemma-3 start interval around the expected position (width
+    // min(2i+1, 2(d-i)+1) — multi-match-aware selection). Triples are
+    // packed into one long (i << 48 | l << 24 | p) and de-duplicated,
+    // so the substring is hashed once per DISTINCT triple. The codes
+    // come from ONE compiled loop ([[graft.functions.WindowCodes]],
+    // r14): the nested transform/filter/sequence lambda this replaces
+    // allocated ~(2d+1)·(d+1) intermediate arrays per row and made the
+    // window explode GC-hostage (profiled 2.2–11.3 s at sf1 on
+    // identical data depending on heap state); the expression emits
+    // one result array per row and is parity-pinned against the
+    // lambda in EditDistanceJoinSpec.
+    val winCodes = graft.functions.ColumnBridge.col(
+      graft.functions.WindowCodes(
+        graft.functions.ColumnBridge.expr(col("__len")), d))
     val code = col("__c")
     val wins = base.select(
-      col("__id"), col("__len"), col("__s"),
+      col("__id"), col("__len"), col("__s"), col("__ph"),
       explode(winCodes).as("__c"))
       .select(col("__id").as("id_b"), col("__len").as("len_b"),
+        col("__ph").as("ph_b"),
         shiftright(code, 48).cast("int").as("i"),
         shiftright(code, 24).bitwiseAND(lit((1L << 24) - 1))
           .cast("int").as("l"),
@@ -171,7 +160,15 @@ object EditDistanceJoin {
         abs(col("len_a") - col("len_b")) <= d &&
         abs(col("p_b") - col("p_a")) <= col("i") &&
         abs(col("p_b") - col("p_a") - (col("len_b") - col("len_a"))) <=
-          lit(d) - col("i"))
+          lit(d) - col("i") &&
+        // 8-bucket content filter on the JOINED blocking rows: two
+        // longs already on the row, so a content-impossible pair dies
+        // here — before the distinct shuffle and the string joins —
+        // while the tighter 256-bucket CodepointL1 below still guards
+        // the DP. Never drops a true pair (PackedHist soundness chain).
+        graft.functions.ColumnBridge.col(graft.functions.PackedHistL1(
+          graft.functions.ColumnBridge.expr(col("ph_a")),
+          graft.functions.ColumnBridge.expr(col("ph_b")))) <= 2 * d)
       .select("id_a", "id_b").distinct()
 
     candidates

@@ -75,6 +75,56 @@ object ProfileQ75 {
     val wins = base.select(col("__id"), explode(winCodes).as("__c"))
     println(s"[prof] window rows: ${time("wins explode")(wins.count())}")
 
+    // candidate volumes around the r14 packed-histogram join filter:
+    // joined rows pre/post, distinct pairs pre/post — the filter's
+    // value at scale is shuffle-volume reduction, which local wall
+    // time may not show
+    locally {
+      val ph = graft.functions.ColumnBridge.col(
+        graft.functions.PackedHist(
+          graft.functions.ColumnBridge.expr(col("__s"))))
+      val baseP = base.withColumn("__ph", ph)
+      val segsF = baseP.select(col("__id"), col("__len"), col("__ph"),
+        explode(transform(sequence(lit(0), lit(d)), i => {
+          val start = (i * k + least(i, r0) + lit(1)).cast("int")
+          val slen = (k + when(i < r0, 1).otherwise(0)).cast("int")
+          struct(i.cast("int").as("i"), slen.as("l"), start.as("p"),
+            xxhash64(col("__s").substr(start, slen)).as("h"))
+        })).as("e"))
+        .select(col("__id").as("id_a"), col("__len").as("len_a"),
+          col("__ph").as("ph_a"), col("e.i").as("i"), col("e.l").as("l"),
+          col("e.p").as("p_a"), col("e.h").as("h"))
+      val code = col("__c")
+      val winsF = baseP.select(col("__id"), col("__len"), col("__s"),
+          col("__ph"), explode(winCodes).as("__c"))
+        .select(col("__id").as("id_b"), col("__len").as("len_b"),
+          col("__ph").as("ph_b"),
+          shiftright(code, 48).cast("int").as("i"),
+          shiftright(code, 24).bitwiseAND(lit((1L << 24) - 1))
+            .cast("int").as("l"),
+          code.bitwiseAND(lit((1L << 24) - 1)).cast("int").as("p_b"),
+          xxhash64(col("__s").substr(
+            code.bitwiseAND(lit((1L << 24) - 1)).cast("int"),
+            shiftright(code, 24).bitwiseAND(lit((1L << 24) - 1))
+              .cast("int"))).as("h"))
+      val joined = segsF.join(winsF, Seq("h", "i", "l"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(col("len_a") - col("len_b")) <= d &&
+          abs(col("p_b") - col("p_a")) <= col("i") &&
+          abs(col("p_b") - col("p_a") - (col("len_b") - col("len_a"))) <=
+            lit(d) - col("i"))
+      val phOk = graft.functions.ColumnBridge.col(
+        graft.functions.PackedHistL1(
+          graft.functions.ColumnBridge.expr(col("ph_a")),
+          graft.functions.ColumnBridge.expr(col("ph_b")))) <= 2 * d
+      println(s"[prof] joined candidate rows: ${joined.count()}; " +
+        s"post packed-hist filter: ${joined.filter(phOk).count()}")
+      println(s"[prof] distinct candidate pairs: " +
+        s"${joined.select("id_a", "id_b").distinct().count()}; " +
+        s"post filter: " +
+        s"${joined.filter(phOk).select("id_a", "id_b").distinct().count()}")
+    }
+
     val pairs = graft.operators.EditDistanceJoin
       .selfJoin(docs, "doc_id", "head", d)
     println(s"[prof] result pairs: ${time("FULL selfJoin")(pairs.count())}")

@@ -153,6 +153,100 @@ class EditDistanceJoinSpec extends SparkSuite {
     assert(l1("abc", "abd") === 2) // one substitution: exactly 2
   }
 
+  test("WindowCodes: element-for-element parity with the nested SQL " +
+      "lambda it replaced (r14), every (len, d) shape") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    for (d <- Seq(1, 2, 3, 8); len <- Seq(d + 1, d + 2, 2 * d, 40, 80, 81)) {
+      val parts = d + 1
+      // the r13 SQL shape, verbatim
+      val lambda = array_distinct(flatten(flatten(
+        transform(
+          filter(sequence(col("__len") - d, col("__len") + d), la => la > d),
+          la => {
+            val kA = floor(la / parts).cast("int")
+            val rA = (la % parts).cast("int")
+            val delta = (col("__len") - la).cast("int")
+            transform(sequence(lit(0), lit(d)), i => {
+              val pc = (i * kA + least(i, rA) + lit(1)).cast("int")
+              val l = (kA + when(i < rA, 1).otherwise(0)).cast("int")
+              val ii = i.cast("int")
+              val lo = greatest(
+                pc + greatest(-ii, delta - (lit(d) - ii)), lit(1))
+              val hi = least(
+                pc + least(ii, delta + (lit(d) - ii)),
+                col("__len") - l + 1)
+              transform(
+                filter(sequence(lo, greatest(hi, lo)), p => p <= hi),
+                p => i.cast("long") * lit(1L << 48) +
+                  l.cast("long") * lit(1L << 24) + p.cast("long"))
+            })
+          }))))
+      val compiled = graft.functions.ColumnBridge.col(
+        graft.functions.WindowCodes(
+          graft.functions.ColumnBridge.expr(col("__len")), d))
+      val row = Seq(len).toDF("__len0")
+        .select(col("__len0").cast("int").as("__len"))
+        .select(lambda.as("a"), compiled.as("b"))
+        .collect().head
+      val a = row.getSeq[Long](0).sorted
+      val b = row.getSeq[Long](1)
+      assert(b === b.sorted, s"d=$d len=$len: codes not sorted")
+      assert(b === a, s"d=$d len=$len")
+      assert(b.nonEmpty)
+    }
+  }
+
+  test("PackedHist/PackedHistL1: always a lower bound on 2*levenshtein, " +
+      "incl. bucket saturation (r14 join-time content filter)") {
+    import graft.functions.{PackedHist, PackedHistL1}
+    import org.apache.spark.unsafe.types.UTF8String
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    def pl1(a: String, b: String): Int =
+      PackedHistL1.l1(PackedHist.pack(UTF8String.fromString(a)),
+        PackedHist.pack(UTF8String.fromString(b)))
+    val rnd = new Random(17)
+    val alphabets = Seq("ab", "abcdefgh", "日本語テキストと latin 混在")
+    for (_ <- 1 to 300; alpha <- alphabets) {
+      def str(n: Int) =
+        (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val a = str(rnd.nextInt(30))
+      val b =
+        if (rnd.nextBoolean()) str(rnd.nextInt(30))
+        else {
+          val sb = new StringBuilder(a)
+          for (_ <- 0 until rnd.nextInt(4); if sb.nonEmpty)
+            sb.setCharAt(rnd.nextInt(sb.length),
+              alpha(rnd.nextInt(alpha.length)))
+          sb.toString
+        }
+      assert(pl1(a, b) <= 2 * lev(a, b), s"'$a' vs '$b'")
+      assert(pl1(a, b) === pl1(b, a)) // symmetric
+      // never tighter than the 256-bucket filter it thins for
+      assert(pl1(a, b) <= graft.functions.CodepointL1.l1(
+        UTF8String.fromString(a), UTF8String.fromString(b)))
+    }
+    // saturation: 300 'a's overflow the 255 cap — the bound must hold
+    // (saturation shrinks per-bucket differences, never grows them)
+    val many = "a" * 300
+    assert(pl1(many, "") <= 2 * lev(many, "")) // 255 <= 600
+    assert(pl1(many, "a" * 260) === 0) // both lanes saturate
+    assert(pl1(many, many) === 0)
+    assert(pl1("abc", "abd") <= 2)
+  }
+
   test("content filter prunes without changing the exact pair set") {
     // a corpus where most blocked candidates are false (shared segments
     // at matching positions but large true distance): parity must hold
