@@ -786,6 +786,65 @@ case class MinHashTextSignature(child: Expression, k: Int, numHashes: Int)
   * same hash-set approximation documented on [[SimHashTextSignature]];
   * the operator's final verify recomputes Jaccard over exact gram
   * strings, so collisions can only perturb candidate pruning. */
+/** POSITION-KEYED k-word-gram hashes: element i (0-based) is the
+  * xxhash64-seed-0 of the gram starting at token i+1 — the fused form
+  * of `xxhash64(concat_ws(" ", slice(split(text, " "), pos, k)))` that
+  * [[graft.operators.DupSpans]] evaluated per position (r14: that
+  * shape re-split and re-concatenated the text once per token window —
+  * O(tokens·k) fresh strings per doc per pass, twice per query). The
+  * byte-span identity [[SortedGramHashes]] already relies on makes the
+  * fusion exact: joining `split(" ", -1)` tokens with " " reconstructs
+  * the original byte span verbatim (empty tokens contribute nothing
+  * while the joiners reproduce each original space), so each gram hash
+  * reads the text bytes IN PLACE — one pass, zero gram strings.
+  * Fewer than k tokens → empty array (the caller's explode emits
+  * nothing, matching the sequence-guard contract); null text → null.
+  * Order is positional, NOT sorted, and duplicates stay — spans need
+  * every occurrence at its position. */
+case class PositionedGramHashes(child: Expression, k: Int)
+    extends UnaryExpression with UnaryEvalCodegen {
+  require(k >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override protected def castResult(x: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $x"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var nWords = 1
+    var i = 0
+    while (i < len) {
+      if (s.getByte(i) == 0x20) nWords += 1
+      i += 1
+    }
+    if (nWords < k) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nWords)
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (s.getByte(i) == 0x20) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    val m = nWords - k + 1
+    val hs = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      val gStart = starts(g)
+      val gEnd = if (g + k < nWords) starts(g + k) - 1 else len
+      hs(g) = XXH64.hashUnsafeBytes(base, off + gStart, gEnd - gStart, 0L)
+      g += 1
+    }
+    new GenericArrayData(hs)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SortedGramHashes(child: Expression, k: Int)
     extends UnaryExpression with UnaryEvalCodegen {
   require(k >= 1)

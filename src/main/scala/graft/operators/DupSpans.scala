@@ -4,7 +4,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashes
 
 /** Exact duplicate-SPAN detection (the "exact substring" deduplication of
   * Lee et al., *Deduplicating Training Data Makes Language Models Better*,
@@ -41,18 +40,21 @@ object DupSpans {
 
   /** (doc_id, pos, g): one row per token L-gram occurrence, `pos`
     * 1-based, `g` the xxhash64 fingerprint. Docs shorter than `L`
-    * tokens emit nothing (the `sequence` guard matters: Spark's
-    * `sequence(1, n)` with `n < 1` counts DOWN, it is not empty). */
+    * tokens emit nothing. r14: ONE fused pass
+    * ([[graft.functions.PositionedGramHashes]] — hashes each window's
+    * original byte span in place) replaces the split/slice/concat_ws
+    * chain that built O(tokens·L) fresh strings per doc per
+    * evaluation; DupSpansSpec pins hash-for-hash parity with the old
+    * shape. */
   private def gramStream(
       docs: DataFrame, idCol: String, textCol: String, L: Int): DataFrame = {
-    val w = split(col(textCol), " ")
-    val positions = when(size(w) >= L, sequence(lit(1), size(w) - (L - 1)))
-      .otherwise(array().cast("array<int>"))
+    import graft.functions.ColumnBridge
+    val grams = ColumnBridge.col(graft.functions.PositionedGramHashes(
+      ColumnBridge.expr(col(textCol)), L))
     docs
-      .select(col(idCol), w.as("__w"), explode(positions).as("pos"))
-      .select(col(idCol), col("pos"),
-        Hashes.xxhash64Seed0(
-          concat_ws(" ", slice(col("__w"), col("pos"), lit(L)))).as("__g"))
+      .select(col(idCol), posexplode(grams).as(Seq("__p0", "__g")))
+      .select(col(idCol), (col("__p0") + 1).cast("int").as("pos"),
+        col("__g"))
   }
 
   /** Maximal merged duplicated spans: (doc_id, span_start, span_end),

@@ -25,6 +25,35 @@ class DupSpansSpec extends SparkSuite {
     6L -> "a b c z1 z2 z3",
     7L -> "z4 d e f z5 z6").toDF("doc_id", "text")
 
+  test("PositionedGramHashes: hash-for-hash parity with the " +
+      "split/slice/concat_ws shape it replaced (r14), incl. " +
+      "multi-space, trailing-space, exact-L and short docs") {
+    import graft.functions.{ColumnBridge, Hashes, PositionedGramHashes}
+    val texts = Seq(
+      "p q r s t u v w", "a b", "", "one", "a  b c", // double space
+      "trailing space ", " leading", "x y z", "a b c d e f g h i j")
+    for (l <- Seq(1, 2, 3, 5)) {
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val w = split(col("text"), " ")
+      val positions = when(size(w) >= l, sequence(lit(1), size(w) - (l - 1)))
+        .otherwise(array().cast("array<int>"))
+      val old = df
+        .select(col("id"), w.as("__w"), explode(positions).as("pos"))
+        .select(col("id"), col("pos"),
+          Hashes.xxhash64Seed0(
+            concat_ws(" ", slice(col("__w"), col("pos"), lit(l)))).as("g"))
+        .as[(Long, Int, Long)].collect().toSet
+      val neu = df
+        .select(col("id"), posexplode(ColumnBridge.col(
+          PositionedGramHashes(ColumnBridge.expr(col("text")), l)))
+          .as(Seq("p0", "g")))
+        .select(col("id"), (col("p0") + 1).cast("int").as("pos"), col("g"))
+        .as[(Long, Int, Long)].collect().toSet
+      assert(neu === old, s"L=$l")
+    }
+  }
+
   test("spans: overlap merge, gap split, adjacency merge") {
     val got = DupSpans.spans(docs, "doc_id", "text", L = 3)
       .orderBy("doc_id", "span_start")
