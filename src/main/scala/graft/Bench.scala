@@ -359,12 +359,24 @@ object Bench {
     // decomposition row: the same run minus the dedup operator — the
     // difference is what the state store costs vs the workload's fixed
     // per-trigger cadence (the "not state-store-bound" evidence, in the
-    // artifact instead of PLANS.md prose)
+    // artifact instead of PLANS.md prose). The gate=false plan gets its
+    // own untimed warm-up (it compiles a different query than the gate
+    // run warmed), and a negative difference — one noisy pass — ships
+    // clamped to 0 with a noisy flag instead of as a nonsense negative
+    // cost (r14 ADVICE).
+    streamOnce(8, gate = false) // warm-up for the no-dedup plan
     val streamNoDedupSec =
       (1 to 2).map { p => System.gc(); streamOnce(8 + p, gate = false) }.min
+    val dedupCostRaw = streamSec - streamNoDedupSec
+    val dedupCostNoisy = dedupCostRaw < 0
+    val dedupCostSec = math.max(0.0, dedupCostRaw)
+    if (dedupCostNoisy)
+      System.err.println(f"[bench] stream decomposition noisy: gate run " +
+        f"$streamSec%.2f s faster than its own cadence floor " +
+        f"$streamNoDedupSec%.2f s - dedup_cost_s clamped to 0 and flagged")
     System.err.println(
       f"[bench] stream intake: $STREAM_ROWS rows in $streamSec%.2f s = ${STREAM_ROWS / streamSec}%.0f rows/s" +
-        f" (cadence floor w/o dedup $streamNoDedupSec%.2f s -> dedup cost ${streamSec - streamNoDedupSec}%.2f s)")
+        f" (cadence floor w/o dedup $streamNoDedupSec%.2f s -> dedup cost $dedupCostSec%.2f s)")
     val canaryEnd = canaryOnce()
     // Per-format single-core decode throughput (r11 judge finding #1 /
     // directive #2): the media-gate query rows (q108-q111) are
@@ -519,7 +531,7 @@ object Bench {
         s""""decode_mps":$decodeFull,""" +
         s""""stream_decomp":{"gate_s":$streamSec,""" +
         s""""cadence_floor_s":$streamNoDedupSec,""" +
-        s""""dedup_cost_s":${streamSec - streamNoDedupSec}},""" +
+        s""""dedup_cost_s":$dedupCostSec,"noisy":$dedupCostNoisy},""" +
         s"""$rates,"protocol":"$protocol","sf":"$sfDir"}""")
     System.err.println(s"[bench] full-precision record written to $fullPath")
     // The driver's tail window is 2000 chars: the stdout line MUST fit

@@ -19,9 +19,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * `flatten`+`array_distinct` (at sf1: 442 K rows × ~150 allocations),
   * which made the window-explode stage GC-hostage — profiled at
   * 2.2–11.3 s for identical code and data depending on heap state
-  * (PLANS.md r14 notes). This loop emits into one long[] with an
-  * insertion-sorted de-dup bound by the code count (~100–250 per
-  * string), allocating exactly one result array per row. */
+  * (PLANS.md r14 notes). This loop emits into one long[], then one
+  * `Arrays.sort` + linear unique pass produces the sorted distinct
+  * result (~100–250 codes per string at d=8), allocating exactly one
+  * result array per row. Sort-at-end rather than sorted-insert (r14
+  * ADVICE): maxDist is a caller parameter, and the backward-scan
+  * insert is O(n²) worst-case — a larger d grows the code count as
+  * (2d+1)(d+1)², turning each insert's scan into a per-row CPU cliff;
+  * the single sort keeps the bound O(n log n) regardless of arrival
+  * order, same allocation profile. */
 case class WindowCodes(child: Expression, d: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with UnaryEvalCodegen {
@@ -65,23 +71,22 @@ object WindowCodes {
         val hi = math.min(pc + math.min(i, delta + (d - i)), len - l + 1)
         var p = lo
         while (p <= hi) {
-          val code = i.toLong << 48 | l.toLong << 24 | p.toLong
-          // sorted-insert de-dup: codes arrive nearly ordered and the
-          // per-string count is ~100-250, so the backward scan is short
-          var j = n - 1
-          while (j >= 0 && buf(j) > code) j -= 1
-          if (j < 0 || buf(j) != code) {
-            var m = n
-            while (m > j + 1) { buf(m) = buf(m - 1); m -= 1 }
-            buf(j + 1) = code
-            n += 1
-          }
+          buf(n) = i.toLong << 48 | l.toLong << 24 | p.toLong
+          n += 1
           p += 1
         }
         i += 1
       }
       la += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(buf, n))
+    // sorted distinct in one pass: sort, then in-place linear unique
+    java.util.Arrays.sort(buf, 0, n)
+    var w = 0
+    var r = 0
+    while (r < n) {
+      if (w == 0 || buf(w - 1) != buf(r)) { buf(w) = buf(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(buf, w))
   }
 }

@@ -639,6 +639,16 @@ object WebpPixels {
         // truncated trailing metadata chunk) must keep decoding
         // (r13 ADVICE — the whole-list walk had turned these
         // ok→corrupt). Before any image chunk it is structural.
+        // Post-garbage routing chunks (ANIM/ANMF/VP8) are INTENTIONALLY
+        // ignored — libwebp-stop semantics (r14 ADVICE, decided not
+        // scanned): an animated file announces itself via the VP8X
+        // animation flag, which the walk reads BEFORE any image chunk,
+        // so the only file that could smuggle an ANIM past this stop is
+        // doubly spec-invalid (top-level VP8L with no VP8X anim flag,
+        // then garbage, then ANIM); a byte-level tail scan for fourccs
+        // would false-positive on garbage bytes and re-break exactly
+        // the trailing-garbage files the r13 fix re-admitted
+        // (WebpPixelsSpec pins both sides of this trade).
         if (vp8lOff >= 0 || sawLossy) walkDone = true
         else return Corrupt
       } else {

@@ -39,49 +39,55 @@ object MediaDecodeBench {
     * matrix again. */
   def measure(side: Int = 256, reps: Int = 200,
       only: Set[String] = Set.empty): Seq[Rate] = {
-    val all = buildPayloads(side)
-    val payloads = if (only.isEmpty) all else all.filter(p => only(p._1))
+    // `only` filters BEFORE the encode thunks are forced (r14 ADVICE:
+    // the guard's re-measure path paid the whole fixture matrix's
+    // encode cost to re-time one sagging format)
+    val payloads = buildPayloads(side)
+      .filter(p => only.isEmpty || only(p._1))
+      .map { case (name, mk) => (name, mk()) }
     val a = timeBlock(payloads, side, reps)
     val b = timeBlock(payloads, side, reps)
     a.zip(b).map { case (x, y) => if (y.mpPerSec > x.mpPerSec) y else x }
   }
 
-  private def buildPayloads(side: Int): Seq[(String, Array[Byte])] = {
+  private def buildPayloads(side: Int): Seq[(String, () => Array[Byte])] = {
     val rnd = new scala.util.Random(11)
     val img = Array.fill(side, side)(rnd.nextInt(256))
     def px(x: Int, y: Int): Int = img(y)(x)
 
-    val payloads: Seq[(String, Array[Byte])] = Seq(
-      "bmp24" -> ImageBuild.bmp24Gray(side, side)(px),
-      "png_gray8" -> ImageBuild.pngGray(side, side)(px),
-      "png_rgb8" -> ImageBuild.pngGray(side, side, colorType = 2)(px),
-      "gif_1frame" -> VideoDedup.GifBuild.animatedGray(side, side,
-        Seq(px _)),
-      "jpeg_base_unit" -> JpegBuild.gray(side, side)(px),
-      "jpeg_base_lossy" -> JpegBuild.gray(side, side,
-        quant = JpegBuild.LossyQuant)(px),
-      "jpeg_prog_lossy" -> JpegBuild.grayProgressive(side, side,
-        quant = JpegBuild.LossyQuant)(px),
+    val payloads: Seq[(String, () => Array[Byte])] = Seq(
+      "bmp24" -> (() => ImageBuild.bmp24Gray(side, side)(px)),
+      "png_gray8" -> (() => ImageBuild.pngGray(side, side)(px)),
+      "png_rgb8" ->
+        (() => ImageBuild.pngGray(side, side, colorType = 2)(px)),
+      "gif_1frame" -> (() => VideoDedup.GifBuild.animatedGray(side, side,
+        Seq(px _))),
+      "jpeg_base_unit" -> (() => JpegBuild.gray(side, side)(px)),
+      "jpeg_base_lossy" -> (() => JpegBuild.gray(side, side,
+        quant = JpegBuild.LossyQuant)(px)),
+      "jpeg_prog_lossy" -> (() => JpegBuild.grayProgressive(side, side,
+        quant = JpegBuild.LossyQuant)(px)),
       // r12: the realistic compressed-TIFF wire shapes (predictor-2
       // LZW is what real encoders emit by default) and MJPEG-AVI
-      "tiff_pred_lzw" -> TiffPixels.TiffBuild.build(side, side,
-        compression = 5, predictor = 2)(px),
-      "tiff_deflate" -> TiffPixels.TiffBuild.build(side, side,
-        compression = 8)(px),
-      "avi_mjpeg_2f" -> MotionJpeg.AviBuild.mjpeg(side, side, Seq(
+      "tiff_pred_lzw" -> (() => TiffPixels.TiffBuild.build(side, side,
+        compression = 5, predictor = 2)(px)),
+      "tiff_deflate" -> (() => TiffPixels.TiffBuild.build(side, side,
+        compression = 8)(px)),
+      "avi_mjpeg_2f" -> (() => MotionJpeg.AviBuild.mjpeg(side, side, Seq(
         JpegBuild.gray(side, side, quant = JpegBuild.LossyQuant)(px),
         JpegBuild.gray(side, side, quant = JpegBuild.LossyQuant)(
-          (x, y) => px(x, y) ^ 1))),
-      "webp_vp8l_sg" -> graft.operators.WebpPixels.WebpBuild.vp8lGray(
-        side, side, subtractGreen = true)(px),
+          (x, y) => px(x, y) ^ 1)))),
+      "webp_vp8l_sg" ->
+        (() => graft.operators.WebpPixels.WebpBuild.vp8lGray(
+          side, side, subtractGreen = true)(px)),
       // r13: the default-real-encoder VP8L shape — meta-Huffman groups
       // + cross-color + predictor (what cwebp -lossless emits)
-      "webp_vp8l_meta_cc" -> graft.operators.WebpPixels.WebpBuild
+      "webp_vp8l_meta_cc" -> (() => graft.operators.WebpPixels.WebpBuild
         .vp8lGray(side, side, subtractGreen = true, predictorMode = 11,
           crossColor = true, metaGroups = 4, metaBits = 4,
-          backrefs = true, cacheBits = 6)(px),
-      "wav_pcm16" -> AudioDedup.WavBuild.pcm16(
-        Array.fill(side * side / 2)(rnd.nextInt(65536) - 32768)))
+          backrefs = true, cacheBits = 6)(px)),
+      "wav_pcm16" -> (() => AudioDedup.WavBuild.pcm16(
+        Array.fill(side * side / 2)(rnd.nextInt(65536) - 32768))))
     payloads
   }
 

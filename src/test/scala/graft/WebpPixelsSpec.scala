@@ -117,6 +117,21 @@ class WebpPixelsSpec extends AnyFunSuite {
     val noImage = ("RIFF" + "????" + "WEBP" +
       "EXIF").getBytes("US-ASCII") ++ Array[Byte](0x40, 0, 0, 0)
     assert(WebpPixels.decodeGray(noImage) === Left("corrupt"))
+    // r14 ADVICE decision pin — libwebp-stop semantics: a well-formed
+    // routing chunk AFTER the malformed trailing header is intentionally
+    // never read (a tail scan for fourccs would false-positive on
+    // garbage bytes and re-break the files this test re-admitted); a
+    // real animated file announces itself via the VP8X animation flag,
+    // which the walk reads BEFORE any image chunk...
+    val postGarbageAnim = garbage ++
+      "ANIM".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    assert(decode(postGarbageAnim) === decode(good))
+    // ...so the anim flag set before the garbage still routes
+    // unsupported even with the same trailing garbage present
+    val animThenGarbage = WebpBuild.vp8x(good, anim = true) ++
+      Array[Byte](0x47, 0x41, 0x52, 0x42, 0x7f, -1, -1, 0x7f)
+    assert(WebpPixels.decodeGray(animThenGarbage) === Left("unsupported"))
   }
 
   test("LZ77 runs roundtrip: direct and neighborhood-mapped dist-1 " +
