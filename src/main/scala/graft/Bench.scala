@@ -63,6 +63,24 @@ object Bench {
       }
     }
     val priorQueries: Map[String, Double] = priorNumbers("queries")
+    // r15 (judge directive #3): the canary samples are now CONSUMED,
+    // not just recorded. A canary band value (scan+shuffle seconds) is
+    // sampled every BandEvery queries inside the timed loop and
+    // attached to each query row ("query_bands" in BENCH_FULL); the
+    // suspect guard then compares HOST-NORMALIZED ratios —
+    // min·(prior_band/cur_band) against prior — so a 1.7× host-window
+    // swing on unchanged code (r14 observation #1: q43 1.82→3.16 under
+    // the 2.5× guard) no longer sits in the guard's blind band. The
+    // normalization factor is clamped to [0.6, 1.67]: a noisy single
+    // canary sample must not hide a real regression or invent one.
+    val priorBands: Map[String, Double] = priorNumbers("query_bands")
+    val queryBands = scala.collection.mutable.Map.empty[String, Double]
+    def bandFactorFor(name: String): Double =
+      (priorBands.get(name), queryBands.get(name)) match {
+        case (Some(pb), Some(cb)) if pb > 0 && cb > 0 =>
+          math.max(0.6, math.min(1.67, pb / cb))
+        case _ => 1.0
+      }
     if (priorRoot != null && !priorSfMatches)
       System.err.println("[bench] prior BENCH_FULL.json is a different " +
         s"sf - contamination guard inactive this run (prior sf: " +
@@ -83,13 +101,18 @@ object Bench {
         rerun: () => Double, ratio: Double = SuspectRatio): Seq[Double] = {
       val ok = passes.filter(_ >= 0)
       if (ok.isEmpty) return passes
+      // canary normalization (r15): query rows carry a band sample —
+      // scale this run's numbers into the prior run's host band before
+      // the ratio test. Throughput/decode rows pass no band (factor 1).
+      val bf = bandFactorFor(name)
       priorQueries.get(name) match {
-        case Some(p) if p > 0 && ok.min > p * ratio =>
-          System.err.println(f"[bench] $name min ${ok.min}%.2f s is >" +
+        case Some(p) if p > 0 && ok.min * bf > p * ratio =>
+          System.err.println(f"[bench] $name min ${ok.min}%.2f s " +
+            f"(band-normalized ${ok.min * bf}%.2f, factor $bf%.2f) is >" +
             f" ${ratio}x prior ${p}%.2f s - third pass")
           val third = rerun()
           val all = passes :+ third
-          if (third < 0 || third > p * ratio) {
+          if (third < 0 || third * bf > p * ratio) {
             suspects ::= name
             System.err.println(s"[bench] $name still past the ratio - " +
               "flagged suspect")
@@ -190,8 +213,19 @@ object Bench {
     // r8's driver-vs-builder 2x disagreements on q31/q49/q59/q64 were
     // only resolvable by a judge re-run because the artifact held only
     // the min — the spread must be visible in the artifact itself.
-    val queryPasses = names.map { n =>
+    // one canary band sample per BandEvery-query window, attached to
+    // every query row in that window (the sample costs ~0.5 s, so ~8
+    // samples across ~95 queries — cheap against the blind band it
+    // closes; see "Canary protocol" in PLANS.md)
+    val BandEvery = 12
+    var bandSample = 0.0
+    val queryPasses = names.zipWithIndex.map { case (n, i) =>
       releaseLeftovers()
+      if (i % BandEvery == 0) {
+        val c = canaryOnce()
+        bandSample = c._1 + c._2
+      }
+      queryBands(n) = bandSample
       System.gc()
       val two = Seq(runOnce(n), runOnce(n))
       n -> guardPasses(n, two,
@@ -474,7 +508,13 @@ object Bench {
       "one re-measured block, suspect key decode:<name>), arms only " +
       "when the prior artifact's sf matches, and stream_decomp " +
       "records the gate run vs the same pipeline without the dedup " +
-      "stage (state-store cost vs cadence floor, min of 2 each)"
+      "stage (state-store cost vs cadence floor, min of 2 each, own " +
+      "warm-up, negative difference clamped + flagged noisy); r15: " +
+      "query_bands records one canary sample (scan+shuffle s) per " +
+      "12-query window and the query guard compares BAND-NORMALIZED " +
+      "ratios (min x prior_band/cur_band, factor clamped to " +
+      "[0.6,1.67]) - host-window swings on unchanged code no longer " +
+      "hide inside the 2.5x blind band (PLANS.md Canary protocol)"
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window (BENCH_r05/r06 shipped parsed:null when
     // the full-name, full-precision line outgrew it). The stdout line
@@ -516,6 +556,9 @@ object Bench {
     val fullPasses = queryPasses
       .map { case (k, ps) => "\"" + k + "\":[" + ps.mkString(",") + "]" }
       .mkString("{", ",", "}")
+    val fullBands = queryPasses
+      .map { case (k, _) => "\"" + k + "\":" + queryBands.getOrElse(k, 0.0) }
+      .mkString("{", ",", "}")
     // fullPath resolved at run start (the guard reads the PRIOR
     // artifact from it before this overwrite); env override else the
     // JVM cwd made absolute, and SAY where it went — launched outside
@@ -527,7 +570,8 @@ object Bench {
     java.nio.file.Files.writeString(
       fullPath,
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
-        s""""passes":$fullPasses,"suspect":$suspectJson,$canaries,""" +
+        s""""passes":$fullPasses,"query_bands":$fullBands,""" +
+        s""""suspect":$suspectJson,$canaries,""" +
         s""""decode_mps":$decodeFull,""" +
         s""""stream_decomp":{"gate_s":$streamSec,""" +
         s""""cadence_floor_s":$streamNoDedupSec,""" +

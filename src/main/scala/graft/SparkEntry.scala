@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.Round9.queries ++
       graft.queries.Round11.queries ++
       graft.queries.Round12.queries ++
-      graft.queries.Round13.queries
+      graft.queries.Round13.queries ++
+      graft.queries.Round15.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.Round9.oracles ++
       graft.queries.Round11.oracles ++
       graft.queries.Round12.oracles ++
-      graft.queries.Round13.oracles
+      graft.queries.Round13.oracles ++
+      graft.queries.Round15.oracles
 }

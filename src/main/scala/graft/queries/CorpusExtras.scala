@@ -83,7 +83,7 @@ object CorpusExtras {
     * (+4M ids) — planted doc-in-doc inclusions that Jaccard dedup
     * (q18/q43, scoring ~0.35 here) can never flag. Word arithmetic is
     * integer-exact and mirrored by the oracle. */
-  private def snippetCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def snippetCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallel(s, dir, "documents")
     val w = split(col("text"), " ")
     val nTake = greatest(lit(5L), floor(size(w) * 35 / 100)).cast("int")

@@ -866,16 +866,18 @@ object LlmPipeline {
     "q52_pii_redact" -> q52PiiRedact _,
     "q53_reshard" -> q53Reshard _)
 
-  /** Exhaustive all-pairs k-gram Jaccard ground truth over the
-    * augmented corpus — ONE definition shared by q18 (MinHash-LSH) and
-    * q43 (exact PPJoin), so the two blocking algorithms are always
-    * cross-validated against the identical oracle. */
-  private def exactJaccardPairsSql(k: Int, threshold: String): String = {
+  /** Exhaustive all-pairs k-gram Jaccard ground truth — ONE definition
+    * shared by q18 (MinHash-LSH), q43 (exact PPJoin), and q114's
+    * Zipf-hot skew gate ([[Round15]]), so every blocking algorithm is
+    * cross-validated against the identical oracle shape. `corpusCte`
+    * must define an `aug(doc_id, text)` CTE body. */
+  private[queries] def exactJaccardPairsSql(k: Int, threshold: String,
+      corpusCte: String = augmentedSql): String = {
     val split = "string_split(text, ' ')"
     val gram = (0 until k)
       .map(j => if (j == 0) s"$split[i]" else s"$split[i+$j]")
       .mkString(" || ' ' ||\n           ")
-    s"""WITH $augmentedSql,
+    s"""WITH $corpusCte,
       |sh AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(

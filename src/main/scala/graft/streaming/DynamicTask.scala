@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryException, Trigger}
 
 import graft.schema.{ColumnSpec, CType}
 import graft.sources.DetectType
@@ -43,6 +44,85 @@ object DynamicTask {
       ColumnSpec(k, t, nullable = !t.name.endsWith("Array"), k)
     }
     Result(cfg.copy(columns = cfg.columns ++ added), newKeys)
+  }
+
+  /** Signals that a micro-batch carried keys beyond the current schema:
+    * the DDL has ALREADY been executed, the batch has NOT been written
+    * or committed, and the query must restart with [[result]]'s evolved
+    * config so the batch replays under the new projection —
+    * task/task.go:364-377's stop → alter → re-init, where aborting the
+    * trigger before the offset commit is the "stop". */
+  final class SchemaEvolved(val result: Result) extends RuntimeException(
+    s"schema evolved by ${result.evolvedKeys.size} column(s): " +
+      "restart required")
+
+  /** One streaming leg of the dynamic-schema task: each micro-batch is
+    * scanned for new keys BEFORE projection. A batch with none is
+    * projected and written; a batch with new keys fires the ALTER DDL
+    * and aborts the trigger via [[SchemaEvolved]] WITHOUT committing,
+    * so Spark's checkpoint replays it after restart — the reference's
+    * restart contract with the offset bookkeeping replaced by the
+    * checkpoint. CRASH WINDOW: a process killed between the ALTER and
+    * the restart loses only in-memory state; the DDL is
+    * `ADD COLUMN IF NOT EXISTS` (idempotent on re-fire) and the
+    * uncommitted batch replays from the checkpoint, so recovery may
+    * restart from ANY config ≤ the evolved one — even cfg0 — and
+    * re-converge without loss or duplication (DynamicTaskSpec pins the
+    * replay-after-ALTER-crash path against an idempotent sink). */
+  def runStreaming(
+      cfg: TaskConfig,
+      source: DataFrame,
+      sink: BatchSink,
+      ddl: DdlExecutor,
+      checkpointDir: String,
+      availableNow: Boolean = true): StreamingQuery =
+    source.writeStream
+      .queryName(cfg.name)
+      .trigger(
+        if (availableNow) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(cfg.flushInterval * 1000L))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val r = evolve(cfg, batch, ddl)
+        if (r.evolvedKeys.nonEmpty) throw new SchemaEvolved(r)
+        sink.write(TaskRunner.build(cfg)(batch), batchId)
+      }
+      .start()
+
+  /** Walk a terminated query's cause chain for the [[SchemaEvolved]]
+    * signal (Spark wraps foreachBatch user exceptions). */
+  private def evolvedIn(e: Throwable): Option[SchemaEvolved] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .collectFirst { case se: SchemaEvolved => se }
+
+  /** The full dynamic-schema streaming task: run, and on each
+    * [[SchemaEvolved]] termination restart from the SAME checkpoint
+    * with the evolved config (the aborted batch replays under the new
+    * projection). Any other failure propagates. Returns the final
+    * config; `maxRestarts` bounds the cycle count the way `maxDims`
+    * bounds schema growth. */
+  def runDynamic(
+      cfg0: TaskConfig,
+      mkSource: () => DataFrame,
+      sink: BatchSink,
+      ddl: DdlExecutor,
+      checkpointDir: String,
+      maxRestarts: Int = 8): TaskConfig = {
+    var cfg = cfg0
+    var restarts = 0
+    while (restarts <= maxRestarts) {
+      val q = runStreaming(cfg, mkSource(), sink, ddl, checkpointDir)
+      try { q.awaitTermination(); return cfg }
+      catch {
+        case e: StreamingQueryException =>
+          evolvedIn(e) match {
+            case Some(se) => cfg = se.result.cfg; restarts += 1
+            case None => throw e
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"dynamic task did not converge within $maxRestarts restarts")
   }
 
   /** Drain-evolve-restart loop for a replayable batch backfill: repeats

@@ -205,7 +205,13 @@ object ScaleBench {
     // fixture encode — and q108/q111 run the fused bothFormsPairs
     // (one decode for both hash forms; q111 ratio 8.24 -> 3.03),
     // with the order-sensitive operator's dedicated gate q113.
-    "q112_webp_neardup", "q113_video_ordered_solo")
+    "q112_webp_neardup", "q113_video_ordered_solo",
+    // r15: the Zipf-hot skew gates. The header plant is applied at
+    // query time over the salted sf1 copies, so the hot grams stay the
+    // SAME literal across copies — hot-gram df scales 10× with the
+    // data (the adversarial shape), while cross-copy bodies still
+    // share no trigram and true-pair volume stays linear.
+    "q114_jaccard_skew", "q115_containment_skew")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

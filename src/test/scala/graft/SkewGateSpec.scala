@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.functions.SkewWarn
+import graft.operators.{ContainmentJoin, JaccardJoin}
+
+/** Zipf-hot adversary for the pair-quadratic self-join family (r14
+  * judge directive #1): a fixed boilerplate header on a third of the
+  * docs makes every header trigram a hot key — the crawl shape the
+  * skew machinery exists for, which the salted near-uniform gate
+  * corpora never exercised. Pins, per path:
+  *  - results stay EXACT under skew (brute-force parity — the blocking
+  *    layer is lossless, not merely fast);
+  *  - the probes observe the hot key exactly where hot buckets
+  *    genuinely exist (the containment index side), and stay silent
+  *    where the rare-first prefix order has already defused them (the
+  *    Jaccard prefix buckets) — firing there would mean the prefix
+  *    order failed and the pair join went quadratic.
+  * The sf-scale candidate-count curve lives in
+  * [[graft.tools.ProfileSkew]] / PLANS.md "Skew-adversary
+  * decomposition"; the driver-gated corpora are q114/q115. */
+class SkewGateSpec extends SparkSuite {
+
+  private val header = "subscribe to our newsletter for breaking " +
+    "updates and exclusive daily offers now" // 13 words, 11 hot trigrams
+
+  /** Unique-vocabulary body per doc: rare grams have df ≤ 2 (doc +
+    * perturbed copy), so EVERY bucket past the lowered threshold is a
+    * header bucket by construction. */
+  private def body(i: Long): String =
+    (0 until 20).map(j => s"w${i}x$j").mkString(" ")
+
+  private def baseDocs: Seq[(Long, String)] =
+    (1L to 60L).map { i =>
+      val t = body(i)
+      (i, if (i % 3 == 0) header + " " + t else t)
+    }
+
+  private def toDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def grams(t: String): Set[String] =
+    t.split(" ").sliding(3).filter(_.length == 3)
+      .map(_.mkString(" ")).toSet
+
+  /** Capture warnings, run `body`, restore the sink + threshold. */
+  private def capturing(threshold: Long)(run: => Unit)
+      : Seq[(String, Long)] = {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val oldSink = SkewWarn.sink
+    val oldThr = SkewWarn.threshold
+    SkewWarn.reset()
+    SkewWarn.sink = (tag, size, _) => { got.add((tag, size)); () }
+    SkewWarn.threshold = threshold
+    try run
+    finally { SkewWarn.sink = oldSink; SkewWarn.threshold = oldThr
+      SkewWarn.reset() }
+    import scala.jdk.CollectionConverters._
+    got.asScala.toSeq
+  }
+
+  test("Jaccard under a Zipf-hot header: exact brute-force parity, and " +
+      "the rare-first prefix keeps every hot gram out of the probe " +
+      "buckets (no hot-bucket warning fires)") {
+    // perturbed copies (drop first word) plant true near-dup pairs that
+    // must survive the skew
+    val pert = baseDocs.filter(_._1 % 5 == 0).map { case (id, t) =>
+      (id + 1000L, t.substring(t.indexOf(' ') + 1))
+    }
+    val corpus = baseDocs ++ pert
+    val hotDf = corpus.count(_._2.startsWith("subscribe to our"))
+    val events = capturing(threshold = math.max(10L, hotDf / 2)) {
+      val got = JaccardJoin.nearDupPairs(toDf(corpus), "doc_id", "text",
+          k = 3, minJaccard = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val g = corpus.map { case (id, t) => id -> grams(t) }.toMap
+      val expect = (for {
+        (a, ga) <- g; (b, gb) <- g if a < b
+        j = (ga & gb).size.toDouble / (ga | gb).size if j >= 0.8
+      } yield (a, b)).toSet
+      assert(expect.nonEmpty, "plant produced no true pairs")
+      assert(got === expect)
+    }
+    // header trigram df is past the lowered threshold by construction,
+    // yet no prefix bucket reached it: the hot grams sorted LAST under
+    // rare-first and never entered a prefix — a warning here would mean
+    // the header bucket was pair-expanded (the quadratic failure)
+    assert(hotDf >= 20, s"plant broke: only $hotDf hot docs")
+    assert(events.isEmpty,
+      s"hot bucket leaked into a Jaccard probe prefix: $events")
+  }
+
+  test("containment under a Zipf-hot header: exact brute-force parity, " +
+      "and the index-side census reports the hot gram at its true df") {
+    // snippet plant (the q115 shape): hot snippets keep the header, so
+    // ~2/3 of a hot snippet's grams are hot — the worst honest probe
+    val snips = baseDocs.filter(_._1 % 2 == 0).map { case (id, t) =>
+      val bodyWords = (if (t.startsWith("subscribe to our"))
+        t.split(" ").drop(13) else t.split(" ")).take(8)
+      val s = bodyWords.mkString(" ")
+      (id + 4000L,
+        if (t.startsWith("subscribe to our")) header + " " + s else s)
+    }
+    val corpus = baseDocs ++ snips
+    val hotGramDf = corpus.count(_._2.startsWith("subscribe to our")).toLong
+    val events = capturing(threshold = hotGramDf / 2) {
+      val got = ContainmentJoin.containedPairs(toDf(corpus), "doc_id",
+          "text", k = 3, minContainment = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val g = corpus.map { case (id, t) => id -> grams(t) }.toMap
+      val expect = (for {
+        (a, ga) <- g; (b, gb) <- g if a != b
+        c = (ga & gb).size.toDouble / ga.size if c >= 0.9
+      } yield (a, b)).toSet
+      assert(expect.nonEmpty, "plant produced no true pairs")
+      assert(got === expect)
+    }
+    // the stop-gram census holds the full index-side population: the
+    // hot header trigrams MUST surface here, at their exact df
+    val census = events.filter(_._1 == "ContainmentJoin.containedPairs")
+    assert(census.nonEmpty,
+      "containment census stayed silent on a hot index gram")
+    assert(census.map(_._2).max === hotGramDf,
+      s"census max ${census.map(_._2).max} != header gram df $hotGramDf")
+  }
+}
