@@ -80,6 +80,21 @@ object ContainmentJoin {
         // recordCensus's contract is the TRUE hits figure, and that
         // corner is exactly the heavily-skewed corpus the census exists
         // for (r13 ADVICE; same rare-hot-path trade as logTopBuckets).
+        // no-silent-caps (r15, from the q59 decomposition): a capped
+        // table means grams past the cap fall back to hash order and
+        // prefixes steer less rarely — measured +52% candidate volume
+        // at sf1 where 272k df≥2 grams met the 65,536 default (PLANS.md
+        // "q59 stage decomposition"). Say so, with the uncovered count
+        // (one cheap job over the cached 16-byte table) and the dial.
+        if (rows.length == maxStopGrams) {
+          val total = dfTable.count()
+          org.slf4j.LoggerFactory.getLogger("graft.skew").warn(
+            s"stop-gram table capped at $maxStopGrams of $total df>=2 " +
+              "grams - prefixes fall back to hash order past the cap " +
+              "and candidate volume grows with the uncovered share; " +
+              "raise maxStopGrams (16 bytes/entry on the driver) if " +
+              "shuffle volume matters at this corpus size")
+        }
         val hot = rows.takeWhile(
           _.getLong(1) >= graft.functions.SkewWarn.threshold)
         val hotTotal =

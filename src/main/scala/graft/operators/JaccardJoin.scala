@@ -78,14 +78,36 @@ object JaccardJoin {
       ColumnBridge.expr(col(textCol)), k))
     val g = docs.select(col(idCol).as("__id"), grams.as("__g"))
     // stop-gram table: df >= 2 only (a df-1 gram can't skew a bucket),
-    // deterministic tie-break on the hash
-    val stopRows = g
+    // deterministic tie-break on the hash. The (gram, df) table is
+    // persisted across the capped collect and the rare cap-hit recount
+    // (16-byte rows; same pattern as ContainmentJoin).
+    val dfTable = g
       .select(explode(when(col("__g").isNotNull, col("__g"))).as("__gram"))
       .groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2)
-      .orderBy(col("__df").desc, col("__gram"))
-      .limit(maxStopGrams)
-      .collect()
+      .persist()
+    val stopRows =
+      try {
+        val rows = dfTable
+          .orderBy(col("__df").desc, col("__gram"))
+          .limit(maxStopGrams)
+          .collect()
+        // no-silent-caps (r15): past the cap, grams fall back to hash
+        // order and prefixes steer less rarely — measured +50%
+        // candidate volume on the q114 corpus at sf1 (PLANS.md "q59
+        // stage decomposition" — same mechanism). One cheap count over
+        // the cached table, only on the cap-hit path.
+        if (rows.length == maxStopGrams) {
+          val total = dfTable.count()
+          org.slf4j.LoggerFactory.getLogger("graft.skew").warn(
+            s"stop-gram table capped at $maxStopGrams of $total df>=2 " +
+              "grams - prefixes fall back to hash order past the cap " +
+              "and candidate volume grows with the uncovered share; " +
+              "raise maxStopGrams (16 bytes/entry on the driver) if " +
+              "shuffle volume matters at this corpus size")
+        }
+        rows
+      } finally dfTable.unpersist()
     val byKey = stopRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val prefix = ColumnBridge.col(graft.functions.RarestPrefix(
       ColumnBridge.expr(col("__g")), tRelaxed,
