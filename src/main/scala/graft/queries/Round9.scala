@@ -77,7 +77,12 @@ object Round9 {
   def q102ImageNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
-    val media = docs.select(col("doc_id"), col("text"))
+    // plant served from the per-(sf, code-version) parquet cache (r15:
+    // the r12-directive-#4 treatment extended to the r9 media gates —
+    // q102/q104/q106 still re-encoded their fixtures every evaluation,
+    // burying the decoder under test exactly as q108-q112 once did)
+    val media = MediaPlantCache.cached(s, dir, "q102_image_neardup") {
+      docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id0, text) =>
         val id = guardMediaId(id0)
@@ -105,6 +110,7 @@ object Round9 {
               le = false, compression = 32773, rowsPerStrip = 5)(px(1, 0))))
       }
       .toDF("media_id", "kind", "payload")
+    }
     ImageDedup.nearDupPairs(media, "media_id", "payload",
         maxHamming = 3, bands = 4)
       .orderBy("id_a", "id_b")
@@ -236,7 +242,9 @@ object Round9 {
   def q104AudioNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
-    val media = docs.select(col("doc_id"), col("text"))
+    // r15: plant cached per (sf, code version) — see q102
+    val media = MediaPlantCache.cached(s, dir, "q104_audio_neardup") {
+      docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id0, text) =>
         val id = guardMediaId(id0)
@@ -386,6 +394,7 @@ object Round9 {
             WavBuild.pcm16(msLinear)))
       }
       .toDF("media_id", "kind", "payload")
+    }
     graft.operators.AudioDedup.nearDupPairs(media, "media_id", "payload",
         maxHamming = 3, bands = 4)
       .orderBy("id_a", "id_b")
@@ -437,7 +446,9 @@ object Round9 {
   def q106VideoNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
-    val media = docs.select(col("doc_id"), col("text"))
+    // r15: plant cached per (sf, code version) — see q102
+    val media = MediaPlantCache.cached(s, dir, "q106_video_neardup") {
+      docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id0, text) =>
         val id = guardMediaId(id0)
@@ -456,6 +467,7 @@ object Round9 {
             text.getBytes("UTF-8")))
       }
       .toDF("media_id", "kind", "payload")
+    }
     graft.operators.VideoDedup.nearDupPairs(media, "media_id", "payload",
         maxHamming = 3, bands = 4)
       .orderBy("id_a", "id_b")
