@@ -148,6 +148,14 @@ object IncrementalDedup {
           ColumnBridge.expr(col("__fp")),
           scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes))))
       }
+    // `exact` is reachable through three references (two `survivors`
+    // uses + the final verdict join) and the STATIC plan duplicates the
+    // fps-join subtree per reference — but an eager localCheckpoint pin
+    // was tried and REJECTED (r15 A/B: shipped 4.15 s / 30 jobs vs
+    // pinned 4.48 s / 32 jobs at sf0.1): runtime exchange reuse already
+    // serves the duplicated aggregate, and the pin only adds the
+    // call-time job. The lazy plan also keeps this operator
+    // composable without the eager-materialization contract.
     val exact = probed.join(fps, col("__fp") === col("fp"))
       .groupBy("__nid").agg(count(lit(1)).as("__n_exact"))
     val survivors = newDocs
