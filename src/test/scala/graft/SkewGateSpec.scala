@@ -78,7 +78,7 @@ class SkewGateSpec extends SparkSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val g = corpus.map { case (id, t) => id -> grams(t) }.toMap
       val expect = (for {
-        (a, ga) <- g; (b, gb) <- g if a < b
+        (a, ga) <- g.toSeq; (b, gb) <- g.toSeq if a < b
         j = (ga & gb).size.toDouble / (ga | gb).size if j >= 0.8
       } yield (a, b)).toSet
       assert(expect.nonEmpty, "plant produced no true pairs")
@@ -112,7 +112,7 @@ class SkewGateSpec extends SparkSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val g = corpus.map { case (id, t) => id -> grams(t) }.toMap
       val expect = (for {
-        (a, ga) <- g; (b, gb) <- g if a != b
+        (a, ga) <- g.toSeq; (b, gb) <- g.toSeq if a != b
         c = (ga & gb).size.toDouble / ga.size if c >= 0.9
       } yield (a, b)).toSet
       assert(expect.nonEmpty, "plant produced no true pairs")
@@ -125,5 +125,30 @@ class SkewGateSpec extends SparkSuite {
       "containment census stayed silent on a hot index gram")
     assert(census.map(_._2).max === hotGramDf,
       s"census max ${census.map(_._2).max} != header gram df $hotGramDf")
+  }
+
+  test("worst corner — a header-ONLY probe (every gram hot) joins the " +
+      "full hot bucket and the result is still exact") {
+    // one snippet that is exactly the boilerplate: its prefix CANNOT
+    // avoid hot grams (there are no others), so it probes the whole
+    // hot index bucket — the bounded blow-up the census reports. The
+    // true answer is every header-carrying doc (containment 1.0), and
+    // the operator must return exactly that, nothing else.
+    val corpus = baseDocs :+ (9000L, header)
+    val got = ContainmentJoin.containedPairs(toDf(corpus), "doc_id",
+        "text", k = 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g = corpus.map { case (id, t) => id -> grams(t) }.toMap
+    val expect = (for {
+      (a, ga) <- g.toSeq; (b, gb) <- g.toSeq if a != b
+      c = (ga & gb).size.toDouble / ga.size if c >= 0.9
+    } yield (a, b)).toSet
+    assert(got === expect)
+    // the probe really fanned out: the header snippet pairs with every
+    // hot base doc
+    val hotIds = baseDocs.filter(_._2.startsWith("subscribe to our"))
+      .map(_._1).toSet
+    assert(hotIds.forall(h => got.contains((9000L, h))),
+      "header-only probe must be contained in every header doc")
   }
 }
