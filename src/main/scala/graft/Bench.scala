@@ -89,6 +89,28 @@ object Bench {
       System.err.println("[bench] no prior BENCH_FULL.json - " +
         "contamination guard inactive this run")
     var suspects = List.empty[String]
+    // Host-band canaries (never change these across rounds): two fixed
+    // queries — a parquet scan-agg and a shuffle-agg — timed at run
+    // start, middle (after the per-query block) and end, recorded in
+    // BENCH_FULL "canaries". Rounds r7–r9 saw the same bytes time 2.3×
+    // apart as the host's IO band moved; these rows let a later reader
+    // normalize per-query numbers against the band IN-ARTIFACT instead
+    // of via a manual interleaved A/B (see PLANS.md "Canary protocol").
+    // Defined before guardPasses: the guarded third pass re-samples it.
+    def canaryOnce(): (Double, Double) = {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val t0 = System.nanoTime()
+      li.agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          sum("l_quantity"), count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+      val t1 = System.nanoTime()
+      li.groupBy("l_suppkey")
+        .agg(sum("l_quantity").as("q"), countDistinct("l_orderkey").as("o"))
+        .write.format("noop").mode("overwrite").save()
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    }
     /** Append one guarded third pass when min(passes) > ratio× the
       * prior round's row; flags the name as suspect if the slowdown
       * persists. Queries use the default 2.5 (wall-times over a cold
@@ -110,9 +132,21 @@ object Bench {
           System.err.println(f"[bench] $name min ${ok.min}%.2f s " +
             f"(band-normalized ${ok.min * bf}%.2f, factor $bf%.2f) is >" +
             f" ${ratio}x prior ${p}%.2f s - third pass")
+          // r16 (r15 ADVICE): the rerun exists precisely because the
+          // host window is suspected to have moved, so the third pass
+          // must be normalized against the band it ACTUALLY runs in —
+          // re-sample the canary here (updating the row's recorded
+          // band), not the one sampled up to BandEvery-1 queries
+          // earlier. Rows with no prior band (ingest/stream/decode)
+          // keep factor 1 and skip the extra sample.
+          val bf2 = if (priorBands.contains(name)) {
+            val c = canaryOnce()
+            queryBands(name) = c._1 + c._2
+            bandFactorFor(name)
+          } else bf
           val third = rerun()
           val all = passes :+ third
-          if (third < 0 || third * bf > p * ratio) {
+          if (third < 0 || third * bf2 > p * ratio) {
             suspects ::= name
             System.err.println(s"[bench] $name still past the ratio - " +
               "flagged suspect")
@@ -123,27 +157,6 @@ object Bench {
     }
     val ThroughputRatio = 1.35
 
-    // Host-band canaries (never change these across rounds): two fixed
-    // queries — a parquet scan-agg and a shuffle-agg — timed at run
-    // start, middle (after the per-query block) and end, recorded in
-    // BENCH_FULL "canaries". Rounds r7–r9 saw the same bytes time 2.3×
-    // apart as the host's IO band moved; these rows let a later reader
-    // normalize per-query numbers against the band IN-ARTIFACT instead
-    // of via a manual interleaved A/B (see PLANS.md "Canary protocol").
-    def canaryOnce(): (Double, Double) = {
-      import org.apache.spark.sql.functions._
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val t0 = System.nanoTime()
-      li.agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-          sum("l_quantity"), count(lit(1)))
-        .write.format("noop").mode("overwrite").save()
-      val t1 = System.nanoTime()
-      li.groupBy("l_suppkey")
-        .agg(sum("l_quantity").as("q"), countDistinct("l_orderkey").as("o"))
-        .write.format("noop").mode("overwrite").save()
-      val t2 = System.nanoTime()
-      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
-    }
     canaryOnce() // untimed warm-up (footer cache, codegen)
     val canaryStart = canaryOnce()
 
@@ -514,7 +527,11 @@ object Bench {
       "12-query window and the query guard compares BAND-NORMALIZED " +
       "ratios (min x prior_band/cur_band, factor clamped to " +
       "[0.6,1.67]) - host-window swings on unchanged code no longer " +
-      "hide inside the 2.5x blind band (PLANS.md Canary protocol)"
+      "hide inside the 2.5x blind band (PLANS.md Canary protocol); " +
+      "r16: a guarded third pass re-samples the canary band first and " +
+      "is compared under THAT band (the row's recorded band updates " +
+      "with it) - the rerun is no longer normalized by a stale " +
+      "pre-move sample"
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window (BENCH_r05/r06 shipped parsed:null when
     // the full-name, full-precision line outgrew it). The stdout line

@@ -28,29 +28,35 @@ import graft.Tables
   */
 object Round15 {
 
-  /** The boilerplate banner. 13 words → 11 internal trigrams, every
+  /** The boilerplate banner. 12 words → 10 internal trigrams, every
     * one out of the corpus vocabulary, so hotness is exactly the
     * planted 10% and no pre-existing gram's frequency shifts. The
-    * Scala literal and [[headerSqlLit]] must stay identical. */
+    * Scala literal and [[headerSqlLit]] must stay identical.
+    * (r15 ADVICE: the counts were stated 13/11 — the miscount that
+    * produced SkewGateSpec's drop(13) body-word bug; [[headerWords]]
+    * derives the count so prose and code can't drift again.) */
   private[queries] val header =
     "subscribe to our newsletter for breaking updates and exclusive daily offers now"
+  /** Derived word count (12) — the single source for gram arithmetic. */
+  private[queries] val headerWords: Int = header.split(" ").length
   private val headerSqlLit = s"'$header '"
 
-  private def withHeader(docs: DataFrame): DataFrame =
+  private[queries] def withHeader(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       when(pmod(col("doc_id"), lit(10)) === 0,
           concat(lit(header + " "), col("text")))
         .otherwise(col("text")).as("text"),
       col("n_chars"))
 
-  private val headeredSql =
+  private[queries] val headeredSql =
     s"""CASE WHEN doc_id % 10 = 0 THEN $headerSqlLit || text
       |    ELSE text END""".stripMargin
 
   /** q114's corpus: header-planted documents ∪ perturbed copies of the
     * long ones (drop the first word; +1M ids — the q43 plant, applied
-    * AFTER the header so hot docs keep ~10 of their 11 hot grams and
-    * the true near-dup pairs ride through the skew). */
+    * AFTER the header so hot docs keep 9 of their 10 hot grams — the
+    * drop removes only "subscribe to our" — and the true near-dup
+    * pairs ride through the skew). */
   private[graft] def jaccardSkewDocs(s: SparkSession, dir: String): DataFrame = {
     val base = withHeader(Tables.parallel(s, dir, "documents"))
     val perturbed = base.filter(col("n_chars") >= 100)

@@ -23,7 +23,7 @@ import graft.operators.{ContainmentJoin, JaccardJoin}
 class SkewGateSpec extends SparkSuite {
 
   private val header = "subscribe to our newsletter for breaking " +
-    "updates and exclusive daily offers now" // 13 words, 11 hot trigrams
+    "updates and exclusive daily offers now" // 12 words, 10 hot trigrams
 
   /** Unique-vocabulary body per doc: rare grams have df ≤ 2 (doc +
     * perturbed copy), so EVERY bucket past the lowered threshold is a
@@ -98,8 +98,15 @@ class SkewGateSpec extends SparkSuite {
     // snippet plant (the q115 shape): hot snippets keep the header, so
     // ~2/3 of a hot snippet's grams are hot — the worst honest probe
     val snips = baseDocs.filter(_._1 % 2 == 0).map { case (id, t) =>
+      // drop exactly the header's word count (12) so hot snippets start
+      // at the FIRST body word and are fully contained in their source
+      // at 1.0 — the r15 drop(13) also dropped one body word, which cut
+      // hot-snippet containment to 16/18 < 0.9 and silently planted
+      // zero hot-snippet true pairs (r15 ADVICE). Derived, not a
+      // literal, so the count can't drift from the header again.
       val bodyWords = (if (t.startsWith("subscribe to our"))
-        t.split(" ").drop(13) else t.split(" ")).take(8)
+        t.split(" ").drop(header.split(" ").length)
+      else t.split(" ")).take(8)
       val s = bodyWords.mkString(" ")
       (id + 4000L,
         if (t.startsWith("subscribe to our")) header + " " + s else s)
@@ -116,6 +123,16 @@ class SkewGateSpec extends SparkSuite {
         c = (ga & gb).size.toDouble / ga.size if c >= 0.9
       } yield (a, b)).toSet
       assert(expect.nonEmpty, "plant produced no true pairs")
+      // the claimed coverage must actually exist: HOT snippets (header
+      // kept, ~2/3 hot grams) are fully contained in their sources, so
+      // their true pairs ride through the skew (r15 ADVICE: drop(13)
+      // silently planted none)
+      val hotSnipPairs = expect.filter { case (a, b) =>
+        a > 4000L && corpus.exists(d => d._1 == a &&
+          d._2.startsWith("subscribe to our")) && b == a - 4000L
+      }
+      assert(hotSnipPairs.nonEmpty,
+        "no hot-snippet true pair survived the plant")
       assert(got === expect)
     }
     // the stop-gram census holds the full index-side population: the
@@ -150,5 +167,45 @@ class SkewGateSpec extends SparkSuite {
       .map(_._1).toSet
     assert(hotIds.forall(h => got.contains((9000L, h))),
       "header-only probe must be contained in every header doc")
+  }
+
+  test("boilerplate-ONLY cohort (r15 directive #2): the exact-collapse " +
+      "composition returns the exact representative-pair answer, " +
+      "including the 9/10 = 0.9 borderline") {
+    // 12 empty-crawl pages in 3 identical-body classes: the banner,
+    // banner minus last word, banner + one word — every gram hot, so
+    // uncollapsed each page probes the full hot bucket and the true
+    // raw answer is quadratic in the class size. Collapsed, each class
+    // is one min-id representative.
+    val variants = Seq(header,
+      header.split(" ").dropRight(1).mkString(" "), header + " today")
+    val boiler = (0 until 12).map(j => (7000L + j, variants(j % 3)))
+    val corpus = baseDocs ++ boiler
+    val got = ContainmentJoin.containedPairsCollapsed(toDf(corpus),
+        "doc_id", "text", k = 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the collapsed reps (min id per lower/trim body)
+    val reps = corpus.groupBy(_._2.trim.toLowerCase)
+      .map { case (_, ds) => ds.minBy(_._1) }.toSeq
+    val g = reps.map { case (id, t) => id -> grams(t) }.toMap
+    val expect = (for {
+      (a, ga) <- g.toSeq; (b, gb) <- g.toSeq if a != b
+      c = (ga & gb).size.toDouble / ga.size if c >= 0.9
+    } yield (a, b)).toSet
+    assert(expect.nonEmpty)
+    assert(got === expect)
+    // the 12-page cohort collapsed to exactly its 3 class reps
+    val cohortProbes = got.map(_._1).filter(_ >= 7000L)
+    assert(cohortProbes.nonEmpty &&
+      cohortProbes.subsetOf(Set(7000L, 7001L, 7002L)),
+      s"cohort must probe only via its 3 reps, got $cohortProbes")
+    // the banner is contained in every hot base doc via its rep only
+    val hotIds = baseDocs.filter(_._2.startsWith("subscribe to our"))
+      .map(_._1).toSet
+    assert(hotIds.forall(h => got.contains((7000L, h))))
+    // borderline both engines must agree on: banner → banner-minus-
+    // last-word shares 9 of the banner's 10 grams — exactly 0.9
+    assert(got.contains((7000L, 7001L)),
+      "the 9/10 = 0.9 borderline pair must be admitted")
   }
 }
