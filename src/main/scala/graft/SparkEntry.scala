@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.Round11.queries ++
       graft.queries.Round12.queries ++
       graft.queries.Round13.queries ++
-      graft.queries.Round15.queries
+      graft.queries.Round15.queries ++
+      graft.queries.Round16.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.queries.Round11.oracles ++
       graft.queries.Round12.oracles ++
       graft.queries.Round13.oracles ++
-      graft.queries.Round15.oracles
+      graft.queries.Round15.oracles ++
+      graft.queries.Round16.oracles
 }

@@ -18,10 +18,10 @@ import graft.functions.ColumnBridge
   */
 object ProfileQ59 {
   def main(args: Array[String]): Unit = {
-    // optional arg: stop-gram cap override (default = the operator's
-    // 1<<16) — isolates how much of the sf1 candidate growth is the
-    // capped table falling back to hash order past entry 65,536
-    val cap = if (args.nonEmpty) args(0).toInt else 1 << 16
+    // optional arg: stop-gram cap override (default -1 = the
+    // operator's auto sizing, full df>=2 coverage under the budget) —
+    // passing 65536 reproduces the r15 fixed-cap super-linearity A/B
+    val capArg = if (args.nonEmpty) args(0).toInt else graft.operators.StopGrams.Auto
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.Sessions.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
@@ -49,15 +49,23 @@ object ProfileQ59 {
       // stage 1: the raw gram pass alone (scan + fused hash, no agg)
       time("gram pass (scan+hash only)")(
         g.select(sum(size(col("__g")))).first())
-      // stage 2: the stop-gram df job as the operator runs it
-      val stopRows = time("stop-gram df job (pass+groupBy)")(
-        g.select(explode(when(col("__g").isNotNull, col("__g")))
-            .as("__gram"))
-          .groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") >= 2)
-          .orderBy(col("__df").desc, col("__gram"))
-          .limit(cap)
-          .collect())
+      // stage 2: the stop-gram df job as the operator runs it (r16:
+      // count-then-collect over the persisted table, auto cap)
+      val dfT = g.select(explode(when(col("__g").isNotNull, col("__g")))
+          .as("__gram"))
+        .groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= 2)
+        .persist()
+      val stopRows = time("stop-gram df job (pass+groupBy)") {
+        val total = dfT.count()
+        val cap = if (capArg >= 0) capArg
+          else graft.operators.StopGrams.capFor(total,
+            graft.operators.StopGrams.DefaultBudgetBytes)
+        println(s"[q59] df>=2 grams=$total  cap=$cap" +
+          (if (total > cap) "  (TRUNCATED)" else "  (full coverage)"))
+        dfT.orderBy(col("__df").desc, col("__gram")).limit(cap).collect()
+      }
+      dfT.unpersist()
       val byKey = stopRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       val prefix = ColumnBridge.col(graft.functions.RarestPrefix(
         ColumnBridge.expr(col("__g")), t,

@@ -65,9 +65,13 @@ object ProfileSkew {
       println(s"[skew] corpus rows=${docs.count()}  distinct grams=" +
         s"${stats.getLong(2)}  hottest df=${stats.getLong(0)}  " +
         s"naive all-gram pair volume=${stats.getDouble(1).toLong}")
-      val stopRows = dfTable.filter(col("__df") >= 2)
+      // r16: mirror the operator's auto sizing (full df>=2 coverage
+      // under the default budget) instead of the removed fixed cap
+      val df2 = dfTable.filter(col("__df") >= 2)
+      val stopRows = df2
         .orderBy(col("__df").desc, col("__gram"))
-        .limit(1 << 16).collect()
+        .limit(graft.operators.StopGrams.capFor(df2.count(),
+          graft.operators.StopGrams.DefaultBudgetBytes)).collect()
       val byKey = stopRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       val prefix = ColumnBridge.col(graft.functions.RarestPrefix(
         ColumnBridge.expr(col("__g")), t,
@@ -108,8 +112,11 @@ object ProfileSkew {
       println(s"[skew] q115 corpus rows=${cdocs.count()}  hottest df=" +
         s"${cstats.getLong(0)}  naive directed volume=" +
         s"${cstats.getDouble(1).toLong}")
-      val cstop = cdf.filter(col("__df") >= 2)
-        .orderBy(col("__df").desc, col("__gram")).limit(1 << 16).collect()
+      val cdf2 = cdf.filter(col("__df") >= 2)
+      val cstop = cdf2
+        .orderBy(col("__df").desc, col("__gram"))
+        .limit(graft.operators.StopGrams.capFor(cdf2.count(),
+          graft.operators.StopGrams.DefaultBudgetBytes)).collect()
       val cByKey = cstop.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       val cPrefix = ColumnBridge.col(graft.functions.RarestPrefix(
         ColumnBridge.expr(col("__g")), ct,
@@ -132,6 +139,54 @@ object ProfileSkew {
       val q115 = time("q115 full query")(
         graft.queries.Round15.q115ContainmentSkew(spark, dir).count())
       println(s"[skew] q115 result pairs=$q115")
+
+      // ---- q116 (boilerplate-ONLY cohort; r15 judge directive #2) ----
+      // The all-hot probe class: 5% of docs are nothing but the banner
+      // (3 identical-body variants). Measures the containment
+      // candidate volume — total and the cohort's own contribution
+      // (probes with id >= 8M) — on the RAW corpus (each boilerplate
+      // doc probes the full hot bucket: quadratic) vs after the
+      // exact-collapse stage (each identical-body class probes once:
+      // linear). A healthy curve: raw cohort candidates ~100× at 10×
+      // data, collapsed cohort candidates ~10×.
+      def contCandidates(docs: org.apache.spark.sql.DataFrame,
+          tag: String): Unit = {
+        val g2 = docs.select(col("doc_id").as("__id"),
+          ColumnBridge.col(graft.functions.SortedGramHashes(
+            ColumnBridge.expr(col("text")), 3)).as("__g"))
+          .localCheckpoint()
+        val dft = g2.select(explode(when(col("__g").isNotNull, col("__g")))
+            .as("__gram"))
+          .groupBy("__gram").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") >= 2)
+        val stop = dft.orderBy(col("__df").desc, col("__gram"))
+          .limit(graft.operators.StopGrams.capFor(dft.count(),
+            graft.operators.StopGrams.DefaultBudgetBytes)).collect()
+        val bk = stop.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val pfx = ColumnBridge.col(graft.functions.RarestPrefix(
+          ColumnBridge.expr(col("__g")), ct,
+          bk.map(_._1).toSeq, bk.map(_._2).toSeq))
+        val pr = g2.select(col("__id").as("id_a"),
+          size(col("__g")).cast("long").as("__na"),
+          explode(when(col("__g").isNotNull, pfx)).as("__gram"))
+        val ix = g2.select(col("__id").as("id_b"),
+          size(col("__g")).cast("long").as("__nb"),
+          explode(when(col("__g").isNotNull, col("__g"))).as("__gram"))
+        val cands = pr.join(ix, "__gram")
+          .filter(col("id_a") =!= col("id_b") &&
+            col("__nb").cast("double") >= col("__na") * ct)
+          .select("id_a", "id_b").distinct().localCheckpoint()
+        println(s"[skew] q116 $tag: docs=${docs.count()}  candidates=" +
+          s"${cands.count()}  cohort-probe candidates=" +
+          s"${cands.filter(col("id_a") >= 8000000L).count()}")
+      }
+      val bdocs = graft.queries.Round16.boilerDocs(spark, dir)
+      contCandidates(bdocs, "raw (no collapse)")
+      contCandidates(graft.operators.ContainmentJoin.collapseExact(
+        bdocs, "doc_id", "text"), "collapsed")
+      val q116 = time("q116 full query")(
+        graft.queries.Round16.q116BoilerplateCollapse(spark, dir).count())
+      println(s"[skew] q116 result pairs=$q116")
       import scala.jdk.CollectionConverters._
       val fired = events.asScala.toSeq
       println(s"[skew] probes fired at $label: " +

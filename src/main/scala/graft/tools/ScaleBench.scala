@@ -211,7 +211,13 @@ object ScaleBench {
     // SAME literal across copies — hot-gram df scales 10× with the
     // data (the adversarial shape), while cross-copy bodies still
     // share no trigram and true-pair volume stays linear.
-    "q114_jaccard_skew", "q115_containment_skew")
+    "q114_jaccard_skew", "q115_containment_skew",
+    // r16: the boilerplate-ONLY cohort rides the same query-time plant
+    // — identical banner constants across copies, so each variant's
+    // identical-body class grows 10× while the collapse keeps probes
+    // at 3 reps; the ratio measures collapse shuffle + the linear hot
+    // bucket, not the cohort quadratic.
+    "q116_boilerplate_collapse")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")
