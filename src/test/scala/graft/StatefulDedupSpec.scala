@@ -303,6 +303,73 @@ class StatefulDedupSpec extends SparkSuite {
     assert(got.size === 1, s"exactly one of the identical pair survives, got $got")
   }
 
+  test("nearDupGate under a boilerplate hot band key (r15 directive #3): " +
+      "verdicts stay exact and state per hot key stays one marker") {
+    // The streaming analog of the batch hot bucket: identical
+    // empty-crawl pages share ALL 32 minhash band keys, so every
+    // boilerplate doc routes its band records to the same 32
+    // state-store keys. The state VALUE is a fixed SeenState marker,
+    // so per-key state must stay ONE row no matter how many hot docs
+    // arrive — growth is per DISTINCT admitted signature, never per
+    // suppressed duplicate. Pinned via the progress API's
+    // numRowsTotal across batches and a restart.
+    val dir = Files.createTempDirectory("neargate_skew").toString
+    val srcDir = s"$dir/in"; val outDir = s"$dir/out"; val ckDir = s"$dir/ck"
+    Files.createDirectories(Paths.get(srcDir))
+    def write(file: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(srcDir, file), lines.mkString("\n").getBytes("UTF-8"))
+    val boiler = "subscribe to our newsletter for breaking updates and " +
+      "exclusive daily offers now and forever until the very end of time"
+    def uniq(i: Int): String =
+      s"unique document $i about topic $i with words u${i}a u${i}b u${i}c u${i}d"
+
+    def runOnce(): Long = {
+      val src = spark.readStream.format("text").load(srcDir)
+        .select(
+          split(col("value"), "\\|").getItem(0).cast("long").as("doc_id"),
+          split(col("value"), "\\|").getItem(1).as("text"))
+      val q = StatefulDedup.nearDupGate(src, "doc_id", "text")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          StatefulDedup.finishNearDupGate(batch)
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .lastOption.getOrElse(-1L)
+    }
+
+    write("b1.txt", Seq(s"10|$boiler", s"11|${uniq(11)}", s"12|${uniq(12)}"))
+    val state1 = runOnce()
+    // 3 admitted long docs × 32 band keys
+    assert(state1 === 3L * 32,
+      s"state after batch 1 must be 3 docs x 32 bands, got $state1")
+
+    // batch 2: 50 exact boilerplate duplicates + 1 new distinct doc —
+    // every dup hits the checkpointed hot bands and is suppressed
+    write("b2.txt", (100 until 150).map(i => s"$i|$boiler") :+ s"150|${uniq(150)}")
+    val state2 = runOnce()
+    assert(state2 === 4L * 32,
+      s"50 hot duplicates must add ZERO state rows (one marker per " +
+        s"band key, ever): expected 128, got $state2")
+
+    // batch 3 after restart: 50 more hot dups + 1 distinct — the hot
+    // keys stay one marker across the restart too
+    write("b3.txt", (200 until 250).map(i => s"$i|$boiler") :+ s"250|${uniq(250)}")
+    val state3 = runOnce()
+    assert(state3 === 5L * 32,
+      s"state grows only with distinct signatures, got $state3")
+
+    // verdicts stay EXACT under the skew: first boilerplate admitted,
+    // all 100 later copies suppressed, every distinct doc admitted
+    val got = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
+    assert(got === Set(10L, 11L, 12L, 150L, 250L),
+      s"expected exact verdicts under the hot band, got $got")
+  }
+
   test("restart from a pre-versioned (Boolean-state) checkpoint fails loudly") {
     import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQueryException}
