@@ -27,9 +27,21 @@ import org.apache.spark.sql.functions._
   *    1000, preserving q37's split and q39's bucket membership per copy.
   *
   * Output: one JSON line per run plus /root/repo/BENCH_SF1.json with
-  * {query: {sf01, sf1, ratio}}. Protocol per query and scale: untimed
-  * warm-up, then min of 2 timed passes with leftover-block release and
-  * System.gc() between (same discipline as Bench).
+  * {query: {sf01, sf1, ratio, band01, band1, ratio_norm}}. Protocol
+  * per query and scale: untimed warm-up, then min of 2 timed passes
+  * with leftover-block release and System.gc() between (same
+  * discipline as Bench).
+  *
+  * Canary normalization (r15 judge directive #4 — the same treatment
+  * BENCH_FULL got in r15): Bench's fixed lineitem scan+shuffle canary
+  * (ALWAYS over the sf0.1 base dir, so the canary bytes are identical
+  * at both scales) is sampled immediately before each scale's timing
+  * window and recorded per row; `ratio_norm = ratio × band01/band1`
+  * (factor clamped to [0.6, 1.67], Bench's clamp) is the
+  * host-normalized figure — a hot-window sf1 sample can no longer put
+  * a healthy operator on the ≥3 watchlist (r15 spent manual
+  * re-time-and-classify on q109 4.02→2.33 and q47 3.51→2.28 for
+  * exactly this). The super-linear failure gate reads ratio_norm.
   */
 object ScaleBench {
 
@@ -295,30 +307,57 @@ object ScaleBench {
       (1 to 2).map { _ => releaseLeftovers(); System.gc(); once() }.min
     }
 
+    // fixed-bytes host canary (Bench's lineitem scan-agg + shuffle-agg,
+    // always over the BASE dir so both scales' samples measure the same
+    // work): one sample immediately before each scale's timing window
+    def canaryOnce(): Double = {
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+      val t0 = System.nanoTime()
+      li.agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          sum("l_quantity"), count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+      li.groupBy("l_suppkey")
+        .agg(sum("l_quantity").as("q"), countDistinct("l_orderkey").as("o"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // untimed warm-up (footer cache, codegen)
+
     val names = if (args.nonEmpty) args.toSeq else SCALE_QUERIES
     var superLinear = List.empty[String]
     val rows = names.map { n =>
+      val bandA = canaryOnce()
       val a = time(n, base)
+      val bandB = canaryOnce()
       val b = time(n, OUT)
       val r = b / a
-      System.err.println(f"[scale] $n%-22s sf0.1 $a%6.2f s   sf1 $b%7.2f s   ratio ${r}%5.2f")
+      // host normalization: if the sf1 window ran hot (bandB > bandA),
+      // deflate the ratio by the band movement; clamped like Bench so
+      // one noisy canary sample can't hide a real regression or invent
+      // one
+      val bf = if (bandA > 0 && bandB > 0)
+        math.max(0.6, math.min(1.67, bandA / bandB)) else 1.0
+      val rNorm = r * bf
+      System.err.println(f"[scale] $n%-22s sf0.1 $a%6.2f s   sf1 $b%7.2f s" +
+        f"   ratio ${r}%5.2f   norm ${rNorm}%5.2f (bands $bandA%.2f/$bandB%.2f)")
       // fail loudly, not quietly in a JSON artifact: at 10x data, a
       // ratio past the data ratio means the plan got super-linear
       // (r9: q29's bucketed selection killed its global sort — the
-      // exemption it held for three rounds is gone; no query is exempt)
-      if (r > 10.0) {
+      // exemption it held for three rounds is gone; no query is exempt).
+      // The gate reads the BAND-NORMALIZED ratio (r15 directive #4).
+      if (rNorm > 10.0) {
         System.err.println(
-          f"[scale] SUPER-LINEAR $n ratio $r%.2f exceeds the 10x data ratio - plan regression")
+          f"[scale] SUPER-LINEAR $n norm ratio $rNorm%.2f exceeds the 10x data ratio - plan regression")
         superLinear ::= n
       }
-      n -> ((a, b, r))
+      n -> ((a, b, r, bandA, bandB, rNorm))
     }
     // merge into the existing file: an args-restricted run refreshes its
     // queries without dropping the rest of the recorded curve. Parsed
     // with json4s (ships with Spark) — a regex over nested JSON braces
     // would corrupt the file.
     val out = java.nio.file.Paths.get("/root/repo/BENCH_SF1.json")
-    val prior: Map[String, (Double, Double, Double)] =
+    val prior: Map[String, (Double, Double, Double, Double, Double, Double)] =
       if (java.nio.file.Files.exists(out)) {
         import org.json4s._
         import org.json4s.jackson.JsonMethods
@@ -330,15 +369,22 @@ object ScaleBench {
                   case JInt(i) => i.toDouble
                   case JDecimal(d) => d.toDouble
                   case _ => Double.NaN }
-              name -> ((num("sf01"), num("sf1"), num("ratio")))
+              // rows stamped before r16 carry no bands: their band
+              // fields stay NaN and are re-emitted without bands
+              name -> ((num("sf01"), num("sf1"), num("ratio"),
+                num("band01"), num("band1"), num("ratio_norm")))
           }.toMap
           case _ => Map.empty
         }
       } else Map.empty
-    val fresh = rows.map { case (n, (a, b, r)) => n -> ((a, b, r)) }.toMap
+    val fresh = rows.toMap
     val json = (prior ++ fresh).toSeq.sortBy(_._1)
-      .map { case (n, (a, b, r)) =>
-        f""""$n":{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":$r%.2f}"""
+      .map { case (n, (a, b, r, ba, bb, rn)) =>
+        val bands =
+          if (!ba.isNaN && !bb.isNaN && !rn.isNaN)
+            f""","band01":$ba%.3f,"band1":$bb%.3f,"ratio_norm":$rn%.2f"""
+          else ""
+        f""""$n":{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":$r%.2f$bands}"""
       }
       .mkString("{\"data_ratio\":10,\"queries\":{", ",", "}}")
     java.nio.file.Files.writeString(out, json)
