@@ -314,29 +314,51 @@ case class CosinePairs(child: Expression, minCos: Double)
   * "rare" class on every doc identically. This is what makes the scheme
   * 100 TB-safe: the exact PPJoin frequency order needs a corpus-wide
   * (gram → df) join plus a per-doc sort — two data-proportional
-  * shuffles — while a top-C table is bounded (C ≪ corpus), rides the
-  * task binary, and turns the reorder into a pure map. Non-stop grams
-  * are already in hash order in the input, so the reorder is one merge
-  * of the (few) in-doc stop grams behind the non-stop run. */
+  * shuffles — while the bounded table (every df≥2 gram under
+  * [[graft.operators.StopGrams]]'s driver budget, ≪ corpus bytes)
+  * turns the reorder into a pure map. Non-stop grams are already in
+  * hash order in the input, so the reorder is one merge of the (few)
+  * in-doc stop grams behind the non-stop run.
+  *
+  * The table travels as an explicit [[Broadcast]] (r16): embedded
+  * Seqs ride `ctx.addReferenceObj`'s expression reference into EVERY
+  * stage's task binary, and the gram joins reference this expression
+  * from ~7 stages — at the 64 MiB budget bound that is ~half a GB of
+  * redundant torrent traffic per executor plus per-stage driver
+  * serialization, where the broadcast ships the two primitive arrays
+  * once per executor, fetched lazily at first eval. Equality note:
+  * the broadcast handle compares by reference, which is safe here —
+  * each operator invocation builds exactly ONE prefix expression
+  * instance and reuses it, so semanticEquals within a plan still
+  * holds; no cross-plan subexpression elimination applies to a
+  * per-query table. */
 case class RarestPrefix(child: Expression, minJaccard: Double,
-    stopKeys: Seq[Long], stopDfs: Seq[Long])
+    stop: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])])
     extends UnaryExpression with UnaryEvalCodegen {
   require(minJaccard > 0.0 && minJaccard <= 1.0)
-  require(stopKeys.length == stopDfs.length)
 
-  // Seq params (not Array) so case-class equality is structural:
-  // semanticEquals/canonicalization/subexpression elimination all need
-  // two identical instances to compare equal. The hot path still
-  // binary-searches primitive arrays, derived once per deserialized copy.
-  @transient private lazy val keysArr: Array[Long] = stopKeys.toArray
-  @transient private lazy val dfsArr: Array[Long] = stopDfs.toArray
+  @transient private lazy val keysArr: Array[Long] = stop.value._1
+  @transient private lazy val dfsArr: Array[Long] = stop.value._2
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def castResult(x: String): String =
     s"(org.apache.spark.sql.catalyst.util.ArrayData) $x"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    RarestPrefix.prefixOf(
+      input.asInstanceOf[ArrayData], minJaccard, keysArr, dfsArr)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RarestPrefix {
+  /** The prefix algorithm itself, Spark-context-free (PropertySpec
+    * pins it against the sort-take model without a session): input a
+    * hash-ascending distinct gram array, output its first
+    * `n − ceil(t·n) + 1` grams under the (df, hash) total order. */
+  def prefixOf(arr: ArrayData, minJaccard: Double,
+      keysArr: Array[Long], dfsArr: Array[Long]): GenericArrayData = {
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.emptyLongArray)
     val p = n - math.ceil(minJaccard * n).toInt + 1
@@ -373,8 +395,20 @@ case class RarestPrefix(child: Expression, minJaccard: Double,
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+  /** Broadcast a collected (gram, df) stop table, hash-sorted so the
+    * expression can binary-search it. One broadcast per operator
+    * invocation; the two primitive arrays ship once per executor. */
+  def broadcastTable(
+      spark: org.apache.spark.sql.SparkSession,
+      byKeyAsc: Array[(Long, Long)])
+      : org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])] = {
+    require(byKeyAsc.isEmpty ||
+      byKeyAsc.iterator.map(_._1).sliding(2).forall(
+        w => w.length < 2 || w(0) < w(1)),
+      "stop table must be strictly key-ascending")
+    spark.sparkContext.broadcast(
+      (byKeyAsc.map(_._1), byKeyAsc.map(_._2)))
+  }
 }
 
 /** In-bucket candidate expansion with PPJoin's length filter fused in:

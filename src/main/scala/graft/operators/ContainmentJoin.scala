@@ -113,9 +113,12 @@ object ContainmentJoin {
         rows
       } finally dfTable.unpersist()
     val byKey = stopRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // broadcast, not expression-embedded: ships once per executor
+    // (see JaccardJoin — same r16 note)
+    val stopBc = graft.functions.RarestPrefix.broadcastTable(
+      docs.sparkSession, byKey)
     val prefix = ColumnBridge.col(graft.functions.RarestPrefix(
-      ColumnBridge.expr(col("__g")), tRelaxed,
-      byKey.map(_._1).toSeq, byKey.map(_._2).toSeq))
+      ColumnBridge.expr(col("__g")), tRelaxed, stopBc))
     val probe = g.select(
       col("__id").as("id_a"), size(col("__g")).cast("long").as("__na"),
       explode(when(col("__g").isNotNull, prefix)).as("__gram"))

@@ -115,9 +115,14 @@ object JaccardJoin {
           .collect()
       } finally dfTable.unpersist()
     val byKey = stopRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // one broadcast per invocation: the table ships once per executor
+    // instead of riding every stage's task binary (r16; at the budget
+    // bound the embedded form is ~7 stages × 64 MiB of redundant
+    // torrent traffic)
+    val stopBc = graft.functions.RarestPrefix.broadcastTable(
+      docs.sparkSession, byKey)
     val prefix = ColumnBridge.col(graft.functions.RarestPrefix(
-      ColumnBridge.expr(col("__g")), tRelaxed,
-      byKey.map(_._1).toSeq, byKey.map(_._2).toSeq))
+      ColumnBridge.expr(col("__g")), tRelaxed, stopBc))
     // __g is multi-referenced (size + prefix) and non-cheap, so it stays
     // materialized in its own projection (CollapseProject keeps
     // multi-ref non-cheap aliases); the explode is null-guarded rather

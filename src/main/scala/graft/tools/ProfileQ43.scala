@@ -48,8 +48,9 @@ object ProfileQ43 {
     time("a: stop-gram collect")(stopRows().length)
 
     val byKey = stopRows().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val stopBc = graft.functions.RarestPrefix.broadcastTable(spark, byKey)
     def prefix = ColumnBridge.col(graft.functions.RarestPrefix(
-      ColumnBridge.expr(col("__g")), t, byKey.map(_._1).toSeq, byKey.map(_._2).toSeq))
+      ColumnBridge.expr(col("__g")), t, stopBc))
     def buckets = g.select(
       col("__id"), size(col("__g")).cast("long").as("__n"),
       explode(when(col("__g").isNotNull, prefix)).as("__bucket"))

@@ -69,7 +69,7 @@ object ProfileQ59 {
       val byKey = stopRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       val prefix = ColumnBridge.col(graft.functions.RarestPrefix(
         ColumnBridge.expr(col("__g")), t,
-        byKey.map(_._1).toSeq, byKey.map(_._2).toSeq))
+        graft.functions.RarestPrefix.broadcastTable(spark, byKey)))
       val probe = g.select(col("__id").as("id_a"),
         size(col("__g")).cast("long").as("__na"),
         explode(when(col("__g").isNotNull, prefix)).as("__gram"))

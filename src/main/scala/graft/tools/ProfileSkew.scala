@@ -75,7 +75,7 @@ object ProfileSkew {
       val byKey = stopRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       val prefix = ColumnBridge.col(graft.functions.RarestPrefix(
         ColumnBridge.expr(col("__g")), t,
-        byKey.map(_._1).toSeq, byKey.map(_._2).toSeq))
+        graft.functions.RarestPrefix.broadcastTable(spark, byKey)))
       val buckets = g.select(col("__id"),
         size(col("__g")).cast("long").as("__n"),
         explode(when(col("__g").isNotNull, prefix)).as("__bucket"))
@@ -120,7 +120,7 @@ object ProfileSkew {
       val cByKey = cstop.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       val cPrefix = ColumnBridge.col(graft.functions.RarestPrefix(
         ColumnBridge.expr(col("__g")), ct,
-        cByKey.map(_._1).toSeq, cByKey.map(_._2).toSeq))
+        graft.functions.RarestPrefix.broadcastTable(spark, cByKey)))
       val probe = cg.select(col("__id").as("id_a"),
         size(col("__g")).cast("long").as("__na"),
         explode(when(col("__g").isNotNull, cPrefix)).as("__gram"))
@@ -165,7 +165,7 @@ object ProfileSkew {
         val bk = stop.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
         val pfx = ColumnBridge.col(graft.functions.RarestPrefix(
           ColumnBridge.expr(col("__g")), ct,
-          bk.map(_._1).toSeq, bk.map(_._2).toSeq))
+          graft.functions.RarestPrefix.broadcastTable(spark, bk)))
         val pr = g2.select(col("__id").as("id_a"),
           size(col("__g")).cast("long").as("__na"),
           explode(when(col("__g").isNotNull, pfx)).as("__gram"))

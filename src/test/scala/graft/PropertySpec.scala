@@ -201,9 +201,12 @@ class PropertySpec extends AnyFunSuite {
       .flatMap(n => Gen.listOfN(n, Gen.zip(Gen.chooseNum(-50L, 50L), Gen.chooseNum(2L, 9L))))
       .map(_.groupBy(_._1).map { case (k, xs) => (k, xs.head._2) }.toSeq.sortBy(_._1))
     forAll(Gen.zip(gramsGen, stopsGen, Gen.oneOf(0.5, 0.8, 1.0))) { case (gs, stops, t) =>
-      val got = graft.functions.RarestPrefix(null, t,
-          stops.map(_._1), stops.map(_._2))
-        .nullSafeEval(new GenericArrayData(gs.toArray))
+      // the algorithm entry point directly (the expression wrapper
+      // only adds the broadcast plumbing, covered by the operator
+      // specs): same (df, hash) order, no session needed here
+      val got = graft.functions.RarestPrefix.prefixOf(
+          new GenericArrayData(gs.toArray), t,
+          stops.map(_._1).toArray, stops.map(_._2).toArray)
         .asInstanceOf[ArrayData].toLongArray().toSeq
       val df = stops.toMap
       val n = gs.length
