@@ -37,8 +37,15 @@ object Round15 {
     * derives the count so prose and code can't drift again.) */
   private[queries] val header =
     "subscribe to our newsletter for breaking updates and exclusive daily offers now"
-  /** Derived word count (12) — the single source for gram arithmetic. */
+  /** Derived word count — the single source for gram arithmetic. The
+    * require makes the doc'd 12-word/10-trigram arithmetic (and q114's
+    * 9-surviving-grams claim) fail loudly if the banner literal ever
+    * drifts, instead of silently invalidating the gates' hotness
+    * rationale (the r15 13/11 miscount class). */
   private[queries] val headerWords: Int = header.split(" ").length
+  require(headerWords == 12,
+    s"banner drifted to $headerWords words - q114/q115/q116 gate " +
+      "arithmetic and SkewGateSpec assume 12")
   private val headerSqlLit = s"'$header '"
 
   private[queries] def withHeader(docs: DataFrame): DataFrame =
