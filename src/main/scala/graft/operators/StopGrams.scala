@@ -68,13 +68,19 @@ object StopGrams {
           "stopGramBudgetBytes (or pass an explicit maxStopGrams) if " +
           "shuffle volume matters at this corpus size")
 
-  /** Resolve the effective cap and warn if the table is truncated. */
-  def resolveCap(tag: String, maxStopGrams: Int, budgetBytes: Long,
-      totalDf2Grams: Long): Int = {
-    val cap =
-      if (maxStopGrams >= 0) maxStopGrams
-      else capFor(totalDf2Grams, budgetBytes)
+  /** The collect bound BEFORE the corpus's df≥2 count is known: the
+    * budget ceiling for auto, the manual cap otherwise. The operators
+    * collect up to this many rows in ONE job; a result SHORTER than
+    * the bound proves the table is complete (no count job needed —
+    * the common path), while a full result means possible truncation
+    * and the true total is recovered with one count over the cached
+    * 16-byte table (the rare path — exactly r15's cap-hit shape). */
+  def collectBound(maxStopGrams: Int, budgetBytes: Long): Int =
+    if (maxStopGrams >= 0) maxStopGrams
+    else capFor(Long.MaxValue, budgetBytes)
+
+  /** Truncation warning for the rare full-collect path. */
+  def warnIfTruncated(tag: String, cap: Int, budgetBytes: Long,
+      totalDf2Grams: Long): Unit =
     if (totalDf2Grams > cap) warnSink(tag, cap, totalDf2Grams, budgetBytes)
-    cap
-  }
 }

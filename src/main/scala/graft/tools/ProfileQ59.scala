@@ -50,21 +50,21 @@ object ProfileQ59 {
       time("gram pass (scan+hash only)")(
         g.select(sum(size(col("__g")))).first())
       // stage 2: the stop-gram df job as the operator runs it (r16:
-      // count-then-collect over the persisted table, auto cap)
+      // ONE budget-bounded collect; shorter-than-bound = full
+      // coverage, no count job)
       val dfT = g.select(explode(when(col("__g").isNotNull, col("__g")))
           .as("__gram"))
         .groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") >= 2)
         .persist()
+      val cap = graft.operators.StopGrams.collectBound(capArg,
+        graft.operators.StopGrams.DefaultBudgetBytes)
       val stopRows = time("stop-gram df job (pass+groupBy)") {
-        val total = dfT.count()
-        val cap = if (capArg >= 0) capArg
-          else graft.operators.StopGrams.capFor(total,
-            graft.operators.StopGrams.DefaultBudgetBytes)
-        println(s"[q59] df>=2 grams=$total  cap=$cap" +
-          (if (total > cap) "  (TRUNCATED)" else "  (full coverage)"))
         dfT.orderBy(col("__df").desc, col("__gram")).limit(cap).collect()
       }
+      println(s"[q59] df>=2 grams collected=${stopRows.length} bound=$cap" +
+        (if (stopRows.length == cap) "  (POSSIBLY TRUNCATED)"
+         else "  (full coverage)"))
       dfT.unpersist()
       val byKey = stopRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       val prefix = ColumnBridge.col(graft.functions.RarestPrefix(
