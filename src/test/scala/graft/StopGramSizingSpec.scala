@@ -32,6 +32,28 @@ class StopGramSizingSpec extends SparkSuite {
       StopGrams.capFor(1L << 30, 1L << 20))
   }
 
+  test("collectBound: budget ceiling under Auto, manual passthrough — " +
+      "the one-job contract (shorter-than-bound result == full coverage)") {
+    // auto: the bound is the budget ceiling, BEFORE any corpus count
+    assert(StopGrams.collectBound(StopGrams.Auto,
+      StopGrams.DefaultBudgetBytes) === 4194304)
+    assert(StopGrams.collectBound(StopGrams.Auto, 1L << 20) === 65536)
+    assert(StopGrams.collectBound(StopGrams.Auto, 64L) === 4)
+    // manual caps pass through untouched (incl. the 0 losslessness dial)
+    assert(StopGrams.collectBound(65536, 64L) === 65536)
+    assert(StopGrams.collectBound(0, StopGrams.DefaultBudgetBytes) === 0)
+    // warnIfTruncated: fires exactly on totalDf2 > cap
+    var fired = List.empty[(String, Int, Long)]
+    val old = StopGrams.warnSink
+    StopGrams.warnSink = (tag, cap, total, _) => fired ::= ((tag, cap, total))
+    try {
+      StopGrams.warnIfTruncated("t", 10, 160L, 10L) // total == cap: silent
+      assert(fired.isEmpty)
+      StopGrams.warnIfTruncated("t", 10, 160L, 11L)
+      assert(fired === List(("t", 10, 11L)))
+    } finally StopGrams.warnSink = old
+  }
+
   /** Capture truncation warnings, run `body`, restore the sink. */
   private def capturingCaps(run: => Unit): Seq[(String, Int, Long)] = {
     val got =
