@@ -63,10 +63,41 @@ object Round16 {
     graft.operators.ContainmentJoin.containedPairsCollapsed(
       boilerDocs(s, dir), "doc_id", "text", k = 3, minContainment = 0.9)
 
+  /** q117: the Jaccard twin over the same corpus — identical pages are
+    * J=1.0 pairs (quadratic raw answer), the collapse restores linear;
+    * the surviving boilerplate trio itself stays in-answer (banner vs
+    * ±1-word variants land at 9/11 = 0.818 and 10/11 = 0.909, both
+    * over the 0.8 line — cross-variant structure the oracle must
+    * reproduce exactly). */
+  def q117JaccardBoilerCollapse(s: SparkSession, dir: String): DataFrame =
+    graft.operators.JaccardJoin.nearDupPairsCollapsed(
+      boilerDocs(s, dir), "doc_id", "text", k = 3, minJaccard = 0.8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q116_boilerplate_collapse" -> q116BoilerplateCollapse _)
+    "q116_boilerplate_collapse" -> q116BoilerplateCollapse _,
+    "q117_jaccard_boiler_collapse" -> q117JaccardBoilerCollapse _)
+
+  /** The q116/q117 plant + collapse as a reusable CTE pair: `raw` =
+    * headered base ∪ boilerplate cohort, `aug` = min-id reps of
+    * lower/trim-identical bodies (the name [[LlmPipeline
+    * .exactJaccardPairsSql]]'s gram CTE reads from). */
+  private val boilerCollapsedCte =
+    s"""raw AS (
+      |  SELECT doc_id, ${Round15.headeredSql} AS text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 8000000,
+      |    CASE CAST((doc_id // 20) % 3 AS INT)
+      |      WHEN 0 THEN '$header'
+      |      WHEN 1 THEN '$headerShort'
+      |      ELSE '$headerLong' END
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |aug AS (
+      |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+      |  FROM raw GROUP BY lower(trim(text)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q117_jaccard_boiler_collapse" ->
+      LlmPipeline.exactJaccardPairsSql(3, "0.8", boilerCollapsedCte),
     "q116_boilerplate_collapse" ->
       s"""WITH aug AS (
         |  SELECT doc_id, ${Round15.headeredSql} AS text FROM documents

@@ -228,8 +228,9 @@ object ScaleBench {
     // — identical banner constants across copies, so each variant's
     // identical-body class grows 10× while the collapse keeps probes
     // at 3 reps; the ratio measures collapse shuffle + the linear hot
-    // bucket, not the cohort quadratic.
-    "q116_boilerplate_collapse")
+    // bucket, not the cohort quadratic. q117 is the Jaccard twin over
+    // the same corpus (same collapse, PPJoin path).
+    "q116_boilerplate_collapse", "q117_jaccard_boiler_collapse")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")

@@ -208,4 +208,32 @@ class SkewGateSpec extends SparkSuite {
     assert(got.contains((7000L, 7001L)),
       "the 9/10 = 0.9 borderline pair must be admitted")
   }
+
+  test("boilerplate-ONLY cohort, Jaccard twin: collapsed exact join " +
+      "returns the rep-pair answer; the variant trio survives at " +
+      "9/11 and 10/11") {
+    val variants = Seq(header,
+      header.split(" ").dropRight(1).mkString(" "), header + " today")
+    val boiler = (0 until 12).map(j => (7000L + j, variants(j % 3)))
+    val corpus = baseDocs ++ boiler
+    val got = JaccardJoin.nearDupPairsCollapsed(toDf(corpus),
+        "doc_id", "text", k = 3, minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reps = corpus.groupBy(_._2.trim.toLowerCase)
+      .map { case (_, ds) => ds.minBy(_._1) }.toSeq
+    val g = reps.map { case (id, t) => id -> grams(t) }.toMap
+    val expect = (for {
+      (a, ga) <- g.toSeq; (b, gb) <- g.toSeq if a < b
+      j = (ga & gb).size.toDouble / (ga | gb).size if j >= 0.8
+    } yield (a, b)).toSet
+    assert(got === expect)
+    // the 12-page cohort reduced to its 3 reps, which near-dup each
+    // other: banner↔short 9/11 (0.818), banner↔long 10/11 (0.909),
+    // short↔long 9/11 — all over the 0.8 line; the RAW cohort would
+    // have emitted 3·C(4,2) = 18 intra-class J=1.0 pairs plus
+    // 3·4·4 = 48 cross-class pairs (66 vs these 3 — the quadratic
+    // the collapse removes)
+    assert(got.filter(p => p._1 >= 7000L && p._2 >= 7000L) ===
+      Set((7000L, 7001L), (7000L, 7002L), (7001L, 7002L)))
+  }
 }
