@@ -74,6 +74,29 @@ object Bench {
     // normalization factor is clamped to [0.6, 1.67]: a noisy single
     // canary sample must not hide a real regression or invent one.
     val priorBands: Map[String, Double] = priorNumbers("query_bands")
+    // r17 (r16 judge directive #3): the prior artifact's canary window,
+    // for the top-level window_index (this run's mean canary band over
+    // the prior's) — the cross-round headline classifier, in-artifact
+    // instead of reconstructed from six run tables.
+    val priorWindow: Double = {
+      if (priorRoot == null || !priorSfMatches) -1.0
+      else {
+        val c = priorRoot.get("canaries")
+        if (c == null) -1.0
+        else {
+          val vals = Seq("start", "mid", "end").flatMap { k =>
+            Option(c.get(k)).flatMap { n =>
+              (Option(n.get("scan_agg")), Option(n.get("shuffle_agg"))) match {
+                case (Some(s), Some(sh)) if s.isNumber && sh.isNumber =>
+                  Some(s.asDouble() + sh.asDouble())
+                case _ => None
+              }
+            }
+          }
+          if (vals.isEmpty) -1.0 else vals.sum / vals.size
+        }
+      }
+    }
     val queryBands = scala.collection.mutable.Map.empty[String, Double]
     def bandFactorFor(name: String): Double =
       (priorBands.get(name), queryBands.get(name)) match {
@@ -375,8 +398,12 @@ object Bench {
       val admitted = src
         .filter(size(toks) >= 5 &&
           arrays_overlap(toks, array(lit("the"), lit("a"), lit("and"))))
+        // 128-bit fingerprint struct (r16 directive #1): the exact gate's
+        // state key must make key-equality imply text-equality at 10^10
+        // keys; the state row widens 8 bytes, the commit-cycle cost that
+        // dominates this gate (see statePartitionsFor) is unchanged
         .withColumn("fp",
-          graft.functions.Hashes.xxhash64Seed0(lower(trim(col("text")))))
+          graft.functions.Hashes.fingerprint128(lower(trim(col("text")))))
       // 2 of 16 equal files per trigger → rows-per-trigger for the sizing
       // rule (StatefulDedup.statePartitionsFor: the state store pays a
       // fixed commit cycle per batch × partition, so partitions are sized
@@ -456,7 +483,8 @@ object Bench {
     val nearUniIn = nearInput(hot = false)
     val nearSchema = spark.read.parquet(nearHotIn).schema
     val nearStateRows = scala.collection.mutable.Map.empty[String, Long]
-    def nearOnce(inDir: String, key: String, pass: Int): Double = {
+    def nearOnce(inDir: String, key: String, pass: Int,
+        ttlMs: Long = 0L): Double = {
       val out = s"$nearBase/out_${key}_$pass"
       val ck = s"$nearBase/ck_${key}_$pass"
       val src = spark.readStream.schema(nearSchema)
@@ -468,7 +496,7 @@ object Bench {
       graft.streaming.StatefulDedup.withStatePartitions(spark,
           graft.streaming.StatefulDedup.statePartitionsFor(recsPerTrigger)) {
         val q = graft.streaming.StatefulDedup
-          .nearDupGate(src, "doc_id", "text")
+          .nearDupGate(src, "doc_id", "text", stateTtlMs = ttlMs)
           .writeStream
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
             graft.streaming.StatefulDedup.finishNearDupGate(b)
@@ -477,9 +505,19 @@ object Bench {
           .option("checkpointLocation", ck)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
-        q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
-          .lastOption.foreach(nearStateRows(key) = _)
+        if (ttlMs > 0) {
+          // TTL + AvailableNow never self-terminates (processing-time
+          // timers keep scheduling no-data batches — see nearDupGate's
+          // DRAIN CAVEAT): drain + stop via the product utility. The
+          // timed region still covers all data batches, like the
+          // TTL-0 rows (plus ≤ ~0.1 s of drain-detection latency).
+          nearStateRows(key) =
+            graft.streaming.StatefulDedup.drainAvailableNow(q)
+        } else {
+          q.awaitTermination()
+          q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+            .lastOption.foreach(nearStateRows(key) = _)
+        }
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -493,11 +531,25 @@ object Bench {
       (1 to 2).map { p => System.gc(); nearOnce(nearUniIn, "uni", p) },
       () => { System.gc(); nearOnce(nearUniIn, "uni", 3) },
       ThroughputRatio).min
+    // TTL-on row (r16 judge directive #6): the same hot intake with
+    // state eviction armed — the unbounded-stream posture. Within one
+    // ~10 s AvailableNow run most keys stay inside the TTL, so the row
+    // pins that arming eviction costs ~nothing and that end-state never
+    // EXCEEDS the TTL-0 run's (idle keys can only leave); the eviction
+    // SEMANTICS (timed-out key removed, re-arriving doc re-admits) are
+    // pinned wall-clock-deterministically by StatefulDedupSpec.
+    val NearTtlMs = 2000L
+    nearOnce(nearHotIn, "ttl", 0, NearTtlMs) // warm-up
+    val nearTtlSec = guardPasses("stream_neardup_30k_hot_ttl",
+      (1 to 2).map { p => System.gc(); nearOnce(nearHotIn, "ttl", p, NearTtlMs) },
+      () => { System.gc(); nearOnce(nearHotIn, "ttl", 3, NearTtlMs) },
+      ThroughputRatio).min
     System.err.println(
       f"[bench] stream near-dup gate: hot $nearHotSec%.2f s " +
         f"(${NEAR_ROWS / nearHotSec}%.0f rows/s, state ${nearStateRows.getOrElse("hot", -1L)} rows) vs " +
         f"uniform $nearUniSec%.2f s (${NEAR_ROWS / nearUniSec}%.0f rows/s, " +
-        f"state ${nearStateRows.getOrElse("uni", -1L)} rows); hot/uniform ${nearHotSec / nearUniSec}%.2f")
+        f"state ${nearStateRows.getOrElse("uni", -1L)} rows); hot/uniform ${nearHotSec / nearUniSec}%.2f; " +
+        f"ttl-on hot $nearTtlSec%.2f s (state ${nearStateRows.getOrElse("ttl", -1L)} rows)")
     val canaryEnd = canaryOnce()
     // Per-format single-core decode throughput (r11 judge finding #1 /
     // directive #2): the media-gate query rows (q108-q111) are
@@ -567,8 +619,30 @@ object Bench {
       "ingest_200k_jdbc_derby" -> ingestJdbcSec,
       "stream_intake_500k" -> streamSec,
       "stream_neardup_30k_hot" -> nearHotSec,
-      "stream_neardup_30k_uniform" -> nearUniSec)
+      "stream_neardup_30k_uniform" -> nearUniSec,
+      "stream_neardup_30k_hot_ttl" -> nearTtlSec)
     val total = queryResults.map(_._2).filter(_ >= 0).sum
+    // r17 (r16 judge directive #3): band-normalize the HEADLINE, not
+    // just the guard rows — each query's min scaled by the same
+    // clamped prior_band/cur_band factor the suspect guard uses, then
+    // summed. With no prior artifact every factor is 1 and
+    // total_norm == total. window_index is this run's mean canary
+    // band over the prior artifact's (> 1 = hotter host than the
+    // prior round) — the one number that classifies a cross-round
+    // headline move as window vs code.
+    val totalNorm = queryResults
+      .map { case (n, v) => if (v >= 0) v * bandFactorFor(n) else 0.0 }.sum
+    val curWindow =
+      Seq(canaryStart, canaryMid, canaryEnd).map(c => c._1 + c._2).sum / 3.0
+    val windowIndex = if (priorWindow > 0) curWindow / priorWindow else -1.0
+    val windowIndexJson =
+      if (windowIndex > 0)
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(windowIndex))
+      else "null"
+    System.err.println(f"[bench] total $total%.1f s, band-normalized " +
+      f"$totalNorm%.1f s; window ${curWindow}%.2f vs prior " +
+      f"${priorWindow}%.2f -> window_index " +
+      (if (windowIndex > 0) f"$windowIndex%.2f" else "n/a (no prior)"))
     val protocol = "per query: untimed warm-up, then min of 2 timed passes, " +
       "leftover persisted-RDD release + System.gc() between; noop sink; " +
       "ingest timed consume->sink over " +
@@ -614,7 +688,15 @@ object Bench {
       "landing on the same 32 band keys vs an all-distinct uniform " +
       "control; stream_skew_decomp records both times and the final " +
       "state-store row counts (hot state grows only with distinct " +
-      "signatures - the bounded-hot-key claim, in the artifact)"
+      "signatures - the bounded-hot-key claim, in the artifact); r17: " +
+      "total_norm = sum of per-query mins x the guard's clamped " +
+      "band factors (band-normalized headline), window_index = this " +
+      "run's mean canary band / the prior artifact's (>1 = hotter " +
+      "host; the cross-round classifier, r16 directive #3); " +
+      "stream_neardup hot_ttl row = the hot intake with " +
+      "stateTtlMs=2000 eviction armed (r16 directive #6; eviction " +
+      "semantics pinned wall-clock-deterministically in " +
+      "StatefulDedupSpec)"
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window (BENCH_r05/r06 shipped parsed:null when
     // the full-name, full-precision line outgrew it). The stdout line
@@ -632,7 +714,8 @@ object Bench {
       "ingest_200k_jdbc_derby" -> "ingest_jdbc",
       "stream_intake_500k" -> "stream",
       "stream_neardup_30k_hot" -> "neardup_hot",
-      "stream_neardup_30k_uniform" -> "neardup_uni")
+      "stream_neardup_30k_uniform" -> "neardup_uni",
+      "stream_neardup_30k_hot_ttl" -> "neardup_ttl")
     // 2-decimal seconds in the SHORT line only (ranking precision; the
     // full-precision numbers are in BENCH_FULL) — the r12 dmps block
     // must fit the same 2000-char stdout window
@@ -671,7 +754,10 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       fullPath,
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""total_norm":$totalNorm,"window_index":$windowIndexJson,""" +
+        s""""window_cur":$curWindow,"window_prior":$priorWindow,""" +
+        s""""queries":$fullQs,""" +
         s""""passes":$fullPasses,"query_bands":$fullBands,""" +
         s""""suspect":$suspectJson,$canaries,""" +
         s""""decode_mps":$decodeFull,""" +
@@ -682,7 +768,9 @@ object Bench {
         s""""uniform_s":$nearUniSec,""" +
         s""""hot_over_uniform":${nearHotSec / nearUniSec},""" +
         s""""state_rows_hot":${nearStateRows.getOrElse("hot", -1L)},""" +
-        s""""state_rows_uniform":${nearStateRows.getOrElse("uni", -1L)}},""" +
+        s""""state_rows_uniform":${nearStateRows.getOrElse("uni", -1L)},""" +
+        s""""hot_ttl_s":$nearTtlSec,"ttl_ms":$NearTtlMs,""" +
+        s""""state_rows_hot_ttl":${nearStateRows.getOrElse("ttl", -1L)}},""" +
         s"""$rates,"protocol":"$protocol","sf":"$sfDir"}""")
     System.err.println(s"[bench] full-precision record written to $fullPath")
     // The driver's tail window is 2000 chars: the stdout line MUST fit
@@ -695,6 +783,8 @@ object Bench {
     val StdoutBudget = 1900
     def stdoutLine(withDecode: Boolean, withNote: Boolean): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+        s""""total_norm":${f3(totalNorm)},""" +
+        s""""window_index":$windowIndexJson,""" +
         s""""queries":$shortQs,""" +
         (if (withDecode) s""""decode_mps":$decodeShort,""" else "") +
         s"""$rates,"suspect":$suspectJson,""" +

@@ -51,14 +51,72 @@ case class WindowCodes(child: Expression, d: Int)
     copy(child = newChild)
 }
 
+/** [[WindowCodes]] restricted to partner lengths that actually OCCUR in
+  * the corpus (r16 judge directive #5, the q75 carrier cut): window
+  * codes exist to match the segment side's (hash, i, l) keys, and a
+  * segment row's l/p derive from its string's ACTUAL length La — so
+  * codes emitted for an La no string has can never complete a true
+  * pair; they are pure probe noise (and on a constant-length corpus
+  * they are (2d+1)× the useful rows: q75's fixed 80-char heads emit
+  * 100 distinct codes per string under the full band vs 41 under the
+  * single present length). `lengths` is the sorted distinct-length
+  * set, one broadcast per operator invocation (the
+  * [[RarestPrefix.broadcastTable]] shipping discipline). Restricting
+  * to present lengths is LOSSLESS: a true pair (a, b) matches through
+  * La = len(a), which is present by construction — pinned by
+  * EditDistanceJoinSpec's brute-force parity suites (their corpora
+  * have sparse length sets) and the dedicated parity test. */
+case class WindowCodesPresent(child: Expression, d: Int,
+    lengths: org.apache.spark.broadcast.Broadcast[Array[Int]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with UnaryEvalCodegen {
+  require(d >= 1, s"maxDist must be >= 1, got $d")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"WindowCodesPresent needs an INT length column, got ${child.dataType}")
+  }
+  override protected def castResult(x: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $x"
+
+  override def nullSafeEval(a: Any): Any =
+    WindowCodes.codesForLengths(a.asInstanceOf[Int], d, lengths.value)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WindowCodes {
-  def codes(len: Int, d: Int): ArrayData = {
+  /** Full-band codes: every `La ∈ [len−d, len+d], La > d`. */
+  def codes(len: Int, d: Int): ArrayData = codesImpl(len, d, null)
+
+  /** Codes for the partner lengths in sorted `present` only (∩ the
+    * band); `present` must be strictly ascending. */
+  def codesForLengths(len: Int, d: Int, present: Array[Int]): ArrayData =
+    codesImpl(len, d, present)
+
+  private def codesImpl(len: Int, d: Int, present: Array[Int]): ArrayData = {
     val parts = d + 1
     // upper bound: (2d+1) lengths x (d+1) indices x interval width <= d+1
     val buf = new Array[Long](((2 * d + 1) * parts * parts))
     var n = 0
-    var la = math.max(len - d, d + 1)
+    val laMin = math.max(len - d, d + 1)
     val laMax = len + d
+    // iteration domain: the full band, or its intersection with the
+    // present-length set (binary search for the first in-band entry,
+    // then walk the sorted array)
+    var pi =
+      if (present == null) -1
+      else {
+        val idx = java.util.Arrays.binarySearch(present, laMin)
+        if (idx >= 0) idx else -(idx + 1)
+      }
+    var la = if (present == null) laMin
+      else if (pi < present.length) present(pi) else laMax + 1
     while (la <= laMax) {
       val kA = la / parts
       val rA = la % parts
@@ -77,7 +135,11 @@ object WindowCodes {
         }
         i += 1
       }
-      la += 1
+      if (present == null) la += 1
+      else {
+        pi += 1
+        la = if (pi < present.length) present(pi) else laMax + 1
+      }
     }
     // sorted distinct in one pass: sort, then in-place linear unique
     java.util.Arrays.sort(buf, 0, n)

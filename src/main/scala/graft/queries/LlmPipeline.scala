@@ -185,13 +185,18 @@ object LlmPipeline {
       (size(emails) + size(phones)).cast("long").as("n_pii"))
   }
 
-  /** q23: document fingerprinting — 64-bit hash of the normalized text as
-    * the dedup key, so the distinct-shuffle carries 8 bytes per doc
-    * instead of the document body. */
+  /** q23: document fingerprinting — 128-bit hash of the normalized
+    * text as the dedup key, so the distinct-shuffle carries 16 bytes
+    * per doc instead of the document body (widened from one xxhash64
+    * word per r16 directive #1 — at 10¹⁰ docs the 64-bit birthday
+    * bound merges ~2.7 distinct texts and the count drifts from the
+    * oracle's count-distinct-by-text; the null-guard matches the
+    * oracle's NULL-ignoring count). */
   def q23Fingerprint(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallel(s, dir, "documents")
     docs
-      .withColumn("fp", Hashes.xxhash64Seed0(lower(trim(col("text")))))
+      .withColumn("fp", when(col("text").isNotNull,
+        Hashes.fingerprint128(lower(trim(col("text"))))))
       .groupBy("source")
       .agg(
         countDistinct(col("fp")).as("n_unique"),

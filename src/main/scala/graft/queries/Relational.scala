@@ -134,16 +134,21 @@ object Relational {
   }
 
   /** q08: exact deduplication via hash aggregate (reference analog:
-    * first-seen series bitmap, output/clickhouse.go:110-130). The distinct
-    * key is an 8-byte xxhash of the text, not the text itself, so at
-    * 100 TB the shuffle carries fingerprints instead of document bodies;
-    * AQE handles skew. (Oracle counts distinct texts — identical result
-    * absent 64-bit collisions.) */
+    * first-seen series bitmap, output/clickhouse.go:110-130). The
+    * distinct key is the 16-byte 128-bit fingerprint of the text, not
+    * the text itself, so at 100 TB the shuffle carries fingerprints
+    * instead of document bodies; AQE handles skew. (Oracle counts
+    * distinct texts — a 64-bit key would drift from it at the birthday
+    * bound, ~2.7 expected merges at 10¹⁰ docs; the 128-bit key's
+    * ~1.5e-19 never will — [[graft.functions.Hashes.fingerprint128]].
+    * The null-guard mirrors the oracle: count(DISTINCT text) ignores
+    * NULLs, and an unguarded struct key would count one.) */
   def q08DedupExact(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "documents")
       .groupBy(col("lang"))
       .agg(
-        countDistinct(graft.functions.Hashes.xxhash64Seed0(col("text"))).as("n_unique"),
+        countDistinct(when(col("text").isNotNull,
+          graft.functions.Hashes.fingerprint128(col("text")))).as("n_unique"),
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
   }

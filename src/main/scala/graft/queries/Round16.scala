@@ -35,10 +35,14 @@ object Round16 {
   /** Banner minus its last word — still every gram hot. */
   private val headerShort =
     header.split(" ").dropRight(1).mkString(" ")
-  /** Banner plus one fixed word — 10 of 11 grams hot, reverse
-    * containment against the pure banner lands EXACTLY on the 0.9
-    * threshold (10/11 forward is 0.909, 9/10 reverse is 0.90), so the
-    * gate also pins the borderline both engines must agree on. */
+  /** Banner plus one fixed word — 10 of its 11 grams hot
+    * (headerLong→banner containment 10/11 = 0.909, banner→headerLong
+    * 10/10 = 1.0). The EXACT-0.9 borderline the gate pins is
+    * banner→headerShort: 9 of the banner's 10 grams survive the
+    * dropped word, 9/10 = 0.90 — dead on the threshold both engines
+    * must agree on. (Figures per-variant: banner 12 words = 10
+    * trigrams, headerShort 9, headerLong 11 — r16 ADVICE corrected
+    * the attribution here.) */
   private val headerLong = header + " today"
 
   /** q116's corpus: the q115 header-planted base (banner on 10% of
@@ -65,10 +69,10 @@ object Round16 {
 
   /** q117: the Jaccard twin over the same corpus — identical pages are
     * J=1.0 pairs (quadratic raw answer), the collapse restores linear;
-    * the surviving boilerplate trio itself stays in-answer (banner vs
-    * ±1-word variants land at 9/11 = 0.818 and 10/11 = 0.909, both
-    * over the 0.8 line — cross-variant structure the oracle must
-    * reproduce exactly). */
+    * the surviving boilerplate trio itself stays in-answer
+    * (banner↔headerShort 9/10 = 0.90, banner↔headerLong 10/11 = 0.909,
+    * headerShort↔headerLong 9/11 = 0.818 — all over the 0.8 line,
+    * cross-variant structure the oracle must reproduce exactly). */
   def q117JaccardBoilerCollapse(s: SparkSession, dir: String): DataFrame =
     graft.operators.JaccardJoin.nearDupPairsCollapsed(
       boilerDocs(s, dir), "doc_id", "text", k = 3, minJaccard = 0.8)

@@ -35,7 +35,7 @@ object ProfileDedup {
     time("corpus scan")(docs.count())
 
     val withFp = docs.select(col("doc_id"), col("text"),
-      Hashes.xxhash64Seed0(lower(trim(col("text")))).as("__fp"))
+      Hashes.fingerprint128(lower(trim(col("text")))).as("__fp"))
     val reps = withFp.groupBy("__fp")
       .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
       .select(col("doc_id"), col("text"))

@@ -182,7 +182,7 @@ object ProfileSkew {
       }
       val bdocs = graft.queries.Round16.boilerDocs(spark, dir)
       contCandidates(bdocs, "raw (no collapse)")
-      contCandidates(graft.operators.ContainmentJoin.collapseExact(
+      contCandidates(graft.operators.DedupPipeline.collapseExact(
         bdocs, "doc_id", "text"), "collapsed")
       val q116 = time("q116 full query")(
         graft.queries.Round16.q116BoilerplateCollapse(spark, dir).count())

@@ -27,10 +27,17 @@ import org.apache.spark.sql.functions._
   *    1000, preserving q37's split and q39's bucket membership per copy.
   *
   * Output: one JSON line per run plus /root/repo/BENCH_SF1.json with
-  * {query: {sf01, sf1, ratio, band01, band1, ratio_norm}}. Protocol
-  * per query and scale: untimed warm-up, then min of 2 timed passes
-  * with leftover-block release and System.gc() between (same
-  * discipline as Bench).
+  * {query: {sf01, sf1, ratio, band01, band1, ratio_norm[, retime]}}.
+  * Protocol per query and scale: untimed warm-up, then min of 2 timed
+  * passes with leftover-block release and System.gc() between (same
+  * discipline as Bench). Rule-3 auto re-time (r16 judge directive
+  * #4): a row landing at ratio_norm ≥ 3 with raw ratio ≤ 2.6 — the
+  * band-inflation signature, where a single hot canary sample pushed
+  * a healthy row over the watchlist line — is re-timed ONCE in-run
+  * with fresh band samples; both stamps ship (`retime` holds the
+  * second) and the super-linear gate reads the better norm. The
+  * PLANS.md reading rule cites the retime field instead of a manual
+  * classification pass.
   *
   * Canary normalization (r15 judge directive #4 — the same treatment
   * BENCH_FULL got in r15): Bench's fixed lineitem scan+shuffle canary
@@ -326,7 +333,7 @@ object ScaleBench {
 
     val names = if (args.nonEmpty) args.toSeq else SCALE_QUERIES
     var superLinear = List.empty[String]
-    val rows = names.map { n =>
+    def stamp(n: String): (Double, Double, Double, Double, Double, Double) = {
       val bandA = canaryOnce()
       val a = time(n, base)
       val bandB = canaryOnce()
@@ -341,51 +348,86 @@ object ScaleBench {
       val rNorm = r * bf
       System.err.println(f"[scale] $n%-22s sf0.1 $a%6.2f s   sf1 $b%7.2f s" +
         f"   ratio ${r}%5.2f   norm ${rNorm}%5.2f (bands $bandA%.2f/$bandB%.2f)")
+      (a, b, r, bandA, bandB, rNorm)
+    }
+    val rows = names.map { n =>
+      val first = stamp(n)
+      // rule-3 auto re-time (r16 judge directive #4): norm ≥ 3 with
+      // raw ≤ 2.6 is the band-inflation signature — a single hot
+      // canary sample pushed a healthy row over the watchlist line
+      // (r16 spent a manual classification pass on five such rows).
+      // ONE in-run re-time with fresh band samples; BOTH stamps ship
+      // in the artifact (the retime field), the gate reads the better
+      // norm. A row whose raw ratio is itself high (> 2.6) is NOT
+      // band inflation and gets no retry — it is either real or its
+      // own named watchlist item.
+      val retime =
+        if (first._6 >= 3.0 && first._3 <= 2.6) {
+          System.err.println(s"[scale] $n rule-3 signature (norm >= 3, " +
+            "raw <= 2.6) - automatic re-time with fresh band samples")
+          Some(stamp(n))
+        } else None
+      val gateNorm = math.min(first._6, retime.map(_._6).getOrElse(first._6))
       // fail loudly, not quietly in a JSON artifact: at 10x data, a
       // ratio past the data ratio means the plan got super-linear
       // (r9: q29's bucketed selection killed its global sort — the
       // exemption it held for three rounds is gone; no query is exempt).
-      // The gate reads the BAND-NORMALIZED ratio (r15 directive #4).
-      if (rNorm > 10.0) {
+      // The gate reads the BAND-NORMALIZED ratio (r15 directive #4),
+      // post-retime where one ran.
+      if (gateNorm > 10.0) {
         System.err.println(
-          f"[scale] SUPER-LINEAR $n norm ratio $rNorm%.2f exceeds the 10x data ratio - plan regression")
+          f"[scale] SUPER-LINEAR $n norm ratio $gateNorm%.2f exceeds the 10x data ratio - plan regression")
         superLinear ::= n
       }
-      n -> ((a, b, r, bandA, bandB, rNorm))
+      n -> ((first, retime))
     }
     // merge into the existing file: an args-restricted run refreshes its
     // queries without dropping the rest of the recorded curve. Parsed
     // with json4s (ships with Spark) — a regex over nested JSON braces
     // would corrupt the file.
     val out = java.nio.file.Paths.get("/root/repo/BENCH_SF1.json")
-    val prior: Map[String, (Double, Double, Double, Double, Double, Double)] =
+    type Stamp = (Double, Double, Double, Double, Double, Double)
+    val prior: Map[String, (Stamp, Option[Stamp])] =
       if (java.nio.file.Files.exists(out)) {
         import org.json4s._
         import org.json4s.jackson.JsonMethods
         (JsonMethods.parse(java.nio.file.Files.readString(out)) \ "queries") match {
           case JObject(fields) => fields.collect {
             case (name, q: JObject) =>
-              def num(k: String): Double =
-                (q \ k) match { case JDouble(d) => d
+              def numIn(o: JValue, k: String): Double =
+                (o \ k) match { case JDouble(d) => d
                   case JInt(i) => i.toDouble
                   case JDecimal(d) => d.toDouble
                   case _ => Double.NaN }
+              def stampOf(o: JValue): Stamp =
+                (numIn(o, "sf01"), numIn(o, "sf1"), numIn(o, "ratio"),
+                  numIn(o, "band01"), numIn(o, "band1"),
+                  numIn(o, "ratio_norm"))
               // rows stamped before r16 carry no bands: their band
-              // fields stay NaN and are re-emitted without bands
-              name -> ((num("sf01"), num("sf1"), num("ratio"),
-                num("band01"), num("band1"), num("ratio_norm")))
+              // fields stay NaN and are re-emitted without bands;
+              // a prior retime stamp survives the merge (r17)
+              val rt = (q \ "retime") match {
+                case ro: JObject => Some(stampOf(ro))
+                case _ => None
+              }
+              name -> ((stampOf(q), rt))
           }.toMap
           case _ => Map.empty
         }
       } else Map.empty
     val fresh = rows.toMap
+    def stampJson(s: Stamp): String = {
+      val (a, b, r, ba, bb, rn) = s
+      val bands =
+        if (!ba.isNaN && !bb.isNaN && !rn.isNaN)
+          f""","band01":$ba%.3f,"band1":$bb%.3f,"ratio_norm":$rn%.2f"""
+        else ""
+      f""""sf01":$a%.3f,"sf1":$b%.3f,"ratio":$r%.2f$bands"""
+    }
     val json = (prior ++ fresh).toSeq.sortBy(_._1)
-      .map { case (n, (a, b, r, ba, bb, rn)) =>
-        val bands =
-          if (!ba.isNaN && !bb.isNaN && !rn.isNaN)
-            f""","band01":$ba%.3f,"band1":$bb%.3f,"ratio_norm":$rn%.2f"""
-          else ""
-        f""""$n":{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":$r%.2f$bands}"""
+      .map { case (n, (s, rt)) =>
+        val retime = rt.map(x => s""","retime":{${stampJson(x)}}""").getOrElse("")
+        s""""$n":{${stampJson(s)}$retime}"""
       }
       .mkString("{\"data_ratio\":10,\"queries\":{", ",", "}}")
     java.nio.file.Files.writeString(out, json)

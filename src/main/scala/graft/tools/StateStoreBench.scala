@@ -36,7 +36,7 @@ object StateStoreBench {
           .filter(size(toks) >= 5 &&
             arrays_overlap(toks, array(lit("the"), lit("a"), lit("and"))))
           .withColumn("fp",
-            graft.functions.Hashes.xxhash64Seed0(lower(trim(col("text")))))
+            graft.functions.Hashes.fingerprint128(lower(trim(col("text")))))
         val t0 = System.nanoTime()
         gate(admitted)
           .writeStream.format("parquet")

@@ -197,6 +197,50 @@ class EditDistanceJoinSpec extends SparkSuite {
     }
   }
 
+  test("WindowCodesPresent: equals full-band codes when every band " +
+      "length is present, and a per-length brute force otherwise (r16 " +
+      "directive #5)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // reference: the full-band generator restricted per length — the
+    // distinct union of WindowCodes over singleton present-sets must
+    // rebuild codesForLengths for any subset
+    def ref(len: Int, d: Int, present: Seq[Int]): Seq[Long] =
+      present
+        .filter(la => la > d && la >= len - d && la <= len + d)
+        .flatMap(la => graft.functions.WindowCodes
+          .codesForLengths(len, d, Array(la)).toLongArray().toSeq)
+        .distinct.sorted
+    for (d <- Seq(2, 8); len <- Seq(d + 2, 40, 80)) {
+      val band = ((len - d) to (len + d)).filter(_ > d)
+      val full = graft.functions.WindowCodes.codes(len, d).toLongArray().toSeq
+      // all present == full band
+      assert(graft.functions.WindowCodes
+        .codesForLengths(len, d, band.toArray).toLongArray().toSeq === full)
+      // sparse subsets (incl. the q75 constant-length shape and
+      // out-of-band entries, which must be ignored)
+      for (present <- Seq(Seq(len), Seq(len - d, len + d), Seq(len + 1),
+          Seq(1, len, len + 5 * d), band.filter(_ % 2 == 0))) {
+        val got = graft.functions.WindowCodes
+          .codesForLengths(len, d, present.distinct.sorted.toArray)
+          .toLongArray().toSeq
+        assert(got === ref(len, d, present), s"d=$d len=$len present=$present")
+      }
+    }
+    // the driver expression evaluates the same function
+    val bc = spark.sparkContext.broadcast(Array(80))
+    val viaExpr = Seq(80).toDF("__len0")
+      .select(col("__len0").cast("int").as("__len"))
+      .select(graft.functions.ColumnBridge.col(
+        graft.functions.WindowCodesPresent(
+          graft.functions.ColumnBridge.expr(col("__len")), 8, bc)).as("c"))
+      .collect().head.getSeq[Long](0)
+    assert(viaExpr === ref(80, 8, Seq(80)))
+    // the q75 shape: constant length cuts the window set vs full band
+    assert(viaExpr.length <
+      graft.functions.WindowCodes.codes(80, 8).numElements())
+  }
+
   test("PackedHist/PackedHistL1: always a lower bound on 2*levenshtein, " +
       "incl. bucket saturation (r14 join-time content filter)") {
     import graft.functions.{PackedHist, PackedHistL1}

@@ -124,4 +124,34 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(a.map(v => v._1 -> v._2).toMap ===
       Map(41L -> "exact", 42L -> "near", 43L -> "exact", 44L -> "new"))
   }
+
+  test("format-1 index fails LOUDLY (r16 directive #1 version bump)") {
+    // a pre-r17 index (64-bit fps, meta without `format`) must raise a
+    // clear rebuild error from BOTH the probe and the append path — a
+    // silent read would miss every exact match (disjoint join keys)
+    val dir = java.nio.file.Files
+      .createTempDirectory("inc_dedup_fmt").toString
+    IncrementalDedup.writeIndex(history, "doc_id", "text", dir)
+    // overwrite meta in the old (format-less) layout
+    Seq((3, 64, 32)).toDF("shingle_k", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val newDocs = Seq(51L -> "anything at all").toDF("doc_id", "text")
+    val eProbe = intercept[IllegalStateException] {
+      IncrementalDedup.dedupNew(spark, newDocs, history,
+        "doc_id", "text", dir)
+    }
+    assert(eProbe.getMessage.contains("rebuild"))
+    val eAppend = intercept[IllegalStateException] {
+      IncrementalDedup.appendToIndex(newDocs, "doc_id", "text", dir)
+    }
+    assert(eAppend.getMessage.contains("rebuild"))
+    // an explicit future format number is rejected too
+    Seq((99, 3, 64, 32)).toDF("format", "shingle_k", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val eVer = intercept[IllegalStateException] {
+      IncrementalDedup.dedupNew(spark, newDocs, history,
+        "doc_id", "text", dir)
+    }
+    assert(eVer.getMessage.contains("format 99"))
+  }
 }

@@ -228,8 +228,8 @@ class SkewGateSpec extends SparkSuite {
     } yield (a, b)).toSet
     assert(got === expect)
     // the 12-page cohort reduced to its 3 reps, which near-dup each
-    // other: banner↔short 9/11 (0.818), banner↔long 10/11 (0.909),
-    // short↔long 9/11 — all over the 0.8 line; the RAW cohort would
+    // other: banner↔short 9/10 (0.90), banner↔long 10/11 (0.909),
+    // short↔long 9/11 (0.818) — all over the 0.8 line; the RAW cohort would
     // have emitted 3·C(4,2) = 18 intra-class J=1.0 pairs plus
     // 3·4·4 = 48 cross-class pairs (66 vs these 3 — the quadratic
     // the collapse removes)

@@ -337,7 +337,10 @@ class StatefulDedupSpec extends SparkSuite {
         .option("checkpointLocation", ckDir)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      // assert the Boolean, not discard it: a hang past the timeout
+      // would otherwise read stale recentProgress and fail later on a
+      // state-count assertion with a misleading message (r16 ADVICE)
+      assert(q.awaitTermination(120000), "query did not finish within 120s")
       q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
         .lastOption.getOrElse(-1L)
     }
@@ -368,6 +371,89 @@ class StatefulDedupSpec extends SparkSuite {
     val got = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
     assert(got === Set(10L, 11L, 12L, 150L, 250L),
       s"expected exact verdicts under the hot band, got $got")
+  }
+
+  test("nearDupGate TTL eviction (r16 directive #6): in-TTL dups still " +
+      "suppress; idle band keys evict; a re-arriving doc past the TTL " +
+      "re-admits") {
+    def scaffold(name: String, ttlMs: Long): (String, String,
+        Seq[String] => Unit, () => Long) = {
+      val dir = Files.createTempDirectory(name).toString
+      val srcDir = s"$dir/in"; val outDir = s"$dir/out"; val ckDir = s"$dir/ck"
+      Files.createDirectories(Paths.get(srcDir))
+      var n = 0
+      val write = (lines: Seq[String]) => {
+        n += 1
+        Files.write(Paths.get(srcDir, s"b$n.txt"),
+          lines.mkString("\n").getBytes("UTF-8"))
+        ()
+      }
+      val runOnce = () => {
+        val src = spark.readStream.format("text").load(srcDir)
+          .select(
+            split(col("value"), "\\|").getItem(0).cast("long").as("doc_id"),
+            split(col("value"), "\\|").getItem(1).as("text"))
+        val q = StatefulDedup.nearDupGate(src, "doc_id", "text",
+            stateTtlMs = ttlMs)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            StatefulDedup.finishNearDupGate(batch)
+              .write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        // TTL + AvailableNow never self-terminates (the DRAIN CAVEAT
+        // in nearDupGate's doc: processing-time timers keep scheduling
+        // no-data batches, and processAllAvailable never latches
+        // noNewData) — drain + stop via the product utility, which
+        // also reads the state count from the last DATA batch so
+        // trailing no-data evictions can't race the assertion
+        StatefulDedup.drainAvailableNow(q)
+      }
+      (dir, outDir, write, runOnce)
+    }
+    val boiler = "subscribe to our newsletter for breaking updates and " +
+      "exclusive daily offers now and forever until the very end of time"
+    def uniq(i: Int): String =
+      s"unique document $i about topic $i with words u${i}a u${i}b u${i}c u${i}d"
+
+    // Phase A — TTL armed but not yet elapsed: semantics identical to
+    // the TTL-0 gate (suppression path also RESETS the key's clock)
+    locally {
+      val (_, outDir, write, runOnce) = scaffold("neargate_ttl_a", 120000L)
+      write(Seq(s"10|$boiler", s"11|${uniq(11)}"))
+      assert(runOnce() === 2L * 32)
+      write(Seq(s"20|$boiler")) // duplicate inside the TTL: suppressed
+      assert(runOnce() === 2L * 32,
+        "an in-TTL duplicate must not add state")
+      assert(spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
+        === Set(10L, 11L))
+    }
+
+    // Phase B — the TTL elapses while the keys are idle: the next
+    // batch's timeout sweep removes them (state shrinks even though
+    // new docs arrived), and a later duplicate RE-ADMITS — the
+    // documented memory/recall dial. Wall-clock-deterministic: the
+    // 9 s idle gap is far past the 4 s TTL, and extra slowness can
+    // only evict MORE (nothing asserted depends on retaining keys
+    // whose batch has passed).
+    locally {
+      val (_, outDir, write, runOnce) = scaffold("neargate_ttl_b", 4000L)
+      write(Seq(s"10|$boiler", s"11|${uniq(11)}"))
+      assert(runOnce() === 2L * 32)
+      Thread.sleep(9000)
+      write(Seq(s"21|${uniq(21)}")) // triggers the timeout sweep
+      assert(runOnce() === 1L * 32,
+        "idle keys past the TTL must be REMOVED by the sweep " +
+          "(only the new doc's 32 band keys remain)")
+      write(Seq(s"30|$boiler")) // re-arriving duplicate past the TTL
+      runOnce()
+      assert(spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
+          === Set(10L, 11L, 21L, 30L),
+        "a duplicate arriving after its signature's keys evicted " +
+          "must RE-ADMIT (the TTL recall trade, by design)")
+    }
   }
 
   test("restart from a pre-versioned (Boolean-state) checkpoint fails loudly") {

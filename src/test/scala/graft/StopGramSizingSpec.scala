@@ -75,8 +75,20 @@ class StopGramSizingSpec extends SparkSuite {
     }.toDF("doc_id", "text")
   }
 
+  /** Capture bind notes, run `body`, restore the sink. */
+  private def capturingBinds(run: => Unit): Seq[(String, Int, Long)] = {
+    val got =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long)]()
+    val old = StopGrams.bindSink
+    StopGrams.bindSink = (tag, cap, total, _) => { got.add((tag, cap, total)); () }
+    try run finally StopGrams.bindSink = old
+    import scala.jdk.CollectionConverters._
+    got.asScala.toSeq
+  }
+
   test("auto sizing covers the whole df>=2 table silently; a binding " +
-      "budget warns with the true uncovered count and stays lossless") {
+      "budget SWITCHES to the join-based order (r16 directive #2): " +
+      "pairs identical, bind noted, no degrade warning") {
     val docs = skewedDocs
     def jac(cap: Int, budget: Long) = JaccardJoin
       .nearDupPairs(docs, "doc_id", "text", k = 2, minJaccard = 0.5,
@@ -84,20 +96,113 @@ class StopGramSizingSpec extends SparkSuite {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     var full: Map[(Long, Long), Double] = null
     val silent = capturingCaps {
-      full = jac(StopGrams.Auto, StopGrams.DefaultBudgetBytes)
+      assert(capturingBinds {
+        full = jac(StopGrams.Auto, StopGrams.DefaultBudgetBytes)
+      }.isEmpty, "ample budget must not bind")
     }
     assert(silent.isEmpty,
       s"auto sizing under an ample budget must not warn: $silent")
-    // 64-byte budget = 4 entries; the ~90-bigram corpus truncates
+    // 64-byte budget = 4 entries; the ~90-bigram corpus outgrows it —
+    // the Auto path now takes StopGrams.joinPrefix instead of degrading
     var bounded: Map[(Long, Long), Double] = null
-    val warned = capturingCaps { bounded = jac(StopGrams.Auto, 64L) }
-    assert(warned.nonEmpty, "binding budget must fire the warning")
-    val (tag, cap, total) = warned.head
+    var warned: Seq[(String, Int, Long)] = null
+    val bound = capturingBinds {
+      warned = capturingCaps { bounded = jac(StopGrams.Auto, 64L) }
+    }
+    assert(warned.isEmpty,
+      "the Auto bind is a fallback switch, not a degradation - no warning")
+    assert(bound.nonEmpty, "binding budget must fire the bind note")
+    val (tag, cap, total) = bound.head
     assert(tag === "JaccardJoin.nearDupPairs")
     assert(cap === 4)
-    assert(total > 4, s"warning must carry the true df>=2 count, got $total")
-    assert(bounded === full, "coverage is effectiveness-only: a bound " +
-      "budget must not change results")
+    assert(total > 4, s"bind note must carry the true df>=2 count, got $total")
+    assert(bounded === full, "the two prefix orders must produce " +
+      "IDENTICAL pairs (both are consistent total orders; exact verify)")
+  }
+
+  test("containment join: budget bind takes the join-based order too, " +
+      "pairs identical across the two paths") {
+    val docs = skewedDocs
+    def cont(budget: Long) = ContainmentJoin
+      .containedPairs(docs, "doc_id", "text", k = 2, minContainment = 0.6,
+        maxStopGrams = StopGrams.Auto, stopGramBudgetBytes = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var full: Set[(Long, Long)] = null
+    assert(capturingBinds { full = cont(StopGrams.DefaultBudgetBytes) }.isEmpty)
+    var bounded: Set[(Long, Long)] = null
+    var warned: Seq[(String, Int, Long)] = null
+    val bound = capturingBinds {
+      warned = capturingCaps { bounded = cont(64L) }
+    }
+    assert(warned.isEmpty)
+    assert(bound.map(b => (b._1, b._2)) ===
+      Seq(("ContainmentJoin.containedPairs", 4)))
+    assert(bounded === full)
+  }
+
+  test("forced tiny-budget A/B: join-order candidates stay ~ data " +
+      "ratio where the truncated broadcast order goes quadratic") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ColumnBridge
+    // the r15 degradation shape, miniaturized: every doc shares two
+    // hot bigrams ("the common", "common header"); tails are
+    // doc-unique; every 10th doc has an identical twin (the true
+    // pairs, linear in n). A 16-byte budget covers ONE stop gram, so
+    // the truncated broadcast order treats the OTHER hot gram as rare
+    // (hash-ordered among the uniques) and ~3/4 of probes drag it
+    // into their 3-of-5 prefix — a Θ(n²) bucket; the exact join order
+    // ranks both hot grams last and candidates collapse to the twins.
+    def corpus(n: Int) = {
+      import spark.implicits._
+      // docs 10k and 10k+1 share a tail (the twins); all others unique
+      (0 until n).map { i =>
+        val j = if (i % 10 <= 1) i - (i % 10) else i
+        (i.toLong, s"the common header u${j}a u${j}b u${j}c")
+      }.toDF("doc_id", "text")
+    }
+    val t = 0.5 - 1e-9
+    def candidates(n: Int, truncated: Boolean): Long = {
+      val docs = corpus(n)
+      val g = docs.select(col("doc_id").as("__id"),
+        ColumnBridge.col(graft.functions.SortedGramHashes(
+          ColumnBridge.expr(col("text")), 2)).as("__g"))
+      val dfT = g.select(
+          explode(when(col("__g").isNotNull, col("__g"))).as("__gram"))
+        .groupBy("__gram").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= 2)
+      val buckets =
+        if (!truncated) StopGrams.joinPrefix(g, dfT, t)
+          .select(col("__id"), col("__gram").as("__bucket"))
+        else {
+          val stop = dfT.orderBy(col("__df").desc, col("__gram"))
+            .limit(1).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+          val pfx = ColumnBridge.col(graft.functions.RarestPrefix(
+            ColumnBridge.expr(col("__g")), t,
+            graft.functions.RarestPrefix.broadcastTable(spark, stop)))
+          g.select(col("__id"),
+            explode(when(col("__g").isNotNull, pfx)).as("__bucket"))
+        }
+      val row = buckets.groupBy("__bucket").agg(count(lit(1)).as("__m"))
+        .agg(sum(col("__m") * (col("__m") - 1))).head()
+      (if (row.isNullAt(0)) 0L else row.getLong(0)) / 2
+    }
+    val n1 = 120; val n2 = 360 // 3x data
+    val j1 = candidates(n1, truncated = false)
+    val j2 = candidates(n2, truncated = false)
+    val t1 = candidates(n1, truncated = true)
+    val t2 = candidates(n2, truncated = true)
+    // exact order: candidates are the planted twins (+ hot grams rank
+    // LAST so never indexed) — exactly linear in the data
+    assert(j1 > 0, "the plant must produce true candidates")
+    assert(j2.toDouble / j1 <= 4.5,
+      s"join-order candidates must track the 3x data ratio: $j1 -> $j2")
+    // truncated order: the uncovered hot gram lands in ~3/4 of the
+    // prefixes — a quadratic bucket that grows ~9x at 3x data
+    assert(t1 > 4 * j1,
+      s"truncation must inflate candidates at n=$n1: $t1 vs $j1")
+    assert(t2.toDouble / t1 >= 6.0,
+      s"truncated-order candidates must grow super-linearly: $t1 -> $t2")
   }
 
   test("an explicit manual cap below the df>=2 count warns too (r15's " +
