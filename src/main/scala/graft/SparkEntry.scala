@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.Round12.queries ++
       graft.queries.Round13.queries ++
       graft.queries.Round15.queries ++
-      graft.queries.Round16.queries
+      graft.queries.Round16.queries ++
+      graft.queries.Round17.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
       graft.queries.Round12.oracles ++
       graft.queries.Round13.oracles ++
       graft.queries.Round15.oracles ++
-      graft.queries.Round16.oracles
+      graft.queries.Round16.oracles ++
+      graft.queries.Round17.oracles
 }

@@ -237,7 +237,14 @@ object ScaleBench {
     // at 3 reps; the ratio measures collapse shuffle + the linear hot
     // bucket, not the cohort quadratic. q117 is the Jaccard twin over
     // the same corpus (same collapse, PPJoin path).
-    "q116_boilerplate_collapse", "q117_jaccard_boiler_collapse")
+    "q116_boilerplate_collapse", "q117_jaccard_boiler_collapse",
+    // r17: the budget-bind twins of q43/q59 — the tiny budget forces
+    // StopGrams.joinPrefix (distributed exact frequency order), so
+    // these rows measure the bind path's scale shape: the (gram, df)
+    // join and the per-doc rank window are both data-proportional
+    // shuffles of (id, gram, df) longs, and candidates match the
+    // broadcast path's exactly (same pairs, same verify volume).
+    "q118_jaccard_bind", "q119_containment_bind")
 
   def generate(spark: SparkSession, base: String): Unit = {
     val done = new java.io.File(s"$OUT/_DONE")
