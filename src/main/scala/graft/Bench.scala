@@ -492,7 +492,9 @@ object Bench {
       // 2 of 8 files per trigger; each doc fans out 32 band records
       // into the stateful operator — size state partitions to that
       val recsPerTrigger = NEAR_ROWS * 2 / 8 * 32
+      val wall0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
+      var ttlElapsed: Option[Double] = None
       graft.streaming.StatefulDedup.withStatePartitions(spark,
           graft.streaming.StatefulDedup.statePartitionsFor(recsPerTrigger)) {
         val q = graft.streaming.StatefulDedup
@@ -509,17 +511,29 @@ object Bench {
           // TTL + AvailableNow never self-terminates (processing-time
           // timers keep scheduling no-data batches — see nearDupGate's
           // DRAIN CAVEAT): drain + stop via the product utility. The
-          // timed region still covers all data batches, like the
-          // TTL-0 rows (plus ≤ ~0.1 s of drain-detection latency).
+          // timed region ends at the LAST DATA batch's completion
+          // (progress timestamp + triggerExecution) — NOT at drain
+          // detection/stop: the TTL-0 rows end right after their last
+          // batch, and the drain protocol's extra no-data trigger +
+          // poll quantization + stop would otherwise ride the row and
+          // read as eviction cost (r17 review: the first artifact
+          // shipped +38% that was mostly this overhead).
           nearStateRows(key) =
             graft.streaming.StatefulDedup.drainAvailableNow(q)
+          ttlElapsed = q.recentProgress.filter(_.numInputRows > 0)
+            .lastOption.map { p =>
+              val end = java.time.Instant.parse(p.timestamp).toEpochMilli +
+                Option(p.durationMs.get("triggerExecution"))
+                  .map(_.longValue).getOrElse(0L)
+              math.max(end - wall0, 0L) / 1000.0
+            }
         } else {
           q.awaitTermination()
           q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
             .lastOption.foreach(nearStateRows(key) = _)
         }
       }
-      (System.nanoTime() - t0) / 1e9
+      ttlElapsed.getOrElse((System.nanoTime() - t0) / 1e9)
     }
     nearOnce(nearHotIn, "hot", 0) // warm-up (plan + codegen for the gate)
     val nearHotSec = guardPasses("stream_neardup_30k_hot",
@@ -696,7 +710,11 @@ object Bench {
       "stream_neardup hot_ttl row = the hot intake with " +
       "stateTtlMs=2000 eviction armed (r16 directive #6; eviction " +
       "semantics pinned wall-clock-deterministically in " +
-      "StatefulDedupSpec)"
+      "StatefulDedupSpec); the hot_ttl timed region ends at the last " +
+      "DATA batch (progress timestamp + triggerExecution) because a " +
+      "TTL-armed AvailableNow run never self-terminates and the " +
+      "drain protocol's extra no-data trigger must not read as " +
+      "eviction cost"
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window (BENCH_r05/r06 shipped parsed:null when
     // the full-name, full-precision line outgrew it). The stdout line

@@ -98,51 +98,19 @@ object JaccardJoin {
       ColumnBridge.expr(col(textCol)), k))
     val g = docs.select(col(idCol).as("__id"), grams.as("__g"))
     // stop-gram table: df >= 2 only (a df-1 gram can't skew a bucket),
-    // deterministic tie-break on the hash. The (gram, df) table is
-    // persisted across the capped collect and the rare cap-hit recount
+    // deterministic tie-break on the hash; resolveTable persists it
+    // across the capped collect and the rare cap-hit recount
     // (16-byte rows; same pattern as ContainmentJoin).
     val dfTable = g
       .select(explode(when(col("__g").isNotNull, col("__g"))).as("__gram"))
       .groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2)
-      .persist()
-    val bound = StopGrams.collectBound(maxStopGrams, stopGramBudgetBytes)
-    val (stopRows, dfForJoin) =
-      try {
-        // ONE job on the common path (r16, judge directive #1): the
-        // collect is bounded by the BUDGET ceiling (auto) or the
-        // manual cap; a result shorter than the bound proves full
-        // df≥2 coverage with no count job. Only a bound-filling
-        // result can be truncated — then one count over the cached
-        // 16-byte table recovers the true total.
-        val rows =
-          if (bound == 0) Array.empty[org.apache.spark.sql.Row]
-          else dfTable
-            .orderBy(col("__df").desc, col("__gram"))
-            .limit(bound)
-            .collect()
-        val totalDf2 =
-          if (bound == 0 || rows.length == bound) dfTable.count()
-          else rows.length.toLong
-        if (maxStopGrams == StopGrams.Auto && totalDf2 > bound) {
-          // budget BIND (r16 judge directive #2): don't degrade past
-          // the cap — switch to the join-based exact frequency order.
-          // The (gram, df) table is pinned via localCheckpoint (one
-          // job over the cached 16-byte rows; at warehouse scale this
-          // is the df-table write) so the downstream join never
-          // re-runs the corpus-wide gram count.
-          StopGrams.bindSink("JaccardJoin.nearDupPairs", bound,
-            totalDf2, stopGramBudgetBytes)
-          (rows, Some(dfTable.localCheckpoint()))
-        } else {
-          // manual caps keep their r15 warn-and-degrade meaning (0 =
-          // empty table = pure hash order is the losslessness spec's
-          // dial; an explicit cap is an explicit choice)
-          StopGrams.warnIfTruncated("JaccardJoin.nearDupPairs", bound,
-            stopGramBudgetBytes, totalDf2)
-          (rows, None)
-        }
-      } finally dfTable.unpersist()
+    // bounded collect + bind-vs-warn decision: ONE shared
+    // implementation, [[StopGrams.resolveTable]] (its scaladoc carries
+    // the one-job contract and the r16 directive-#2 bind rule)
+    val (stopRows, dfForJoin) = StopGrams.resolveTable(
+      "JaccardJoin.nearDupPairs", dfTable, maxStopGrams,
+      stopGramBudgetBytes)()
     val buckets = dfForJoin match {
       case Some(dft) =>
         // distributed exact-frequency prefix — no driver table

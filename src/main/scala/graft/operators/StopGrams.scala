@@ -103,6 +103,55 @@ object StopGrams {
           "join + per-doc rank; no driver table, candidates stay " +
           "data-proportional)")
 
+  /** The bounded stop-table collect + bind decision, shared by
+    * [[JaccardJoin]] and [[ContainmentJoin]] (ONE implementation so
+    * the bind rule cannot diverge — r17 review). `dfTable` is the
+    * operator's (__gram, __df) df≥2 frame; it is persisted for the
+    * duration of this call (collect + possible count + census all hit
+    * the cache) and unpersisted before returning.
+    *
+    * ONE job on the common path: the collect is bounded by the budget
+    * ceiling (auto) or the manual cap; a result SHORTER than the
+    * bound proves full df≥2 coverage with no count job. Only a
+    * bound-filling result can be truncated — then one count over the
+    * cached 16-byte table recovers the true total. Auto + truncation
+    * = the BIND: [[bindSink]] fires and the pinned (localCheckpointed)
+    * table is returned for [[joinPrefix]] — the checkpoint is one job
+    * over the cached rows, and at warehouse scale it is the df-table
+    * write; manual caps keep their r15 warn-and-degrade meaning
+    * ([[warnSink]]; 0 = empty table = pure hash order, the
+    * losslessness dial). `census` runs while the table is still
+    * cached (ContainmentJoin's hot-bucket census; JaccardJoin passes
+    * none).
+    *
+    * Returns (collected stop rows, Some(pinned df table) iff the
+    * Auto budget bound — the caller switches to [[joinPrefix]]). */
+  def resolveTable(
+      tag: String, dfTable: DataFrame, maxStopGrams: Int,
+      budgetBytes: Long)(
+      census: (Array[org.apache.spark.sql.Row], Int, DataFrame) => Unit =
+        (_, _, _) => ())
+      : (Array[org.apache.spark.sql.Row], Option[DataFrame]) = {
+    val bound = collectBound(maxStopGrams, budgetBytes)
+    val persisted = dfTable.persist()
+    try {
+      val rows =
+        if (bound == 0) Array.empty[org.apache.spark.sql.Row]
+        else persisted
+          .orderBy(col("__df").desc, col("__gram"))
+          .limit(bound)
+          .collect()
+      val totalDf2 =
+        if (bound == 0 || rows.length == bound) persisted.count()
+        else rows.length.toLong
+      val bind = maxStopGrams == Auto && totalDf2 > bound
+      if (bind) bindSink(tag, bound, totalDf2, budgetBytes)
+      else warnIfTruncated(tag, bound, budgetBytes, totalDf2)
+      census(rows, bound, persisted)
+      (rows, if (bind) Some(persisted.localCheckpoint()) else None)
+    } finally { persisted.unpersist(); () }
+  }
+
   /** The budget-bind fallback (r16 judge directive #2): the PPJoin
     * rare-first prefix computed DISTRIBUTED, with the exact corpus
     * frequency order — no driver table at any corpus size.

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{ColumnBridge, Hashes}
+import graft.functions.ColumnBridge
 import graft.operators.{ClusterDedup, MinHashLsh}
 
 /** Stage-level timing of the shared dedup DAG (q38/q41/q46 cost center):
@@ -34,13 +34,12 @@ object ProfileDedup {
         (col("doc_id") + 2000000L).as("doc_id"), col("text")))
     time("corpus scan")(docs.count())
 
-    val withFp = docs.select(col("doc_id"), col("text"),
-      Hashes.fingerprint128(lower(trim(col("text")))).as("__fp"))
-    val reps = withFp.groupBy("__fp")
-      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
-      .select(col("doc_id"), col("text"))
-    time("exact reps (groupBy fp)")(reps.count())
-    val repsCk = time("reps localCheckpoint")(reps.localCheckpoint())
+    // the PRODUCT collapse stage (DedupPipeline.collapseExact — the one
+    // shared implementation; this tool must profile the shipped plan,
+    // not a drifted replica), timed as one stage: the call is eager
+    // (groupBy-fp shuffle + localCheckpoint materialization together)
+    val repsCk = time("exact collapse (fp group + ckpt)")(
+      graft.operators.DedupPipeline.collapseExact(docs, "doc_id", "text"))
 
     val sig = ColumnBridge.col(graft.functions.MinHashTextSignature(
       ColumnBridge.expr(col("text")), 3, 64))

@@ -423,13 +423,20 @@ object ScaleBench {
         }
       } else Map.empty
     val fresh = rows.toMap
+    // Locale.ROOT, not the f-interpolator: a comma-decimal default
+    // locale would render 1,234 and corrupt the JSON (same hazard
+    // Bench.scala documents for its stdout line)
+    def rootF(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     def stampJson(s: Stamp): String = {
       val (a, b, r, ba, bb, rn) = s
       val bands =
         if (!ba.isNaN && !bb.isNaN && !rn.isNaN)
-          f""","band01":$ba%.3f,"band1":$bb%.3f,"ratio_norm":$rn%.2f"""
+          s""","band01":${rootF("%.3f", ba)},"band1":${rootF("%.3f", bb)},""" +
+            s""""ratio_norm":${rootF("%.2f", rn)}"""
         else ""
-      f""""sf01":$a%.3f,"sf1":$b%.3f,"ratio":$r%.2f$bands"""
+      s""""sf01":${rootF("%.3f", a)},"sf1":${rootF("%.3f", b)},""" +
+        s""""ratio":${rootF("%.2f", r)}$bands"""
     }
     val json = (prior ++ fresh).toSeq.sortBy(_._1)
       .map { case (n, (s, rt)) =>

@@ -211,7 +211,7 @@ class SkewGateSpec extends SparkSuite {
 
   test("boilerplate-ONLY cohort, Jaccard twin: collapsed exact join " +
       "returns the rep-pair answer; the variant trio survives at " +
-      "9/11 and 10/11") {
+      "9/10, 10/11 and 9/11") {
     val variants = Seq(header,
       header.split(" ").dropRight(1).mkString(" "), header + " today")
     val boiler = (0 until 12).map(j => (7000L + j, variants(j % 3)))
