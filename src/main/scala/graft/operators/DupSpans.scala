@@ -32,9 +32,21 @@ import org.apache.spark.sql.functions._
   * corpus max-doc-length contract), partition-pruned by doc id.
   *
   * 64-bit hashing means two distinct grams can collide and falsely mark
-  * a span (~1e-9 at millions of distinct grams, birthday-bounded) —
-  * accepted and documented, as in q23/q35/q37; use the gram text itself
-  * as the key if a zero-FP guarantee is ever worth text-width shuffles.
+  * a span, and unlike the gram-join family there is NO downstream
+  * string-exact verify here — a collision IS answer-affecting. Honest
+  * math (r17, the corrected-birthday-bound discipline of
+  * [[graft.functions.Hashes.fingerprint128]]): expected colliding gram
+  * PAIRS ≈ C(G,2)/2⁶⁴ — negligible at millions of distinct grams
+  * (~3e-8 at 10⁶), ~3×10⁴ pairs at the 100 TB point (G ≈ 10¹²). Each
+  * collision only promotes its two grams' own occurrence positions
+  * (typically O(1) of ~10¹³ corpus positions) to falsely-duplicated,
+  * so the perturbed-span fraction stays ~1e-9 — accepted and
+  * documented, deliberately NOT widened: the gram stream is the
+  * corpus-dominant shuffle and a 16-byte key doubles its width for a
+  * 1e-9 artifact rate (the opposite trade from the exact-dedup family,
+  * where one collision deletes a whole document). Swap in
+  * `fingerprint128` (or the gram text) as the key if a zero-FP
+  * guarantee is ever worth the width.
   */
 object DupSpans {
 
