@@ -78,23 +78,29 @@ object Bench {
     // for the top-level window_index (this run's mean canary band over
     // the prior's) — the cross-round headline classifier, in-artifact
     // instead of reconstructed from six run tables.
+    // MEDIAN of the three samples, not the mean (r17 run 4: a single
+    // cold-start spike — 3.88 vs mid/end 1.28/1.26 — dragged the mean
+    // to 2.14 and stamped window_index 1.72 on the round's FASTEST,
+    // zero-suspect run; the median is robust to exactly that one-bad-
+    // sample shape, and the per-query guard bands already handle
+    // within-run drift)
+    def windowOf(samples: Seq[Double]): Double =
+      if (samples.isEmpty) -1.0
+      else samples.sorted.apply(samples.size / 2)
     val priorWindow: Double = {
       if (priorRoot == null || !priorSfMatches) -1.0
       else {
         val c = priorRoot.get("canaries")
         if (c == null) -1.0
-        else {
-          val vals = Seq("start", "mid", "end").flatMap { k =>
-            Option(c.get(k)).flatMap { n =>
-              (Option(n.get("scan_agg")), Option(n.get("shuffle_agg"))) match {
-                case (Some(s), Some(sh)) if s.isNumber && sh.isNumber =>
-                  Some(s.asDouble() + sh.asDouble())
-                case _ => None
-              }
+        else windowOf(Seq("start", "mid", "end").flatMap { k =>
+          Option(c.get(k)).flatMap { n =>
+            (Option(n.get("scan_agg")), Option(n.get("shuffle_agg"))) match {
+              case (Some(s), Some(sh)) if s.isNumber && sh.isNumber =>
+                Some(s.asDouble() + sh.asDouble())
+              case _ => None
             }
           }
-          if (vals.isEmpty) -1.0 else vals.sum / vals.size
-        }
+        })
       }
     }
     val queryBands = scala.collection.mutable.Map.empty[String, Double]
@@ -647,7 +653,7 @@ object Bench {
     val totalNorm = queryResults
       .map { case (n, v) => if (v >= 0) v * bandFactorFor(n) else 0.0 }.sum
     val curWindow =
-      Seq(canaryStart, canaryMid, canaryEnd).map(c => c._1 + c._2).sum / 3.0
+      windowOf(Seq(canaryStart, canaryMid, canaryEnd).map(c => c._1 + c._2))
     val windowIndex = if (priorWindow > 0) curWindow / priorWindow else -1.0
     val windowIndexJson =
       if (windowIndex > 0)
@@ -705,8 +711,10 @@ object Bench {
       "signatures - the bounded-hot-key claim, in the artifact); r17: " +
       "total_norm = sum of per-query mins x the guard's clamped " +
       "band factors (band-normalized headline), window_index = this " +
-      "run's mean canary band / the prior artifact's (>1 = hotter " +
-      "host; the cross-round classifier, r16 directive #3); " +
+      "run's MEDIAN canary band / the prior artifact's (>1 = hotter " +
+      "host; the cross-round classifier, r16 directive #3; median " +
+      "not mean - one cold-start spike must not stamp a hot index " +
+      "on a clean run); " +
       "stream_neardup hot_ttl row = the hot intake with " +
       "stateTtlMs=2000 eviction armed (r16 directive #6; eviction " +
       "semantics pinned wall-clock-deterministically in " +

@@ -456,6 +456,29 @@ class StatefulDedupSpec extends SparkSuite {
     }
   }
 
+  test("drainAvailableNow times out loudly when the input never drains") {
+    // a continuous rate source never reaches the drained condition
+    // (every batch has data); the utility must throw, not spin — and
+    // must stop the query on its way out? No: the contract is
+    // throw-on-timeout with the query left to the caller, so clean up
+    // here.
+    // 1000 rows/s >> the 200 ms trigger cadence, so every batch after
+    // startup carries data and the drained condition (a no-data batch
+    // AFTER a data batch) can never be met
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1000").load()
+      .writeStream.format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      intercept[java.util.concurrent.TimeoutException] {
+        StatefulDedup.drainAvailableNow(q, timeoutMs = 2500)
+      }
+    } finally {
+      q.stop(); q.awaitTermination()
+    }
+  }
+
   test("restart from a pre-versioned (Boolean-state) checkpoint fails loudly") {
     import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQueryException}
