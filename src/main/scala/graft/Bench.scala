@@ -75,9 +75,9 @@ object Bench {
     // canary sample must not hide a real regression or invent one.
     val priorBands: Map[String, Double] = priorNumbers("query_bands")
     // r17 (r16 judge directive #3): the prior artifact's canary window,
-    // for the top-level window_index (this run's mean canary band over
-    // the prior's) — the cross-round headline classifier, in-artifact
-    // instead of reconstructed from six run tables.
+    // for the top-level window_index (this run's MEDIAN canary band
+    // over the prior's) — the cross-round headline classifier,
+    // in-artifact instead of reconstructed from six run tables.
     // MEDIAN of the three samples, not the mean (r17 run 4: a single
     // cold-start spike — 3.88 vs mid/end 1.28/1.26 — dragged the mean
     // to 2.14 and stamped window_index 1.72 on the round's FASTEST,
@@ -490,7 +490,7 @@ object Bench {
     val nearSchema = spark.read.parquet(nearHotIn).schema
     val nearStateRows = scala.collection.mutable.Map.empty[String, Long]
     def nearOnce(inDir: String, key: String, pass: Int,
-        ttlMs: Long = 0L): Double = {
+        ttlMs: Long = 0L, rawDir: Option[String] = None): Double = {
       val out = s"$nearBase/out_${key}_$pass"
       val ck = s"$nearBase/ck_${key}_$pass"
       val src = spark.readStream.schema(nearSchema)
@@ -507,8 +507,23 @@ object Bench {
           .nearDupGate(src, "doc_id", "text", stateTtlMs = ttlMs)
           .writeStream
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            graft.streaming.StatefulDedup.finishNearDupGate(b)
-              .write.mode("append").parquet(out)
+            rawDir match {
+              case Some(raw) =>
+                // instrumentation pass only (UNTIMED — never on a
+                // guarded row): accumulate the gate's (band, hit)
+                // verdicts for the re-admission counter; persist so
+                // the stateful operator executes once for both sinks
+                b.persist()
+                try {
+                  graft.streaming.StatefulDedup.finishNearDupGate(b)
+                    .write.mode("append").parquet(out)
+                  b.select("__band", "__hit")
+                    .write.mode("append").parquet(raw)
+                } finally { b.unpersist(); () }
+              case None =>
+                graft.streaming.StatefulDedup.finishNearDupGate(b)
+                  .write.mode("append").parquet(out)
+            }
           }
           .option("checkpointLocation", ck)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -564,12 +579,23 @@ object Bench {
       (1 to 2).map { p => System.gc(); nearOnce(nearHotIn, "ttl", p, NearTtlMs) },
       () => { System.gc(); nearOnce(nearHotIn, "ttl", 3, NearTtlMs) },
       ThroughputRatio).min
+    // r17 judge directive #5: ONE extra UNTIMED TTL pass with the gate's
+    // (band, hit) verdicts accumulated — readmissionCount over the whole
+    // run is the exact number of eviction-then-return cycles (the
+    // stateTtlMs sizing signal; see StatefulDedup.readmissionCount's
+    // exactness argument). Instrumented separately so the timed hot_ttl
+    // row's protocol — and its cross-round guard prior — is unchanged.
+    val nearRawDir = s"$nearBase/raw_ttl"
+    nearOnce(nearHotIn, "ttlobs", 0, NearTtlMs, rawDir = Some(nearRawDir))
+    val nearReadmissions = graft.streaming.StatefulDedup
+      .readmissionCount(spark.read.parquet(nearRawDir))
     System.err.println(
       f"[bench] stream near-dup gate: hot $nearHotSec%.2f s " +
         f"(${NEAR_ROWS / nearHotSec}%.0f rows/s, state ${nearStateRows.getOrElse("hot", -1L)} rows) vs " +
         f"uniform $nearUniSec%.2f s (${NEAR_ROWS / nearUniSec}%.0f rows/s, " +
         f"state ${nearStateRows.getOrElse("uni", -1L)} rows); hot/uniform ${nearHotSec / nearUniSec}%.2f; " +
-        f"ttl-on hot $nearTtlSec%.2f s (state ${nearStateRows.getOrElse("ttl", -1L)} rows)")
+        f"ttl-on hot $nearTtlSec%.2f s (state ${nearStateRows.getOrElse("ttl", -1L)} rows, " +
+        f"$nearReadmissions re-admissions on the instrumented pass)")
     val canaryEnd = canaryOnce()
     // Per-format single-core decode throughput (r11 judge finding #1 /
     // directive #2): the media-gate query rows (q108-q111) are
@@ -587,8 +613,23 @@ object Bench {
     // tighter 1.25x (a 20% sag is exactly the defect class observed) —
     // one re-measured block for the sagging formats, best kept, a
     // persistent sag ships flagged as decode:<name>.
+    // r18 (r17 judge directive #3): the guard compares against the
+    // row's RECORDED OSCILLATION BAND, not a point prior. Some decoders
+    // are honestly bimodal across JVMs (png_gray8's measured band is
+    // 146–320 MP/s — JIT path selection, not contamination; five
+    // rounds of manual window-classification said so in prose), so the
+    // artifact now carries band_lo/band_hi per format — the running
+    // min/max of every timed block ever observed, merged from the
+    // prior artifact each run — and the sag trigger fires only against
+    // band_lo. A rate inside its own recorded band can never flag; a
+    // genuine regression below the historical low still flags loudly
+    // once, then (same semantics as the query guard's prior) the
+    // merged band absorbs it so the flag is one round's evidence, not
+    // a permanent alarm.
     val DecodeGuardRatio = 1.25
-    val priorDecode: Map[String, Double] =
+    // prior band per format; rows stamped before r18 carry only mp_s —
+    // their band starts as that point
+    val priorDecodeBand: Map[String, (Double, Double)] =
       if (priorRoot == null || !priorSfMatches) Map.empty
       else {
         val node = priorRoot.get("decode_mps")
@@ -596,31 +637,49 @@ object Bench {
         else {
           import scala.jdk.CollectionConverters._
           node.fields().asScala.flatMap { e =>
-            Option(e.getValue.get("mp_s")).filter(_.isNumber)
-              .map(v => e.getKey -> v.asDouble())
+            def num(k: String): Option[Double] =
+              Option(e.getValue.get(k)).filter(_.isNumber).map(_.asDouble())
+            num("mp_s").map { m =>
+              e.getKey -> (math.min(num("band_lo").getOrElse(m), m),
+                math.max(num("band_hi").getOrElse(m), m))
+            }
           }.toMap
         }
       }
+    def priorLo(name: String): Option[Double] =
+      priorDecodeBand.get(name).map(_._1).filter(_ > 0)
     val sagging = decodeRates.filter(r =>
-        priorDecode.get(r.name).exists(p =>
-          p > 0 && r.mpPerSec * DecodeGuardRatio < p))
+        priorLo(r.name).exists(lo => r.mpPerSec * DecodeGuardRatio < lo))
       .map(_.name).toSet
     if (sagging.nonEmpty) {
       System.err.println(s"[bench] decode rows >${DecodeGuardRatio}x " +
-        s"below prior - re-measuring: ${sagging.mkString(", ")}")
+        s"below their recorded band_lo - re-measuring: " +
+        sagging.mkString(", "))
       val third = graft.tools.MediaDecodeBench.measure(only = sagging)
         .map(r => r.name -> r).toMap
-      decodeRates = decodeRates.map(r =>
-        third.get(r.name).filter(_.mpPerSec > r.mpPerSec).getOrElse(r))
+      // best block wins the headline; EVERY observed block (including
+      // the re-measure's) extends the recorded band
+      decodeRates = decodeRates.map(r => third.get(r.name) match {
+        case Some(t) =>
+          (if (t.mpPerSec > r.mpPerSec) t else r)
+            .copy(blocks = r.blocks ++ t.blocks)
+        case None => r
+      })
       decodeRates
         .filter(r => sagging(r.name) &&
-          r.mpPerSec * DecodeGuardRatio < priorDecode(r.name))
+          priorLo(r.name).exists(lo => r.mpPerSec * DecodeGuardRatio < lo))
         .foreach { r =>
           suspects ::= s"decode:${r.name}"
           System.err.println(f"[bench] decode ${r.name} still " +
-            f"${r.mpPerSec}%.1f MP/s vs prior ${priorDecode(r.name)}%.1f" +
+            f"${r.mpPerSec}%.1f MP/s vs band_lo ${priorLo(r.name).get}%.1f" +
             " - flagged suspect")
         }
+    }
+    // the band that ships: prior band ∪ this run's observed blocks
+    def decodeBandOf(r: graft.tools.MediaDecodeBench.Rate): (Double, Double) = {
+      val obs = if (r.blocks.nonEmpty) r.blocks else Seq(r.mpPerSec)
+      val (plo, phi) = priorDecodeBand.getOrElse(r.name, (obs.min, obs.max))
+      (math.min(plo, obs.min), math.max(phi, obs.max))
     }
     decodeRates.foreach(r => System.err.println(
       f"[bench] decode ${r.name}%-16s ${r.mpPerSec}%8.1f MP/s  ${r.mbPerSec}%8.1f MB/s"))
@@ -646,9 +705,10 @@ object Bench {
     // just the guard rows — each query's min scaled by the same
     // clamped prior_band/cur_band factor the suspect guard uses, then
     // summed. With no prior artifact every factor is 1 and
-    // total_norm == total. window_index is this run's mean canary
+    // total_norm == total. window_index is this run's MEDIAN canary
     // band over the prior artifact's (> 1 = hotter host than the
-    // prior round) — the one number that classifies a cross-round
+    // prior round; median per windowOf — robust to one cold-start
+    // spike) — the one number that classifies a cross-round
     // headline move as window vs code.
     val totalNorm = queryResults
       .map { case (n, v) => if (v >= 0) v * bandFactorFor(n) else 0.0 }.sum
@@ -722,7 +782,16 @@ object Bench {
       "DATA batch (progress timestamp + triggerExecution) because a " +
       "TTL-armed AvailableNow run never self-terminates and the " +
       "drain protocol's extra no-data trigger must not read as " +
-      "eviction cost"
+      "eviction cost; r18: readmissions_hot_ttl = exact " +
+      "eviction-then-return count (StatefulDedup.readmissionCount: " +
+      "sum over band keys of admissions-1) from ONE extra UNTIMED " +
+      "instrumented TTL pass - the stateTtlMs sizing signal, in the " +
+      "artifact (r17 directive #5); timed rows unchanged; r18 decode " +
+      "guard: each decode_mps row carries band_lo/band_hi (running " +
+      "min/max over every timed block observed, merged from the prior " +
+      "artifact) and the 1.25x sag trigger fires against band_lo, not " +
+      "the point prior - a rate inside its own recorded oscillation " +
+      "band never flags (r17 directive #3, the png_gray8 class)"
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window (BENCH_r05/r06 shipped parsed:null when
     // the full-name, full-precision line outgrew it). The stdout line
@@ -753,10 +822,12 @@ object Bench {
     val decodeShort = decodeRates.map(r =>
       "\"" + r.name + "\":" + String.format(java.util.Locale.ROOT, "%.1f",
         Double.box(r.mpPerSec))).mkString("{", ",", "}")
-    val decodeFull = decodeRates.map(r =>
+    val decodeFull = decodeRates.map { r =>
+      val (blo, bhi) = decodeBandOf(r)
       "\"" + r.name + "\":{\"mp_s\":" + r.mpPerSec + ",\"mb_s\":" +
         r.mbPerSec + ",\"dec_s\":" + r.decPerSec + ",\"bytes\":" +
-        r.bytes + "}").mkString("{", ",", "}")
+        r.bytes + ",\"band_lo\":" + blo + ",\"band_hi\":" + bhi + "}"
+    }.mkString("{", ",", "}")
     val rates =
       s""""ingest_rows_per_sec":${(INGEST_ROWS / ingestSec).toLong},""" +
         s""""ingest_parquet_rows_per_sec":${(INGEST_ROWS / ingestPqSec).toLong},""" +
@@ -796,7 +867,8 @@ object Bench {
         s""""state_rows_hot":${nearStateRows.getOrElse("hot", -1L)},""" +
         s""""state_rows_uniform":${nearStateRows.getOrElse("uni", -1L)},""" +
         s""""hot_ttl_s":$nearTtlSec,"ttl_ms":$NearTtlMs,""" +
-        s""""state_rows_hot_ttl":${nearStateRows.getOrElse("ttl", -1L)}},""" +
+        s""""state_rows_hot_ttl":${nearStateRows.getOrElse("ttl", -1L)},""" +
+        s""""readmissions_hot_ttl":$nearReadmissions},""" +
         s"""$rates,"protocol":"$protocol","sf":"$sfDir"}""")
     System.err.println(s"[bench] full-precision record written to $fullPath")
     // The driver's tail window is 2000 chars: the stdout line MUST fit

@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.Round13.queries ++
       graft.queries.Round15.queries ++
       graft.queries.Round16.queries ++
-      graft.queries.Round17.queries
+      graft.queries.Round17.queries ++
+      graft.queries.Round18.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.queries.Round13.oracles ++
       graft.queries.Round15.oracles ++
       graft.queries.Round16.oracles ++
-      graft.queries.Round17.oracles
+      graft.queries.Round17.oracles ++
+      graft.queries.Round18.oracles
 }

@@ -82,7 +82,24 @@ object EditDistanceJoin {
   val MaxDistinctLengths: Int = 1 << 16
 
   /** All pairs `(id_a < id_b, dist)` with
-    * `levenshtein(str_a, str_b) <= maxDist`. */
+    * `levenshtein(str_a, str_b) <= maxDist`.
+    *
+    * EAGER JOB + IMMUTABLE-INPUT ASSUMPTION (r17 ADVICE): building the
+    * returned DataFrame runs ONE narrow Spark job at call time — the
+    * distinct-length collect that feeds the present-length window
+    * restriction — so this call is not purely declarative (same
+    * contract class as the gram joins' stop-table collect,
+    * [[StopGrams.resolveTable]]). The collected length set is a
+    * SNAPSHOT of `df` at call time: the restriction is lossless only
+    * while the input plan is deterministic and its source unchanged
+    * between this call and every execution of the result. A
+    * non-deterministic input (rand-derived strings) or a source
+    * directory that gains files after the call could hold a length
+    * absent from the snapshot, and pairs needing that length would be
+    * silently dropped. Callers violating that (rare — a re-read lake
+    * partition mid-pipeline) should pin the input first
+    * (localCheckpoint) so the collect and the execution read the same
+    * rows. */
   def selfJoin(
       df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")

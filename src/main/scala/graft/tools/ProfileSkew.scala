@@ -187,6 +187,65 @@ object ProfileSkew {
       val q116 = time("q116 full query")(
         graft.queries.Round16.q116BoilerplateCollapse(spark, dir).count())
       println(s"[skew] q116 result pairs=$q116")
+
+      // ---- bind×skew (r17 judge directive #1: q120/q121) ----
+      // The 100 TB path under the Zipf-hot plant: the stop table has
+      // outgrown the driver budget, so the prefix order is computed
+      // DISTRIBUTED (StopGrams.joinPrefix) — a gram-keyed (doc-gram ×
+      // df-table) join that hash-routes every doc holding a hot gram
+      // to one partition. This section measures (a) that join's
+      // per-partition balance AS EXECUTED (hottest vs median partition
+      // row count, and whether AQE's skew/coalesce reader fired), and
+      // (b) bind-path candidate volume at both scales — the 10× curve
+      // the q120 gate's linearity claim rests on.
+      val bindT = t // q120 = q114's threshold through the bind
+      val dft114 = dfTable.filter(col("__df") >= 2).localCheckpoint()
+      val bindJoin = g.select(
+          col("__id"), size(col("__g")).cast("long").as("__n"),
+          explode(when(col("__g").isNotNull, col("__g"))).as("__gram"))
+        .join(dft114, Seq("__gram"), "left")
+      val bindParts = bindJoin
+        .groupBy(spark_partition_id().as("__pid"))
+        .agg(count(lit(1)).as("c"))
+      val partRows = bindParts.collect().map(_.getLong(1)).sorted
+      val aqeRead = bindParts.queryExecution.executedPlan.toString()
+      val aqeMech =
+        if (aqeRead.contains("skewed")) "AQE skew-split fired"
+        else if (aqeRead.contains("coalesced")) "AQE coalesced (no skew split needed)"
+        else "plain hash partitions (no AQE rewrite)"
+      println(s"[skew] q120 gram-df join partitions: n=${partRows.length}  " +
+        s"hottest=${partRows.last}  median=${partRows(partRows.length / 2)}  " +
+        s"hot/median=${"%.2f".format(
+          partRows.last.toDouble / math.max(partRows(partRows.length / 2), 1))}  " +
+        s"[$aqeMech]")
+      val bindBuckets = graft.operators.StopGrams.joinPrefix(g, dft114, bindT)
+        .select(col("__id"), col("__n"), col("__gram").as("__bucket"))
+      val bindPairsGen = ColumnBridge.col(graft.functions.LengthFilteredPairs(
+        ColumnBridge.expr(col("__members")), bindT))
+      val bindCands = bindBuckets.groupBy("__bucket")
+        .agg(collect_list(struct(col("__id"), col("__n"))).as("__members"))
+        .filter(size(col("__members")) > 1)
+        .select(bindPairsGen.as(Seq("id_a", "id_b")))
+      println(s"[skew] q120 bind candidates: raw=${bindCands.count()}  " +
+        s"distinct=${bindCands.distinct().count()}")
+      val q120 = time("q120 full query")(
+        graft.queries.Round18.q120JaccardBindSkew(spark, dir).count())
+      println(s"[skew] q120 result pairs=$q120")
+      // containment twin: probe prefix via joinPrefix, full-gram index
+      val cdft = cdf.filter(col("__df") >= 2).localCheckpoint()
+      val bindProbe = graft.operators.StopGrams.joinPrefix(cg, cdft, ct)
+        .select(col("__id").as("id_a"), col("__n").as("__na"), col("__gram"))
+      val bindIndex = cg.select(col("__id").as("id_b"),
+        size(col("__g")).cast("long").as("__nb"),
+        explode(when(col("__g").isNotNull, col("__g"))).as("__gram"))
+      val bindCCands = bindProbe.join(bindIndex, "__gram")
+        .filter(col("id_a") =!= col("id_b") &&
+          col("__nb").cast("double") >= col("__na") * ct)
+        .select("id_a", "id_b").distinct()
+      println(s"[skew] q121 bind candidates: distinct=${bindCCands.count()}")
+      val q121 = time("q121 full query")(
+        graft.queries.Round18.q121ContainmentBindSkew(spark, dir).count())
+      println(s"[skew] q121 result pairs=$q121")
       import scala.jdk.CollectionConverters._
       val fired = events.asScala.toSeq
       println(s"[skew] probes fired at $label: " +

@@ -125,6 +125,112 @@ class IncrementalDedupSpec extends SparkSuite {
       Map(41L -> "exact", 42L -> "near", 43L -> "exact", 44L -> "new"))
   }
 
+  test("bucketed index (format 3, r17 directive #4): identical verdicts " +
+      "to a plain index, NO Exchange above either history-side scan, " +
+      "both scans bucket-partitioned, registration survives a catalog " +
+      "wipe") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dirB = java.nio.file.Files
+      .createTempDirectory("inc_dedup_bucketed").toString
+    val dirP = java.nio.file.Files
+      .createTempDirectory("inc_dedup_plainidx").toString
+    IncrementalDedup.writeIndex(history, "doc_id", "text", dirB) // 32 buckets
+    IncrementalDedup.writeIndex(history, "doc_id", "text", dirP,
+      numBuckets = 0) // the plain A/B twin
+    val newDocs = Seq(
+      61L -> "the quick brown fox jumps over the lazy dog", // exact
+      62L -> "quick brown fox jumps over the lazy dog", // near
+      63L -> "entirely novel sentence about unrelated topics today"
+    ).toDF("doc_id", "text")
+    def verdicts(dir: String) = IncrementalDedup
+      .dedupNew(spark, newDocs, history, "doc_id", "text", dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val bucketed = verdicts(dirB)
+    assert(bucketed === verdicts(dirP),
+      "bucketing is a plan-shape property; verdicts must be identical")
+    assert(bucketed.map(v => v._1 -> v._2).toMap ===
+      Map(61L -> "exact", 62L -> "near", 63L -> "new"))
+
+    // plan shape, deterministically (static planner, no broadcast —
+    // at real index scale the history side is never broadcastable, so
+    // the spec pins the shuffle-join shape the claim is about)
+    val restore = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def indexScans(dir: String,
+          plan: org.apache.spark.sql.execution.SparkPlan) =
+        plan.collect {
+          case s: FileSourceScanExec if s.relation.location.rootPaths
+            .exists(_.toString.contains(
+              new java.io.File(dir).getName)) => s
+        }
+      // THE claim, precisely: no Exchange sits BETWEEN a history-side
+      // index scan and the join that consumes it. Exchanges downstream
+      // of that join (aggregates on the join output etc.) contain the
+      // scan deep in their subtree and are the probe's own, legitimate
+      // batch-sized shuffles — a join node "consumes" the scan, so the
+      // exposure walk stops there.
+      def historyExchanges(dir: String,
+          plan: org.apache.spark.sql.execution.SparkPlan) = {
+        def isIdxScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          p match {
+            case s: FileSourceScanExec => s.relation.location.rootPaths
+              .exists(_.toString.contains(new java.io.File(dir).getName))
+            case _ => false
+          }
+        def exposed(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          isIdxScan(p) ||
+            (!p.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec] &&
+              p.children.exists(exposed))
+        plan.collect {
+          case e: ShuffleExchangeExec if exposed(e.child) => e
+        }
+      }
+      def probePlan(dir: String) = {
+        val df = IncrementalDedup.dedupNew(
+          spark, newDocs, history, "doc_id", "text", dir)
+        df.queryExecution.executedPlan
+      }
+      val planB = probePlan(dirB)
+      val scansB = indexScans(dirB, planB)
+      // the exact fps subtree is referenced three times and bands once,
+      // so several scan instances appear; every one must be bucketed
+      assert(scansB.nonEmpty, "no index scans found in the probe plan")
+      scansB.foreach { s =>
+        assert(s.outputPartitioning match {
+          case h: HashPartitioning => h.numPartitions === 32
+          case _ => false
+        }, s"index scan not bucket-partitioned: ${s.nodeName} " +
+          s"${s.outputPartitioning}")
+      }
+      val exchangesOverIndex = historyExchanges(dirB, planB)
+      assert(exchangesOverIndex.isEmpty,
+        s"history-side Exchange in the bucketed probe plan:\n" +
+          exchangesOverIndex.mkString("\n"))
+      // contrast: the plain index pays exchanges over its scans
+      val planP = probePlan(dirP)
+      assert(historyExchanges(dirP, planP).nonEmpty,
+        "plain index probe unexpectedly exchange-free - the " +
+          "bucketed claim would be vacuous")
+
+      // fresh-session shape: wipe the catalog entries; the probe must
+      // re-register from the index's own meta + footprint and KEEP the
+      // bucketed plan (nothing session-local is load-bearing)
+      Seq("fps", "bands").foreach { sub =>
+        spark.sql(
+          s"DROP TABLE IF EXISTS ${IncrementalDedup.tableName(dirB, sub)}")
+      }
+      assert(verdicts(dirB) === bucketed)
+      assert(historyExchanges(dirB, probePlan(dirB)).isEmpty,
+        "re-registered index lost its bucketed plan")
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("format-1 index fails LOUDLY (r16 directive #1 version bump)") {
     // a pre-r17 index (64-bit fps, meta without `format`) must raise a
     // clear rebuild error from BOTH the probe and the append path — a

@@ -377,9 +377,10 @@ class StatefulDedupSpec extends SparkSuite {
       "suppress; idle band keys evict; a re-arriving doc past the TTL " +
       "re-admits") {
     def scaffold(name: String, ttlMs: Long): (String, String,
-        Seq[String] => Unit, () => Long) = {
+        Seq[String] => Unit, () => Long, String) = {
       val dir = Files.createTempDirectory(name).toString
       val srcDir = s"$dir/in"; val outDir = s"$dir/out"; val ckDir = s"$dir/ck"
+      val rawDir = s"$dir/raw" // accumulated gate output: readmissionCount input
       Files.createDirectories(Paths.get(srcDir))
       var n = 0
       val write = (lines: Seq[String]) => {
@@ -397,8 +398,13 @@ class StatefulDedupSpec extends SparkSuite {
             stateTtlMs = ttlMs)
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            StatefulDedup.finishNearDupGate(batch)
-              .write.mode("append").parquet(outDir)
+            batch.persist() // two sinks below, one stateful execution
+            try {
+              StatefulDedup.finishNearDupGate(batch)
+                .write.mode("append").parquet(outDir)
+              batch.select("__band", "__hit")
+                .write.mode("append").parquet(rawDir)
+            } finally { batch.unpersist(); () }
           }
           .option("checkpointLocation", ckDir)
           .trigger(Trigger.AvailableNow())
@@ -411,7 +417,7 @@ class StatefulDedupSpec extends SparkSuite {
         // trailing no-data evictions can't race the assertion
         StatefulDedup.drainAvailableNow(q)
       }
-      (dir, outDir, write, runOnce)
+      (dir, outDir, write, runOnce, rawDir)
     }
     val boiler = "subscribe to our newsletter for breaking updates and " +
       "exclusive daily offers now and forever until the very end of time"
@@ -421,7 +427,7 @@ class StatefulDedupSpec extends SparkSuite {
     // Phase A — TTL armed but not yet elapsed: semantics identical to
     // the TTL-0 gate (suppression path also RESETS the key's clock)
     locally {
-      val (_, outDir, write, runOnce) = scaffold("neargate_ttl_a", 120000L)
+      val (_, outDir, write, runOnce, rawDir) = scaffold("neargate_ttl_a", 120000L)
       write(Seq(s"10|$boiler", s"11|${uniq(11)}"))
       assert(runOnce() === 2L * 32)
       write(Seq(s"20|$boiler")) // duplicate inside the TTL: suppressed
@@ -429,6 +435,10 @@ class StatefulDedupSpec extends SparkSuite {
         "an in-TTL duplicate must not add state")
       assert(spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
         === Set(10L, 11L))
+      // r17 directive #5: no eviction happened, so the re-admission
+      // counter over the accumulated gate output must read exactly 0
+      assert(StatefulDedup.readmissionCount(spark.read.parquet(rawDir)) === 0L,
+        "no key evicted inside the TTL, so re-admissions must be 0")
     }
 
     // Phase B — the TTL elapses while the keys are idle: the next
@@ -439,7 +449,7 @@ class StatefulDedupSpec extends SparkSuite {
     // only evict MORE (nothing asserted depends on retaining keys
     // whose batch has passed).
     locally {
-      val (_, outDir, write, runOnce) = scaffold("neargate_ttl_b", 4000L)
+      val (_, outDir, write, runOnce, rawDir) = scaffold("neargate_ttl_b", 4000L)
       write(Seq(s"10|$boiler", s"11|${uniq(11)}"))
       assert(runOnce() === 2L * 32)
       Thread.sleep(9000)
@@ -453,6 +463,13 @@ class StatefulDedupSpec extends SparkSuite {
           === Set(10L, 11L, 21L, 30L),
         "a duplicate arriving after its signature's keys evicted " +
           "must RE-ADMIT (the TTL recall trade, by design)")
+      // r17 directive #5: doc 30's re-admission is exactly 32 band keys
+      // each on their SECOND admission — the counter must read 32
+      // (doc 21's keys are first admissions and must not count)
+      assert(StatefulDedup.readmissionCount(spark.read.parquet(rawDir))
+          === 32L,
+        "the re-admitted boilerplate doc's 32 band keys are each one " +
+          "eviction-then-return cycle; readmissionCount must be exact")
     }
   }
 
@@ -477,6 +494,39 @@ class StatefulDedupSpec extends SparkSuite {
     } finally {
       q.stop(); q.awaitTermination()
     }
+  }
+
+  test("drainAvailableNow treats an all-no-data run as drained (r17 " +
+      "ADVICE: empty latched input must not burn the full timeout)") {
+    // a TTL-armed gate over an EMPTY input directory: AvailableNow
+    // latches zero files, no batch ever runs (so no processing-time
+    // timer loop starts either), and the query self-terminates. The
+    // drain utility must accept that as drained — pre-fix it threw
+    // IllegalStateException on any clean termination, and the sibling
+    // empty-FILES shape (all-no-data timer batches) burned the full
+    // timeout.
+    val dir = Files.createTempDirectory("neargate_empty").toString
+    val srcDir = s"$dir/in"; val ckDir = s"$dir/ck"
+    Files.createDirectories(Paths.get(srcDir))
+    val src = spark.readStream.format("text").load(srcDir)
+      .select(lit(1L).as("doc_id"), col("value").as("text"))
+    val q = StatefulDedup.nearDupGate(src, "doc_id", "text",
+        stateTtlMs = 60000L)
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      val t0 = System.currentTimeMillis()
+      // generous ceiling: the point is that it returns LONG before it
+      // (pre-fix this burned all 60 s and threw TimeoutException)
+      val stateRows = StatefulDedup.drainAvailableNow(q, timeoutMs = 60000L)
+      assert(stateRows === -1L,
+        "no data batch ever ran, so there is no state count to report")
+      assert(System.currentTimeMillis() - t0 < 45000L,
+        "empty-input drain must detect the all-no-data shape, not " +
+          "run to the timeout ceiling")
+    } finally { if (q.isActive) { q.stop(); q.awaitTermination() } }
   }
 
   test("restart from a pre-versioned (Boolean-state) checkpoint fails loudly") {
