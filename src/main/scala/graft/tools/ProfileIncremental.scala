@@ -55,15 +55,25 @@ object ProfileIncremental {
 
       def probeOf(path: String): DataFrame = graft.operators.IncrementalDedup
         .dedupNew(spark, newBatch, hist, "doc_id", "text", path)
+      // count exchanges BETWEEN an index scan and the join consuming it
+      // (a join "consumes" the scan, so the walk stops there — exchanges
+      // downstream of the join are the probe's own batch-sized shuffles;
+      // the same exposure walk IncrementalDedupSpec pins)
       def indexExchanges(path: String, df: DataFrame): Int = {
-        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
         import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
         val baseName = new java.io.File(path).getName
+        def isIdxScan(p: SparkPlan): Boolean = p match {
+          case s: FileSourceScanExec => s.relation.location.rootPaths
+            .exists(_.toString.contains(baseName))
+          case _ => false
+        }
+        def exposed(p: SparkPlan): Boolean =
+          isIdxScan(p) ||
+            (!p.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec] &&
+              p.children.exists(exposed))
         df.queryExecution.executedPlan.collect {
-          case e: ShuffleExchangeExec if e.collect {
-            case s: FileSourceScanExec if s.relation.location.rootPaths
-              .exists(_.toString.contains(baseName)) => s
-          }.nonEmpty => e
+          case e: ShuffleExchangeExec if exposed(e.child) => e
         }.length
       }
 
