@@ -230,4 +230,32 @@ class StopGramSizingSpec extends SparkSuite {
     assert(warnedZero.map(_._2) === Seq(0))
     assert(zero === auto)
   }
+
+  test("the budget-bind GATES (q118-q121) actually bind on the smallest " +
+      "testdata sf: the 1 KiB budget can never silently take the " +
+      "broadcast fast path") {
+    // Round17/Round18's gates argue bind-by-construction (64 entries
+    // vs thousands of df>=2 grams at every sf); this pins it where
+    // it's cheapest to check. resolveTable's bounded collect runs at
+    // DataFrame-CONSTRUCTION time, so building the four frames is
+    // enough to observe the bind decision — no query execution.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists,
+      "driver testdata not present")
+    val binds = capturingBinds {
+      graft.queries.Round17.q118JaccardBind(spark, dir)
+      graft.queries.Round17.q119ContainmentBind(spark, dir)
+      graft.queries.Round18.q120JaccardBindSkew(spark, dir)
+      graft.queries.Round18.q121ContainmentBindSkew(spark, dir)
+      ()
+    }
+    assert(binds.length === 4,
+      s"all four gates must fire the bind note, got $binds")
+    assert(binds.map(_._1).toSet ===
+      Set("JaccardJoin.nearDupPairs", "ContainmentJoin.containedPairs"))
+    assert(binds.forall(_._2 === 64),
+      s"1 KiB at 16 bytes/entry = 64-entry bound, got $binds")
+    assert(binds.forall(b => b._3 > 64),
+      s"every gate corpus must hold > 64 df>=2 grams, got $binds")
+  }
 }
