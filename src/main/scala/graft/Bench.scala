@@ -490,14 +490,20 @@ object Bench {
     val nearSchema = spark.read.parquet(nearHotIn).schema
     val nearStateRows = scala.collection.mutable.Map.empty[String, Long]
     def nearOnce(inDir: String, key: String, pass: Int,
-        ttlMs: Long = 0L, rawDir: Option[String] = None): Double = {
+        ttlMs: Long = 0L, rawDir: Option[String] = None,
+        filesPerTrigger: Int = 2,
+        recsPerTriggerOverride: Long = 0L): Double = {
       val out = s"$nearBase/out_${key}_$pass"
       val ck = s"$nearBase/ck_${key}_$pass"
       val src = spark.readStream.schema(nearSchema)
-        .option("maxFilesPerTrigger", 2).parquet(inDir)
+        .option("maxFilesPerTrigger", filesPerTrigger).parquet(inDir)
       // 2 of 8 files per trigger; each doc fans out 32 band records
       // into the stateful operator — size state partitions to that
-      val recsPerTrigger = NEAR_ROWS * 2 / 8 * 32
+      // (the planted-cohort pass overrides both: 1 file per trigger,
+      // filler-batch volume)
+      val recsPerTrigger =
+        if (recsPerTriggerOverride > 0) recsPerTriggerOverride
+        else NEAR_ROWS * 2 / 8 * 32
       val wall0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
       var ttlElapsed: Option[Double] = None
@@ -579,6 +585,23 @@ object Bench {
       (1 to 2).map { p => System.gc(); nearOnce(nearHotIn, "ttl", p, NearTtlMs) },
       () => { System.gc(); nearOnce(nearHotIn, "ttl", 3, NearTtlMs) },
       ThroughputRatio).min
+    // r19 (r18 judge directive #4): the neardup_ttl DECOMPOSITION row —
+    // the same hot intake with timers ARMED at a TTL no key can reach
+    // inside the ~10 s run (600 s). The TTL-2000 row differs from the
+    // TTL-0 row by three mechanisms: per-key timer registration writes
+    // (setTimeoutDuration every batch), the per-batch timeout sweep,
+    // and the state-store SHRINK from real evictions (a saving). This
+    // row pays the first two at FULL state size and never the third,
+    // so in-artifact: armed − hot = timer/sweep machinery cost;
+    // ttl2000 − armed = eviction work net of the shrink saving. The
+    // r17/r18 ttl-vs-hot gap (+17% in a disk-flagged window, then
+    // free) now decomposes mechanically instead of via window prose.
+    val NearTtlArmedMs = 600000L
+    nearOnce(nearHotIn, "ttlarm", 0, NearTtlArmedMs) // warm-up
+    val nearTtlArmedSec = guardPasses("stream_neardup_30k_hot_ttl_armed",
+      (1 to 2).map { p => System.gc(); nearOnce(nearHotIn, "ttlarm", p, NearTtlArmedMs) },
+      () => { System.gc(); nearOnce(nearHotIn, "ttlarm", 3, NearTtlArmedMs) },
+      ThroughputRatio).min
     // r17 judge directive #5: ONE extra UNTIMED TTL pass with the gate's
     // (band, hit) verdicts accumulated — readmissionCount over the whole
     // run is the exact number of eviction-then-return cycles (the
@@ -606,14 +629,77 @@ object Bench {
       rawDir = Some(nearRawTight))
     val nearReadmitTight = graft.streaming.StatefulDedup
       .readmissionCount(spark.read.parquet(nearRawTight))
+    // r19 (r18 judge directive #3): a PLANTED cohort whose duplicate
+    // re-arrival gap EXCEEDS the tight TTL, so the re-admission counter
+    // is demonstrably alive in the artifact — both standard-intake
+    // stamps honestly read 0 (every duplicate signature re-arrives
+    // within its TTL; an every-batch-hot key resets its clock and never
+    // sweeps), and an operator reading two 0s cannot tell a sound TTL
+    // from a dead counter without the planted non-zero beside them.
+    // Shape: 8 single-file triggers (modTime-ordered, maxFilesPerTrigger
+    // = 1) — trigger 1 admits 50 planted docs (doc-unique vocabulary, 32
+    // band keys each), triggers 2–7 carry 2000 unique filler docs each
+    // (the planted keys idle through ~6 batches, far past the 500 ms
+    // TTL, and the per-batch timeout sweep evicts them), trigger 8
+    // re-arrives the SAME 50 texts under new ids — every planted band
+    // key is absent by then, so each re-admits: expected count 50 × 32
+    // = 1600 (the StatefulDedupSpec 32-re-admission shape, scaled).
+    // UNTIMED instrumentation, like the two stamps beside it.
+    val PlantedDocs = 50
+    val plantDir = s"$nearBase/in_planted"
+    locally {
+      import org.apache.spark.sql.functions._
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(plantDir))
+      val t0 = System.currentTimeMillis() - 60000L
+      def plantedTexts(idBase: Long) = spark.range(PlantedDocs.toLong)
+        .select((col("id") + idBase).as("doc_id"),
+          concat_ws(" ", (0 until 10).map(j =>
+            concat(lit("p"), col("id"), lit(s"q$j"))): _*).as("text"))
+      def fillerTexts(file: Int) = spark.range(2000L)
+        .select((col("id") + 800000L + file * 10000L).as("doc_id"),
+          concat_ws(" ", (0 until 10).map(j =>
+            concat(lit(s"f${file}x"), col("id"), lit(s"y$j"))): _*).as("text"))
+      def writeBatchFile(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+        val tmp = s"$nearBase/planted_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(plantDir, f"b$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // FileStreamSource orders unread files by modification time:
+        // pin 1 s apart so trigger order == batch-file order on any
+        // timestamp granularity
+        dest.setLastModified(t0 + i * 1000L)
+        ()
+      }
+      writeBatchFile(plantedTexts(900000L), 1)
+      (2 to 7).foreach(i => writeBatchFile(fillerTexts(i), i))
+      writeBatchFile(plantedTexts(910000L), 8)
+    }
+    val plantRaw = s"$nearBase/raw_ttl_planted"
+    nearOnce(plantDir, "planted", 0, NearTtlTightMs,
+      rawDir = Some(plantRaw), filesPerTrigger = 1,
+      recsPerTriggerOverride = 2000L * 32)
+    val nearReadmitPlanted = graft.streaming.StatefulDedup
+      .readmissionCount(spark.read.parquet(plantRaw))
+    if (nearReadmitPlanted == 0L)
+      System.err.println("[bench] WARNING planted re-admission cohort " +
+        "read 0 - either the intermediate batches ran inside the " +
+        s"$NearTtlTightMs ms TTL (host anomaly) or the counter is dead; " +
+        "investigate before trusting the standard-intake 0s")
     System.err.println(
       f"[bench] stream near-dup gate: hot $nearHotSec%.2f s " +
         f"(${NEAR_ROWS / nearHotSec}%.0f rows/s, state ${nearStateRows.getOrElse("hot", -1L)} rows) vs " +
         f"uniform $nearUniSec%.2f s (${NEAR_ROWS / nearUniSec}%.0f rows/s, " +
         f"state ${nearStateRows.getOrElse("uni", -1L)} rows); hot/uniform ${nearHotSec / nearUniSec}%.2f; " +
+        f"ttl-armed(600s) hot $nearTtlArmedSec%.2f s (state ${nearStateRows.getOrElse("ttlarm", -1L)} rows); " +
         f"ttl-on hot $nearTtlSec%.2f s (state ${nearStateRows.getOrElse("ttl", -1L)} rows, " +
         f"$nearReadmissions re-admissions at ${NearTtlMs}ms TTL / " +
-        f"$nearReadmitTight at the tight ${NearTtlTightMs}ms TTL)")
+        f"$nearReadmitTight at the tight ${NearTtlTightMs}ms TTL; " +
+        f"planted cohort $nearReadmitPlanted vs expected " +
+        f"${PlantedDocs * 32})")
     val canaryEnd = canaryOnce()
     // Per-format single-core decode throughput (r11 judge finding #1 /
     // directive #2): the media-gate query rows (q108-q111) are
@@ -693,11 +779,22 @@ object Bench {
             " - flagged suspect")
         }
     }
-    // the band that ships: prior band ∪ this run's observed blocks
+    // the band that ships: prior band ∪ this run's observed blocks —
+    // EXCEPT for a row flagged suspect this run (r18 ADVICE): merging
+    // the suspect run's own low blocks would ratchet band_lo down to
+    // the regressed rate, so a genuine persistent decode regression
+    // flagged for exactly one round and then self-retired with no
+    // clean run ever observed. A suspect row ships its PRIOR band
+    // unchanged; the flag therefore persists round over round until a
+    // run back inside the historical band clears it.
     def decodeBandOf(r: graft.tools.MediaDecodeBench.Rate): (Double, Double) = {
-      val obs = if (r.blocks.nonEmpty) r.blocks else Seq(r.mpPerSec)
-      val (plo, phi) = priorDecodeBand.getOrElse(r.name, (obs.min, obs.max))
-      (math.min(plo, obs.min), math.max(phi, obs.max))
+      if (suspects.contains(s"decode:${r.name}"))
+        priorDecodeBand.getOrElse(r.name, (r.mpPerSec, r.mpPerSec))
+      else {
+        val obs = if (r.blocks.nonEmpty) r.blocks else Seq(r.mpPerSec)
+        val (plo, phi) = priorDecodeBand.getOrElse(r.name, (obs.min, obs.max))
+        (math.min(plo, obs.min), math.max(phi, obs.max))
+      }
     }
     decodeRates.foreach(r => System.err.println(
       f"[bench] decode ${r.name}%-16s ${r.mpPerSec}%8.1f MP/s  ${r.mbPerSec}%8.1f MB/s"))
@@ -717,7 +814,8 @@ object Bench {
       "stream_intake_500k" -> streamSec,
       "stream_neardup_30k_hot" -> nearHotSec,
       "stream_neardup_30k_uniform" -> nearUniSec,
-      "stream_neardup_30k_hot_ttl" -> nearTtlSec)
+      "stream_neardup_30k_hot_ttl" -> nearTtlSec,
+      "stream_neardup_30k_hot_ttl_armed" -> nearTtlArmedSec)
     val total = queryResults.map(_._2).filter(_ >= 0).sum
     // r17 (r16 judge directive #3): band-normalize the HEADLINE, not
     // just the guard rows — each query's min scaled by the same
@@ -816,7 +914,21 @@ object Bench {
       "min/max over every timed block observed, merged from the prior " +
       "artifact) and the 1.25x sag trigger fires against band_lo, not " +
       "the point prior - a rate inside its own recorded oscillation " +
-      "band never flags (r17 directive #3, the png_gray8 class)"
+      "band never flags (r17 directive #3, the png_gray8 class); r19: " +
+      "readmissions_hot_ttl_planted = a PLANTED untimed cohort whose " +
+      "duplicate re-arrival gap exceeds the tight TTL (50 docs admitted " +
+      "in trigger 1 of 8 single-file triggers, idle through 6 filler " +
+      "batches, re-arriving in trigger 8 - expected 50x32=1600), proving " +
+      "the counter alive beside the two honest standard-intake 0s (r18 " +
+      "directive #3); neardup_ttlarm = the hot intake with timers armed " +
+      "at a 600s TTL nothing reaches in-run: armed-hot = timer " +
+      "registration + sweep machinery at full state, ttl2000-armed = " +
+      "eviction work net of the state-shrink saving (the ttl-gap " +
+      "decomposition, r18 directive #4); a suspect-flagged decode row " +
+      "ships its PRIOR band " +
+      "unchanged (its own regressed blocks excluded) so a persistent " +
+      "regression keeps flagging instead of self-retiring into band_lo " +
+      "(r18 ADVICE)"
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window (BENCH_r05/r06 shipped parsed:null when
     // the full-name, full-precision line outgrew it). The stdout line
@@ -835,7 +947,8 @@ object Bench {
       "stream_intake_500k" -> "stream",
       "stream_neardup_30k_hot" -> "neardup_hot",
       "stream_neardup_30k_uniform" -> "neardup_uni",
-      "stream_neardup_30k_hot_ttl" -> "neardup_ttl")
+      "stream_neardup_30k_hot_ttl" -> "neardup_ttl",
+      "stream_neardup_30k_hot_ttl_armed" -> "neardup_ttlarm")
     // 2-decimal seconds in the SHORT line only (ranking precision; the
     // full-precision numbers are in BENCH_FULL) — the r12 dmps block
     // must fit the same 2000-char stdout window
@@ -892,10 +1005,15 @@ object Bench {
         s""""state_rows_hot":${nearStateRows.getOrElse("hot", -1L)},""" +
         s""""state_rows_uniform":${nearStateRows.getOrElse("uni", -1L)},""" +
         s""""hot_ttl_s":$nearTtlSec,"ttl_ms":$NearTtlMs,""" +
+        s""""hot_ttl_armed_s":$nearTtlArmedSec,""" +
+        s""""ttl_armed_ms":$NearTtlArmedMs,""" +
+        s""""state_rows_hot_ttl_armed":${nearStateRows.getOrElse("ttlarm", -1L)},""" +
         s""""state_rows_hot_ttl":${nearStateRows.getOrElse("ttl", -1L)},""" +
         s""""readmissions_hot_ttl":$nearReadmissions,""" +
         s""""ttl_tight_ms":$NearTtlTightMs,""" +
-        s""""readmissions_hot_ttl_tight":$nearReadmitTight},""" +
+        s""""readmissions_hot_ttl_tight":$nearReadmitTight,""" +
+        s""""readmissions_hot_ttl_planted":$nearReadmitPlanted,""" +
+        s""""planted_expected":${PlantedDocs * 32}},""" +
         s"""$rates,"protocol":"$protocol","sf":"$sfDir"}""")
     System.err.println(s"[bench] full-precision record written to $fullPath")
     // The driver's tail window is 2000 chars: the stdout line MUST fit

@@ -443,11 +443,19 @@ object Round9 {
     * and opaque text (+3M — no video path, skipped). Both transforms
     * are EXACT, so the oracle is the same arithmetic in-trio pair set
     * at hamming 0 as q102/q104. */
-  def q106VideoNearDup(s: SparkSession, dir: String): DataFrame = {
+  def q106VideoNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.VideoDedup.nearDupPairs(q106Media(s, dir),
+        "media_id", "payload", maxHamming = 3, bands = 4)
+      .orderBy("id_a", "id_b")
+
+  /** q106's planted GIF corpus (cache-served after the first build) —
+    * factored out so the ScaleBench stage probes ([[StageProbes]]) can
+    * time the plant read and the decode map against the full row. */
+  private[queries] def q106Media(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.parallel(s, dir, "documents")
     // r15: plant cached per (sf, code version) — see q102
-    val media = MediaPlantCache.cached(s, dir, "q106_video_neardup") {
+    MediaPlantCache.cached(s, dir, "q106_video_neardup") {
       docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id0, text) =>
@@ -468,9 +476,6 @@ object Round9 {
       }
       .toDF("media_id", "kind", "payload")
     }
-    graft.operators.VideoDedup.nearDupPairs(media, "media_id", "payload",
-        maxHamming = 3, bands = 4)
-      .orderBy("id_a", "id_b")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnBridge
+import graft.operators.MinHashLsh
+
+/** Stage decompositions for ScaleBench rows that have earned one (r18
+  * judge directive #5): each entry names PREFIX sub-pipelines of the
+  * row's own plan, which ScaleBench times at BOTH scales right after
+  * the row and ships in-artifact as `stage_decomp` — the ProfileQ50
+  * treatment, but as a SELF-CLASSIFYING ARTIFACT FIELD instead of a
+  * PLANS prose paragraph, re-measured mechanically on every sweep.
+  *
+  * Reading a decomposition: each stage's sf1/sf0.1 ratio brackets where
+  * the row's ratio lives. A row whose stages all carry ratios at or
+  * below its own, with the heaviest stage a known work-linear map, is
+  * the overhead-amortization class (the sf0.1 denominator is fixed
+  * session/stage setup that the sf1 numerator amortizes away — the
+  * q52/q109 shape); a stage whose ratio EXCEEDS the row's by a margin
+  * is the carrier to fix. The probes are prefixes of the actual query
+  * code (same functions, same parameters), so a plan change in the row
+  * automatically changes its probes.
+  *
+  * Registered rows — the r18 recurring trio (q18 2.88/2.77, q106
+  * 2.93/2.63, q42 2.78/2.04 norm/raw), parked for multiple sweeps just
+  * under every mechanical rule's threshold:
+  *
+  *  - q18_minhash_neardup: `sig_bands` = the fused shingle→minhash
+  *    signature map + band explode (pre-shuffle, text-linear);
+  *    `candidates` = + the one (band,bucket) shuffle, in-bucket pair
+  *    expansion and distinct. The full row adds the two id→text joins
+  *    and the fused Jaccard verify.
+  *  - q42_quantiles_approx: `approx_sketch` = the Greenwald-Khanna
+  *    sketch aggregate alone (constant-size partials, one shuffle).
+  *    The full row adds the rank-check re-scan joined against the
+  *    broadcast quantile table.
+  *  - q106_video_neardup: `plant_read` = the cached GIF plant scan;
+  *    `avghash_map` = + the LZW decode → temporal-mean dHash map
+  *    (payload-linear, the known dominant work class). The full row
+  *    adds the Hamming band join and the output sort.
+  */
+object StageProbes {
+
+  val probes: Map[String, Seq[(String, (SparkSession, String) => DataFrame)]] =
+    Map(
+      "q18_minhash_neardup" -> Seq(
+        "sig_bands" -> { (s: SparkSession, dir: String) =>
+          val docs = LlmPipeline.augmentedDocs(s, dir)
+          MinHashLsh.bandBuckets(docs, col("doc_id"),
+            ColumnBridge.col(graft.functions.MinHashTextSignature(
+              ColumnBridge.expr(col("text")), 3, 64)), 64, 32)
+        },
+        "candidates" -> { (s: SparkSession, dir: String) =>
+          val docs = LlmPipeline.augmentedDocs(s, dir)
+          MinHashLsh.candidatePairs(
+            MinHashLsh.bandBuckets(docs, col("doc_id"),
+              ColumnBridge.col(graft.functions.MinHashTextSignature(
+                ColumnBridge.expr(col("text")), 3, 64)), 64, 32))
+        }),
+      "q42_quantiles_approx" -> Seq(
+        "approx_sketch" -> { (s: SparkSession, dir: String) =>
+          graft.operators.Quantiles.approx(
+            graft.Tables(s, dir, "lineitem"), "l_returnflag",
+            "l_extendedprice",
+            Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"),
+            accuracy = 10000)
+        }),
+      "q106_video_neardup" -> Seq(
+        "plant_read" -> { (s: SparkSession, dir: String) =>
+          Round9.q106Media(s, dir)
+        },
+        "avghash_map" -> { (s: SparkSession, dir: String) =>
+          Round9.q106Media(s, dir).select(col("media_id"),
+            graft.operators.VideoDedup.avgHash(col("payload")).as("__h"))
+        }))
+}

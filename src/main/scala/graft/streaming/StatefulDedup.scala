@@ -375,24 +375,43 @@ object StatefulDedup {
   /** Drain-and-stop for a TTL-armed gate run under `AvailableNow` (the
     * DRAIN CAVEAT above: neither `awaitTermination` nor
     * `processAllAvailable` ever returns once processing-time timers
-    * keep the batch loop alive). Waits until a NO-DATA micro-batch
-    * follows at least one data batch — AvailableNow latches the input
-    * set at start, so a no-data batch proves every latched row is
-    * committed through the sink — then stops the query and returns the
-    * state-store row count of the LAST DATA batch (read before the
-    * stop, and from the data batch specifically: trailing no-data
+    * keep the batch loop alive). Waits until a micro-batch runs with
+    * ZERO SOURCE OFFSET MOVEMENT after the run has consumed input —
+    * AvailableNow latches the input set at start and the source serves
+    * latched files until none remain, so a movement-free batch
+    * following any movement can only run after the whole latched set
+    * is committed through the sink — then stops the query and returns
+    * the state-store row count of the LAST DATA batch (read before
+    * the stop, and from the data batch specifically: trailing no-data
     * batches keep firing evictions, so their counts depend on poll
-    * latency and would not be deterministic). An input whose latched
-    * set carries ZERO ROWS never produces a data batch, and the old
-    * data-batch-required condition burned the full timeout on a
-    * trivially-drained query (r17 ADVICE); now both empty shapes
-    * count as drained, returning -1 for the state count: a zero-FILE
-    * latch never runs a batch at all, so no timer loop starts and the
-    * query cleanly self-terminates (accepted instead of thrown on);
-    * a latch of empty FILES runs only timer no-data batches, and two
-    * observed no-data progresses with no data batch before them are
-    * proof of emptiness (AvailableNow latches at start, so data can
-    * never follow). Throws on timeout or if the query died (surfacing
+    * latency and would not be deterministic). A single movement-free
+    * progress with no movement before it does NOT count: restarting
+    * from a checkpoint first RE-RUNS the previous run's
+    * WAL-logged-but-uncommitted timer batch (identical start/end
+    * offsets) before newly latched files are served, and draining on
+    * it would stop ahead of the real data (measured: the TTL spec's
+    * restart phases hit exactly this). At most one such re-run batch
+    * exists, so TWO movement-free progresses with no movement at all
+    * are proof of an empty latch.
+    *
+    * Offset movement, not row counts, is the emptiness signal (r18
+    * ADVICE): a batch over latched files that happen to hold zero
+    * ROWS still advances its source offsets, while the timer loop's
+    * genuine no-data batches leave endOffset == startOffset. The
+    * earlier numInputRows==0 rule conflated the two — a multi-batch
+    * latch (maxFilesPerTrigger) whose first files are empty yields
+    * 0-row progresses with real data batches still pending, and the
+    * utility would have stopped early and called it drained (latent:
+    * in-repo call sites ran single-batch latches; the multi-batch
+    * empty-prefix shape is now spec-pinned).
+    *
+    * An input whose latched set carries zero rows still drains
+    * promptly, returning -1 for the state count: a zero-FILE latch
+    * never runs a batch at all, so no timer loop starts and the
+    * query cleanly self-terminates (accepted instead of thrown on,
+    * r17 ADVICE); a latch of empty FILES consumes them with offset
+    * movement and zero rows, then drains at the first movement-free
+    * timer batch. Throws on timeout or if the query died (surfacing
     * its error via `awaitTermination`). */
   def drainAvailableNow(
       q: org.apache.spark.sql.streaming.StreamingQuery,
@@ -411,14 +430,23 @@ object StatefulDedup {
         draining = false
       } else {
         val ps = q.recentProgress
-        // drained = (a) a no-data batch AFTER at least one data batch —
-        // the latched input is committed; or (b) two no-data batches and
-        // no data batch at all — the latched set held zero ROWS (empty
-        // files; AvailableNow latches at start, so a data batch can
-        // never follow) and the timer loop is just idling (r17 ADVICE)
-        if (ps.lastOption.exists(_.numInputRows == 0) &&
-            (ps.exists(_.numInputRows > 0) ||
-              ps.count(_.numInputRows == 0) >= 2)) draining = false
+        // drained = the last progress moved NO source offset AND either
+        // (a) an earlier progress in THIS run did move — the latched
+        // input was consumed and the timer loop is idling — or (b) two
+        // movement-free progresses ran with no movement at all: the
+        // latch is empty. Zero-ROW batches over real latched files DO
+        // move offsets and never count (r18 ADVICE — the old
+        // numInputRows==0 rule mistook an empty-file prefix of a
+        // multi-batch latch for drained). One movement-free progress
+        // alone is NOT proof: a restart re-runs the previous run's
+        // WAL-logged-but-uncommitted timer batch with identical
+        // start/end offsets BEFORE serving newly latched files (at
+        // most one such batch can exist, hence (b)'s threshold of 2).
+        def moved(p: org.apache.spark.sql.streaming.StreamingQueryProgress) =
+          p.sources.exists(s => s.endOffset != s.startOffset)
+        if (ps.lastOption.exists(p => !moved(p)) &&
+            (ps.exists(moved) || ps.count(p => !moved(p)) >= 2))
+          draining = false
         else if (System.currentTimeMillis() - t0 > timeoutMs)
           throw new java.util.concurrent.TimeoutException(
             s"drainAvailableNow: input not drained within $timeoutMs ms")

@@ -77,6 +77,57 @@ object ProfileIncremental {
         }.length
       }
 
+      // r18 judge directive #2: the MAINTAINED-index shape — 30 daily
+      // appends leave ~31 files per bucket, so the probe's SMJ re-gains
+      // its index-side sort (the bucket DISTRIBUTION survives appends —
+      // zero history-side Exchange throughout, spec-pinned — but Spark
+      // only trusts the recorded bucket SORT when each bucket holds one
+      // file); compactIndex rewrites one file per bucket and restores
+      // the sort-free plan. Stamp: probe after 30 appends vs probe
+      // after compact, plus what the compaction itself costs.
+      locally {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_incprobe_maint").toString
+        graft.operators.IncrementalDedup.writeIndex(
+          hist, "doc_id", "text", path)
+        val daily = docs.filter(col("n_chars") >= 100).limit(1000)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        val t0 = System.nanoTime()
+        (0 until 30).foreach { i =>
+          graft.operators.IncrementalDedup.appendToIndex(
+            daily.select((col("doc_id") + 5000000L + i * 10000L)
+              .as("doc_id"), col("text")),
+            "doc_id", "text", path)
+        }
+        val appendSec = (System.nanoTime() - t0) / 1e9
+        def filesPerBucket(sub: String): (Int, Double) = {
+          val fs = new java.io.File(s"$path/$sub").listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              !f.getName.endsWith(".crc"))
+          val byBucket = fs.groupBy(_.getName.split("_").last.take(5))
+          (byBucket.values.map(_.length).max,
+            fs.length.toDouble / byBucket.size)
+        }
+        val (maxB, avgB) = filesPerBucket("fps")
+        println(f"[incprobe] 30 appends in $appendSec%.1f s; fps " +
+          f"files/bucket max $maxB avg $avgB%.1f")
+        val probeAppended = time("probe after 30 appends")(
+          probeOf(path).write.format("noop").mode("overwrite").save())
+        // single timed pass, NOT the time() helper: its warm-up call
+        // would do the real compaction and the timed pass would then
+        // measure re-compacting an already-compact index
+        val tc0 = System.nanoTime()
+        graft.operators.IncrementalDedup.compactIndex(spark, path)
+        val compactSec = (System.nanoTime() - tc0) / 1e9
+        val (maxC, avgC) = filesPerBucket("fps")
+        val probeCompacted = time("probe after compact")(
+          probeOf(path).write.format("noop").mode("overwrite").save())
+        println(f"[incprobe] maintained-index stamp: probe " +
+          f"appended $probeAppended%.2f s -> compacted " +
+          f"$probeCompacted%.2f s (compact cost $compactSec%.2f s, " +
+          f"fps files/bucket $maxB -> $maxC)")
+      }
+
       for ((variant, buckets) <- Seq("bucketed(32)" -> 32, "plain" -> 0)) {
         val path = java.nio.file.Files
           .createTempDirectory(s"graft_incprobe_$variant").toString

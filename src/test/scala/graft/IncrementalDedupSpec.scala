@@ -231,6 +231,169 @@ class IncrementalDedupSpec extends SparkSuite {
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("catalog names are collision-proof across lossy-sanitizing paths " +
+      "and a stale registration is detected and re-derived (r18 ADVICE)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("inc_dedup_collide").toString
+    // two DISTINCT index paths whose sanitized names would collide
+    // ('-' and '_' both sanitize to '_'): pre-digest, the second probe
+    // silently read the FIRST index's files through the shared entry
+    val pathA = s"$root/idx-1"
+    val pathB = s"$root/idx_1"
+    assert(IncrementalDedup.tableName(pathA, "fps") !==
+      IncrementalDedup.tableName(pathB, "fps"))
+    val histA = history // knows the fox doc
+    val histB = Seq(2L -> "completely different content words here banana")
+      .toDF("doc_id", "text") // does NOT know the fox doc
+    IncrementalDedup.writeIndex(histA, "doc_id", "text", pathA)
+    IncrementalDedup.writeIndex(histB, "doc_id", "text", pathB)
+    val probe = Seq(71L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    def verdictAgainst(dir: String, hist: org.apache.spark.sql.DataFrame) =
+      IncrementalDedup.dedupNew(spark, probe, hist, "doc_id", "text", dir)
+        .head().getString(1)
+    // same session, both indexes probed: each must answer from its OWN
+    // files (a shared catalog name would make these agree)
+    assert(verdictAgainst(pathA, histA) === "exact")
+    assert(verdictAgainst(pathB, histB) === "new")
+
+    // stale-registration detection: hand the session a catalog entry
+    // whose LOCATION points at the OTHER index (the pre-digest failure
+    // mode, and the cross-session analog of any stale cache) and one
+    // whose BUCKET COUNT contradicts the index's own meta. readTable
+    // must drop and re-register from ground truth, not trust it.
+    Seq("fps", "bands").foreach { sub =>
+      val name = IncrementalDedup.tableName(pathB, sub)
+      val keys = sub match {
+        case "fps" => "fp_lo, fp_hi"; case _ => "band, bucket" }
+      val schema = spark.read.parquet(s"$pathB/$sub").schema.toDDL
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      // wrong location (index A's files) AND wrong bucket count
+      spark.sql(s"CREATE TABLE $name ($schema) USING PARQUET " +
+        s"CLUSTERED BY ($keys) SORTED BY ($keys) INTO 8 BUCKETS " +
+        s"LOCATION '$pathA/$sub'")
+    }
+    assert(verdictAgainst(pathB, histB) === "new",
+      "a stale catalog entry (wrong location/buckets) must be dropped " +
+        "and re-registered from the index's own meta, not trusted")
+    // and the re-derived registration carries the TRUE location + spec
+    val fixed = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        IncrementalDedup.tableName(pathB, "fps")))
+    assert(fixed.bucketSpec.exists(_.numBuckets === 32))
+    assert(new java.io.File(fixed.location).getCanonicalPath ===
+      new java.io.File(s"$pathB/fps").getCanonicalPath)
+  }
+
+  test("compactIndex (r18 directive #2): post-append probe keeps zero " +
+      "history-side Exchange but re-gains the index-side sort; compact " +
+      "restores one file per bucket and the sort-free plan; verdicts " +
+      "unchanged throughout") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = java.nio.file.Files
+      .createTempDirectory("inc_dedup_compact").toString
+    IncrementalDedup.writeIndex(history, "doc_id", "text", dir)
+    // three daily appends -> each bucket that receives rows gains a
+    // file per append; Spark then distrusts the bucket-sort metadata.
+    // day3 re-appends day2's exact text under a new id: identical text
+    // -> identical fingerprint and band keys -> the SAME buckets,
+    // which makes the multi-file-bucket shape DETERMINISTIC (distinct
+    // texts hashing into 32 buckets might not collide)
+    val day2 = Seq(31L -> "fresh day two document with brand new material inside")
+      .toDF("doc_id", "text")
+    val day3 = Seq(
+      32L -> "another accepted crawl document full of other words",
+      34L -> "fresh day two document with brand new material inside")
+      .toDF("doc_id", "text")
+    val day4 = Seq(33L -> "yet one more accepted daily crawl document arrives")
+      .toDF("doc_id", "text")
+    Seq(day2, day3, day4).foreach(
+      IncrementalDedup.appendToIndex(_, "doc_id", "text", dir))
+    val full = history.unionByName(day2).unionByName(day3).unionByName(day4)
+    val probe = Seq(
+      81L -> "the quick brown fox jumps over the lazy dog", // exact, day1
+      82L -> "fresh day two document with brand new material inside", // exact, appended
+      83L -> "quick brown fox jumps over the lazy dog", // near
+      84L -> "wholly unrelated probe sentence appears right here"
+    ).toDF("doc_id", "text")
+    def verdicts() = IncrementalDedup
+      .dedupNew(spark, probe, full, "doc_id", "text", dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val before = verdicts()
+    assert(before === Seq(81L -> "exact", 82L -> "exact",
+      83L -> "near", 84L -> "new"))
+
+    def filesPerBucket(sub: String): Map[String, Int] =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          !f.getName.endsWith(".crc"))
+        // bucket id is the _00000 suffix field of the part file name
+        .groupBy(_.getName.split("_").last.take(5)).map {
+          case (b, fs) => b -> fs.length }
+    assert(filesPerBucket("fps").values.exists(_ > 1),
+      "appends should have left multi-file buckets (else the compact " +
+        "claim is vacuous)")
+
+    // deterministic plan shape: static planner, no broadcast (the
+    // at-scale shape — history is never broadcastable)
+    val restore = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val baseName = new java.io.File(dir).getName
+      def isIdxScan(p: SparkPlan): Boolean = p match {
+        case s: FileSourceScanExec => s.relation.location.rootPaths
+          .exists(_.toString.contains(baseName))
+        case _ => false
+      }
+      // exposure walk (the IncrementalDedupSpec convention): a node
+      // sits between an index scan and the join consuming it iff the
+      // scan is reachable without crossing a join node
+      def exposed(p: SparkPlan): Boolean =
+        isIdxScan(p) ||
+          (!p.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec] &&
+            p.children.exists(exposed))
+      def plan() = IncrementalDedup
+        .dedupNew(spark, probe, full, "doc_id", "text", dir)
+        .queryExecution.executedPlan
+      def historyExchanges(p: SparkPlan) =
+        p.collect { case e: ShuffleExchangeExec if exposed(e.child) => e }
+      def historySorts(p: SparkPlan) =
+        p.collect { case s: SortExec if exposed(s.child) => s }
+
+      // post-append: the bucket metadata still satisfies the join's
+      // required DISTRIBUTION (zero history-side Exchange — the
+      // headline claim holds through appends), but multi-file buckets
+      // lose the recorded sort ORDER, so the SMJ re-gains its
+      // index-side SortExec — stated honestly, that is what
+      // compactIndex exists to remove
+      val planAppended = plan()
+      assert(historyExchanges(planAppended).isEmpty,
+        "appends must never re-introduce a history-side Exchange")
+      assert(historySorts(planAppended).nonEmpty,
+        "multi-file buckets should have re-gained the index-side sort " +
+          "(else compaction buys nothing and the spec is vacuous)")
+
+      IncrementalDedup.compactIndex(spark, dir)
+      Seq("fps", "bands").foreach { sub =>
+        val fpb = filesPerBucket(sub)
+        assert(fpb.values.forall(_ === 1),
+          s"$sub not one-file-per-bucket after compact: $fpb")
+      }
+      assert(verdicts() === before,
+        "compaction is a file-layout rewrite; verdicts must not change")
+      val planCompacted = plan()
+      assert(historyExchanges(planCompacted).isEmpty,
+        "compacted probe must stay history-Exchange-free")
+      assert(historySorts(planCompacted).isEmpty,
+        "one file per bucket restores the recorded sort order; the " +
+          "index-side SortExec must be gone")
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("format-1 index fails LOUDLY (r16 directive #1 version bump)") {
     // a pre-r17 index (64-bit fps, meta without `format`) must raise a
     // clear rebuild error from BOTH the probe and the append path — a

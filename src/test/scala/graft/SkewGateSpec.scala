@@ -22,6 +22,35 @@ import graft.operators.{ContainmentJoin, JaccardJoin}
   * decomposition"; the driver-gated corpora are q114/q115. */
 class SkewGateSpec extends SparkSuite {
 
+  test("ScaleBench rules 3/4/5 trigger predicates pin the historical " +
+      "rows each rule was built from (r18 directives #1/#5)") {
+    import graft.tools.ScaleBench._
+    // rule-3 (r16 directive #4): band inflation — norm >= 3, raw <= 2.6
+    assert(rule3Fires(norm = 3.35, raw = 2.5)) // q52 r18 sweep
+    assert(!rule3Fires(norm = 3.35, raw = 2.8)) // high raw: real or named
+    assert(!rule3Fires(norm = 2.97, raw = 2.02)) // under 3: rule-5 ground
+    // rule-4 (r17 directive #2, r19 widened to the watchlist line):
+    // small denominator — q106 r18 (norm 2.93, sf01 0.952) parked in
+    // [2.5, 3) for multiple sweeps and no rule reached it; q52's r18
+    // shape (3.35, 1.014) fired at the old threshold and still does
+    assert(rule4Fires(norm = 2.93, sf01 = 0.952)) // q106 r18 — NOW fires
+    assert(rule4Fires(norm = 3.35, sf01 = 1.014)) // q52 r18 — unchanged
+    assert(!rule4Fires(norm = 2.93, sf01 = 1.25)) // q42-size denominator
+    assert(!rule4Fires(norm = 2.4, sf01 = 0.95)) // under watchlist: quiet
+    // rule-5 (r18 directive #1): between-windows band divergence —
+    // q118 r18 (norm 2.97, bands 0.937/0.638 = 1.47x) and q42 r18
+    // (2.78, 1.203/0.883 = 1.36x) fire; q18 r18 (2.88, 0.836/0.805 =
+    // 1.04x — aligned brackets) must NOT (its treatment is the
+    // stage_decomp field, not a band excuse)
+    assert(rule5Fires(norm = 2.97, band01 = 0.937, band1 = 0.638))
+    assert(rule5Fires(norm = 2.78, band01 = 1.203, band1 = 0.883))
+    assert(!rule5Fires(norm = 2.88, band01 = 0.836, band1 = 0.805))
+    assert(!rule5Fires(norm = 2.3, band01 = 0.937, band1 = 0.638))
+    // divergence is direction-agnostic (a hot sf0.1 window inflates the
+    // other way through the same mechanism)
+    assert(rule5Fires(norm = 2.6, band01 = 0.638, band1 = 0.937))
+  }
+
   private val header = "subscribe to our newsletter for breaking " +
     "updates and exclusive daily offers now" // 12 words, 10 hot trigrams
 

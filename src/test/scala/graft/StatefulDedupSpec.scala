@@ -529,6 +529,58 @@ class StatefulDedupSpec extends SparkSuite {
     } finally { if (q.isActive) { q.stop(); q.awaitTermination() } }
   }
 
+  test("drainAvailableNow waits through an empty-file PREFIX of a " +
+      "multi-batch latch (r18 ADVICE: emptiness is offset movement, " +
+      "not row counts)") {
+    // maxFilesPerTrigger=1 over (empty, empty, data): the first two
+    // batches carry ZERO ROWS but DO move source offsets — under the
+    // old numInputRows==0 rule two such progresses counted as proof of
+    // emptiness and the utility could stop before the data batch ran,
+    // reporting the query drained with real input still latched. The
+    // offset-movement rule never mistakes them: only a batch whose
+    // sources end where they started (the timer loop idling after the
+    // latch is exhausted) counts as drained.
+    val dir = Files.createTempDirectory("neargate_emptyprefix").toString
+    val srcDir = s"$dir/in"; val outDir = s"$dir/out"; val ckDir = s"$dir/ck"
+    Files.createDirectories(Paths.get(srcDir))
+    val t0 = System.currentTimeMillis() - 60000L
+    def put(name: String, content: String, i: Int): Unit = {
+      val p = Paths.get(srcDir, name)
+      Files.write(p, content.getBytes("UTF-8"))
+      p.toFile.setLastModified(t0 + i * 1000L); ()
+    }
+    // modTimes pinned 1 s apart: FileStreamSource orders unread files
+    // by modification time, so the empty pair is deterministically the
+    // latch's prefix
+    put("a.txt", "", 1)
+    put("b.txt", "", 2)
+    put("c.txt", "7|the real document with plenty of words inside", 3)
+    val src = spark.readStream
+      .option("maxFilesPerTrigger", "1").format("text").load(srcDir)
+      .select(
+        split(col("value"), "\\|").getItem(0).cast("long").as("doc_id"),
+        split(col("value"), "\\|").getItem(1).as("text"))
+    val q = StatefulDedup.nearDupGate(src, "doc_id", "text",
+        stateTtlMs = 60000L)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StatefulDedup.finishNearDupGate(b)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      val stateRows = StatefulDedup.drainAvailableNow(q, timeoutMs = 120000L)
+      assert(stateRows === 32L,
+        "drain must wait through the empty-file prefix for the real " +
+          "data batch (32 band keys in state), not stop at two 0-row " +
+          "progresses")
+      assert(spark.read.parquet(outDir).count() === 1L,
+        "the latched data file's doc must be committed through the sink")
+    } finally { if (q.isActive) { q.stop(); q.awaitTermination() } }
+  }
+
   test("restart from a pre-versioned (Boolean-state) checkpoint fails loudly") {
     import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQueryException}
