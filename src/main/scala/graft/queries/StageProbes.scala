@@ -36,6 +36,12 @@ import graft.operators.MinHashLsh
   *    sketch aggregate alone (constant-size partials, one shuffle).
   *    The full row adds the rank-check re-scan joined against the
   *    broadcast quantile table.
+  *  - q59_containment_dedup (added after the r19 re-stamp parked it at
+  *    norm 2.52 with aligned brackets — no rule applies, so the
+  *    standing r14/ProfileSkew prose class moves in-artifact):
+  *    `gram_df` = corpus gram hashing + the (gram, df) count shuffle;
+  *    `pairs_unsorted` = the full containment join minus the row's
+  *    final global sort.
   *  - q106_video_neardup: `plant_read` = the cached GIF plant scan;
   *    `avghash_map` = + the LZW decode → temporal-mean dHash map
   *    (payload-linear, the known dominant work class). The full row
@@ -66,6 +72,25 @@ object StageProbes {
             "l_extendedprice",
             Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"),
             accuracy = 10000)
+        }),
+      "q59_containment_dedup" -> Seq(
+        // the gram-df table: corpus gram hashing + the one (gram, df)
+        // count shuffle — the stage that scales with corpus tokens
+        "gram_df" -> { (s: SparkSession, dir: String) =>
+          val g = CorpusExtras.snippetCorpus(s, dir)
+            .select(col("doc_id").as("__id"),
+              ColumnBridge.col(graft.functions.SortedGramHashes(
+                ColumnBridge.expr(col("text")), 3)).as("__g"))
+          g.select(explode(when(col("__g").isNotNull, col("__g")))
+              .as("__gram"))
+            .groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+            .filter(col("__df") >= 2)
+        },
+        // the full containment join minus the row's final global sort
+        "pairs_unsorted" -> { (s: SparkSession, dir: String) =>
+          graft.operators.ContainmentJoin.containedPairs(
+            CorpusExtras.snippetCorpus(s, dir), "doc_id", "text",
+            k = 3, minContainment = 0.9)
         }),
       "q106_video_neardup" -> Seq(
         "plant_read" -> { (s: SparkSession, dir: String) =>
