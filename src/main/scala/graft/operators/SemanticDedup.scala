@@ -26,6 +26,18 @@ import graft.functions.ColumnBridge
   * bounds cell population (cells per corpus grows linearly at fixed
   * cell size); duplicates split across a cell boundary are the scheme's
   * documented approximation, exactly as in the paper.
+  *
+  * CENTROID-CARDINALITY CEILING (r19 stage decomposition): with cell
+  * population fixed, `nCells` ∝ N — and the centroid set is a
+  * plan-constant literal that every assignment task holds, plus the
+  * train's per-sample work is sampleN × nCells distance evaluations.
+  * Fine to ~10⁵ cells (the gates run ~10–10² and the r19 stage probe
+  * shows the train is job-overhead-bound, not distance-bound); past
+  * that the deployment path is HIERARCHICAL, the FAISS IVF trade:
+  * ~√N coarse cells trained once, then per-cell subclustering (each
+  * coarse cell's members re-clustered independently — an
+  * embarrassingly parallel groupBy), so no single centroid table ever
+  * exceeds √N and assignment stays two bounded plan-constant maps.
   */
 object SemanticDedup {
 

@@ -679,17 +679,25 @@ object LlmPipeline {
     * recursive-CTE transitive closure, the min-id representative, and
     * both verdict columns. A wrong pair, wrong closure, or wrong
     * verdict fails the gate. */
-  def q47SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+  /** q47's corpus (embeddings ∪ double-scaled copies — cosine-identical
+    * planted near-dups) and its cell count — factored out so the
+    * ScaleBench stage probes ([[StageProbes]]) can time the row's
+    * prefix stages against the full row. Cell COUNT scales with the
+    * corpus so cell POPULATION stays fixed (~512): the in-cell
+    * quadratic scan then grows linearly with data, which is the whole
+    * point of clustering-as-blocking. Oracle-safe because the
+    * read-back oracle accepts whatever cells were assigned. */
+  private[queries] def q47Corpus(s: SparkSession, dir: String): (DataFrame, Int) = {
     val emb = Tables.parallel(s, dir, "embeddings")
     val scaled = emb.select(
       (col("vec_id") + 1000000L).as("vec_id"),
       transform(col("embedding"), x => x * 2).as("embedding"))
     val corpus = emb.select("vec_id", "embedding").unionByName(scaled)
-    // cell COUNT scales with the corpus so cell POPULATION stays fixed
-    // (~512): the in-cell quadratic scan then grows linearly with data,
-    // which is the whole point of clustering-as-blocking. Oracle-safe
-    // because the read-back oracle accepts whatever cells were assigned.
-    val nCells = math.max(8, (corpus.count() / 512L).toInt)
+    (corpus, math.max(8, (corpus.count() / 512L).toInt))
+  }
+
+  def q47SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, nCells) = q47Corpus(s, dir)
     SemanticDedup.verdicts(corpus, "vec_id", "embedding",
         minCos = 0.999, nCells = nCells,
         sampleN = math.max(2048, nCells * 64))

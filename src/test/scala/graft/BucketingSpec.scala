@@ -22,29 +22,32 @@ class BucketingSpec extends SparkSuite {
         spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("b")),
         "bkt_right", "k", nBuckets = 8)
 
+      // the session posture (Sessions.builder, r19): the sorted-scan
+      // conf is ON, writeBucketed guarantees one file per bucket, so
+      // the write-time sort is trusted and the join plans with neither
+      // Exchange NOR per-bucket Sort — both paid once at write time
       val joined = Bucketing.colocatedJoin(spark, "bkt_left", "bkt_right", "k")
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
       assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
-      // default reader ignores write-time sort (Spark 3.0+): a cheap
-      // in-bucket Sort remains; Exchange elision is the data-motion win
-      assert(plan.contains("Sort "), "expected in-bucket sorts under default conf")
+      assert(!plan.contains("Sort "), s"unexpected per-bucket sort in:\n$plan")
       assert(joined.count() === 1000)
       assert(joined.filter(col("k") === 10).select("a", "b").head() ===
         org.apache.spark.sql.Row(3L, 20L))
 
-      // one file per bucket (writeBucketed's repartition guarantees it)
-      // + the legacy flag ⇒ the write-time sort is trusted and the
-      // in-bucket Sorts vanish too
-      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // with the conf OFF (Spark 3.0+ default), the reader ignores the
+      // write-time sort and a cheap in-bucket Sort returns; Exchange
+      // elision — the data-motion win — is conf-independent
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
       try {
-        val sorted = Bucketing.colocatedJoin(spark, "bkt_left", "bkt_right", "k")
-        val p2 = sorted.queryExecution.executedPlan.toString
+        val unsorted = Bucketing.colocatedJoin(spark, "bkt_left", "bkt_right", "k")
+        val p2 = unsorted.queryExecution.executedPlan.toString
         assert(!p2.contains("Exchange"), s"unexpected shuffle in:\n$p2")
-        assert(!p2.contains("Sort "), s"unexpected per-bucket sort in:\n$p2")
-        assert(sorted.count() === 1000)
+        assert(p2.contains("Sort "),
+          "expected in-bucket sorts with the sorted-scan conf off")
+        assert(unsorted.count() === 1000)
       } finally spark.conf.set(
-        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
       spark.sql("DROP TABLE IF EXISTS bkt_left")
