@@ -67,6 +67,25 @@ object Tables {
     if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
+  /** `localCheckpoint()` + compute-parallelism repair: AQE coalesces
+    * shuffle output by BYTES (with `parallelismFirst` the target is
+    * total/parallelism floored at `minPartitionSize`, 1 MiB), so a
+    * result-sized intermediate — a few MB of dedup survivors — checkpoints
+    * into 1-2 partitions, and any compute-dense consumer (MinHash
+    * signatures ≈ 64 hashes/gram, per-pair exact verifies) then runs
+    * nearly serial on it (r19 stage profile: the signature scan over the
+    * collapseExact checkpoint ran TWO tasks, 0.96 s of a 6.6 s query).
+    * When the materialized partition count is below the session's
+    * parallelism, consumers read through a round-robin respread — for a
+    * checkpoint that small the extra exchange is microseconds, and at
+    * warehouse scale (partitions ≥ parallelism) this is exactly the
+    * original checkpoint, no extra pass. */
+  def localCheckpointWide(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    val p = ck.sparkSession.sparkContext.defaultParallelism
+    if (ck.rdd.getNumPartitions < p) ck.repartition(p) else ck
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Defensive for sessions not built via Sessions.builder (idempotent).
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)

@@ -56,12 +56,16 @@ object DedupPipeline {
   def collapseExactKeyed(
       docs: DataFrame, idCol: String, textCol: String,
       fpCol: org.apache.spark.sql.Column): DataFrame =
-    docs.select(col(idCol), col(textCol), fpCol.as("__fp"))
-      .groupBy(col("__fp"))
-      .agg(min(col(idCol)).as(idCol),
-        min_by(col(textCol), col(idCol)).as(textCol))
-      .select(col(idCol), col(textCol))
-      .localCheckpoint()
+    // checkpoint through localCheckpointWide (r19): AQE coalesces the
+    // byte-small survivor set to 1-2 partitions and the downstream
+    // signature/gram scans — the most compute-dense passes in the
+    // pipeline — would run nearly serial on the pinned partitioning.
+    graft.Tables.localCheckpointWide(
+      docs.select(col(idCol), col(textCol), fpCol.as("__fp"))
+        .groupBy(col("__fp"))
+        .agg(min(col(idCol)).as(idCol),
+          min_by(col(textCol), col(idCol)).as(textCol))
+        .select(col(idCol), col(textCol)))
 
   /** (id, stage, kept) for every doc in `docs`: stage ∈ 'exact_dup'
     * (an identical body with a smaller id exists), 'near_dup' (its
