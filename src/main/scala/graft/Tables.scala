@@ -75,15 +75,26 @@ object Tables {
     * signatures ≈ 64 hashes/gram, per-pair exact verifies) then runs
     * nearly serial on it (r19 stage profile: the signature scan over the
     * collapseExact checkpoint ran TWO tasks, 0.96 s of a 6.6 s query).
+    *
     * When the materialized partition count is below the session's
-    * parallelism, consumers read through a round-robin respread — for a
-    * checkpoint that small the extra exchange is microseconds, and at
-    * warehouse scale (partitions ≥ parallelism) this is exactly the
-    * original checkpoint, no extra pass. */
+    * shuffle parallelism, consumers read through a round-robin respread —
+    * for a checkpoint that small the extra exchange is cheap (and reused
+    * across consumers within one job by ReuseExchange), and at warehouse
+    * scale (partitions ≥ parallelism) this is exactly the original
+    * checkpoint, no extra pass. An eagerly CHECKPOINTED respread was
+    * A/B-measured in r20 (interleaved runs): it helps the JaccardJoin
+    * consumers ~0.2 s (their stop-gram collect job and main job cannot
+    * share the exchange) but costs the MinHash corpusVerdict paths
+    * 0.3-0.4 s of extra build-time materialization jobs (q38/q41) — net
+    * negative, so the lazy respread stays. Width source of truth is the
+    * session's shuffle parallelism, same as IncrementalDedup's candidate
+    * respread (r19 ADVICE: the two respread sites targeted different
+    * knobs), read via `queryExecution.toRdd` so the width probe doesn't
+    * plan a DataFrame-to-RDD conversion (r19 ADVICE). */
   def localCheckpointWide(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint()
-    val p = ck.sparkSession.sparkContext.defaultParallelism
-    if (ck.rdd.getNumPartitions < p) ck.repartition(p) else ck
+    val p = ck.sparkSession.sessionState.conf.numShufflePartitions
+    if (ck.queryExecution.toRdd.getNumPartitions < p) ck.repartition(p) else ck
   }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {

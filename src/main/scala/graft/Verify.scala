@@ -31,6 +31,12 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // leftover release between queries, like Bench.releaseLeftovers:
+      // checkpointed corpus/survivor RDD blocks (q32/q38/q41/q46/q51
+      // machinery) would otherwise accumulate across the 120-query run
+      // and pressure later queries' execution memory (r19 ADVICE)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -162,7 +162,13 @@ object Ann {
     val cands = MinHashLsh.candidatePairs(buckets)
     val a = corpus.select(col(idCol).as("id_a"), toDoubleArray(col(vecCol)).as("__va"))
     val b = corpus.select(col(idCol).as("id_b"), toDoubleArray(col(vecCol)).as("__vb"))
+    val nPart = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    // candidate respread before the vector joins + exact-cosine verify,
+    // same rationale as MinHashLsh/JaccardJoin.nearDupPairs: AQE
+    // coalesces the 16-byte pair rows to one partition and the verify
+    // (a per-pair fused cosine over full vectors) would run serial
     cands
+      .repartition(nPart)
       .join(a, "id_a").join(b, "id_b")
       .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
       .filter(col("cos") >= minCos)
@@ -189,14 +195,26 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int = 2, sampleN: Int = 2048): Seq[Seq[Double]] = {
     val seed = 0x19F1L
-    val samp = corpus
-      .select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__v"))
-      .orderBy(ColumnBridge.col(new XxHash64(
-        Seq(ColumnBridge.expr(col("__id"))), seed)))
-      .limit(sampleN)
-      .cache()
+    // the hash rides the sample as a column so initialization can be
+    // re-derived from the materialized sample itself (one tiny
+    // TakeOrdered job) instead of a second corpus-wide TakeOrdered pass
+    val samp = graft.Tables.localCheckpointWide(corpus
+      .select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__v"),
+        ColumnBridge.col(new XxHash64(
+          Seq(ColumnBridge.expr(col(idCol))), seed)).as("__h"))
+      .orderBy(col("__h"))
+      .limit(sampleN))
+    // localCheckpointWide, not cache (r20): the cached TakeOrdered
+    // sample materialized as ONE partition, so every Lloyd iteration's
+    // assign+mean job ran single-task (q47 stage profile: two ~0.5 s
+    // one-task stages on a 3.7 s row; the sf1 probe pegged
+    // centroid_train at ~6.4 of 8.7 s). The respread spreads the
+    // sample across the session's parallelism once; the decimal mean
+    // accumulation is partition-order-independent, so centroids are
+    // bit-identical to the serial run.
     var cents: Seq[Seq[Double]] =
-      samp.limit(nCells).collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      samp.orderBy(col("__h")).limit(nCells).select(col("__v"))
+        .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
     for (_ <- 1 to iters) {
       val meanRows = samp
         .select(element_at(nearestCells(col("__v"), cents, 1), 1).as("__cell"),
@@ -219,7 +237,10 @@ object Ann {
         }
       }
     }
-    samp.unpersist()
+    // the checkpointed sample's blocks are released by the callers'
+    // standard between-query leftover release (Bench/TimeQ/Verify);
+    // nothing to unpersist here — localCheckpoint blocks cannot be
+    // dropped while derived plans might still re-execute
     cents
   }
 

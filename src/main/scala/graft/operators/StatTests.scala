@@ -36,39 +36,117 @@ object StatTests {
       .filter(col(valCol).isNotNull)
 
     // ---- Welch t from per-group exact power sums -------------------
+    // (also carries the metric's min/max — free in the same combinable
+    // pass — which seed the range buckets of the two-phase cumulative
+    // sums below); referenced twice (bucket-seed broadcast + final
+    // projection) — both lazy, like the pre-r20 shape: the duplicate
+    // subtree runs as parallel stages inside the one job, which measures
+    // cheaper than serializing an eager checkpoint job before it.
     val sums = src.groupBy().agg(
       count(when(col("__a"), 1)).as("na"),
       count(when(!col("__a"), 1)).as("nb"),
       sum(when(col("__a"), v)).cast("double").as("sa"),
       sum(when(!col("__a"), v)).cast("double").as("sb"),
       sum(when(col("__a"), v * v)).cast("double").as("qa"),
-      sum(when(!col("__a"), v * v)).cast("double").as("qb"))
+      sum(when(!col("__a"), v * v)).cast("double").as("qb"),
+      min(col(valCol)).cast("double").as("__vmin"),
+      max(col(valCol)).cast("double").as("__vmax"))
 
     // ---- rank/ECDF table: one row per distinct value ---------------
     val byVal = src.groupBy(col(valCol).as("__v"))
       .agg(count(when(col("__a"), 1)).as("__ca"),
         count(when(!col("__a"), 1)).as("__cb"))
-    val w = Window.orderBy(col("__v"))
+    // Two-phase cumulative sums (guide §2.5): a bare Window.orderBy
+    // would move EVERY distinct value to one partition (the
+    // "No Partition Defined" scale-killer — one task sorts the whole
+    // rank table). Instead: range-bucket the values off the min/max the
+    // Welch pass already computed (bucket order == value order), run
+    // the cumulative window PARTITIONED by bucket, and add each
+    // bucket's offset — the totals of all lower buckets, a bounded
+    // bucket-count-sized table joined back by broadcast. Same exact
+    // integers, no global single-partition sort.
+    val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions
+    val span = col("__vmax") - col("__vmin")
+    // ONE broadcast of the stats row carries the bucket seeds AND the
+    // group sizes the KS integers need downstream — a second
+    // crossJoin(broadcast(sums)) here would re-execute the whole Welch
+    // aggregation subtree once more per reference (measured: the first
+    // r20 cut ran the events scan+agg three times)
+    val bucketed = byVal
+      .crossJoin(broadcast(sums.select(col("__vmin"), col("__vmax"),
+        col("na").as("__na"), col("nb").as("__nb"))))
+      .withColumn("__bk",
+        when(span <= 0, lit(0)).otherwise(
+          // coalesce: a NaN metric value buckets null — pin it to the
+          // last bucket, where the in-bucket orderBy sorts it last,
+          // exactly as the old global orderBy did
+          coalesce(
+            least(lit(nBuckets - 1),
+              floor((col("__v").cast("double") - col("__vmin")) /
+                (span / nBuckets)).cast("int")),
+            lit(nBuckets - 1))))
+      .drop("__vmin", "__vmax")
+    val w = Window.partitionBy(col("__bk")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = byVal
-      .withColumn("__cuma", sum(col("__ca")).over(w))
-      .withColumn("__cumb", sum(col("__cb")).over(w))
-      // DOUBLED average rank of the tie-block ending here:
-      // 2·prevTotal + (cnt+1) — keeping ranks in integer halves makes
-      // the whole Mann–Whitney reduction exact BIGINT arithmetic
-      .withColumn("__r2",
-        (col("__cuma") + col("__cumb") - col("__ca") - col("__cb")) * 2 +
-          col("__ca") + col("__cb") + 1)
-    // ks numerator in exact integers too: |F_a − F_b| =
-    // |cuma·nb − cumb·na| / (na·nb) — the max is over integers, order-free
-    val rankStats = ranked
-      .crossJoin(broadcast(sums.select(col("na").as("__na"),
-        col("nb").as("__nb"))))
-      .groupBy().agg(
-        sum(col("__r2") * col("__ca")).as("__r1x2"),
-        max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
-          .as("__ksnum"),
-        max(col("__na") * col("__nb")).as("__ksden"))
+    val inBucket = bucketed
+      .withColumn("__la", sum(col("__ca")).over(w))
+      .withColumn("__lb", sum(col("__cb")).over(w))
+    // The cross-bucket carry is ALGEBRAIC, so no offsets join-back is
+    // needed at all. With oa/ob = totals of all lower buckets:
+    //   cuma = __la + oa,  cumb = __lb + ob
+    //   __r2 (the DOUBLED tie-block average rank, 2·prevTotal + cnt+1,
+    //   which keeps the whole Mann–Whitney reduction exact BIGINT) =
+    //     [2(la+lb) − (ca+cb) + 1] + 2(oa+ob)      = __inr2 + 2(oa+ob)
+    //   Σ __r2·ca over a bucket                    = Σ __inr2·ca + 2(oa+ob)·Σca
+    //   the KS row value |cuma·nb − cumb·na|       = |__inks + c|,
+    //     c = oa·nb − ob·na; its bucket max        = max(|max __inks + c|,
+    //                                                    |min __inks + c|)
+    //     (x ↦ |x+c| is convex — the max sits at an endpoint, exactly)
+    // so each bucket reduces to seven integers on the window's own
+    // partitioning (no exchange), and the ≤nBuckets bucket rows fold in
+    // ONE bounded ordered pass (sort_array + aggregate) inside the final
+    // global aggregation — the same single tiny-row stage the old global
+    // rank aggregate already paid, with no broadcast and no extra
+    // exchange.
+    val bstats = inBucket
+      .withColumn("__inr2",
+        (col("__la") + col("__lb")) * 2 - col("__ca") - col("__cb") + 1)
+      .withColumn("__inks",
+        col("__la") * col("__nb") - col("__lb") * col("__na"))
+      .groupBy(col("__bk"))
+      .agg(sum(col("__inr2") * col("__ca")).as("__s1"),
+        sum(col("__ca")).as("__sca"),
+        max(col("__inks")).as("__kmax"), min(col("__inks")).as("__kmin"),
+        max(col("__la")).as("__ta"), max(col("__lb")).as("__tb"),
+        max(col("__na")).as("__bna"), max(col("__nb")).as("__bnb"))
+    val foldInit = struct(lit(0L).as("oa"), lit(0L).as("ob"),
+      lit(0L).as("r"), lit(0L).as("k"))
+    def foldStep(na: Column, nb: Column)(acc: Column, x: Column): Column = {
+      val c = acc("oa") * nb - acc("ob") * na
+      struct(
+        (acc("oa") + x("__ta")).as("oa"),
+        (acc("ob") + x("__tb")).as("ob"),
+        (acc("r") + x("__s1") +
+          (acc("oa") + acc("ob")) * 2 * x("__sca")).as("r"),
+        greatest(acc("k"), abs(x("__kmax") + c), abs(x("__kmin") + c))
+          .as("k"))
+    }
+    val rankStats = bstats
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("__bk"), col("__s1"),
+          col("__sca"), col("__kmax"), col("__kmin"), col("__ta"),
+          col("__tb")))).as("__bs"),
+        max(col("__bna")).as("__fna"), max(col("__bnb")).as("__fnb"))
+      .select(aggregate(col("__bs"), foldInit,
+          foldStep(col("__fna"), col("__fnb"))).as("__fold"),
+        col("__fna"), col("__fnb"))
+      // empty-input parity with the old global aggregates (null, not 0)
+      .select(
+        when(col("__fna").isNull, lit(null))
+          .otherwise(col("__fold.r")).as("__r1x2"),
+        when(col("__fna").isNull, lit(null))
+          .otherwise(col("__fold.k")).as("__ksnum"),
+        (col("__fna") * col("__fnb")).as("__ksden"))
 
     sums.crossJoin(rankStats).select(
       col("na").as("n_a"), col("nb").as("n_b"),

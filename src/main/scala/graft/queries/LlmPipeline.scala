@@ -718,7 +718,14 @@ object LlmPipeline {
       (col("vec_id") + 1000000L).as("vec_id"),
       transform(col("embedding"), x => x * 2).as("embedding"))
     val corpus = emb.select("vec_id", "embedding").unionByName(scaled)
-    (corpus, math.max(8, (corpus.count() / 512L).toInt))
+    // corpus rows = 2 × embeddings rows BY CONSTRUCTION (scaled is a 1:1
+    // projection), so the cell count comes from ONE metadata-cheap count
+    // of the raw parquet scan instead of executing the union + fan-out
+    // repartition of both branches just to count them (r20 q47 profile:
+    // the union count was two scan stages + a 64-task merge before any
+    // real work)
+    val nRows = 2L * Tables(s, dir, "embeddings").count()
+    (corpus, math.max(8, (nRows / 512L).toInt))
   }
 
   def q47SemanticDedup(s: SparkSession, dir: String): DataFrame = {
