@@ -36,6 +36,22 @@ object Sessions {
       // shape — without this conf the probe pays the index-side sort
       // even on a fresh/compacted index (r18 judge directive #2).
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // always use the sort-based shuffle writer, never the bypass-merge
+      // one (r20). The bypass writer — default whenever a shuffle has
+      // ≤ 200 reduce partitions and no map-side combine (repartitions,
+      // window/join exchanges) — opens R FILES PER MAP TASK and then
+      // concatenates them; with R = this engine's conf'd shuffle width,
+      // that is R× the file creates of the sort writer's one
+      // data+index pair per task. ProfileStages plan metrics showed
+      // 85-200 ms of shuffleWriteTime PER TASK on exchanges carrying a
+      // few KB (q51's batch-prep exchanges: 2.7-6.7 s summed per
+      // exchange), and disabling bypass measured q117 2.1→1.4 s /
+      // q41 4.4→2.9 s / q51 4.1→3.0 s (interleaved A/B) with q84 flat.
+      // At production scale shuffle.partitions ≫ 200, so the sort
+      // writer is the path every large job takes anyway — this pins the
+      // SAME code path at every scale instead of a file-create storm
+      // below the threshold. Results are writer-independent.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.ui.enabled", "false")
 }
 

@@ -169,27 +169,6 @@ final class JdbcInsertTarget(
   private val insertSql =
     s"INSERT INTO $table (${columns.mkString(", ")}) VALUES (${columns.map(_ => "?").mkString(", ")})"
 
-  /** Rows per multi-row INSERT statement (the JDBC-generic analog of
-    * MySQL's `rewriteBatchedStatements`): row-store targets execute a
-    * statement batch one row-trip at a time through parser/executor/log,
-    * so folding G rows into ONE standard row-value-constructor INSERT
-    * (`VALUES (...), (...), ...`) amortizes that per-trip cost G-fold.
-    * 100 rows × a handful of columns stays far under every JDBC
-    * driver's parameter-count ceilings (Derby/Postgres 32k+). */
-  private val MultiRowGroup = 100
-
-  private def multiInsertSql(g: Int): String = {
-    val row = "(" + columns.map(_ => "?").mkString(", ") + ")"
-    s"INSERT INTO $table (${columns.mkString(", ")}) VALUES " +
-      Seq.fill(g)(row).mkString(", ")
-  }
-
-  // Targets that reject multi-row VALUES (pre-8.0.19 ClickHouse JDBC,
-  // some row stores) drop to the classic one-row-per-batch-entry path —
-  // detected once on PREPARE (a syntax/capability failure, never a data
-  // one) and remembered per target instance.
-  @volatile private var multiRowUnsupported = false
-
   private def bind(st: java.sql.PreparedStatement, row: Row): Unit = {
     var i = 0
     while (i < columns.length) {
@@ -198,66 +177,28 @@ final class JdbcInsertTarget(
     }
   }
 
-  /** Bind `rows` as consecutive row-groups of one multi-row statement. */
-  private def bindMulti(st: java.sql.PreparedStatement, rows: Seq[Row]): Unit = {
-    var base = 0
-    rows.foreach { row =>
-      var i = 0
-      while (i < columns.length) {
-        st.setObject(base + i + 1, row.get(i))
-        i += 1
-      }
-      base += columns.length
-    }
-  }
-
-  private def insertBatchOneRowPer(conn: java.sql.Connection, rows: Seq[Row]): Unit = {
+  // Statement shape is the plain one-row-per-batch-entry prepared batch
+  // DELIBERATELY (r20 A/B on the bench's Derby row, 200k rows × 2 passes):
+  // a multi-row VALUES rewrite (the MySQL rewriteBatchedStatements trick,
+  // 100 rows/statement) measured 3.30-3.68 s vs 3.01 s for this form —
+  // Derby plans a row-value-constructor list like a UNION. The row's
+  // ceiling is the target's write concurrency, not our statement count:
+  // raw-JDBC floor on this host = 114k rows/s at ONE writer degrading to
+  // 60k at 32 (lock-manager contention; the reference's own
+  // defaultMaxOpenConns is 1, config.go:173) — cap writers via
+  // ConnectionPool.maxOpenPerTarget per deployment when the target is a
+  // contention-bound row store.
+  override def insertBatch(rows: Seq[Row]): Unit = withConn { conn =>
+    conn.setAutoCommit(false)
     val st = conn.prepareStatement(insertSql)
     try {
       rows.foreach { r => bind(st, r); st.addBatch() }
       st.executeBatch()
-      ()
-    } finally st.close()
-  }
-
-  override def insertBatch(rows: Seq[Row]): Unit = withConn { conn =>
-    conn.setAutoCommit(false)
-    try {
-      if (multiRowUnsupported) insertBatchOneRowPer(conn, rows)
-      else {
-        // full groups ride ONE reusable prepared statement; the
-        // remainder gets its own right-sized statement
-        val (full, rest) = rows.splitAt(rows.length / MultiRowGroup * MultiRowGroup)
-        try {
-          if (full.nonEmpty) {
-            val st =
-              try conn.prepareStatement(multiInsertSql(MultiRowGroup))
-              catch { case e: java.sql.SQLSyntaxErrorException =>
-                multiRowUnsupported = true; throw e }
-            try full.grouped(MultiRowGroup).foreach { g =>
-              bindMulti(st, g); st.addBatch()
-            } finally ()
-            try { st.executeBatch(); () } finally st.close()
-          }
-          if (rest.nonEmpty) {
-            val st =
-              try conn.prepareStatement(multiInsertSql(rest.length))
-              catch { case e: java.sql.SQLSyntaxErrorException =>
-                multiRowUnsupported = true; throw e }
-            try { bindMulti(st, rest); st.executeUpdate(); () } finally st.close()
-          }
-        } catch {
-          // capability refusal, not bad data: retry the same tx through
-          // the one-row path so QuarantineWriter never sees it
-          case _: java.sql.SQLSyntaxErrorException if multiRowUnsupported =>
-            conn.rollback()
-            insertBatchOneRowPer(conn, rows)
-        }
-      }
       conn.commit()
     } catch {
       case e: Exception => conn.rollback(); throw e
     } finally {
+      st.close()
       // restore session state before the conn re-pools: insertRow and
       // executeDdl rely on autoCommit=true — without this reset their
       // writes on a recycled conn would sit uncommitted and be silently
