@@ -26,6 +26,19 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE coalesce floor lowered 1 MiB → 64 KiB (r20): with
+      // `parallelismFirst` the coalesce target is
+      // max(total/parallelism, minPartitionSize), so on COMPUTE-dense
+      // reduce stages over byte-small tables the 1 MiB floor collapses
+      // parallelism to a handful of tasks (q88's array-profile final
+      // aggregations ran 3 tasks × ~0.9 s CPU each on 32 cores;
+      // interleaved A/B: q88 2.5-2.9 → 1.3-1.5 s, q64 better, others
+      // flat). Scale-neutral by construction: whenever
+      // total/parallelism ≥ 1 MiB — any real production shuffle — the
+      // floor is not the binding term and the coalesced size is
+      // IDENTICAL to the default's. Same parallelism-repair intent as
+      // Tables.parallel/localCheckpointWide, as a session posture.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       // bucketed scans expose their recorded sortBy order when every
       // bucket holds one file ("legacy" since SPARK-28595 because the
       // one-file check lists files at planning; safe either way — a
